@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Unlike the reference (which creates a bare session per Airflow task and
+  * materializes parquet between every step — /root/reference/dags/main.py:144),
+  * graft keeps every pipeline inside ONE session and ONE Catalyst plan, with
+  * AQE enabled so shuffle partitioning is re-planned from runtime statistics.
+  */
+object GraftSession {
+
+  /** Local session for tests / bench. On a real cluster the same configs
+    * apply, minus `master`; shuffle partitions scale with cluster cores.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Cast-failure → null (not error): the cleaning/validation operators
+      // rely on it, and it matches the reference's PySpark 3.x semantics.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Table loader: TESTDATA layout is one parquet per table. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,55 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Grouped/ordered analytics re-expressing the reference's analysis tasks
+  * (/root/reference/dags/main.py tasks 4-7 and 11) as generic operators.
+  *
+  * All operators are plain Catalyst plans: partial (map-side) aggregation,
+  * AQE partition coalescing and `TakeOrderedAndProject` for ordered top-K
+  * come for free — no driver-side collection anywhere.
+  */
+object Stats {
+
+  /** Average + exact median of a numeric column (main.py:289-309).
+    * The reference uses `percentile_approx`; at 100 TB that is the right
+    * call — both are exposed. Exact percentile is used for oracle parity.
+    */
+  def centralStats(df: DataFrame, value: Column): DataFrame =
+    df.select(value.as("v"))
+      .agg(
+        avg(col("v")).as("avg_v"),
+        expr("percentile(v, 0.5D)").as("median_v")
+      )
+
+  /** Top-K groups by row count, deterministic tie-break on the key
+    * (main.py:313-339). Plans as partial-agg → shuffle → TakeOrdered. */
+  def topGroupsByCount(df: DataFrame, key: Column, k: Int, as: String = "n_objects"): DataFrame =
+    df.groupBy(key)
+      .agg(count(lit(1)).as(as))
+      .orderBy(col(as).desc, key)
+      .limit(k)
+
+  /** Per-group min/max of a value column, ordered by group (main.py:343-357). */
+  def minMaxByGroup(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key)
+      .agg(max(value).as("max_v"), min(value).as("min_v"))
+      .orderBy(key)
+
+  /** Bucketed histogram: floor(v / width) * width → count (main.py:361-377). */
+  def bucketHistogram(df: DataFrame, value: Column, width: Int, as: String = "bucket"): DataFrame =
+    df.withColumn(as, (floor(value / width) * width).cast(LongType))
+      .groupBy(col(as))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col(as))
+
+  /** Filter + ORDER BY … DESC LIMIT K with deterministic tie-breaks
+    * (main.py:481-502). Catalyst plans this as TakeOrderedAndProject —
+    * each partition keeps a K-row heap, the driver merges K*P rows, so it
+    * scales to any input size without a global sort.
+    */
+  def topKFilter(df: DataFrame, pred: Column, sortKey: Column, tieBreak: Seq[Column], k: Int): DataFrame =
+    df.filter(pred).orderBy(sortKey.desc +: tieBreak: _*).limit(k)
+}
