@@ -27,6 +27,8 @@ object GraftSession {
       // Cast-failure → null (not error): the cleaning/validation operators
       // rely on it, and it matches the reference's PySpark 3.x semantics.
       .config("spark.sql.ansi.enabled", "false")
+      // TESTDATA events.ts is parquet TIMESTAMP(NANOS): read as nanos Long.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -3,9 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Stats
+import graft.analytics.{Relational, Stats}
+import graft.dedup.{DedupData, ExactDedup, MinHashLsh, NGramJaccard, SimHash}
 import graft.etl.{Cleaning, GeoEstatePipeline => Geo}
+import graft.multimodal.Multimodal
+import graft.similarity.{EmbeddingDedup, Knn, LshKnn}
 import graft.sources.BatchSink
+import graft.streaming.EventStreams
+import graft.text.{Fingerprint, TextAnalysis}
 
 /** Driver contract — one `queries` entry per SURVEY.md §2 operator, each with
   * an equivalent DuckDB oracle SQL (hash-checked at sf0.01).
@@ -19,6 +24,20 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
+    * arrives as a nanos Long. Convert with integer division (`div`) — a
+    * double division would lose precision above 2^53 ns (~1970+104 days).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -48,8 +67,11 @@ object SparkEntry {
 
     "q_typecast" -> ((s, d) =>
       Geo.houses(s, d)
-        .select("house_id", "src_id", "latitude", "longitude",
-          "maintenance_year", "square", "population")
+        // DATE cells round-trip ambiguously through parquet/pandas compare
+        // layers; emit the midnight TIMESTAMP (same info, stable compare).
+        .select(col("house_id"), col("src_id"), col("latitude"), col("longitude"),
+          col("maintenance_year").cast("timestamp").as("maintenance_year"),
+          col("square"), col("population"))
         .orderBy("house_id")),
 
     "q_year_stats" -> ((s, d) =>
@@ -94,7 +116,78 @@ object SparkEntry {
           max(col("square")).as("max_square"),
           min(col("square")).as("min_square"),
           avg(year(col("maintenance_year"))).as("avg_year"))
-        .orderBy("region"))
+        .orderBy("region")),
+
+    // ── §2.2 training-data pipeline extensions ────────────────────────────
+    "q_dedup_exact" -> ((s, d) =>
+      ExactDedup.groups(
+          DedupData.withPlantedDups(t(s, d, "documents")), col("text"), col("doc_id"))
+        .orderBy("keep_id")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      MinHashLsh.nearDuplicates(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"), threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      SimHash.nearDuplicates(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"), maxDist = 3)),
+
+    "q_ngram_jaccard" -> ((s, d) =>
+      NGramJaccard.blockedPairs(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.5)),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      EmbeddingDedup.nearDuplicatePairs(
+        DedupData.withPlantedVecDups(t(s, d, "embeddings")), threshold = 0.9)),
+
+    "q_knn_bruteforce" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+      Knn.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    "q_knn_lsh" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+      LshKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    "q_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    "q_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    "q_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      Fingerprint.fingerprints(
+        DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))),
+
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeFeatures(Multimodal.asMedia(t(s, d, "documents")))
+        .orderBy("doc_id")),
+
+    // ── §2.3 streaming & general analytics ───────────────────────────────
+    "q_window_agg" -> ((s, d) =>
+      EventStreams.tumblingAgg(events(s, d), "1 hour")),
+
+    "q_sessionize" -> ((s, d) =>
+      EventStreams.sessionize(events(s, d), gapSec = 1800L)),
+
+    "q_event_rollup" -> ((s, d) =>
+      Relational.eventRollup(events(s, d))),
+
+    "q_pricing_summary" -> ((s, d) =>
+      Relational.pricingSummary(t(s, d, "lineitem"))),
+
+    "q_join_enrich" -> ((s, d) =>
+      Relational.enrichCustomers(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+
+    "q_revenue_topn" -> ((s, d) =>
+      Relational.revenueTopN(t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "customer"), 20))
   )
 
   /** DuckDB CTE reproducing the derived dirty-houses table + the cleaning /
@@ -164,7 +257,8 @@ object SparkEntry {
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY new_id""".stripMargin,
 
     "q_typecast" -> (HousesCte +
-      """SELECT house_id, src_id, latitude, longitude, maintenance_year, square, population
+      """SELECT house_id, src_id, latitude, longitude,
+        |  CAST(maintenance_year AS TIMESTAMP) AS maintenance_year, square, population
         |FROM houses ORDER BY house_id""".stripMargin),
 
     "q_year_stats" -> (HousesCte +
@@ -200,6 +294,149 @@ object SparkEntry {
     "q_geo_pipeline" -> (HousesCte +
       """SELECT region, count(*) AS n_objects, max(square) AS max_square,
         |  min(square) AS min_square, avg(year(maintenance_year)) AS avg_year
-        |FROM houses GROUP BY region ORDER BY region""".stripMargin)
+        |FROM houses GROUP BY region ORDER BY region""".stripMargin),
+
+    // ── §2.2 training-data pipeline extensions ────────────────────────────
+    "q_dedup_exact" -> (DedupData.DocsCte +
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text FROM docs)
+        |GROUP BY norm_text ORDER BY keep_id""".stripMargin),
+
+    "q_dedup_embedding" -> (DedupData.VecsCte +
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.9
+        |ORDER BY vec_a, vec_b""".stripMargin),
+
+    "q_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |SELECT query_id, rnk, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), scores AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(tk, t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS score_en,
+        |    CAST(len(list_filter(tk, t -> list_contains(['el','la','de','que','y','los','en'], t))) AS INTEGER) AS score_es,
+        |    CAST(len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS INTEGER) AS score_de,
+        |    CAST(len(list_filter(tk, t -> list_contains(['le','la','et','les','des','un','est'], t))) AS INTEGER) AS score_fr,
+        |    CAST(len(list_filter(tk, t -> list_contains(['的','是','了','在','和','有','不'], t))) AS INTEGER) AS score_zh
+        |  FROM toks)
+        |SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+        |  CASE
+        |    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |    WHEN score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |    WHEN score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |    WHEN score_fr >= score_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted_lang
+        |FROM scores ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM documents
+        |), ratios AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |    CAST(n_alpha AS DOUBLE) / n_chars_c AS alpha_ratio,
+        |    CAST(n_punct AS DOUBLE) / n_chars_c AS punct_ratio
+        |  FROM feats)
+        |SELECT doc_id, n_tokens, stop_ratio, alpha_ratio, punct_ratio,
+        |  stop_ratio * 2.0 + alpha_ratio - punct_ratio * 3.0 +
+        |    CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS quality_score
+        |FROM ratios ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS re_tokens,
+        |  CAST(floor((length(text) + 3) / 4) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ── §2.3 streaming & general analytics ───────────────────────────────
+    "q_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_mu,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH lagd AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagd
+        |), seqs AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flags)
+        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM seqs GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_event_rollup" ->
+      """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+        |  CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_mu,
+        |  max(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_base_price_mu,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6) AS BIGINT)) AS BIGINT) AS sum_disc_price_mu,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1e6) AS BIGINT)) AS BIGINT) AS sum_charge_mu,
+        |  CAST(sum(CAST(floor(l_discount * 1e6) AS BIGINT)) AS BIGINT) AS sum_disc_mu,
+        |  count(*) AS count_order,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS avg_price_mu,
+        |  CAST(sum(CAST(floor(l_discount * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS avg_disc_mu
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_enrich" ->
+      """SELECT c_custkey, c_name, c_mktsegment, n_name AS nation, r_name AS region
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_revenue_topn" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6) AS BIGINT)) AS BIGINT) AS revenue_mu,
+        |    count(DISTINCT o.o_orderkey) AS n_orders
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_custkey)
+        |SELECT c.c_custkey, c.c_name, r.revenue_mu, r.n_orders
+        |FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+        |ORDER BY revenue_mu DESC, c_custkey LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,84 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the star schema: pricing summary, dimension
+  * enrichment, join+agg top-N, per-key rollups.
+  *
+  * Float discipline (SURVEY.md §4): money aggregates sum
+  * `floor(expr * 1e6)` longs ("micros") — bit-deterministic in any engine
+  * and order-independent — instead of summing IEEE doubles, whose result
+  * depends on partition merge order. Averages divide two exact numbers.
+  */
+object Relational {
+
+  /** Exact fixed-point projection of a double expression (6 dp). The
+    * double multiply is a single IEEE op — identical bits everywhere.
+    */
+  def micros(c: Column): Column = floor(c * 1e6).cast("long")
+
+  /** TPC-H-q1-style grouped pricing summary over lineitem, exact.
+    * Plans as partial agg → 2-key shuffle → final agg; the shipdate filter
+    * is pushed to the parquet scan.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-09-02"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(micros(col("l_extendedprice"))).as("sum_base_price_mu"),
+        sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price_mu"),
+        sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+          .as("sum_charge_mu"),
+        sum(micros(col("l_discount"))).as("sum_disc_mu"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
+      .withColumn("avg_price_mu", col("sum_base_price_mu").cast("double") / col("count_order"))
+      .withColumn("avg_disc_mu", col("sum_disc_mu").cast("double") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Multiway dimension enrichment: customer ⋈ nation ⋈ region. The dims
+    * are broadcast (they are tiny at every TPC-H scale) so the fact table
+    * never shuffles — the whole join runs map-side in one stage.
+    */
+  def enrichCustomers(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name").as("nation"), col("r_name").as("region"))
+      .orderBy("c_custkey")
+
+  /** Revenue top-N customers: orders ⋈ lineitem (shuffle join on orderkey,
+    * both sides large) → agg by custkey → broadcast-enrich with customer →
+    * TakeOrderedAndProject. Revenue in exact micros.
+    */
+  def revenueTopN(orders: DataFrame, lineitem: DataFrame, customer: DataFrame, n: Int): DataFrame = {
+    val revenue = lineitem
+      .select(col("l_orderkey"),
+        micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_mu"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev_mu").as("revenue_mu"), countDistinct("o_orderkey").as("n_orders"))
+    revenue
+      .join(broadcast(customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue_mu"), col("n_orders"))
+      .orderBy(col("revenue_mu").desc, col("c_custkey"))
+      .limit(n)
+  }
+
+  /** Per-user event rollup: counts, distinct types, exact value sum. */
+  def eventRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(micros(col("value"))).as("sum_value_mu"),
+        max(col("ts")).as("last_ts"))
+      .orderBy("user_id")
+}

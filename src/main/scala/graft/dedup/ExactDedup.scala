@@ -1,0 +1,38 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication: normalize → hash-group → keep one representative.
+  *
+  * Scale: one shuffle on the normalized text (or its xxhash64 for wide
+  * texts), map-side partial aggregation; no driver involvement.
+  */
+object ExactDedup {
+
+  /** Canonical text form: lowercase, trim, collapse internal whitespace. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** One row per duplicate group: the kept (minimum) id + group size.
+    * Grouping key is the normalized text itself so the result is exact;
+    * at 100 TB group on xxhash64(normalize(text)) first and only compare
+    * full text within colliding buckets (see [[groupsByHash]]).
+    */
+  def groups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(normalize(text).as("norm_text"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Scale variant: shuffle 8-byte hashes instead of full documents. */
+  def groupsByHash(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(xxhash64(normalize(text)).as("norm_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** The deduplicated table itself: keep the min-id row per group. */
+  def dedup(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val keep = groups(df, text, id).select(col("keep_id").as("__keep_id"))
+    df.join(keep, id === col("__keep_id"), "left_semi")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection, expressed entirely as Catalyst
+  * plans: shingle → per-shingle xxhash64 → p-permutation minhash signature →
+  * b-band bucket keys → equi-join on (band, bucket) → candidate pairs →
+  * signature-estimated Jaccard filter.
+  *
+  * Scale design: the signature is computed in ONE pass per document (nested
+  * higher-order functions, no per-permutation shuffle). The only shuffle is
+  * the band-bucket equi-join — partitionable on the bucket key and saltable
+  * on skewed buckets; AQE's skew-join handles the rest. Nothing touches the
+  * driver.
+  */
+object MinHashLsh {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Word k-shingles as strings; documents shorter than k words collapse to
+    * a single whole-document shingle.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Distinct 64-bit shingle hashes (the document's feature set). */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(tokens(text), k), s => xxhash64(s)))
+
+  /** MinHash signature: element p = min over shingles of xxhash64(h, p).
+    * One nested higher-order expression — O(shingles × p) per row, no
+    * shuffle, evaluated inside the scan stage.
+    */
+  def signature(hashes: Column, p: Int): Column =
+    transform(sequence(lit(1), lit(p)), seed => array_min(transform(hashes, h => xxhash64(h, seed))))
+
+  /** Signature-estimated Jaccard: fraction of equal signature components. */
+  def estimatedJaccard(sigA: Column, sigB: Column, p: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v
+    ).cast("double") / p
+
+  /** (id, signature) per document. */
+  def signatures(docs: DataFrame, id: Column, text: Column, k: Int, p: Int): DataFrame =
+    docs.select(id.as("mh_id"), signature(shingleHashes(text, k), p).as("sig"))
+
+  /** Candidate pairs (idA < idB) sharing ≥1 LSH band bucket, with the
+    * signature-estimated Jaccard attached. p must equal bands × rowsPerBand.
+    */
+  def candidatePairs(docs: DataFrame, id: Column, text: Column,
+                     k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val p = bands * rowsPerBand
+    val sigs = signatures(docs, id, text, k, p)
+    val banded = sigs.select(
+      col("mh_id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("mh_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("mh_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estimatedJaccard(col("sig_a"), col("sig_b"), p).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Near-duplicate pairs: candidates whose estimated Jaccard ≥ threshold. */
+  def nearDuplicates(docs: DataFrame, id: Column, text: Column,
+                     threshold: Double = 0.5, k: Int = 3,
+                     bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    candidatePairs(docs, id, text, k, bands, rowsPerBand)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+}

@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - [[bruteForceTopK]]: exact cosine top-k for a SMALL query set — the
+  *   query side is broadcast, so the corpus is scanned once with no shuffle
+  *   of the corpus itself; per-query ranking happens in a window keyed by
+  *   query id.
+  * - [[EmbeddingDedup.nearDuplicatePairs]]: threshold variant for dedup.
+  * - LSH-bucketed variant in [[LshKnn]] — the 100 TB path: candidates only
+  *   from matching random-hyperplane buckets.
+  */
+object Knn {
+
+  /** Cosine similarity of two float-array columns, accumulated in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact top-k neighbors per query point: (query_id, rnk, neighbor_id).
+    * `queries` must be broadcast-sized (it is sent to every executor).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus
+      .join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+}
+
+/** Embedding-cosine near-duplicate pairs (all pairs above a threshold). */
+object EmbeddingDedup {
+
+  /** Pairs (vec_a < vec_b) with cosine > threshold. All-pairs is quadratic:
+    * correct at verification scale, replaced by [[LshKnn]] buckets at 100 TB.
+    */
+  def nearDuplicatePairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .filter(Knn.cosine(col("emb_a"), col("emb_b")) > threshold)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+}
+
+/** Random-hyperplane LSH bucketing — the scale path for ANN search.
+  *
+  * `nBits` hyperplanes are derived from a fixed seed; each vector's bucket
+  * is the sign pattern of its projections. Neighbor candidates share a
+  * bucket, so the join is a bucket-key equi-join (shuffle-partitionable)
+  * instead of a cross join.
+  */
+object LshKnn {
+
+  /** Deterministic hyperplanes: nBits × dim doubles in [-1, 1) from a
+    * seeded generator (same on driver and executors — pure data).
+    */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(nBits, dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** Bucket id: bit p = (v · plane_p) > 0. */
+  def bucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      val proj = aggregate(
+        zip_with(emb, planeCol, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Approximate top-k: rank exact cosine within each query's bucket only. */
+  def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nBits: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      bucket(col("embedding"), planes).as("bkt"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      bucket(col("embedding"), planes).as("bkt")))
+    c.join(q, Seq("bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), Knn.cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.analytics.Relational.micros
+
+/** Event-time analytics in both batch and Structured Streaming form.
+  *
+  * The batch operators are plain Catalyst plans (used by the oracle-checked
+  * queries); the `*Stream` variants are the same semantics expressed for
+  * `readStream` sources — tumbling windows with watermarks, and gap
+  * sessionization as `flatMapGroupsWithState` (per-key state, event-time
+  * timeout, so state size is O(open sessions), not O(events)).
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate, batch form. `window(ts, dur)` buckets are
+    * epoch-aligned, so for whole-hour durations `window.start` equals
+    * `date_trunc('hour', ts)` — the oracle-SQL form.
+    */
+  def tumblingAgg(events: DataFrame, dur: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), dur))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(micros(col("value"))).as("sum_value_mu"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("sum_value_mu"), col("n_users"))
+      .orderBy("window_start")
+
+  /** Streaming form: identical aggregate behind a watermark. Late data
+    * beyond `lateness` is dropped and windows finalize incrementally —
+    * state per open window only. (`countDistinct` is not supported in
+    * streaming; `approx_count_distinct` is the streaming-safe reading.)
+    */
+  def tumblingAggStream(events: DataFrame, dur: String = "1 hour",
+                        lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), dur))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(micros(col("value"))).as("sum_value_mu"),
+        approx_count_distinct("user_id").as("n_users"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("sum_value_mu"), col("n_users"))
+
+  /** Gap-based sessionization, batch form: a session breaks where the gap
+    * to the previous event of the same user exceeds `gapSec`. lag + running
+    * sum over a per-user window — one shuffle on user_id, then per-user
+    * sorted streams; no global sort.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_seq", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_seq")
+  }
+
+  // ── streaming sessionization ──────────────────────────────────────────
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** Streaming gap sessionization: per-user state via
+    * `flatMapGroupsWithState` with an event-time timeout. A session closes
+    * when a same-user event arrives past the gap, or when the watermark
+    * passes session_end + gap (timeout). State is one (start, end, n)
+    * triple per open session — bounded regardless of stream length.
+    */
+  def sessionizeStream(events: Dataset[Event], gapSec: Long = 1800L,
+                       lateness: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      val gapMs = gapSec * 1000L
+      def emit(s: SessionState) =
+        Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = batch.toSeq.sortBy(_.ts.getTime)
+        val closed = Seq.newBuilder[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+            case Some(s) =>
+              closed += emit(s)
+              cur = Some(SessionState(t, t, 1L))
+            case None =>
+              cur = Some(SessionState(t, t, 1L))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{ExactDedup, MinHashLsh}
+
+/** Rolling-hash document fingerprinting (polynomial, 64-bit).
+  *
+  * A document's fingerprint set is the polynomial hash of every w-token
+  * window over its normalized token stream (Karp–Rabin style); the compact
+  * per-document summary keeps the full-document hash, the minimum window
+  * hash (winnowing's representative pick) and the window count. Two
+  * documents sharing any window fingerprint share a w-token run verbatim.
+  *
+  * Everything is nested higher-order Catalyst expressions over one row —
+  * no shuffle, no UDF; Long arithmetic wraps (non-ANSI mode), which is
+  * exactly the modular arithmetic a 2^64 polynomial hash wants.
+  */
+object Fingerprint {
+
+  /** Polynomial base (odd ⇒ invertible mod 2^64, good avalanche with the
+    * xxhash64-pre-hashed tokens).
+    */
+  val Base = 1099511628211L // FNV-1a 64 prime
+
+  /** Polynomial hash of an array of longs: fold h = h * Base + x. */
+  def polyHash(xs: Column): Column =
+    aggregate(xs, lit(0L), (acc, x) => acc * Base + x)
+
+  /** All w-token-window polynomial hashes of the normalized token stream.
+    * Short documents (< w tokens) get their single whole-document hash.
+    */
+  def windowHashes(text: Column, w: Int): Column = {
+    val tokHashes = transform(MinHashLsh.tokens(ExactDedup.normalize(text)), t => xxhash64(t))
+    when(size(tokHashes) < w, array(polyHash(tokHashes)))
+      .otherwise(transform(
+        sequence(lit(0), size(tokHashes) - w),
+        i => polyHash(slice(tokHashes, i + 1, lit(w)))))
+  }
+
+  /** Per-document fingerprint summary: (id, full-doc hash, min window
+    * hash, window count). Normalization-equal documents get identical
+    * `doc_fp`; documents sharing a verbatim w-token run share `min_fp`
+    * with high probability.
+    */
+  def fingerprints(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
+    val wh = windowHashes(text, w)
+    docs.select(
+      id.as("doc_id"),
+      polyHash(transform(MinHashLsh.tokens(ExactDedup.normalize(text)), t => xxhash64(t))).as("doc_fp"),
+      array_min(wh).as("min_fp"),
+      size(wh).cast("long").as("n_windows"))
+      .orderBy("doc_id")
+  }
+
+  /** Pairs of documents sharing ≥1 window fingerprint (verbatim w-token
+    * overlap). The explode → equi-join on the fingerprint is the scale
+    * path: shuffle keyed on the 8-byte hash, AQE-skewable.
+    */
+  def sharedRunPairs(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
+    val fps = docs.select(id.as("fp_id"), explode(array_distinct(windowHashes(text, w))).as("fp"))
+    val a = fps.select(col("fp"), col("fp_id").as("id_a"))
+    val b = fps.select(col("fp"), col("fp_id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+}

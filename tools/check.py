@@ -1,55 +1,100 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's DuckDB oracle compare.
+"""Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Reads a Verify output dir (per-query parquet + oracle_sql.json), runs each
+oracle SQL in DuckDB against the same sf parquet tables, and compares:
+row count, schema (column name -> type after name-sort), and exact values
+(rows sorted, columns sorted by name). Run:
 
-For each query dir under verifyOutDir: load the Spark parquet result, run the
-oracle SQL from oracle_sql.json in DuckDB (tables = parquet files in sfDir),
-sort columns by name, and compare cell-by-cell (exact for non-floats, exact
-bits for floats first, then tolerance report).
+    python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import sys, json, glob, os
-import duckdb
+import json
 import math
+import sys
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for p in glob.glob(f"{sf_dir}/*.parquet"):
-    name = os.path.basename(p).replace(".parquet", "")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+import duckdb
+import pandas as pd
 
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-fails = 0
-for q, sql in sorted(oracle.items()):
-    res_dir = f"{out_dir}/{q}"
-    if not os.path.isdir(res_dir):
-        print(f"FAIL {q}: no spark output dir"); fails += 1; continue
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def cell_eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
     try:
-        spark_df = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-        duck_df = con.sql(sql).df()
-    except Exception as e:
-        print(f"FAIL {q}: {e}"); fails += 1; continue
-    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
-    if sc != dc:
-        print(f"FAIL {q}: columns differ spark={sc} duck={dc}"); fails += 1; continue
-    if len(spark_df) != len(duck_df):
-        print(f"FAIL {q}: rows spark={len(spark_df)} duck={len(duck_df)}"); fails += 1; continue
-    spark_df, duck_df = spark_df[sc], duck_df[sc]
-    bad = []
-    for c in sc:
-        a, b = spark_df[c].tolist(), duck_df[c].tolist()
-        for i, (x, y) in enumerate(zip(a, b)):
-            if x is None and y is None: continue
-            if isinstance(x, float) and isinstance(y, float):
-                if x != y and not (math.isnan(x) and math.isnan(y)):
-                    bad.append((c, i, x, y))
-            elif str(x) != str(y):
-                bad.append((c, i, x, y))
-            if len(bad) > 3: break
-        if len(bad) > 3: break
-    if bad:
-        print(f"FAIL {q}: value diffs (col,row,spark,duck): {bad[:4]}"); fails += 1
-    else:
-        print(f"OK   {q}: {len(spark_df)} rows")
-print(f"{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
-sys.exit(1 if fails else 0)
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            failures += 1
+            continue
+        try:
+            exp = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            failures += 1
+            continue
+        bad = None
+        for c in got.columns:
+            gv, ev = got[c].tolist(), exp[c].tolist()
+            for i, (a, b) in enumerate(zip(gv, ev)):
+                if not cell_eq(a, b):
+                    bad = (c, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, a, b = bad
+            print(f"FAIL {name}: value mismatch col={c} row={i}: {a!r} != {b!r}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows")
+    import os
+    rows_only = sorted(set(os.listdir(out_dir)) - set(oracle) - {"oracle_sql.json"})
+    for name in rows_only:
+        try:
+            n = len(pd.read_parquet(f"{out_dir}/{name}"))
+            print(f"{'OK  ' if n > 0 else 'FAIL'} {name}: rows-only check, {n} rows")
+            failures += 0 if n > 0 else 1
+        except Exception as e:
+            print(f"FAIL {name}: unreadable: {e}")
+            failures += 1
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
