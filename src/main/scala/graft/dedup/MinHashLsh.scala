@@ -29,16 +29,26 @@ object MinHashLsh {
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
-  /** Distinct 64-bit shingle hashes (the document's feature set). */
+  /** Distinct 64-bit shingle hashes (the document's feature set): hash
+    * each token once, then roll a k-window polynomial over the token
+    * hashes (graft.functions.WindowPolyHash) — O(tokens) end to end. The
+    * string route (build each k-gram with concat_ws, hash it) re-evaluates
+    * the tokenizer inside every shingle's lambda and re-hashes k tokens'
+    * worth of characters per shingle: O(tokens × k) with big constants.
+    */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(tokens(text), k), s => xxhash64(s)))
+    array_distinct(graft.functions.TextHashExprs.windowPolyHash(
+      transform(tokens(text), t => xxhash64(t)), k, 1099511628211L))
 
-  /** MinHash signature: element p = min over shingles of xxhash64(h, p).
-    * One nested higher-order expression — O(shingles × p) per row, no
-    * shuffle, evaluated inside the scan stage.
+  /** MinHash signature: element s = min over shingles of xxhash64(h, s).
+    * One native O(shingles × p) loop (graft.functions.MinHashSignature),
+    * bit-identical to the built-in `xxhash64(h, s)` values. The HOF
+    * formulations are 10-50× slower: interpreted evaluation, a temp array
+    * per fold step, and (in the transposed form) the whole shingling
+    * pipeline re-evaluated once per permutation.
     */
   def signature(hashes: Column, p: Int): Column =
-    transform(sequence(lit(1), lit(p)), seed => array_min(transform(hashes, h => xxhash64(h, seed))))
+    graft.functions.TextHashExprs.minhashSignature(hashes, p)
 
   /** Signature-estimated Jaccard: fraction of equal signature components. */
   def estimatedJaccard(sigA: Column, sigB: Column, p: Int): Column =
@@ -57,7 +67,15 @@ object MinHashLsh {
   def candidatePairs(docs: DataFrame, id: Column, text: Column,
                      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val p = bands * rowsPerBand
+    // Persist the signatures: they feed BOTH sides of the band self-join
+    // and the 16 band-bucket hashes. Without the materialization boundary,
+    // ProjectionCollapse inlines the O(shingles × p) signature expression
+    // into every consumer — ~34 recomputes per document. With it, the
+    // signature is computed exactly once per document (this is also the
+    // right call at 100 TB: signatures are ~500 bytes/doc, tiny next to
+    // the text they summarize).
     val sigs = signatures(docs, id, text, k, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("mh_id"), col("sig"),
       posexplode(transform(

@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextHashExprs
+
 /** Exact word-n-gram Jaccard similarity over candidate pairs.
   *
   * Exact set Jaccard is O(pairs × shingles) — never run it all-pairs at
@@ -10,28 +12,50 @@ import org.apache.spark.sql.functions._
   * here; MinHash/SimHash LSH in the general case), then the exact score
   * confirms. The blocked self-join is an equi-join on the block key:
   * shuffle-partitionable, AQE-skew-handled.
+  *
+  * Scale/CPU design: gram sets are 64-bit hashes (long arrays), not
+  * strings — set intersection compares 8-byte values instead of hashing
+  * variable-length strings, and the shuffled candidate rows carry ~8 bytes
+  * per gram. A size prefilter (J(A,B) ≤ min|A|,|B| / max|A|,|B|) discards
+  * most pairs before any set operation runs.
   */
 object NGramJaccard {
 
-  /** Distinct word n-gram set of a text column. */
+  /** Distinct word n-gram set of a text column, as SORTED 64-bit gram
+    * hashes (rolling window-poly over per-token hashes — O(tokens), see
+    * MinHashLsh.shingleHashes; sorted so pair intersection is a linear
+    * merge).
+    */
   def ngramSet(text: Column, n: Int): Column =
-    array_distinct(MinHashLsh.shingles(MinHashLsh.tokens(text), n))
+    array_sort(MinHashLsh.shingleHashes(text, n))
 
-  /** |A ∩ B| / |A ∪ B| over two array columns (exact, integer-derived). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** |A ∩ B| / |A ∪ B| over two sorted long-array columns: one native
+    * merge-count per evaluation, |A ∪ B| derived as |A| + |B| − |A ∩ B|.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = TextHashExprs.sortedIntersectCount(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
 
   /** Exact Jaccard for every intra-block pair (idA < idB) with similarity
     * ≥ threshold.
     */
   def blockedPairs(docs: DataFrame, id: Column, text: Column, block: Column,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = docs.select(block.as("blk"), id.as("nj_id"), ngramSet(text, n).as("grams"))
-    val a = sets.select(col("blk"), col("nj_id").as("id_a"), col("grams").as("grams_a"))
-    val b = sets.select(col("blk"), col("nj_id").as("id_b"), col("grams").as("grams_b"))
+    val sets = docs.select(block.as("blk"), id.as("nj_id"),
+      ngramSet(text, n).as("grams"))
+    val a = sets.select(col("blk"), col("nj_id").as("id_a"),
+      col("grams").as("grams_a"), size(col("grams")).as("n_a"))
+    val b = sets.select(col("blk"), col("nj_id").as("id_b"),
+      col("grams").as("grams_b"), size(col("grams")).as("n_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+      // size bound: J ≥ t needs t·|B| ≤ |A| and t·|A| ≤ |B| — prunes most
+      // pairs before the O(|A|+|B|) merge runs.
+      .filter(col("n_a") >= lit(threshold) * col("n_b") &&
+        col("n_b") >= lit(threshold) * col("n_a"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy("id_a", "id_b")
       .agg(max("jaccard").as("jaccard"))

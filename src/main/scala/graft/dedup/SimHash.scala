@@ -16,36 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** (id, simhash) per document — expression-string form (nested lambdas
-    * with bit shifts read better in SQL than through the Scala DSL).
+  /** (id, simhash) per document: hash tokens once, then one native
+    * O(tokens × 64) tally loop (graft.functions.SimHash64).
     */
   def signatures(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("sh_id"), MinHashLsh.tokens(text).as("toks"))
-      .withColumn("tok_hashes", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("tallies", expr(
-        """aggregate(
-          |  tok_hashes,
-          |  array_repeat(0L, 64),
-          |  (acc, h) -> zip_with(
-          |    acc,
-          |    transform(sequence(0, 63),
-          |      i -> CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1L ELSE -1L END),
-          |    (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  zip_with(
-          |    tallies,
-          |    transform(sequence(0, 63), i -> shiftleft(1L, i)),
-          |    (tally, bit) -> CASE WHEN tally > 0 THEN bit ELSE 0L END),
-          |  0L, (acc, b) -> acc | b)""".stripMargin))
-      .select("sh_id", "simhash")
+    docs.select(
+      id.as("sh_id"),
+      graft.functions.TextHashExprs.simhash64(
+        transform(MinHashLsh.tokens(text), t => xxhash64(t))).as("simhash"))
 
   /** Exact near-duplicate pairs within Hamming distance maxDist (≤ 3 for
     * the default 4-band split to stay lossless).
     */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4 bands of 16 bits are only lossless up to Hamming distance 3")
+    // Materialization boundary: the O(tokens × 64) signature expression
+    // feeds both self-join sides and 4 band projections — persist so it
+    // runs once per document (see MinHashLsh.candidatePairs).
     val sigs = signatures(docs, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("sh_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>

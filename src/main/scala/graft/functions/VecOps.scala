@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Dot product of two float-vector columns, accumulated in double.
+  *
+  * A native Catalyst expression with `doGenCode`: the loop compiles into
+  * the surrounding WholeStageCodegen stage and reads the unsafe array
+  * buffers directly. The higher-order-function formulation
+  * (`aggregate(zip_with(...))`) is interpreted per element and allocates
+  * an intermediate array per row — ~50× slower on the KNN hot path where
+  * the dot runs once per candidate pair.
+  */
+case class VecDotF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_f expects two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotF =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecOps {
+
+  /** Codegen'd float-vector dot product (double accumulator). */
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDotF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm of a float vector. */
+  def normF(a: Column): Column = sqrt(dotF(a, a))
+
+  /** Unit-normalized copy of a float vector (float elements, so downstream
+    * dots stay on the fast float path). Zero vectors pass through as-is.
+    */
+  def normalizeF(a: Column): Column = {
+    val n = normF(a)
+    when(n === 0.0, a).otherwise(transform(a, x => (x / n).cast("float")))
+  }
+
+  /** Cosine similarity via one codegen'd pass per operand pair. */
+  def cosineF(a: Column, b: Column): Column =
+    dotF(a, b) / normF(a) / normF(b)
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecOps
+
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * - [[bruteForceTopK]]: exact cosine top-k for a SMALL query set — the
@@ -16,23 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Cosine similarity of two float-array columns, accumulated in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** Cosine similarity of two float-array columns: one codegen'd dot-product
+    * expression per operand pair (graft.functions.VecDotF).
+    */
+  def cosine(a: Column, b: Column): Column = VecOps.cosineF(a, b)
 
   /** Exact top-k neighbors per query point: (query_id, rnk, neighbor_id).
     * `queries` must be broadcast-sized (it is sent to every executor).
+    * Norms are precomputed per row on each side, so the per-pair work is a
+    * single codegen'd dot product.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = corpus
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VecOps.normF(col("embedding")).as("q_norm")))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      VecOps.normF(col("embedding")).as("c_norm"))
+    val scored = c
       .join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("sim"))
+        (VecOps.dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm"))).as("sim"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
@@ -47,12 +51,17 @@ object EmbeddingDedup {
 
   /** Pairs (vec_a < vec_b) with cosine > threshold. All-pairs is quadratic:
     * correct at verification scale, replaced by [[LshKnn]] buckets at 100 TB.
+    * Norms are precomputed per row and the pair test is rearranged to
+    * `dot > threshold * normA * normB` — one codegen'd dot per pair, no
+    * division, no repeated self-dots.
     */
   def nearDuplicatePairs(vecs: DataFrame, threshold: Double): DataFrame = {
-    val a = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val a = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      VecOps.normF(col("embedding")).as("norm_a"))
+    val b = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      VecOps.normF(col("embedding")).as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .filter(Knn.cosine(col("emb_a"), col("emb_b")) > threshold)
+      .filter(VecOps.dotF(col("emb_a"), col("emb_b")) > lit(threshold) * col("norm_a") * col("norm_b"))
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
@@ -75,14 +84,11 @@ object LshKnn {
     Array.fill(nBits, dim)(rng.nextDouble() * 2 - 1)
   }
 
-  /** Bucket id: bit p = (v · plane_p) > 0. */
+  /** Bucket id: bit p = (v · plane_p) > 0. One codegen'd dot per plane. */
   def bucket(emb: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
-      val proj = aggregate(
-        zip_with(emb, planeCol, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val planeCol = array(plane.map(v => lit(v.toFloat)): _*)
+      when(VecOps.dotF(emb, planeCol) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)
   }

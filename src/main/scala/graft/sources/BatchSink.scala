@@ -26,7 +26,14 @@ object BatchSink {
     * replaces the primary-key index for downstream readers).
     */
   def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    val w = df.write.mode("overwrite")
+    // Shuffle rows to their partition value first: without it every task
+    // opens a file per partition value it happens to hold (tasks × values
+    // small files); with it each value's rows land in one task's file.
+    val arranged =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val w = arranged.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{ExactDedup, MinHashLsh}
+import graft.functions.TextHashExprs
 
 /** Rolling-hash document fingerprinting (polynomial, 64-bit).
   *
@@ -28,16 +29,16 @@ object Fingerprint {
   def polyHash(xs: Column): Column =
     aggregate(xs, lit(0L), (acc, x) => acc * Base + x)
 
-  /** All w-token-window polynomial hashes of the normalized token stream.
-    * Short documents (< w tokens) get their single whole-document hash.
+  /** All w-token-window polynomial hashes of the normalized token stream,
+    * via one native rolling-update pass (graft.functions.WindowPolyHash) —
+    * O(tokens), not O(tokens × w), and the tokenize→hash subtree is
+    * evaluated once (a `transform(sequence…, i => polyHash(slice(…)))`
+    * formulation re-tokenizes the document inside every window's lambda).
+    * Short documents (≤ w tokens) get their single whole-document hash.
     */
-  def windowHashes(text: Column, w: Int): Column = {
-    val tokHashes = transform(MinHashLsh.tokens(ExactDedup.normalize(text)), t => xxhash64(t))
-    when(size(tokHashes) < w, array(polyHash(tokHashes)))
-      .otherwise(transform(
-        sequence(lit(0), size(tokHashes) - w),
-        i => polyHash(slice(tokHashes, i + 1, lit(w)))))
-  }
+  def windowHashes(text: Column, w: Int): Column =
+    TextHashExprs.windowPolyHash(
+      transform(MinHashLsh.tokens(ExactDedup.normalize(text)), t => xxhash64(t)), w, Base)
 
   /** Per-document fingerprint summary: (id, full-doc hash, min window
     * hash, window count). Normalization-equal documents get identical
