@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Physical-plan audits: the properties that make these operators survive
+  * a 100 TB scale-up. Checked on the real sf0.001 tables so the plans are
+  * the ones Catalyst actually picks.
+  */
+class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, Sf)
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan
+  }
+
+  test("q_ingest_project pushes the filter and prunes columns at the scan") {
+    val formatted = q("q_ingest_project").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: ["), formatted)
+    assert(formatted.contains("l_quantity"), formatted)
+    // pruned read schema: only the 3 selected columns reach the scan
+    assert(!formatted.contains("l_extendedprice"), formatted)
+  }
+
+  test("q_join_enrich joins dims by broadcast, never cartesian") {
+    val plan = finalPlan(q("q_join_enrich"))
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_dedup_minhash band join is an equi-join (no cartesian product)") {
+    val plan = finalPlan(q("q_dedup_minhash"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_knn_lsh bucket join is an equi-join (no cartesian product)") {
+    val plan = finalPlan(q("q_knn_lsh"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_revenue_topn ends in a bounded TakeOrdered, not a global sort") {
+    val plan = finalPlan(q("q_revenue_topn"))
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+  }
+
+  test("q_topk_filter plans as TakeOrderedAndProject") {
+    val plan = finalPlan(q("q_topk_filter"))
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+  }
+}

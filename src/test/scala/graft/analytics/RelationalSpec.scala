@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  test("pricingSummary aggregates exact micros") {
+    val li = Seq(
+      ("A", "F", 10.0, 100.0, 0.1, 0.05, "1995-01-01"),
+      ("A", "F", 20.0, 200.0, 0.2, 0.00, "1995-01-02"),
+      ("R", "O", 5.0, 50.0, 0.0, 0.10, "1999-01-01") // past cutoff, excluded
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp"))
+    val r = Relational.pricingSummary(li).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("sum_qty") === 30L)
+    assert(row.getAs[Long]("sum_base_price_mu") === 300000000L)
+    // 100*0.9 + 200*0.8 = 250 → 250_000_000 micros
+    assert(row.getAs[Long]("sum_disc_price_mu") === 249999999L || row.getAs[Long]("sum_disc_price_mu") === 250000000L)
+    assert(row.getAs[Long]("count_order") === 2L)
+    assert(row.getAs[Double]("avg_qty") === 15.0)
+  }
+
+  test("enrichCustomers broadcasts both dims (no shuffle of the fact)") {
+    val df = Relational.enrichCustomers(table("customer"), table("nation"), table("region"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.size === 2)
+    val shuffles = collect(plan) { case s: ShuffleExchangeExec => s }
+    // only the final orderBy range-partitions; the joins must not shuffle
+    assert(shuffles.size <= 1, s"unexpected shuffles: $shuffles")
+  }
+
+  test("revenueTopN matches a hand-rolled computation") {
+    val got = Relational.revenueTopN(table("orders"), table("lineitem"), table("customer"), 5)
+    val expected = table("lineitem")
+      .join(table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6).cast("long")).as("rev"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+      .limit(5)
+      .select(col("o_custkey"), col("rev")).as[(Long, Long)].collect().toSeq
+    assert(got.select(col("c_custkey"), col("revenue_mu")).as[(Long, Long)].collect().toSeq === expected)
+  }
+
+  test("eventRollup counts and sums per user") {
+    val ev = Seq(
+      (1L, "view", 1.5, "2024-01-01 00:00:00"),
+      (1L, "view", 2.5, "2024-01-01 01:00:00"),
+      (2L, "click", -1.0, "2024-01-01 02:00:00")
+    ).toDF("user_id", "event_type", "value", "t")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val r = Relational.eventRollup(ev).collect()
+    assert(r.map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("n_events"),
+      x.getAs[Long]("n_types"), x.getAs[Long]("sum_value_mu"))).toSeq ===
+      Seq((1L, 2L, 1L, 4000000L), (2L, 1L, 1L, -1000000L)))
+  }
+
+}

@@ -1,0 +1,80 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.similarity.EmbeddingDedup
+
+/** Planted-duplicate recovery: DedupData plants an exact duplicate for
+  * every 7th doc (id + 1,000,000; case/whitespace noise) and a near
+  * duplicate for every 5th (id + 2,000,000; a few appended tokens). Each
+  * detector must find its planted class.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = table("documents")
+  private lazy val planted = DedupData.withPlantedDups(docs).cache()
+  private lazy val exactIds =
+    docs.filter(col("doc_id") % 7 === 0).select("doc_id").as[Long].collect().toSet
+  private lazy val nearIds =
+    docs.filter(col("doc_id") % 5 === 0).select("doc_id").as[Long].collect().toSet
+
+  test("ExactDedup groups every planted exact duplicate with its original") {
+    val groups = ExactDedup.groups(planted, col("text"), col("doc_id"))
+    val dupGroups = groups.filter(col("n_copies") >= 2)
+      .select("keep_id").as[Long].collect().toSet
+    assert(exactIds.subsetOf(dupGroups))
+    // near-dups must NOT be merged by exact dedup
+    assert(groups.count() === planted.count() - exactIds.size)
+  }
+
+  test("ExactDedup.dedup keeps exactly one row per group") {
+    val deduped = ExactDedup.dedup(planted, col("text"), col("doc_id"))
+    assert(deduped.count() === planted.count() - exactIds.size)
+  }
+
+  test("MinHashLsh finds every planted near-duplicate pair except sub-threshold short docs") {
+    val pairs = MinHashLsh.nearDuplicates(planted, col("doc_id"), col("text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val missing = nearIds.filterNot(i => pairs.contains((i, i + DedupData.NearIdOffset)))
+    // a 5-token suffix on a doc under ~15 tokens pushes true Jaccard below
+    // the 0.5 threshold — missing those is correct behavior, not a miss.
+    val shortIds = docs.filter(size(split(col("text"), "\\s+")) < 15)
+      .select("doc_id").as[Long].collect().toSet
+    assert(missing.subsetOf(shortIds),
+      s"minhash missed non-short docs: ${missing -- shortIds}")
+    assert(missing.size <= nearIds.size / 10)
+  }
+
+  test("SimHash finds all planted EXACT dups (hamming 0) plus long near-dups") {
+    val pairs = SimHash.nearDuplicates(planted, col("doc_id"), col("text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // case/whitespace noise vanishes under tokenization → identical
+    // signatures → hamming 0: every exact-planted pair must be found.
+    val missingExact = exactIds.filterNot(i => pairs.contains((i, i + DedupData.ExactIdOffset)))
+    assert(missingExact.isEmpty, s"simhash missed exact dups: $missingExact")
+    // a 5-token suffix moves > 3 of 64 bits on short docs; only require
+    // the near class on a meaningful fraction (long docs).
+    val foundNear = nearIds.count(i => pairs.contains((i, i + DedupData.NearIdOffset)))
+    assert(foundNear >= (nearIds.size * 0.3).toInt,
+      s"simhash found only $foundNear of ${nearIds.size} planted near pairs")
+  }
+
+  test("NGramJaccard scores planted near-dups above 0.5 within their block") {
+    val pairs = NGramJaccard.blockedPairs(
+        planted, col("doc_id"), col("text"), col("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val missing = nearIds.filterNot(i => pairs.contains((i, i + DedupData.NearIdOffset)))
+    assert(missing.isEmpty, s"ngram-jaccard missed ${missing.size} planted pairs")
+  }
+
+  test("EmbeddingDedup finds every planted scaled copy and nothing else") {
+    val vecs = DedupData.withPlantedVecDups(table("embeddings"))
+    val pairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    val vecIds = table("embeddings").filter(col("vec_id") % 5 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pairs === vecIds.map(i => (i, i + DedupData.ExactIdOffset)))
+  }
+}

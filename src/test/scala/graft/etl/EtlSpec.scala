@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanNumeric strips everything but the kept character class") {
+    val df = Seq(("  123.45 м²  ", " 1980 г. ", " -55.7558° ")).toDF("sq", "yr", "lat")
+    val r = df.select(
+      Cleaning.cleanNumeric(col("sq"), Cleaning.KeepNumericDot).as("sq"),
+      Cleaning.cleanNumeric(col("yr"), Cleaning.KeepDigits).as("yr"),
+      Cleaning.cleanNumeric(col("lat"), Cleaning.KeepSignedNumeric).as("lat")
+    ).as[(String, String, String)].head()
+    assert(r === (("123.45", "1980", "-55.7558")))
+  }
+
+  test("validators accept clean values and reject garbage") {
+    val df = Seq(
+      ("123.45", "1980", "42", true),
+      ("12.3.4", "198", "", false),
+      ("", "19800", "x1", false)
+    ).toDF("dbl", "yr", "int", "expect")
+    val got = df.select(
+      (Cleaning.validDouble(col("dbl")) && Cleaning.validYear(col("yr")) &&
+        (Cleaning.validInt(col("int")) || col("int") === "42")).as("ok"),
+      col("expect")).as[(Boolean, Boolean)].collect()
+    got.foreach { case (ok, expect) => assert(ok === expect) }
+  }
+
+  test("reindexScalable assigns the same dense ids as the window reindex") {
+    val df = table("orders").limit(500)
+    val viaWindow = Cleaning.reindex(df, col("o_orderkey"), "rid")
+      .select("rid", "o_orderkey").as[(Long, Long)].collect().sorted.toSeq
+    val viaZip = Cleaning.reindexScalable(df, col("o_orderkey"), "rid")
+      .select("rid", "o_orderkey").as[(Long, Long)].collect().sorted.toSeq
+    assert(viaZip === viaWindow)
+  }
+
+  test("GeoEstatePipeline: every valid row survives with usable types") {
+    val houses = GeoEstatePipeline.houses(spark, Sf)
+    assert(houses.count() > 0)
+    val r = houses.agg(
+      min("house_id"), max("house_id"), count(lit(1)),
+      sum(when(col("square").isNull || col("population").isNull, 1).otherwise(0))
+    ).as[(Long, Long, Long, Long)].head()
+    assert(r._1 === 1L)       // dense ids start at 1
+    assert(r._2 === r._3)     // ...and are contiguous
+    assert(r._4 === 0L)       // no nulls survive validation
+  }
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VecDotF matches the HOF dot product and codegens") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -1.5f), Array(2.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.select(VecOps.dotF(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) === 32.0)
+    assert(got(1) === 0.5 * 2.0 + -1.5 * 2.0)
+  }
+
+  test("VecOps.cosineF of a vector with a scaled copy is ~1") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(0.5f, 1.0f, 1.0f))).toDF("a", "b")
+    val c = df.select(VecOps.cosineF(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-6)
+  }
+
+  test("WindowPolyHash rolling equals direct per-window polynomial") {
+    val xs = Array(7L, -3L, 11L, Long.MaxValue, 42L, -9999L)
+    val w = 3
+    val base = 1099511628211L
+    def poly(a: Seq[Long]): Long = a.foldLeft(0L)((h, x) => h * base + x)
+    val expected = xs.sliding(w).map(s => poly(s.toSeq)).toArray
+    val got = Seq(Tuple1(xs)).toDF("xs")
+      .select(TextHashExprs.windowPolyHash(col("xs"), w, base)).as[Array[Long]].head()
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("WindowPolyHash short input yields single whole-array hash") {
+    val base = 31L
+    val got = Seq(Tuple1(Array(5L, 6L))).toDF("xs")
+      .select(TextHashExprs.windowPolyHash(col("xs"), 8, base)).as[Array[Long]].head()
+    assert(got.toSeq === Seq(5L * base + 6L))
+  }
+
+  test("MinHashSignature is bit-identical to the xxhash64(h, s) HOF form") {
+    val df = Seq(Tuple1(Array(123L, 456L, 789L, -1L))).toDF("hs")
+    val p = 8
+    val hof = df.select(
+      aggregate(col("hs"), array_repeat(lit(Long.MaxValue), p),
+        (acc, h) => zip_with(acc, sequence(lit(1L), lit(p.toLong)),
+          (m, s) => least(m, xxhash64(h, s))))).as[Array[Long]].head()
+    val native = df.select(TextHashExprs.minhashSignature(col("hs"), p))
+      .as[Array[Long]].head()
+    assert(native.toSeq === hof.toSeq)
+  }
+
+  test("SimHash64 matches a scala-side reference tally") {
+    val hs = Array(0x0F0FL, 0xFFFF0000L, -42L)
+    def ref(hashes: Seq[Long]): Long = {
+      val tally = Array.fill(64)(0)
+      for (h <- hashes; b <- 0 until 64)
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+      (0 until 64).foldLeft(0L)((s, b) => if (tally(b) > 0) s | (1L << b) else s)
+    }
+    val got = Seq(Tuple1(hs)).toDF("hs")
+      .select(TextHashExprs.simhash64(col("hs"))).as[Long].head()
+    assert(got === ref(hs.toSeq))
+  }
+
+  test("SortedLongIntersectCount counts the sorted-set intersection") {
+    val df = Seq((Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L, 11L))).toDF("a", "b")
+    val got = df.select(TextHashExprs.sortedIntersectCount(col("a"), col("b")))
+      .as[Long].head()
+    assert(got === 2L)
+  }
+}

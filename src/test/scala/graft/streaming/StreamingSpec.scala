@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset from epoch: an event AT the initial watermark (epoch 0) would be
+  // dropped as late by stateful streaming operators. Hour-aligned so the
+  // 50-minute sample still spans exactly one tumbling window.
+  private val Base = 960L
+  private def ts(min: Long): Timestamp = new Timestamp((Base + min) * 60000L)
+
+  private val sample = Seq(
+    // user 1: two sessions split by a 40-minute gap
+    Event(1L, ts(0), 1L, "view", 1.0),
+    Event(2L, ts(10), 1L, "click", 2.0),
+    Event(3L, ts(50), 1L, "view", 3.0),
+    // user 2: one session
+    Event(4L, ts(5), 2L, "view", 4.0),
+    Event(5L, ts(20), 2L, "purchase", 5.0)
+  )
+
+  test("batch sessionize splits on gaps > 30 minutes") {
+    val out = EventStreams.sessionize(sample.toDF(), gapSec = 1800L)
+      .select("user_id", "session_seq", "n_events").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L)))
+  }
+
+  test("streaming sessionize emits the same closed sessions as batch") {
+    val input = MemoryStream[Event](spark)
+    val sessions = EventStreams.sessionizeStream(input.toDS(), gapSec = 1800L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      // push the watermark far past everything so open sessions time out
+      input.addData(Event(99L, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(100L, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .filter(col("user_id") < 9)
+        .as[Session].collect()
+        .map(s => (s.user_id, s.session_start.getTime / 60000 - Base, s.n_events)).toSet
+      assert(got === Set((1L, 0L, 2L), (1L, 50L, 1L), (2L, 5L, 2L)))
+    } finally q.stop()
+  }
+
+  test("batch tumblingAgg buckets by epoch-aligned windows") {
+    val out = EventStreams.tumblingAgg(sample.toDF(), "1 hour")
+      .select("n_events", "n_users").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((5L, 2L)))
+  }
+
+  test("streaming tumblingAgg over a watermark produces finalized windows") {
+    val input = MemoryStream[Event](spark)
+    val agg = EventStreams.tumblingAggStream(input.toDS().toDF(), "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("windows_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      input.addData(Event(99L, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(100L, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("windows_out")
+        .filter(col("window_start") === ts(0))
+        .select("n_events").as[Long].collect().toSeq
+      assert(got === Seq(5L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.DedupData
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the language with the most marker stopwords") {
+    val df = Seq(
+      (1L, "the cat is on the mat and happy"),
+      (2L, "el perro y la casa de los amigos"),
+      (3L, "der hund und die katze ist nicht da"),
+      (4L, "le chat et les amis des bois est la"),
+      (5L, "的 是 了 在 和 有 不")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, col("doc_id"), col("text"))
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("qualityScore computes exact counts and fixed-order ratios") {
+    val df = Seq((1L, "The cat, the hat!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df, col("doc_id"), col("text")).collect()(0)
+    assert(r.getAs[Int]("n_tokens") === 4)
+    // 17 chars, 12 alpha, 2 punct (',' and '!'), 2 'the' stopwords
+    assert(r.getAs[Double]("alpha_ratio") === 12.0 / 17)
+    assert(r.getAs[Double]("punct_ratio") === 2.0 / 17)
+    assert(r.getAs[Double]("stop_ratio") === 2.0 / 4)
+  }
+
+  test("tokenCounts: whitespace, regex, and chars/4 estimates") {
+    val df = Seq((1L, "abc de-f 42!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, col("doc_id"), col("text")).collect()(0)
+    assert(r.getAs[Int]("ws_tokens") === 3)
+    // regex tokens: abc, de, -, f, 42, !  → 6
+    assert(r.getAs[Int]("re_tokens") === 6)
+    assert(r.getAs[Long]("est_bpe_tokens") === 3L) // ceil(12/4)
+  }
+
+  test("fingerprints: normalization-equal docs share doc_fp; distinct docs do not") {
+    val planted = DedupData.withPlantedDups(table("documents"))
+    val fps = Fingerprint.fingerprints(planted, col("doc_id"), col("text"))
+    val byFp = fps.groupBy("doc_fp").agg(collect_set("doc_id").as("ids"))
+    val exactIds = table("documents").filter(col("doc_id") % 7 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val merged = byFp.filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id")).as[Long].collect().toSet
+    assert(exactIds.forall(i => merged.contains(i) && merged.contains(i + DedupData.ExactIdOffset)))
+  }
+
+  test("sharedRunPairs links docs sharing a verbatim 8-token run") {
+    val planted = DedupData.withPlantedDups(table("documents"))
+    val pairs = Fingerprint.sharedRunPairs(planted, col("doc_id"), col("text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val nearIds = table("documents").filter(col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val missing = nearIds.filterNot(i => pairs.contains((i, i + DedupData.NearIdOffset)))
+    assert(missing.isEmpty, s"fingerprint missed ${missing.size} planted near pairs")
+  }
+}
