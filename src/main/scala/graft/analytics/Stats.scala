@@ -24,6 +24,17 @@ object Stats {
         expr("percentile(v, 0.5D)").as("median_v")
       )
 
+  /** The scale form (and the reference's actual call): approximate median
+    * via a mergeable quantile sketch — single pass, bounded memory per
+    * partition, no sort. `accuracy` trades memory for error (1/accuracy).
+    */
+  def centralStatsApprox(df: DataFrame, value: Column, accuracy: Int = 10000): DataFrame =
+    df.select(value.as("v"))
+      .agg(
+        avg(col("v")).as("avg_v"),
+        percentile_approx(col("v"), lit(0.5), lit(accuracy)).as("median_v")
+      )
+
   /** Top-K groups by row count, deterministic tie-break on the key
     * (main.py:313-339). Plans as partial-agg → shuffle → TakeOrdered. */
   def topGroupsByCount(df: DataFrame, key: Column, k: Int, as: String = "n_objects"): DataFrame =

@@ -52,6 +52,15 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.select(col("c_custkey"), col("revenue_mu")).as[(Long, Long)].collect().toSeq === expected)
   }
 
+  test("centralStatsApprox tracks the exact median closely") {
+    val df = table("orders").select(col("o_totalprice"))
+    val exact = Stats.centralStats(df, col("o_totalprice")).head()
+    val approx = Stats.centralStatsApprox(df, col("o_totalprice")).head()
+    assert(approx.getAs[Double]("avg_v") === exact.getAs[Double]("avg_v"))
+    val err = math.abs(approx.getAs[Double]("median_v") - exact.getAs[Double]("median_v"))
+    assert(err / math.max(1.0, exact.getAs[Double]("median_v")) < 0.01)
+  }
+
   test("eventRollup counts and sums per user") {
     val ev = Seq(
       (1L, "view", 1.5, "2024-01-01 00:00:00"),

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CsvSource reads UTF-16, quoted multi-line, escaped CSV (the reference's input shape)") {
+    val csv =
+      "house_id,address,square\n" +
+        "1,\"Москва, ул. Ленина\nд. 5\",45.5\n" +
+        "2,\"Дом с \"\"кавычками\"\"\",60.1\n" +
+        "3,Простой адрес,72.0\n"
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("houses.csv")
+    Files.write(f, csv.getBytes(StandardCharsets.UTF_16))
+
+    val df = CsvSource.read(spark, f.toString)
+    val rows = df.orderBy("house_id")
+      .select(col("house_id").cast("long"), col("address"), col("square").cast("double"))
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq(
+      (1L, "Москва, ул. Ленина\nд. 5", 45.5),
+      (2L, "Дом с \"кавычками\"", 60.1),
+      (3L, "Простой адрес", 72.0)))
+  }
+
+  test("CsvSource with explicit schema skips inference (single scan) and casts") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("house_id", LongType), StructField("address", StringType),
+      StructField("square", DoubleType)))
+    val dir = Files.createTempDirectory("graft_csv2")
+    val f = dir.resolve("h.csv")
+    Files.write(f, "house_id,address,square\n7,x,1.5\n".getBytes(StandardCharsets.UTF_16))
+    val df = CsvSource.read(spark, f.toString, schema = Some(schema))
+    assert(df.schema === schema)
+    assert(df.as[(Long, String, Double)].head() === ((7L, "x", 1.5)))
+  }
+
+  test("BatchSink.foreachBatched drains partitions in bounded batches, off-driver") {
+    val rowsAcc = new LongAccumulator
+    val batchesAcc = new LongAccumulator
+    val oversizeAcc = new LongAccumulator
+    spark.sparkContext.register(rowsAcc, "rows")
+    spark.sparkContext.register(batchesAcc, "batches")
+    spark.sparkContext.register(oversizeAcc, "oversize")
+
+    val df = spark.range(0, 10007, 1, 8).toDF("id")
+    BatchSink.foreachBatched(df, batchSize = 100) { batch =>
+      rowsAcc.add(batch.size.toLong)
+      batchesAcc.add(1L)
+      if (batch.size > 100) oversizeAcc.add(1L)
+    }
+    assert(rowsAcc.value === 10007L)
+    assert(oversizeAcc.value === 0L)
+    // 8 partitions × ceil-division batches; at least ceil(10007/100)
+    assert(batchesAcc.value >= 101L && batchesAcc.value <= 109L)
+  }
+
+  test("writeParquetPartitioned produces one file per partition value (no small-file blowup)") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("part", (col("id") % 4).cast("string"))
+    val out = Files.createTempDirectory("graft_pw").toString
+    BatchSink.writeParquetPartitioned(df, out, Seq("part"))
+    val files = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.contains("part="))
+    assert(files.length === 4)
+    files.foreach { d =>
+      val parquets = Files.list(Paths.get(d)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      assert(parquets.length === 1, s"$d has ${parquets.length} files")
+    }
+    assert(spark.read.parquet(out).count() === 1000L)
+  }
+}
