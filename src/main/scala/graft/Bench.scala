@@ -22,6 +22,7 @@ object Bench {
     // noop sink forces full computation of every column (count() would let
     // Catalyst prune projections and drop sorts).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache() // drop prior queries' persisted intermediates
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }

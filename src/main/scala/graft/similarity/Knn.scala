@@ -65,6 +65,32 @@ object EmbeddingDedup {
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** The 100 TB path: random-hyperplane LSH blocking → exact cosine only
+    * within a bucket. The bucket equi-join shuffles on the 8-byte bucket
+    * key (partitionable, AQE-skewable) instead of forming all pairs.
+    * High-cosine pairs land in the same bucket with probability
+    * (1 − θ/π)^nBits — for near-duplicates (θ≈0) essentially always;
+    * repeat with `rounds` different seeds to push recall further.
+    */
+  def nearDuplicatePairsLsh(vecs: DataFrame, threshold: Double,
+                            nBits: Int = 8, dim: Int = 64,
+                            rounds: Int = 2, seed: Long = 42L): DataFrame = {
+    val rounds_ = (0 until rounds).map { r =>
+      val planes = LshKnn.hyperplanes(nBits, dim, seed + r)
+      val a = vecs.select(LshKnn.bucket(col("embedding"), planes).as("bkt"),
+        col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        VecOps.normF(col("embedding")).as("norm_a"))
+      val b = vecs.select(LshKnn.bucket(col("embedding"), planes).as("bkt"),
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        VecOps.normF(col("embedding")).as("norm_b"))
+      a.join(b, Seq("bkt"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(VecOps.dotF(col("emb_a"), col("emb_b")) > lit(threshold) * col("norm_a") * col("norm_b"))
+        .select("vec_a", "vec_b")
+    }
+    rounds_.reduce(_ unionByName _).distinct().orderBy("vec_a", "vec_b")
+  }
 }
 
 /** Random-hyperplane LSH bucketing — the scale path for ANN search.

@@ -27,6 +27,13 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!formatted.contains("l_extendedprice"), formatted)
   }
 
+  test("q_pricing_summary pushes the shipdate filter to the parquet scan") {
+    val formatted = q("q_pricing_summary").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      formatted)
+  }
+
   test("q_join_enrich joins dims by broadcast, never cartesian") {
     val plan = finalPlan(q("q_join_enrich"))
     assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty)

@@ -77,4 +77,15 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(pairs === vecIds.map(i => (i, i + DedupData.ExactIdOffset)))
   }
+
+  test("LSH-blocked embedding dedup recovers the all-pairs result (scaled copies share buckets)") {
+    val vecs = DedupData.withPlantedVecDups(table("embeddings"))
+    val allPairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    val lshPairs = EmbeddingDedup.nearDuplicatePairsLsh(vecs, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    // LSH can only lose candidates, never invent them; scaled copies have
+    // identical sign patterns so every planted pair survives blocking.
+    assert(lshPairs === allPairs)
+  }
 }
