@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * AQE's skew-join handles most skew by splitting oversized shuffle
+  * partitions, but it cannot split a SINGLE key whose rows exceed one
+  * partition (a "the" bucket in an LSH band join, a null-ish default key,
+  * a celebrity user). Salting does: the skewed (large) side gets a random
+  * salt in [0, salts), the small side is replicated `salts` times, and the
+  * join key becomes (key, salt) — one hot key fans out over `salts` tasks.
+  *
+  * Use when a key's row count × row size exceeds a healthy shuffle
+  * partition (hundreds of MB); prefer plain AQE otherwise — salting
+  * multiplies the small side by `salts`.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `large` and `small` on `key`, salted `salts` ways.
+    * The salt on the large side is deterministic (hash of all columns mod
+    * salts) so retries/speculative tasks stay consistent.
+    */
+  def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String,
+                      salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val saltedLarge = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Top-N heaviest keys of a column — the diagnostic used to decide
+    * whether salting is needed at all. One partial-agg shuffle.
+    */
+  def keyHistogram(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+}
