@@ -63,4 +63,56 @@ object Multimodal {
       }
     spark.createDataFrame(rdd, FeatureSchema)
   }
+
+  val ResizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** STUB resize — a 1→1 batched transform with a byte-payload output,
+    * the plumbing shape of a real image resize (decode → scale →
+    * re-encode). The fake "resample" keeps every k-th byte so output size
+    * tracks the target dimensions deterministically.
+    */
+  def resizeStub(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val target = math.max(1, w * h / 64)
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val step = math.max(1, bytes.length / target)
+          val out = bytes.indices.by(step).map(bytes).toArray
+          Row(r.getLong(0), w.toLong, h.toLong, out)
+        })
+      }
+    spark.createDataFrame(rdd, ResizedSchema)
+  }
+
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** STUB frame sampling — the 1→N batched shape of video decode: each
+    * payload ("container") yields every `everyN`-th fixed-size chunk
+    * ("frame"). A real decoder swaps the chunker for codec calls; the
+    * partition-parallel explode topology is identical.
+    */
+  def frameSampleStub(media: DataFrame, frameBytes: Int = 64, everyN: Int = 4,
+                      batchSize: Int = 16): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val frames = bytes.grouped(frameBytes).toIndexedSeq
+          frames.indices.by(everyN).map(i => Row(id, i.toLong, frames(i)))
+        })
+      }
+    spark.createDataFrame(rdd, FrameSchema)
+  }
 }
