@@ -47,6 +47,16 @@ object Cleaning {
   /** Castable signed coordinate (main.py:197-200). */
   def validCoord(c: Column): Column = c.cast(DoubleType).isNotNull
 
+  /** Sink-side date normalization (main.py:445-452): a bare 4-digit year
+    * becomes "yyyy-01-01", then parses with `to_date`; anything already in
+    * date form passes through the same parse. Non-parsable strings → null
+    * (non-ANSI to_date), matching the reference's PySpark behavior.
+    */
+  def normalizeYearToDate(c: Column): Column =
+    to_date(
+      when(length(c) === 4, concat_ws("-", c, lit("01"), lit("01"))).otherwise(c),
+      "yyyy-MM-dd")
+
   /** Faithful dense re-index (main.py:230-231): `row_number` over a GLOBAL
     * window. Correct but single-partition — small/medium data only. The
     * 100 TB path is [[reindexScalable]].

@@ -30,6 +30,13 @@ class EtlSpec extends SparkSpec {
     got.foreach { case (ok, expect) => assert(ok === expect) }
   }
 
+  test("normalizeYearToDate: bare year → jan 1; full date parses; garbage → null") {
+    val df = Seq("1985", "2001-07-15", "built", "").toDF("y")
+    val got = df.select(Cleaning.normalizeYearToDate(col("y")).cast("string")).as[String]
+      .collect().toSeq
+    assert(got === Seq("1985-01-01", "2001-07-15", null, null))
+  }
+
   test("reindexScalable assigns the same dense ids as the window reindex") {
     val df = table("orders").limit(500)
     val viaWindow = Cleaning.reindex(df, col("o_orderkey"), "rid")
