@@ -187,7 +187,30 @@ object SparkEntry {
       Relational.enrichCustomers(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
 
     "q_revenue_topn" -> ((s, d) =>
-      Relational.revenueTopN(t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "customer"), 20))
+      Relational.revenueTopN(t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "customer"), 20)),
+
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.operators.AsOfJoin.asOf(purchases, views, "user_id", "ts")
+        .select("event_id", "view_id")
+        .orderBy("event_id")
+    }),
+
+    "q_salted_join" -> ((s, d) => {
+      val large = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val small = t(s, d, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.operators.SkewJoin.saltedInnerJoin(large, small, "suppkey", salts = 8)
+        .groupBy("suppkey", "s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("suppkey")
+    })
   )
 
   /** DuckDB CTE reproducing the derived dirty-houses table + the cleaning /
@@ -437,6 +460,24 @@ object SparkEntry {
         |  GROUP BY o.o_custkey)
         |SELECT c.c_custkey, c.c_name, r.revenue_mu, r.n_orders
         |FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
-        |ORDER BY revenue_mu DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY revenue_mu DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        |), views AS (
+        |  SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'
+        |)
+        |SELECT l.event_id, r.view_id
+        |FROM purchases l ASOF LEFT JOIN views r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT l.l_suppkey AS suppkey, s.s_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY suppkey, s.s_name
+        |ORDER BY suppkey""".stripMargin
   )
 }
