@@ -200,6 +200,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_json_extract" -> ((s, d) =>
+      graft.etl.JsonExtract.parsed(events(s, d), col("props"), "k INT")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("props_struct.k").cast("long")).as("sum_k"),
+          max(col("props_struct.k")).as("max_k"))
+        .orderBy("event_type")),
+
     "q_salted_join" -> ((s, d) => {
       val large = t(s, d, "lineitem")
         .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
@@ -472,6 +480,12 @@ object SparkEntry {
         |FROM purchases l ASOF LEFT JOIN views r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_salted_join" ->
       """SELECT l.l_suppkey AS suppkey, s.s_name, count(*) AS n_items,

@@ -1,0 +1,32 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Typed extraction from JSON string columns (semi-structured payloads —
+  * event properties, API blobs, crawl metadata).
+  *
+  * `from_json` with an EXPLICIT schema is the scale path: single parse per
+  * row into an unsafe struct, columns prune through it, malformed rows go
+  * null instead of failing the job (PERMISSIVE). Schema inference
+  * (`schema_of_json` over a sample) is exposed separately because it costs
+  * an extra pass — infer once, then pin the schema in code.
+  */
+object JsonExtract {
+
+  /** Parse `jsonCol` into a struct column named `as` using a DDL schema
+    * string (e.g. "k INT, tags ARRAY<STRING>").
+    */
+  def parsed(df: DataFrame, jsonCol: Column, ddl: String, as: String = "props_struct"): DataFrame =
+    df.withColumn(as, from_json(jsonCol, StructType.fromDDL(ddl)))
+
+  /** Infer the JSON schema from a seeded sample — one extra job; use only
+    * interactively, then pin the result.
+    */
+  def inferSchema(df: DataFrame, jsonCol: Column, sample: Int = 1000): String = {
+    val row = df.select(jsonCol.as("j")).limit(sample)
+      .select(schema_of_json(collect_list(col("j")).getItem(0)).as("s"))
+    row.head().getString(0)
+  }
+}
