@@ -208,6 +208,13 @@ object SparkEntry {
           max(col("props_struct.k")).as("max_k"))
         .orderBy("event_type")),
 
+    "q_topk_per_key" -> ((s, d) =>
+      graft.plans.TopKPerKey.topK(
+          t(s, d, "lineitem"), Seq("l_suppkey"),
+          Seq(("l_quantity", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")),
+
     "q_salted_join" -> ((s, d) => {
       val large = t(s, d, "lineitem")
         .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
@@ -486,6 +493,14 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_topk_per_key" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_salted_join" ->
       """SELECT l.l_suppkey AS suppkey, s.s_name, count(*) AS n_items,
