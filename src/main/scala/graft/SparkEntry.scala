@@ -208,6 +208,17 @@ object SparkEntry {
           max(col("props_struct.k")).as("max_k"))
         .orderBy("event_type")),
 
+    "q_range_join" -> ((s, d) => {
+      val points = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val intervals = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal").as("lo"),
+          (col("s_acctbal") + 1000.0).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          points, "c_acctbal", intervals, "lo", "hi", width = 1000.0)
+        .select("c_custkey", "s_suppkey")
+        .orderBy("c_custkey", "s_suppkey")
+    }),
+
     "q_topk_per_key" -> ((s, d) =>
       graft.plans.TopKPerKey.topK(
           t(s, d, "lineitem"), Seq("l_suppkey"),
@@ -493,6 +504,12 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c JOIN supplier s
+        |  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal <= s.s_acctbal + 1000
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
     "q_topk_per_key" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity FROM (
