@@ -1,0 +1,71 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property-style tests: each native expression against an independent
+  * scala reference over seeded random inputs (empty arrays, extreme longs,
+  * mismatched lengths included).
+  */
+class ExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new Random(42)
+  private def randLongs(maxLen: Int): Array[Long] =
+    Array.fill(rng.nextInt(maxLen + 1))(rng.nextLong())
+
+  test("WindowPolyHash equals the naive per-window fold for any input") {
+    val base = 1099511628211L
+    def poly(a: Seq[Long]): Long = a.foldLeft(0L)((h, x) => h * base + x)
+    val cases = Seq.fill(25)((randLongs(40), 1 + rng.nextInt(8)))
+    val df = cases.zipWithIndex.map { case ((xs, w), i) => (i, xs, w) }.toDF("i", "xs", "w")
+    cases.zipWithIndex.foreach { case ((xs, w), i) =>
+      val expected =
+        if (xs.length <= w) Seq(poly(xs.toSeq))
+        else xs.sliding(w).map(s => poly(s.toSeq)).toSeq
+      val got = df.filter(col("i") === i)
+        .select(TextHashExprs.windowPolyHash(col("xs"), w, base))
+        .as[Array[Long]].head().toSeq
+      assert(got === expected, s"case $i (n=${xs.length}, w=$w)")
+    }
+  }
+
+  test("SortedLongIntersectCount equals Set intersection size on sorted distinct inputs") {
+    (1 to 25).foreach { i =>
+      val sa = randLongs(40).distinct.sorted
+      val sb = (randLongs(40) ++ sa.take(rng.nextInt(sa.length + 1))).distinct.sorted
+      val got = Seq((sa, sb)).toDF("a", "b")
+        .select(TextHashExprs.sortedIntersectCount(col("a"), col("b")))
+        .as[Long].head()
+      assert(got === (sa.toSet & sb.toSet).size.toLong, s"case $i")
+    }
+  }
+
+  test("VecDotF equals the sequential double fold for any float vectors") {
+    (1 to 25).foreach { i =>
+      val a = Array.fill(16)(rng.nextFloat() * 2e6f - 1e6f)
+      val b = Array.fill(16)(rng.nextFloat() * 2e6f - 1e6f)
+      val expected = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VecOps.dotF(col("a"), col("b"))).as[Double].head()
+      assert(got === expected, s"case $i")
+    }
+  }
+
+  test("MinHashSignature is monotone under superset (mins can only decrease)") {
+    val p = 16
+    def sig(xs: Array[Long]): Array[Long] =
+      Seq(Tuple1(xs)).toDF("h")
+        .select(TextHashExprs.minhashSignature(col("h"), p)).as[Array[Long]].head()
+    (1 to 10).foreach { i =>
+      val a = randLongs(30)
+      val extra = randLongs(10)
+      val sa = sig(a)
+      val sab = sig(a ++ extra)
+      assert(sa.zip(sab).forall { case (x, y) => y <= x }, s"case $i")
+    }
+  }
+}
