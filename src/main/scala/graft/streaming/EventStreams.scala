@@ -75,6 +75,19 @@ object EventStreams {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Streaming exact dedup: drop rows whose `keys` were already seen,
+    * with state bounded by the watermark (a duplicate arriving later than
+    * `lateness` after the original is outside the guarantee — the batch
+    * dedup operators are the backstop). This is the streaming face of
+    * [[graft.dedup.ExactDedup]]: dedup on `xxhash64(normalize(text))`
+    * keys for content dedup, or on event ids for exactly-once repair.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ── streaming sessionization ──────────────────────────────────────────
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

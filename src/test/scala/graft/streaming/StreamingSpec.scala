@@ -55,6 +55,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate keys within the watermark") {
+    val input = MemoryStream[Event](spark)
+    val deduped = EventStreams.dedupStream(input.toDS().toDF(), Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      input.addData(sample: _*) // exact replay
+      q.processAllAvailable()
+      input.addData(Event(1L, ts(9), 1L, "view", 1.0)) // same id again, later ts
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === sample.size.toLong)
+    } finally q.stop()
+  }
+
   test("batch tumblingAgg buckets by epoch-aligned windows") {
     val out = EventStreams.tumblingAgg(sample.toDF(), "1 hour")
       .select("n_events", "n_users").as[(Long, Long)].collect().toSeq
