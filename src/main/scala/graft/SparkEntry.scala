@@ -208,6 +208,10 @@ object SparkEntry {
           max(col("props_struct.k")).as("max_k"))
         .orderBy("event_type")),
 
+    "q_doc_pipeline" -> ((s, d) =>
+      graft.text.DocPipeline.corpusStats(
+        DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))),
+
     "q_range_join" -> ((s, d) => {
       val points = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
       val intervals = t(s, d, "supplier")
@@ -504,6 +508,38 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_doc_pipeline" -> (DedupData.DocsCte +
+      """, feats AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM docs
+        |), scored AS (
+        |  SELECT *,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0 +
+        |      (CAST(n_alpha AS DOUBLE) / n_chars_c) -
+        |      (CAST(n_punct AS DOUBLE) / n_chars_c) * 3.0 +
+        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS quality_score
+        |  FROM feats
+        |), filtered AS (
+        |  SELECT * FROM scored
+        |  WHERE n_tokens BETWEEN 5 AND 5000
+        |    AND CAST(n_punct AS DOUBLE) / n_chars_c <= 0.2
+        |), keep AS (
+        |  SELECT min(doc_id) AS keep_id
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM filtered)
+        |  GROUP BY norm
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS sum_tokens,
+        |  min(quality_score) AS min_q, max(quality_score) AS max_q
+        |FROM filtered WHERE doc_id IN (SELECT keep_id FROM keep)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
 
     "q_range_join" ->
       """SELECT c.c_custkey, s.s_suppkey

@@ -40,6 +40,19 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Long]("est_bpe_tokens") === 3L) // ceil(12/4)
   }
 
+  test("DocPipeline removes planted exact dups and keeps near-dups distinct") {
+    val docs = table("documents")
+    val planted = DedupData.withPlantedDups(docs)
+    val corpus = DocPipeline.corpus(planted, col("doc_id"), col("text"))
+    val ids = corpus.select("doc_id").as[Long].collect().toSet
+    val exactIds = docs.filter(col("doc_id") % 7 === 0).select("doc_id").as[Long].collect().toSet
+    // planted exact copies (id + 1e6) must be gone, originals kept
+    assert(exactIds.forall(i => ids.contains(i) && !ids.contains(i + DedupData.ExactIdOffset)))
+    // near-dup copies are NOT exact-equal → they survive this stage
+    val nearSurvivors = ids.count(_ >= DedupData.NearIdOffset)
+    assert(nearSurvivors > 0)
+  }
+
   test("fingerprints: normalization-equal docs share doc_fp; distinct docs do not") {
     val planted = DedupData.withPlantedDups(table("documents"))
     val fps = Fingerprint.fingerprints(planted, col("doc_id"), col("text"))
