@@ -103,4 +103,24 @@ object GeoEstatePipeline {
   /** Full pipeline over the derived dirty table. */
   def houses(spark: SparkSession, dir: String): DataFrame =
     cleanValidateCast(dirtyHouses(spark, dir))
+
+  /** The REAL input path: the reference's UTF-16 multiline CSV
+    * (main.py:149-168 column set) through the same clean → validate →
+    * reindex → cast plan. Column values arrive with unit suffixes,
+    * non-breaking-space thousands separators ("3 078.30") and free-text
+    * garbage — all handled by the same regex cleaning the derived-table
+    * variant exercises under the DuckDB oracle.
+    */
+  def fromCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = graft.sources.CsvSource.read(spark, path)
+    val prepared = raw.select(
+      col("house_id").cast(LongType).as("src_id"),
+      cleanNumeric(col("square").cast(StringType), KeepNumericDot).as("square_s"),
+      cleanNumeric(col("maintenance_year").cast(StringType), KeepDigits).as("year_s"),
+      cleanNumeric(col("population").cast(StringType), KeepDigits).as("population_s"),
+      cleanNumeric(col("latitude").cast(StringType), KeepSignedNumeric).as("latitude_s"),
+      cleanNumeric(col("longitude").cast(StringType), KeepSignedNumeric).as("longitude_s"),
+      col("region"), col("locality_name"), col("address"))
+    typed(prepared.filter(isValidHouse))
+  }
 }
