@@ -37,6 +37,33 @@ object NGramJaccard {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Containment C(A→B) = |A ∩ B| / |A|: catches near-SUPERSET duplicates
+    * (a doc quoting most of another) that symmetric Jaccard misses —
+    * J(A,B) is small when |B| ≫ |A| even if A ⊂ B.
+    */
+  def containment(a: Column, b: Column): Column =
+    TextHashExprs.sortedIntersectCount(a, b).cast("double") / size(a)
+
+  /** Intra-block pairs where either direction's containment ≥ threshold
+    * (idA < idB; both directions reported).
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column, block: Column,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = docs.select(block.as("blk"), id.as("nj_id"),
+      ngramSet(text, n).as("grams"))
+    val a = sets.select(col("blk"), col("nj_id").as("id_a"), col("grams").as("grams_a"))
+    val b = sets.select(col("blk"), col("nj_id").as("id_b"), col("grams").as("grams_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        containment(col("grams_a"), col("grams_b")).as("c_ab"),
+        containment(col("grams_b"), col("grams_a")).as("c_ba"))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(max("c_ab").as("c_ab"), max("c_ba").as("c_ba"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact Jaccard for every intra-block pair (idA < idB) with similarity
     * ≥ threshold.
     */

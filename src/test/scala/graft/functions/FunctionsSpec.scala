@@ -66,6 +66,32 @@ class FunctionsSpec extends SparkSpec {
     assert(got === ref(hs.toSeq))
   }
 
+  test("UnicodeNormalize NFC composes; stripAccents removes diacritics") {
+    // "é" as e + combining acute (NFD) vs precomposed (NFC)
+    val decomposed = "Café"
+    val df = Seq(decomposed).toDF("s")
+    val nfc = df.select(StringExprs.unicodeNormalize(col("s"), "NFC")).as[String].head()
+    assert(nfc === "Café")
+    val stripped = df.select(StringExprs.stripAccents(col("s"))).as[String].head()
+    assert(stripped === "Cafe")
+    val ctrl = Seq("a\u0000b\u009Fc\td").toDF("s")
+      .select(StringExprs.stripControlChars(col("s"))).as[String].head()
+    assert(ctrl === "abc\td")
+  }
+
+  test("containment flags a near-superset pair that Jaccard misses") {
+    import graft.dedup.NGramJaccard
+    val small = "one two three four five six seven eight"
+    val big = small + " " + Seq.tabulate(40)(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small, "b"), (2L, big, "b")).toDF("doc_id", "text", "blk")
+    val cont = NGramJaccard.containmentPairs(docs, col("doc_id"), col("text"), col("blk"),
+      n = 3, threshold = 0.8).collect()
+    assert(cont.length === 1 && cont(0).getAs[Double]("c_ab") >= 0.8)
+    val jac = NGramJaccard.blockedPairs(docs, col("doc_id"), col("text"), col("blk"),
+      n = 3, threshold = 0.5).count()
+    assert(jac === 0L) // symmetric Jaccard can't see the superset
+  }
+
   test("SortedLongIntersectCount counts the sorted-set intersection") {
     val df = Seq((Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L, 11L))).toDF("a", "b")
     val got = df.select(TextHashExprs.sortedIntersectCount(col("a"), col("b")))
