@@ -208,6 +208,12 @@ object SparkEntry {
           max(col("props_struct.k")).as("max_k"))
         .orderBy("event_type")),
 
+    "q_group_quantiles" -> ((s, d) =>
+      Stats.groupQuantiles(t(s, d, "lineitem"), col("l_returnflag"), col("l_quantity"),
+          Seq(0.25, 0.5, 0.75))
+        .select(col("k").as("l_returnflag"), col("q_0").as("p25"),
+          col("q_1").as("p50"), col("q_2").as("p75"))),
+
     "q_doc_pipeline" -> ((s, d) =>
       graft.text.DocPipeline.corpusStats(
         DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))),
@@ -508,6 +514,13 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_group_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_doc_pipeline" -> (DedupData.DocsCte +
       """, feats AS (

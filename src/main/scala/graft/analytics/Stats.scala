@@ -56,6 +56,23 @@ object Stats {
       .agg(count(lit(1)).as("n"))
       .orderBy(col(as))
 
+  /** Exact per-group quantiles. Interpolated exact percentile is only
+    * hash-stable across engines for integral values at power-of-two
+    * fractions (the interpolation `a + (b-a)·f` is then exact in IEEE
+    * regardless of op order); for arbitrary doubles use
+    * [[centralStatsApprox]]-style sketches or rank-based outputs.
+    */
+  def groupQuantiles(df: DataFrame, key: Column, value: Column,
+                     qs: Seq[Double]): DataFrame = {
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      expr(s"percentile(__gq_v, ${q}D)").as(s"q_$i")
+    }
+    df.select(key.as("k"), value.as("__gq_v"))
+      .groupBy("k")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("k")
+  }
+
   /** Filter + ORDER BY … DESC LIMIT K with deterministic tie-breaks
     * (main.py:481-502). Catalyst plans this as TakeOrderedAndProject —
     * each partition keeps a K-row heap, the driver merges K*P rows, so it

@@ -55,7 +55,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64(args(0))),
     ("sorted_long_intersect_count", info("sorted_long_intersect_count",
       "intersection size of two sorted array<bigint>"),
-      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1)))
+      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))),
+    ("unicode_normalize", info("unicode_normalize", "Unicode-normalize a string (NFC/NFD/NFKC/NFKD)"),
+      (args: Seq[Expression]) => UnicodeNormalize(args(0), args(1) match {
+        case Literal(f, _) => f.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize expects a literal form, got $other")
+      }))
   )
 
   /** Register everything into an existing session's function registry. */
