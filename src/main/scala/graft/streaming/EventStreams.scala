@@ -88,6 +88,29 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream inner join: each left event pairs with
+    * right events of the same key whose timestamp falls in
+    * [left.ts − windowSec, left.ts]. Both watermarks plus the time-range
+    * condition bound the join state on BOTH sides — without the range
+    * bound, a stream-stream join must buffer one side forever.
+    *
+    * Batch parity: the identical expression over static frames is the
+    * q_range_join/q_asof_join family; this is its incremental form.
+    */
+  def joinStreams(left: DataFrame, right: DataFrame, key: String,
+                  windowSec: Long = 3600L, lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
   // ── streaming sessionization ──────────────────────────────────────────
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

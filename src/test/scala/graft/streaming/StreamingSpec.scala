@@ -70,6 +70,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs events within the time window, state bounded by watermarks") {
+    val purchases = MemoryStream[Event](spark)
+    val views = MemoryStream[Event](spark)
+    val joined = EventStreams.joinStreams(
+      purchases.toDS().toDF(), views.toDS().toDF(), "user_id", windowSec = 1200L)
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        Event(10L, ts(0), 1L, "view", 0.0),   // 15 min before purchase → in window
+        Event(11L, ts(14), 1L, "view", 0.0),  // 1 min before → in window
+        Event(12L, ts(16), 1L, "view", 0.0),  // AFTER the purchase → out
+        Event(13L, ts(5), 2L, "view", 0.0))   // other user
+      purchases.addData(Event(20L, ts(15), 1L, "purchase", 9.99))
+      q.processAllAvailable()
+      val got = spark.table("ss_join_out")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((20L, 10L), (20L, 11L)))
+    } finally q.stop()
+  }
+
   test("batch tumblingAgg buckets by epoch-aligned windows") {
     val out = EventStreams.tumblingAgg(sample.toDF(), "1 hour")
       .select("n_events", "n_users").as[(Long, Long)].collect().toSeq
