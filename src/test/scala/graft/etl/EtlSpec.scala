@@ -30,6 +30,29 @@ class EtlSpec extends SparkSpec {
     got.foreach { case (ok, expect) => assert(ok === expect) }
   }
 
+  test("Sampling: deterministic, rate-accurate, and split partitions are disjoint+exhaustive") {
+    val docs = table("documents")
+    val s1 = Sampling.hashSample(docs, col("doc_id"), 0.3).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(docs, col("doc_id"), 0.3).select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2) // same decision every run
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.3) < 0.08, s"rate ${s1.size / n}")
+
+    val Seq(train, valid, test) = Sampling.split(docs, col("doc_id"), Seq(8, 1, 1))
+    val (tr, va, te) = (train.select("doc_id").as[Long].collect().toSet,
+      valid.select("doc_id").as[Long].collect().toSet,
+      test.select("doc_id").as[Long].collect().toSet)
+    assert((tr & va).isEmpty && (tr & te).isEmpty && (va & te).isEmpty)
+    assert((tr ++ va ++ te).size.toLong === docs.count())
+    assert(tr.size > va.size && tr.size > te.size)
+
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val strat = Sampling.stratifiedHashSample(docs, col("source"), col("doc_id"), rates)
+    val bySrc = strat.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src1") && bySrc.keySet.subsetOf(Set("src0")))
+    assert(bySrc("src0") === docs.filter(col("source") === "src0").count())
+  }
+
   test("normalizeYearToDate: bare year → jan 1; full date parses; garbage → null") {
     val df = Seq("1985", "2001-07-15", "built", "").toDF("y")
     val got = df.select(Cleaning.normalizeYearToDate(col("y")).cast("string")).as[String]
