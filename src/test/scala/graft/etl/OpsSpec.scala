@@ -1,0 +1,41 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Compaction
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("observed metrics count rows, nulls, and violations in one pass") {
+    val df = Seq(
+      (1L, Some(10.0)), (2L, None), (3L, Some(-5.0)), (4L, Some(2.0))
+    ).toDF("id", "v")
+    val (observed, obs) = Observability.observed(df, "stage1",
+      nullChecked = Seq("v"),
+      violations = Map("negative_v" -> (col("v") < 0)))
+    observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_rows") === 4L)
+    assert(m("nulls_v") === 1L)
+    assert(m("negative_v") === 1L)
+  }
+
+  test("compact rewrites a fragmented directory into few files, preserving rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(0, 20000).toDF("id")
+      .repartition(64) // fragment: 64 tiny files
+      .write.parquet(dir)
+    assert(Compaction.dataFiles(dir) === 64)
+    val before = spark.read.parquet(dir).agg(sum("id")).as[Long].head()
+
+    val n = Compaction.compact(spark, dir, targetBytes = 1L * 1024 * 1024)
+    assert(Compaction.dataFiles(dir) === n)
+    assert(n < 8, s"still $n files")
+    assert(spark.read.parquet(dir).agg(sum("id")).as[Long].head() === before)
+    assert(spark.read.parquet(dir).count() === 20000L)
+  }
+}
