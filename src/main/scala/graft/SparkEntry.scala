@@ -170,6 +170,12 @@ object SparkEntry {
       Multimodal.decodeFeatures(Multimodal.asMedia(t(s, d, "documents")))
         .orderBy("doc_id")),
 
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleStub(
+          Multimodal.asMedia(t(s, d, "documents")), frameBytes = 64, everyN = 4)
+        .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")),
+
     // ── §2.3 streaming & general analytics ───────────────────────────────
     "q_window_agg" -> ((s, d) =>
       EventStreams.tumblingAgg(events(s, d), "1 hour")),
@@ -434,6 +440,15 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |idx AS (
+        |  SELECT doc_id, n, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS i FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(least(64, n - i * 64) AS INTEGER) AS frame_bytes
+        |FROM idx WHERE i % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // ── §2.3 streaming & general analytics ───────────────────────────────
     "q_window_agg" ->
