@@ -21,11 +21,25 @@ object Bench {
     catch { case _: Throwable => () }
     // noop sink forces full computation of every column (count() would let
     // Catalyst prune projections and drop sorts).
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache() // drop prior queries' persisted intermediates
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      val work = Future {
+        spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      try Await.result(work, timeoutSec.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(s"bench-$name")
+          System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
+        case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
+      }
+      finally spark.sparkContext.clearJobGroup()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
