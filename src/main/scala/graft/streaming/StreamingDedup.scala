@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.dedup.MinHashLsh
+
+/** Online near-duplicate CANDIDATE detection over a document stream.
+  *
+  * Per-row (stateless) work reuses the batch MinHash expressions: shingle
+  * → signature → LSH band buckets. The stateful step keys by
+  * (band, bucket) and keeps up to `maxPerBucket` (doc_id, signature)
+  * pairs per bucket; a new arrival is compared against its bucket's
+  * residents only — the streaming analogue of the batch band self-join.
+  *
+  * Emitted rows are candidate pairs (doc, resident, estimated Jaccard ≥
+  * threshold), possibly once per shared band; the tiny downstream
+  * `groupBy(pair).max` — or the batch pipeline the candidates feed — does
+  * final scoring. State is bounded: buckets cap at `maxPerBucket`
+  * (oldest evicted), so memory is O(buckets × cap), independent of
+  * stream length.
+  */
+object StreamingDedup {
+
+  case class BucketDoc(bucket_key: String, doc_id: Long, sig: Array[Long])
+
+  case class NearDupHit(doc_id: Long, matched_id: Long, est_jaccard: Double,
+                        bucket_key: String)
+
+  private def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    var same = 0
+    var i = 0
+    while (i < n) { if (a(i) == b(i)) same += 1; i += 1 }
+    if (n == 0) 0.0 else same.toDouble / n
+  }
+
+  /** Stateless prefix: docs(doc_id, text) → one row per (band, bucket). */
+  def bucketed(docs: DataFrame, k: Int = 3, bands: Int = 16,
+               rowsPerBand: Int = 4): Dataset[BucketDoc] = {
+    import docs.sparkSession.implicits._
+    val p = bands * rowsPerBand
+    docs
+      .withColumn("sig", MinHashLsh.signature(MinHashLsh.shingleHashes(col("text"), k), p))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .select(concat(col("pos"), lit(":"), col("col")).as("bucket_key"),
+        col("doc_id"), col("sig"))
+      .as[BucketDoc]
+  }
+
+  /** Stateful step + full pipeline: candidate hits above `threshold`. */
+  def nearDupCandidates(docs: DataFrame, threshold: Double = 0.5,
+                        k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                        maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+
+    def update(key: String, batch: Iterator[BucketDoc],
+               state: GroupState[List[(Long, Array[Long])]]): Iterator[NearDupHit] = {
+      var residents = state.getOption.getOrElse(Nil)
+      val hits = List.newBuilder[NearDupHit]
+      batch.foreach { d =>
+        residents.foreach { case (rid, rsig) =>
+          if (rid != d.doc_id) {
+            val ej = estJaccard(d.sig, rsig)
+            if (ej >= threshold) hits += NearDupHit(d.doc_id, rid, ej, key)
+          }
+        }
+        residents = ((d.doc_id, d.sig) :: residents).take(maxPerBucket)
+      }
+      state.update(residents)
+      hits.result().iterator
+    }
+
+    bucketed(docs, k, bands, rowsPerBand)
+      .groupByKey(_.bucket_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}
