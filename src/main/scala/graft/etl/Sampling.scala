@@ -39,7 +39,11 @@ object Sampling {
             salt: Long = 0L): Seq[DataFrame] = {
     require(weights.nonEmpty && weights.forall(_ > 0))
     val total = weights.sum
-    val bounds = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Scale).toLong)
+    // clamp the last bound to Scale: cumulative floating rounding could
+    // otherwise leave a 1e-6 sliver of rows in no split.
+    val bounds = weights.scanLeft(0.0)(_ + _)
+      .map(w => (w / total * Scale).toLong)
+      .init :+ Scale
     val h = pmod(xxhash64(key, lit(salt)), lit(Scale))
     bounds.sliding(2).map { case Seq(lo, hi) =>
       df.filter(h >= lit(lo) && h < lit(hi))
