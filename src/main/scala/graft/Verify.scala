@@ -40,7 +40,12 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.sparkContext.clearJobGroup()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        // drop signature caches a dedup query persisted — they must not
+        // pin memory for the remaining queries.
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** Lowercased whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+  /** Canonical tokenizer — delegates to [[graft.text.TextAnalysis.tokens]]
+    * so dedup signatures and text analytics NEVER tokenize differently
+    * (the planted-dup invariants depend on a single token stream).
+    */
+  def tokens(text: Column): Column = graft.text.TextAnalysis.tokens(text)
 
-  /** Word k-shingles as strings; documents shorter than k words collapse to
-    * a single whole-document shingle.
+  /** Word k-shingles as strings — the readable reference form; hot paths
+    * use [[shingleHashes]] (rolling hash over token hashes) instead, which
+    * avoids this form's O(tokens × k) concat+re-tokenize cost.
     */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))
@@ -87,10 +90,13 @@ object MinHashLsh {
     val b = banded.select(col("band"), col("bucket"), col("mh_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      // dedup the pair BEFORE scoring: a true near-dup shares many of its
+      // 16 bands, and the interpreted estimate would otherwise run once
+      // per shared band instead of once per pair.
+      .groupBy("id_a", "id_b")
+      .agg(first("sig_a").as("sig_a"), first("sig_b").as("sig_b"))
       .select(col("id_a"), col("id_b"),
         estimatedJaccard(col("sig_a"), col("sig_b"), p).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** Near-duplicate pairs: candidates whose estimated Jaccard ≥ threshold. */

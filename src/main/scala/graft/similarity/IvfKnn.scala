@@ -57,8 +57,11 @@ object IvfKnn {
     * inside. Output (query_id, rnk, neighbor_id) like the other KNNs.
     */
   def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val centroids = trainCentroids(corpus, nlist, seed)
+                 nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+                 trainFraction: Double = 1.0): DataFrame = {
+    // at scale pass trainFraction ≪ 1: centroids need ~100 points per
+    // cell, not the corpus.
+    val centroids = trainCentroids(corpus, nlist, seed, trainFraction)
     val c = corpus.select(
       nearestCells(col("embedding"), centroids, 1).getItem(0).as("cell"),
       col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),

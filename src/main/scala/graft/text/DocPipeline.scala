@@ -17,22 +17,13 @@ import graft.dedup.ExactDedup
   */
 object DocPipeline {
 
-  /** Per-row quality features + score (same definitions as
-    * [[TextAnalysis.qualityScore]], inlined so everything fuses).
+  /** Per-row quality features + score — the single shared definitions
+    * from [[TextAnalysis]], so this pipeline and `q_quality_score` can
+    * never disagree on the same rows.
     */
   def withQuality(docs: DataFrame, text: Column): DataFrame =
-    docs
-      .withColumn("n_chars_c", length(text))
-      .withColumn("n_tokens", size(TextAnalysis.tokens(text)))
-      .withColumn("n_alpha", length(regexp_replace(text, "[^A-Za-z]", "")))
-      .withColumn("n_punct", length(regexp_replace(text, "[A-Za-z0-9\\s]", "")))
-      .withColumn("n_stop", TextAnalysis.markerScore(
-        TextAnalysis.tokens(text), TextAnalysis.Markers.head._2))
-      .withColumn("quality_score",
-        (col("n_stop").cast("double") / col("n_tokens")) * 2.0 +
-          (col("n_alpha").cast("double") / col("n_chars_c")) -
-          (col("n_punct").cast("double") / col("n_chars_c")) * 3.0 +
-          when(col("n_tokens").between(20, 200), 0.5).otherwise(0.0))
+    TextAnalysis.withQualityFeatures(docs, text)
+      .withColumn("quality_score", TextAnalysis.qualityScoreExpr)
 
   /** Quality gate: droppable docs are too short, too long, or punctuation
     * soup. Thresholds are pipeline parameters, not truths.

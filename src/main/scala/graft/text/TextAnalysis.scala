@@ -47,29 +47,42 @@ object TextAnalysis {
     withScores.withColumn("predicted_lang", predicted).orderBy("doc_id")
   }
 
+  /** Attach the raw quality-feature counts (single source for both
+    * [[qualityScore]] and [[graft.text.DocPipeline]] — the score weights
+    * must never drift between them).
+    */
+  def withQualityFeatures(df: DataFrame, text: Column): DataFrame =
+    df
+      .withColumn("n_chars_c", length(text))
+      .withColumn("n_tokens", size(tokens(text)))
+      .withColumn("n_alpha", length(regexp_replace(text, "[^A-Za-z]", "")))
+      .withColumn("n_punct", length(regexp_replace(text, "[A-Za-z0-9\\s]", "")))
+      .withColumn("n_stop", markerScore(tokens(text), Markers.head._2))
+
+  /** Linear quality score over the [[withQualityFeatures]] columns. Fixed-
+    * order IEEE double arithmetic — oracle-stable and bitwise identical
+    * however the ratios are (or are not) materialized alongside.
+    */
+  def qualityScoreExpr: Column =
+    (col("n_stop").cast("double") / col("n_tokens")) * 2.0 +
+      (col("n_alpha").cast("double") / col("n_chars_c")) -
+      (col("n_punct").cast("double") / col("n_chars_c")) * 3.0 +
+      when(col("n_tokens").between(20, 200), 0.5).otherwise(0.0)
+
   /** Quality features + linear score: stopword ratio, alpha ratio,
     * punctuation ratio, token count band. Exact integer counts; ratios and
     * the score are fixed-order IEEE double arithmetic (oracle-stable).
     */
-  def qualityScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val enMarkers = Markers.head._2
-    docs.select(
-      id.as("doc_id"),
-      length(text).as("n_chars_c"),
-      size(tokens(text)).as("n_tokens"),
-      length(regexp_replace(text, "[^A-Za-z]", "")).as("n_alpha"),
-      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).as("n_punct"),
-      markerScore(tokens(text), enMarkers).as("n_stop"))
+  def qualityScore(docs: DataFrame, id: Column, text: Column): DataFrame =
+    withQualityFeatures(docs.select(id.as("doc_id"), text.as("__qs_text")), col("__qs_text"))
+      .withColumn("quality_score", qualityScoreExpr)
       .select(
         col("doc_id"), col("n_tokens"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
         (col("n_alpha").cast("double") / col("n_chars_c")).as("alpha_ratio"),
-        (col("n_punct").cast("double") / col("n_chars_c")).as("punct_ratio"))
-      .withColumn("quality_score",
-        col("stop_ratio") * 2.0 + col("alpha_ratio") - col("punct_ratio") * 3.0 +
-          when(col("n_tokens").between(20, 200), 0.5).otherwise(0.0))
+        (col("n_punct").cast("double") / col("n_chars_c")).as("punct_ratio"),
+        col("quality_score"))
       .orderBy("doc_id")
-  }
 
   /** BPE-ish token regex: letter runs, digit runs, single punctuation. */
   val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
