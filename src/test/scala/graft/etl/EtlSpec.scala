@@ -91,6 +91,32 @@ class EtlSpec extends SparkSpec {
     assert(sq === 3078.30)
   }
 
+  test("reference DAG answers on the REAL CSV match independent DuckDB computation") {
+    // Expected values computed OUTSIDE Spark (DuckDB over the same CSV,
+    // same validation predicate) — pinned here as the reference results.
+    val houses = GeoEstatePipeline.fromCsv(
+      spark, "/root/reference/data/russian_houses_slice.csv").cache()
+
+    // avg + median maintenance year (reference task 4)
+    val stats = graft.analytics.Stats.centralStats(houses, year(col("maintenance_year"))).head()
+    assert(math.abs(stats.getAs[Double]("avg_v") - 1970.710856928558) < 1e-9)
+    assert(stats.getAs[Double]("median_v") === 1971.0)
+
+    // top regions by object count (reference task 5)
+    val top3 = graft.analytics.Stats.topGroupsByCount(houses, col("region"), 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top3 === Seq(("Москва", 305L), ("Московская область", 282L),
+      ("Свердловская область", 238L)))
+
+    // top-25 by square over 60 m² (reference task 11)
+    val top = graft.analytics.Stats.topKFilter(houses, col("square") > 60,
+        col("square"), Seq(col("house_id")), 25)
+      .select("src_id", "square").as[(Long, Double)].collect().toSeq
+    assert(top.length === 25)
+    assert(top.take(3).map(_._1) === Seq(301445L, 528953L, 523014L))
+    assert(top.head._2 === 270929.0)
+  }
+
   test("GeoEstatePipeline: every valid row survives with usable types") {
     val houses = GeoEstatePipeline.houses(spark, Sf)
     assert(houses.count() > 0)
