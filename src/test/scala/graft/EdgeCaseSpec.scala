@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.analytics.{Relational, Stats}
+import graft.dedup.{ExactDedup, MinHashLsh, NGramJaccard, SimHash}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import graft.similarity.{EmbeddingDedup, Knn}
+import graft.streaming.EventStreams
+import graft.text.{Fingerprint, TextAnalysis}
+
+/** Degenerate-input hardening: every operator family must return an empty
+  * (or well-typed) result on empty input, never throw — at 100 TB some
+  * partition, some day, WILL be empty.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+  private lazy val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+  private lazy val noEvents = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType))))
+
+  test("dedup operators on empty input") {
+    assert(ExactDedup.groups(noDocs, col("text"), col("doc_id")).count() === 0)
+    assert(MinHashLsh.nearDuplicates(noDocs, col("doc_id"), col("text")).count() === 0)
+    assert(SimHash.nearDuplicates(noDocs, col("doc_id"), col("text")).count() === 0)
+    assert(NGramJaccard.blockedPairs(noDocs, col("doc_id"), col("text"), col("source")).count() === 0)
+  }
+
+  test("similarity operators on empty input") {
+    assert(EmbeddingDedup.nearDuplicatePairs(noVecs, 0.9).count() === 0)
+    assert(Knn.bruteForceTopK(noVecs, noVecs, 5).count() === 0)
+  }
+
+  test("text operators on empty input and empty strings") {
+    assert(TextAnalysis.langId(noDocs, col("doc_id"), col("text")).count() === 0)
+    assert(Fingerprint.fingerprints(noDocs, col("doc_id"), col("text")).count() === 0)
+    // an empty STRING must produce a row, not a crash (ratios go null/NaN-free path)
+    val one = Seq((1L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.tokenCounts(one, col("doc_id"), col("text"))
+      .select("ws_tokens").as[Int].head() === 0)
+    assert(Fingerprint.fingerprints(one, col("doc_id"), col("text")).count() === 1)
+  }
+
+  test("streaming batch forms and analytics on empty input") {
+    assert(EventStreams.sessionize(noEvents).count() === 0)
+    assert(EventStreams.tumblingAgg(noEvents).count() === 0)
+    assert(Relational.eventRollup(noEvents).count() === 0)
+    assert(Stats.topGroupsByCount(noDocs, col("source"), 10).count() === 0)
+  }
+
+  test("join operators on empty sides") {
+    val pts = Seq.empty[(Long, Double)].toDF("pid", "x")
+    val ivs = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi", 5.0).count() === 0)
+    assert(RangeJoin.pointInInterval(
+      Seq((1L, 5.0)).toDF("pid", "x"), "x", ivs.limit(0), "lo", "hi", 5.0).count() === 0)
+    val l = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "ts", "event_id")
+    val r = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "ts", "view_id")
+    assert(AsOfJoin.asOf(l, r, "k", "ts").count() === 0)
+    assert(SkewJoin.saltedInnerJoin(
+      Seq.empty[(String, Long)].toDF("k", "v"),
+      Seq(("a", 1)).toDF("k", "w"), "k").count() === 0)
+  }
+}
