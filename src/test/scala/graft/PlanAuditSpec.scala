@@ -14,7 +14,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, Sf)
 
   private def finalPlan(df: DataFrame): SparkPlan = {
-    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    // collect() executes THIS DataFrame's QueryExecution (a write would
+    // clone it and leave this one un-finalized under AQE)
+    df.collect()
     df.queryExecution.executedPlan
   }
 
@@ -32,6 +34,14 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(formatted.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       formatted)
+  }
+
+  test("hot-path queries run inside WholeStageCodegen spans") {
+    Seq("q_pricing_summary", "q_quality_score", "q_clean_validate").foreach { name =>
+      val plan = finalPlan(q(name)) // AQE only annotates codegen once finalized
+      // codegen'd operators print with a "*(id)" prefix in the final plan
+      assert(plan.toString.contains("*("), s"$name has no codegen span:\n$plan")
+    }
   }
 
   test("q_join_enrich joins dims by broadcast, never cartesian") {

@@ -48,6 +48,28 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, Some(10.0)), (2L, Some(11.0)), (3L, None), (4L, None), (5L, None)))
   }
 
+  test("asOf equals brute force on randomized data (seeded), including ties and misses") {
+    val rng = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (rng.nextInt(12).toLong, ts(rng.nextInt(500).toLong), i.toLong))
+      .toDF("k", "ts", "event_id")
+    val right = (1 to 200).map(i =>
+      (rng.nextInt(15).toLong, ts(rng.nextInt(500).toLong), (1000 + i).toLong))
+      .toDF("k", "ts", "view_id")
+
+    val got = AsOfJoin.asOf(left, right, "k", "ts")
+      .select(col("event_id"), col("ts_right")).as[(Long, Option[Timestamp])]
+      .collect().toMap
+    val brute = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("l.event_id"))
+      .agg(max(col("r.ts")).as("m"))
+      .as[(Long, Option[Timestamp])].collect().toMap
+    assert(got.keySet === brute.keySet)
+    // the matched timestamp (unique per key) must agree exactly everywhere
+    brute.foreach { case (id, m) => assert(got(id) === m, s"event $id") }
+  }
+
   test("asOf equals the brute-force range join on real events data") {
     val events = spark.read.parquet(s"$Sf/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
