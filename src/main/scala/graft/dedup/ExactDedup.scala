@@ -30,9 +30,19 @@ object ExactDedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** The deduplicated table itself: keep the min-id row per group. */
+  /** The deduplicated table itself: keep the min-id row per group.
+    * One window over the normalized text — a single shuffle and a single
+    * evaluation of the input plan. (The groups()-then-semi-join shape is a
+    * diamond: both join inputs re-derive the frame, so an expensive
+    * upstream — e.g. DocPipeline's regex features — would run twice.)
+    * Per-key state is one row; skew is bounded by the duplicate count of
+    * the hottest text.
+    */
   def dedup(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val keep = groups(df, text, id).select(col("keep_id").as("__keep_id"))
-    df.join(keep, id === col("__keep_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(normalize(text)).orderBy(id)
+    df.withColumn("__dd_rn", row_number().over(w))
+      .filter(col("__dd_rn") === 1)
+      .drop("__dd_rn")
   }
 }
