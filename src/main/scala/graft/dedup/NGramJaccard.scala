@@ -51,6 +51,7 @@ object NGramJaccard {
                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sets = docs.select(block.as("blk"), id.as("nj_id"),
       ngramSet(text, n).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sets.select(col("blk"), col("nj_id").as("id_a"), col("grams").as("grams_a"))
     val b = sets.select(col("blk"), col("nj_id").as("id_b"), col("grams").as("grams_b"))
     a.join(b, Seq("blk"))
@@ -80,9 +81,12 @@ object NGramJaccard {
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
     val r = math.ceil(math.log(1.0 / threshold) / math.log(2.0)).toInt
+    // persist: both self-join sides re-derive this frame otherwise, so the
+    // tokenize→hash→sort gram pipeline would run twice per document.
     val sets = docs.select(block.as("blk"), id.as("nj_id"),
       ngramSet(text, n).as("grams"))
       .withColumn("band", floor(log(2.0, size(col("grams")))).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sets.select(col("blk"), col("band"), col("nj_id").as("id_a"),
       col("grams").as("grams_a"), size(col("grams")).as("n_a"))
     val b = sets.select(col("blk"),

@@ -61,6 +61,7 @@ object Fingerprint {
     */
   def sharedRunPairs(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
     val fps = docs.select(id.as("fp_id"), explode(array_distinct(windowHashes(text, w))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = fps.select(col("fp"), col("fp_id").as("id_a"))
     val b = fps.select(col("fp"), col("fp_id").as("id_b"))
     a.join(b, Seq("fp"))
