@@ -14,10 +14,18 @@ object Sampling {
 
   private val Scale = 1000000L
 
+  /** Each function mixes its own tag into the hash: hashSample → split →
+    * stratified compose independently. With ONE shared hash, splitting a
+    * hash-sampled dataset would silently put 100% of rows in the first
+    * bucket (the sample kept exactly the rows with small hash values).
+    */
+  private def bucketHash(key: Column, tag: String, salt: Long): Column =
+    pmod(xxhash64(key, lit(tag), lit(salt)), lit(Scale))
+
   /** Keep ~`rate` of rows, decided by the row's own key. */
   def hashSample(df: DataFrame, key: Column, rate: Double, salt: Long = 0L): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0)
-    df.filter(pmod(xxhash64(key, lit(salt)), lit(Scale)) < lit((rate * Scale).toLong))
+    df.filter(bucketHash(key, "sample", salt) < lit((rate * Scale).toLong))
   }
 
   /** Per-stratum rates (e.g. domain → keep fraction); strata absent from
@@ -28,7 +36,7 @@ object Sampling {
     val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
       when(stratum === s, lit(r)).otherwise(acc)
     }
-    df.filter(pmod(xxhash64(key, lit(salt)), lit(Scale)) < (rateCol * Scale).cast("long"))
+    df.filter(bucketHash(key, "stratified", salt) < (rateCol * Scale).cast("long"))
   }
 
   /** Deterministic train/validation/test split: one hash decides the
@@ -44,7 +52,7 @@ object Sampling {
     val bounds = weights.scanLeft(0.0)(_ + _)
       .map(w => (w / total * Scale).toLong)
       .init :+ Scale
-    val h = pmod(xxhash64(key, lit(salt)), lit(Scale))
+    val h = bucketHash(key, "split", salt)
     bounds.sliding(2).map { case Seq(lo, hi) =>
       df.filter(h >= lit(lo) && h < lit(hi))
     }.toSeq

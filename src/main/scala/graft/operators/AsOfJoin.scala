@@ -29,44 +29,45 @@ object AsOfJoin {
     val rightPayload = right.columns.filter(c => c != key && c != tsCol).toSeq
     require(rightPayload.nonEmpty, "right side needs at least one payload column")
 
+    // The whole right row travels as ONE struct carried by ONE
+    // last(ignoreNulls) — per-payload-column windows would stitch a hybrid
+    // "row" from different right rows whenever the latest right row has a
+    // null in some payload column (and cost one window pass per column).
+    val rowStructCols = struct(
+      col(tsCol).as("__ts") +: rightPayload.map(c => col(c).as(c)): _*)
+
     val lTagged = left
       .withColumn("__side", lit(1)) // left sorts after a same-ts right row
-      .withColumn("__rts", lit(null).cast("timestamp"))
-      .select(Seq(col(key), col(tsCol), col("__side"), col("__rts")) ++
-        left.columns.filterNot(Set(key, tsCol)).map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .withColumn("__r_row",
+        lit(null).cast(right.select(rowStructCols).schema.head.dataType))
     val rTagged = right
       .withColumn("__side", lit(0))
-      .withColumn("__rts", col(tsCol))
-      .select(Seq(col(key), col(tsCol), col("__side"), col("__rts")) ++
+      .withColumn("__r_row", rowStructCols)
+      .select(Seq(col(key), col(tsCol), col("__side"), col("__r_row")) ++
         left.columns.filterNot(Set(key, tsCol))
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // right rows at the same key+ts sort before left rows (side 0 < 1),
     // so a left row can match a right row with an equal timestamp.
     val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val merged = lTagged.unionByName(rTagged)
-      .withColumn("__m_ts", last(col("__rts"), ignoreNulls = true).over(w))
-    val carried = rightPayload.foldLeft(merged) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val merged = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+      .withColumn("__m_row", last(col("__r_row"), ignoreNulls = true).over(w))
 
+    val matchTs = col("__m_row").getField("__ts")
     val withinTolerance = toleranceSec match {
-      case Some(t) => col("__m_ts").isNotNull &&
-        unix_micros(col(tsCol)) - unix_micros(col("__m_ts")) <= t * 1000000L
-      case None => col("__m_ts").isNotNull
+      case Some(t) => col("__m_row").isNotNull &&
+        unix_micros(col(tsCol)) - unix_micros(matchTs) <= t * 1000000L
+      case None => col("__m_row").isNotNull
     }
 
-    val out = carried
+    merged
       .filter(col("__side") === 1)
       .select(Seq(col(key), col(tsCol)) ++
         left.columns.filterNot(Set(key, tsCol)).map(col) ++
         rightPayload.map(c =>
-          when(withinTolerance, col(s"__m_$c")).as(c)) :+
-        when(withinTolerance, col("__m_ts")).as(s"${tsCol}_right"): _*)
-    out
+          when(withinTolerance, col("__m_row").getField(c)).as(c)) :+
+        when(withinTolerance, matchTs).as(s"${tsCol}_right"): _*)
   }
 }

@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `large` and `small` on `key`, salted `salts` ways.
-    * The salt on the large side is deterministic (hash of all columns mod
-    * salts) so retries/speculative tasks stay consistent.
+    *
+    * The salt is `rand(seed)`-derived: seeded per partition + row
+    * position, so it is stable under task retries (same input split ⇒
+    * same sequence) yet spreads BYTE-IDENTICAL rows across salts — a
+    * content hash would send every copy of a duplicated hot row to the
+    * same salt, leaving the hot partition exactly as hot while still
+    * paying the small-side replication. Any salt value joins correctly
+    * (the small side is replicated at every salt), so the assignment
+    * only needs balance, not content-determinism.
     */
   def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String,
-                      salts: Int = 16): DataFrame = {
+                      salts: Int = 16, seed: Long = 42L): DataFrame = {
     require(salts > 0)
     val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      floor(rand(seed) * salts).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

@@ -52,31 +52,53 @@ object StreamingDedup {
       .as[BucketDoc]
   }
 
-  /** Stateful step + full pipeline: candidate hits above `threshold`. */
+  /** Stateful step + full pipeline: candidate hits above `threshold`.
+    *
+    * State bounds: each bucket caps at `maxPerBucket` residents, and with
+    * the default `ttl` a bucket expires that long after its last arrival
+    * (processing-time timeout) — so the bucket-COUNT dimension of state
+    * is bounded by the dedup horizon, not the stream length. A duplicate
+    * arriving after `ttl` of bucket silence is missed here; the batch
+    * dedup pass over the accumulated corpus is the backstop.
+    *
+    * `ttl = None` disables expiry (state grows with distinct content) —
+    * it exists for continuous-trigger test harnesses, where timeout-driven
+    * empty batches keep `processAllAvailable` from ever draining.
+    */
   def nearDupCandidates(docs: DataFrame, threshold: Double = 0.5,
                         k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                        maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+                        maxPerBucket: Int = 64,
+                        ttl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(6))): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
 
     def update(key: String, batch: Iterator[BucketDoc],
                state: GroupState[List[(Long, Array[Long])]]): Iterator[NearDupHit] = {
-      var residents = state.getOption.getOrElse(Nil)
-      val hits = List.newBuilder[NearDupHit]
-      batch.foreach { d =>
-        residents.foreach { case (rid, rsig) =>
-          if (rid != d.doc_id) {
-            val ej = estJaccard(d.sig, rsig)
-            if (ej >= threshold) hits += NearDupHit(d.doc_id, rid, ej, key)
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var residents = state.getOption.getOrElse(Nil)
+        val hits = List.newBuilder[NearDupHit]
+        batch.foreach { d =>
+          residents.foreach { case (rid, rsig) =>
+            if (rid != d.doc_id) {
+              val ej = estJaccard(d.sig, rsig)
+              if (ej >= threshold) hits += NearDupHit(d.doc_id, rid, ej, key)
+            }
           }
+          residents = ((d.doc_id, d.sig) :: residents).take(maxPerBucket)
         }
-        residents = ((d.doc_id, d.sig) :: residents).take(maxPerBucket)
+        state.update(residents)
+        ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+        hits.result().iterator
       }
-      state.update(residents)
-      hits.result().iterator
     }
 
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     bucketed(docs, k, bands, rowsPerBand)
       .groupByKey(_.bucket_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
   }
 }

@@ -38,6 +38,18 @@ class AsOfJoinSpec extends SparkSpec {
       ("C", 5L, None)))
   }
 
+  test("asOf carries the WHOLE matched row: a null payload in the latest row stays null") {
+    val right = Seq(
+      ("A", ts(5), Some(1.0), Some(2.0)),
+      ("A", ts(10), Some(3.0), None) // latest row: ask is NULL
+    ).toDF("sym", "ts", "bid", "ask")
+    val left = Seq(("A", ts(12), 1L)).toDF("sym", "ts", "qty")
+    val r = AsOfJoin.asOf(left, right, "sym", "ts").collect()(0)
+    assert(r.getAs[Double]("bid") === 3.0)
+    assert(r.isNullAt(r.fieldIndex("ask")),
+      "ask must come from the ts=10 row (null), not be stitched from ts=5")
+  }
+
   test("asOf with tolerance drops stale matches") {
     val got = AsOfJoin.asOf(trades, quotes, key = "sym", tsCol = "ts",
         toleranceSec = Some(5 * 60))

@@ -20,11 +20,13 @@ class SkewJoinSpec extends SparkSpec {
     assert(plain.size === 9000 + 2)
   }
 
-  test("saltedInnerJoin spreads a hot key over multiple salt values") {
-    val large = spark.range(0, 5000).toDF("id").withColumn("k", lit("hot"))
+  test("saltedInnerJoin spreads even BYTE-IDENTICAL hot rows over all salt values") {
+    // every row is identical — a content hash would collapse them onto
+    // one salt; the positional salt must still spread them.
+    val large = spark.range(0, 5000).toDF("id").select(lit("hot").as("k"))
     val small = Seq(("hot", 1)).toDF("k", "v")
     val saltCount = large
-      .withColumn("__salt", pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(8)).cast("int"))
+      .withColumn("__salt", floor(rand(42L) * 8).cast("int"))
       .select(countDistinct("__salt")).as[Long].head()
     assert(saltCount === 8L)
     assert(SkewJoin.saltedInnerJoin(large, small, "k", 8).count() === 5000L)

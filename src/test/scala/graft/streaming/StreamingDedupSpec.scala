@@ -11,7 +11,7 @@ class StreamingDedupSpec extends SparkSpec {
   test("a near-duplicate arriving later is flagged against the earlier original") {
     val input = MemoryStream[(Long, String)](spark)
     val docs = input.toDS().toDF("doc_id", "text")
-    val hits = StreamingDedup.nearDupCandidates(docs, threshold = 0.5)
+    val hits = StreamingDedup.nearDupCandidates(docs, threshold = 0.5, ttl = None)
     val q = hits.writeStream.format("memory").queryName("sdedup_out")
       .outputMode("append").start()
     try {
@@ -37,7 +37,7 @@ class StreamingDedupSpec extends SparkSpec {
     val input = MemoryStream[(Long, String)](spark)
     val docs = input.toDS().toDF("doc_id", "text")
     // identical text → identical buckets → all land in the same state list
-    val hits = StreamingDedup.nearDupCandidates(docs, threshold = 0.9, maxPerBucket = 3)
+    val hits = StreamingDedup.nearDupCandidates(docs, threshold = 0.9, maxPerBucket = 3, ttl = None)
     val q = hits.writeStream.format("memory").queryName("sdedup_cap_out")
       .outputMode("append").start()
     try {
