@@ -153,6 +153,17 @@ object SparkEntry {
       LshKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
     }),
 
+    "q_knn_ivf" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+      graft.similarity.IvfKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10),
+        k = 5, nlist = 8, nprobe = 4)
+    }),
+
+    "q_dedup_containment" -> ((s, d) =>
+      NGramJaccard.containmentPairs(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)),
+
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(t(s, d, "documents"), col("doc_id"), col("text"))),
 
