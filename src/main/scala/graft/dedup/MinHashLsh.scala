@@ -66,19 +66,26 @@ object MinHashLsh {
 
   /** Candidate pairs (idA < idB) sharing ≥1 LSH band bucket, with the
     * signature-estimated Jaccard attached. p must equal bands × rowsPerBand.
+    *
+    * The band self-join runs through
+    * [[graft.operators.SkewJoin.boundedSelfPairs]]: a bucket hotter than
+    * `hotBucketThreshold` rows (the realistic 100 TB failure mode — a
+    * boilerplate band every doc shares) is tiled into group-pair cells so no
+    * single task owns the bucket's quadratic pair work. Cold buckets take
+    * the plain equi-join path; results are identical either way.
     */
   def candidatePairs(docs: DataFrame, id: Column, text: Column,
-                     k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                     k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                     hotBucketThreshold: Int = 4096): DataFrame = {
     val p = bands * rowsPerBand
-    // Persist the signatures: they feed BOTH sides of the band self-join
-    // and the 16 band-bucket hashes. Without the materialization boundary,
-    // ProjectionCollapse inlines the O(shingles × p) signature expression
-    // into every consumer — ~34 recomputes per document. With it, the
-    // signature is computed exactly once per document (this is also the
-    // right call at 100 TB: signatures are ~500 bytes/doc, tiny next to
-    // the text they summarize).
-    val sigs = signatures(docs, id, text, k, p)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persist the signatures: boundedSelfPairs scans the banded frame five
+    // times (key histogram + two join sides per path). Without the
+    // materialization boundary, ProjectionCollapse inlines the
+    // O(shingles × p) signature expression into every consumer. With it,
+    // the signature is computed exactly once per document (also the right
+    // call at 100 TB: signatures are ~500 bytes/doc, tiny next to the text
+    // they summarize). Caller releases via CachePool.releaseAll().
+    val sigs = graft.CachePool.persist(signatures(docs, id, text, k, p))
     val banded = sigs.select(
       col("mh_id"), col("sig"),
       posexplode(transform(
@@ -86,15 +93,14 @@ object MinHashLsh {
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("mh_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("mh_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    graft.operators.SkewJoin
+      .boundedSelfPairs(banded, Seq("band", "bucket"), col("mh_id"), col("sig"),
+        hotBucketThreshold)
       // dedup the pair BEFORE scoring: a true near-dup shares many of its
       // 16 bands, and the interpreted estimate would otherwise run once
       // per shared band instead of once per pair.
       .groupBy("id_a", "id_b")
-      .agg(first("sig_a").as("sig_a"), first("sig_b").as("sig_b"))
+      .agg(first("pay_a").as("sig_a"), first("pay_b").as("sig_b"))
       .select(col("id_a"), col("id_b"),
         estimatedJaccard(col("sig_a"), col("sig_b"), p).as("est_jaccard"))
   }
@@ -102,8 +108,9 @@ object MinHashLsh {
   /** Near-duplicate pairs: candidates whose estimated Jaccard ≥ threshold. */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column,
                      threshold: Double = 0.5, k: Int = 3,
-                     bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    candidatePairs(docs, id, text, k, bands, rowsPerBand)
+                     bands: Int = 16, rowsPerBand: Int = 4,
+                     hotBucketThreshold: Int = 4096): DataFrame =
+    candidatePairs(docs, id, text, k, bands, rowsPerBand, hotBucketThreshold)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
       .orderBy("id_a", "id_b")

@@ -46,22 +46,37 @@ object NGramJaccard {
 
   /** Intra-block pairs where either direction's containment ≥ threshold
     * (idA < idB; both directions reported).
+    *
+    * Plan shape: an INVERTED-INDEX join, not an all-pairs block join. Each
+    * document explodes its distinct gram hashes once; a pair materializes
+    * only for grams two documents actually share (equi-join on the 8-byte
+    * gram hash within the block), and |A ∩ B| falls out of a count
+    * aggregation per pair — the same linear, shuffle-partitionable shape as
+    * [[graft.text.Fingerprint.sharedRunPairs]]. The size prefilter that
+    * saves [[blockedPairs]] cannot help here (containment in EITHER
+    * direction makes the OR of size bounds vacuous), but the inverted index
+    * is stronger anyway: non-overlapping pairs are never formed at all.
+    * Result values are identical to the all-pairs sorted-merge form —
+    * `count(shared grams) / |A|` is the same integer-over-integer division.
     */
   def containmentPairs(docs: DataFrame, id: Column, text: Column, block: Column,
                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = docs.select(block.as("blk"), id.as("nj_id"),
-      ngramSet(text, n).as("grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sets.select(col("blk"), col("nj_id").as("id_a"), col("grams").as("grams_a"))
-    val b = sets.select(col("blk"), col("nj_id").as("id_b"), col("grams").as("grams_b"))
-    a.join(b, Seq("blk"))
+    // persist: the exploded gram index feeds both sides of the self-join;
+    // without the boundary the tokenize→hash pipeline runs twice per doc.
+    val grams = graft.CachePool.persist(
+      docs.select(block.as("blk"), id.as("nj_id"), ngramSet(text, n).as("grams"))
+        .select(col("blk"), col("nj_id"), size(col("grams")).as("n_g"),
+          explode(col("grams")).as("g")))
+    val a = grams.select(col("blk"), col("g"), col("nj_id").as("id_a"), col("n_g").as("n_a"))
+    val b = grams.select(col("blk"), col("g"), col("nj_id").as("id_b"), col("n_g").as("n_b"))
+    a.join(b, Seq("blk", "g"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        containment(col("grams_a"), col("grams_b")).as("c_ab"),
-        containment(col("grams_b"), col("grams_a")).as("c_ba"))
-      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
       .groupBy("id_a", "id_b")
-      .agg(max("c_ab").as("c_ab"), max("c_ba").as("c_ba"))
+      .agg(count(lit(1)).as("n_shared"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_shared").cast("double") / col("n_a")).as("c_ab"),
+        (col("n_shared").cast("double") / col("n_b")).as("c_ba"))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
       .orderBy("id_a", "id_b")
   }
 
@@ -83,10 +98,9 @@ object NGramJaccard {
     val r = math.ceil(math.log(1.0 / threshold) / math.log(2.0)).toInt
     // persist: both self-join sides re-derive this frame otherwise, so the
     // tokenize→hash→sort gram pipeline would run twice per document.
-    val sets = docs.select(block.as("blk"), id.as("nj_id"),
-      ngramSet(text, n).as("grams"))
-      .withColumn("band", floor(log(2.0, size(col("grams")))).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.CachePool.persist(
+      docs.select(block.as("blk"), id.as("nj_id"), ngramSet(text, n).as("grams"))
+        .withColumn("band", floor(log(2.0, size(col("grams")))).cast("int")))
     val a = sets.select(col("blk"), col("band"), col("nj_id").as("id_a"),
       col("grams").as("grams_a"), size(col("grams")).as("n_a"))
     val b = sets.select(col("blk"),

@@ -26,27 +26,29 @@ object SimHash {
         transform(MinHashLsh.tokens(text), t => xxhash64(t))).as("simhash"))
 
   /** Exact near-duplicate pairs within Hamming distance maxDist (≤ 3 for
-    * the default 4-band split to stay lossless).
+    * the default 4-band split to stay lossless). The band self-join runs
+    * through [[graft.operators.SkewJoin.boundedSelfPairs]] so a hot band
+    * value (every near-identical boilerplate doc shares one) cannot
+    * concentrate quadratic pair work in a single task.
     */
-  def nearDuplicates(docs: DataFrame, id: Column, text: Column, maxDist: Int = 3): DataFrame = {
+  def nearDuplicates(docs: DataFrame, id: Column, text: Column, maxDist: Int = 3,
+                     hotBandThreshold: Int = 4096): DataFrame = {
     require(maxDist <= 3, "4 bands of 16 bits are only lossless up to Hamming distance 3")
-    // Materialization boundary: the O(tokens × 64) signature expression
-    // feeds both self-join sides and 4 band projections — persist so it
-    // runs once per document (see MinHashLsh.candidatePairs).
-    val sigs = signatures(docs, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialization boundary: boundedSelfPairs scans the banded frame
+    // five times — persist so the O(tokens × 64) signature runs once per
+    // document (see MinHashLsh.candidatePairs).
+    val sigs = graft.CachePool.persist(signatures(docs, id, text))
     val banded = sigs.select(
       col("sh_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
-    val a = banded.select(col("band"), col("band_val"), col("sh_id").as("id_a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("band"), col("band_val"), col("sh_id").as("id_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("band", "band_val"))
-      .filter(col("id_a") < col("id_b"))
+    graft.operators.SkewJoin
+      .boundedSelfPairs(banded, Seq("band", "band_val"), col("sh_id"), col("simhash"),
+        hotBandThreshold)
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("pay_a").bitwiseXOR(col("pay_b"))).as("hamming"))
       .groupBy("id_a", "id_b")
       .agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxDist)

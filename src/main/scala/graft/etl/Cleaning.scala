@@ -64,18 +64,31 @@ object Cleaning {
   def reindex(df: DataFrame, order: Column, as: String): DataFrame =
     df.withColumn(as, row_number().over(Window.orderBy(order)).cast(LongType))
 
-  /** Scale path for dense 1-based ids: total-order sort (range-partitioned
-    * shuffle, stays distributed) + per-partition `zipWithIndex` offsets.
-    * Two jobs (zipWithIndex counts partitions first) but never funnels the
-    * data through one task the way a global window does.
+  /** Scale path for dense 1-based ids, pure DataFrame (stays in Catalyst —
+    * codegen'd, AQE-visible, no RDD round-trip): range-partition on the
+    * order key, number rows WITHIN each partition (a partitioned window,
+    * never a global one), then add per-partition offsets computed from the
+    * partition row counts (a #partitions-row frame, broadcast back). Two
+    * passes over the sorted data — the persist boundary keeps the range
+    * shuffle from running twice AND guarantees both passes see identical
+    * partition contents. Equals the global-window [[reindex]] whenever the
+    * order key is unique.
     */
   def reindexScalable(df: DataFrame, order: Column, as: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(order)
-    val outSchema = StructType(sorted.schema.fields :+ StructField(as, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(indexed, outSchema)
+    val sorted = graft.CachePool.persist(
+      df.repartitionByRange(order)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__rn",
+          row_number().over(Window.partitionBy(col("__pid")).orderBy(order))))
+    val offsets = sorted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(
+          sum("__cnt").over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__off")
+    sorted.join(broadcast(offsets), "__pid")
+      .withColumn(as, (col("__rn") + col("__off")).cast(LongType))
+      .drop("__pid", "__rn")
   }
 }

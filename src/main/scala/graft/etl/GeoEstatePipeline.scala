@@ -81,21 +81,35 @@ object GeoEstatePipeline {
   def validated(dirty: DataFrame): DataFrame =
     cleaned(dirty).filter(isValidHouse)
 
-  /** Re-index + type-normalize (reference task 3). */
+  /** Type-normalize WITHOUT the dense re-index — the default form for any
+    * consumer that never reads `house_id` (all the aggregate queries). The
+    * reference's `row_number() OVER (ORDER BY …)` funnels the whole table
+    * through ONE partition; omitting it where the id is unused removes that
+    * scale-killer from the plan entirely.
+    */
+  def typedUnindexed(valid: DataFrame): DataFrame =
+    valid.select(
+      col("src_id"),
+      round(col("latitude_s").cast(DoubleType), 6).as("latitude"),
+      round(col("longitude_s").cast(DoubleType), 6).as("longitude"),
+      make_date(col("year_s").cast(IntegerType), lit(1), lit(1)).as("maintenance_year"),
+      col("square_s").cast(DoubleType).as("square"),
+      col("population_s").cast(IntegerType).as("population"),
+      col("region"),
+      col("locality_name"),
+      col("address")
+    )
+
+  /** Re-index + type-normalize (reference task 3, faithful variant — the
+    * global window is the reference's own semantics; [[Cleaning
+    * .reindexScalable]] is the distributed form when dense ids ARE needed).
+    */
   def typed(valid: DataFrame): DataFrame =
-    reindex(valid, col("src_id"), "house_id")
+    reindex(typedUnindexed(valid), col("src_id"), "house_id")
       .select(
-        col("house_id"),
-        col("src_id"),
-        round(col("latitude_s").cast(DoubleType), 6).as("latitude"),
-        round(col("longitude_s").cast(DoubleType), 6).as("longitude"),
-        make_date(col("year_s").cast(IntegerType), lit(1), lit(1)).as("maintenance_year"),
-        col("square_s").cast(DoubleType).as("square"),
-        col("population_s").cast(IntegerType).as("population"),
-        col("region"),
-        col("locality_name"),
-        col("address")
-      )
+        col("house_id"), col("src_id"), col("latitude"), col("longitude"),
+        col("maintenance_year"), col("square"), col("population"),
+        col("region"), col("locality_name"), col("address"))
 
   /** Clean + validate + re-index + cast (reference tasks 2-3 fused). */
   def cleanValidateCast(dirty: DataFrame): DataFrame = typed(validated(dirty))
@@ -103,6 +117,12 @@ object GeoEstatePipeline {
   /** Full pipeline over the derived dirty table. */
   def houses(spark: SparkSession, dir: String): DataFrame =
     cleanValidateCast(dirtyHouses(spark, dir))
+
+  /** Full pipeline minus the dense re-index — what every aggregate query
+    * should read (no single-partition window anywhere in the plan).
+    */
+  def housesUnindexed(spark: SparkSession, dir: String): DataFrame =
+    typedUnindexed(validated(dirtyHouses(spark, dir)))
 
   /** The REAL input path: the reference's UTF-16 multiline CSV
     * (main.py:149-168 column set) through the same clean → validate →

@@ -47,4 +47,73 @@ object SkewJoin {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("key"))
       .limit(topN)
+
+  /** Every unordered intra-key pair `(id_a < id_b)` with BOUNDED task sizes:
+    * the salted form of the LSH-band self-join.
+    *
+    * A plain band-bucket self-join puts a bucket of m rows into one task and
+    * forms m² pairs there — AQE's skew split cannot help because a single
+    * join key is indivisible. This operator measures each key's row count
+    * inline (one partial-agg shuffle over rows it was already shuffling) and
+    * TILES hot keys: a key with m > hotThreshold rows is hashed into
+    * S = ⌈m / hotThreshold⌉ groups, and each of the S·(S+1)/2 group-pair
+    * cells (i ≤ j) becomes its own join key — per-task pair work drops to
+    * ~(m/S)² while total pair work is unchanged. Cold keys (the vast
+    * majority) take the ordinary self-join path; the two paths union.
+    *
+    * Each hot row is replicated S+1 times — negligible next to the m²
+    * pair blowup it bounds. The caller's input should be cheap to re-derive
+    * (e.g. a projection of an already-persisted signature frame): both
+    * paths and the key-count aggregation scan it (five scans total).
+    *
+    * Output: (id_a, pay_a, id_b, pay_b), one row per key the pair shares.
+    * Deterministic (group assignment is xxhash64(id) mod S).
+    */
+  def boundedSelfPairs(df: DataFrame, keys: Seq[String], id: Column, payload: Column,
+                       hotThreshold: Int = 4096): DataFrame = {
+    require(hotThreshold > 1, "hotThreshold must exceed 1")
+    val keyCols = keys.map(col)
+    val base = df.select(keyCols :+ id.as("__sp_id") :+ payload.as("__sp_pay"): _*)
+    // Hot keys come from a KEY-ONLY count aggregate (the shuffle carries
+    // 8-byte keys, not payload rows) and are expected to be a tiny — often
+    // empty — set, broadcast to filter both paths. The cold path is then
+    // the plain self-join plus a broadcast anti-join: no extra shuffle, no
+    // materialization beyond whatever the caller already persists.
+    val hotKeys = base.groupBy(keyCols: _*).agg(count(lit(1)).as("__sp_cnt"))
+      .filter(col("__sp_cnt") > hotThreshold)
+
+    val cold = base.join(broadcast(hotKeys.select(keyCols: _*)), keys, "left_anti")
+    val coldPairs = cold
+      .select(keyCols :+ col("__sp_id").as("id_a") :+ col("__sp_pay").as("pay_a"): _*)
+      .join(cold.select(keyCols :+ col("__sp_id").as("id_b") :+ col("__sp_pay").as("pay_b"): _*), keys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "pay_a", "id_b", "pay_b")
+
+    // Triangle tiling: row in group g joins as the LOW side of cells (g, j≥g)
+    // and the HIGH side of cells (i≤g, g). Pair {x,y} with groups g₁ ≤ g₂
+    // appears exactly once at cell (g₁,g₂) — twice when g₁ = g₂ (both
+    // orders), which the id_a < id_b filter collapses; for g₁ < g₂ the ids
+    // arrive in arbitrary order, so the final select re-orients them.
+    val hot = base.join(broadcast(hotKeys), keys)
+      .withColumn("__sp_s", ceil(col("__sp_cnt").cast("double") / hotThreshold).cast("int"))
+      .withColumn("__sp_g", pmod(xxhash64(col("__sp_id")), col("__sp_s")).cast("int"))
+    val cellKeys = keys :+ "__c1" :+ "__c2"
+    val hotA = hot.select(keyCols ++ Seq(col("__sp_g").as("__c1"),
+      explode(sequence(col("__sp_g"), col("__sp_s") - 1)).as("__c2"),
+      col("__sp_id").as("id_a"), col("__sp_pay").as("pay_a")): _*)
+    val hotB = hot.select(keyCols ++ Seq(
+      explode(sequence(lit(0), col("__sp_g"))).as("__c1"), col("__sp_g").as("__c2"),
+      col("__sp_id").as("id_b"), col("__sp_pay").as("pay_b")): _*)
+    val hotPairs = hotA.join(hotB, cellKeys)
+      .filter(col("__c1") < col("__c2") || col("id_a") < col("id_b"))
+      .select(
+        when(col("id_a") < col("id_b"), struct(col("id_a").as("i"), col("pay_a").as("p")))
+          .otherwise(struct(col("id_b").as("i"), col("pay_b").as("p"))).as("__lo"),
+        when(col("id_a") < col("id_b"), struct(col("id_b").as("i"), col("pay_b").as("p")))
+          .otherwise(struct(col("id_a").as("i"), col("pay_a").as("p"))).as("__hi"))
+      .select(col("__lo.i").as("id_a"), col("__lo.p").as("pay_a"),
+        col("__hi.i").as("id_b"), col("__hi.p").as("pay_b"))
+
+    coldPairs.unionByName(hotPairs)
+  }
 }

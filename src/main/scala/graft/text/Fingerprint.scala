@@ -60,8 +60,8 @@ object Fingerprint {
     * path: shuffle keyed on the 8-byte hash, AQE-skewable.
     */
   def sharedRunPairs(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
-    val fps = docs.select(id.as("fp_id"), explode(array_distinct(windowHashes(text, w))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = graft.CachePool.persist(
+      docs.select(id.as("fp_id"), explode(array_distinct(windowHashes(text, w))).as("fp")))
     val a = fps.select(col("fp"), col("fp_id").as("id_a"))
     val b = fps.select(col("fp"), col("fp_id").as("id_b"))
     a.join(b, Seq("fp"))

@@ -32,11 +32,20 @@ object TextAnalysis {
 
   /** doc → per-language marker scores + argmax prediction. Ties break in
     * [[Markers]] order (en > es > de > fr > zh) — mirrored in the oracle SQL.
+    *
+    * The token array is materialized into ONE column first and all five
+    * language scores read that attribute: interpreted higher-order
+    * functions do no common-subexpression elimination, so scoring five
+    * languages directly off `tokens(text)` re-runs the tokenizer five
+    * times per row. CollapseProject keeps the two projections separate
+    * (a non-cheap alias referenced five times is never inlined), so the
+    * split/lower/trim pipeline runs exactly once per document.
     */
   def langId(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val withScores = docs.select(
-      id.as("doc_id") +:
-        Markers.map { case (lang, words) => markerScore(tokens(text), words).as(s"score_$lang") }: _*)
+    val withToks = docs.select(id.as("doc_id"), tokens(text).as("__li_tk"))
+    val withScores = withToks.select(
+      col("doc_id") +:
+        Markers.map { case (lang, words) => markerScore(col("__li_tk"), words).as(s"score_$lang") }: _*)
     val langs = Markers.map(_._1)
     val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((lang, i), elseCol) =>
@@ -53,11 +62,15 @@ object TextAnalysis {
     */
   def withQualityFeatures(df: DataFrame, text: Column): DataFrame =
     df
+      // one materialized token column; n_tokens and n_stop read the
+      // attribute (see langId — HOFs re-evaluate inlined tokenizers).
+      .withColumn("__qf_tk", tokens(text))
       .withColumn("n_chars_c", length(text))
-      .withColumn("n_tokens", size(tokens(text)))
+      .withColumn("n_tokens", size(col("__qf_tk")))
       .withColumn("n_alpha", length(regexp_replace(text, "[^A-Za-z]", "")))
       .withColumn("n_punct", length(regexp_replace(text, "[A-Za-z0-9\\s]", "")))
-      .withColumn("n_stop", markerScore(tokens(text), Markers.head._2))
+      .withColumn("n_stop", markerScore(col("__qf_tk"), Markers.head._2))
+      .drop("__qf_tk")
 
   /** Linear quality score over the [[withQualityFeatures]] columns. Fixed-
     * order IEEE double arithmetic — oracle-stable and bitwise identical
