@@ -203,6 +203,19 @@ object SparkEntry {
       Fingerprint.fingerprints(
         DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))),
 
+    "q_shared_runs" -> ((s, d) =>
+      // pairs sharing a verbatim 8-token run (fingerprint explode →
+      // equi-join on the window hash). Hash-oracle-checkable because pair
+      // identity depends only on hash EQUALITIES, which mirror token-run
+      // string equality — DuckDB rebuilds the runs as strings.
+      Fingerprint.sharedRunPairs(
+        DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))),
+
+    "q_dedup_minhash_w" -> ((s, d) =>
+      MinHashLsh.nearDuplicatesWeighted(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"), threshold = 0.5)),
+
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.asMedia(t(s, d, "documents")))
         .orderBy("doc_id")),
@@ -338,6 +351,31 @@ object SparkEntry {
       |    CAST(population_s AS INTEGER) AS population,
       |    region, locality_name, address
       |  FROM valid
+      |)
+      |""".stripMargin
+
+  /** Word-3-gram inverted-index pair counts over the planted docs CTE —
+    * shared tail of the ngram-jaccard and containment oracles. Appended
+    * after [[DedupData.DocsCte]] (which opens the WITH clause).
+    */
+  private val GramPairsCte: String =
+    """, toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM docs
+      |), grams AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS gs
+      |  FROM toks
+      |), expl AS (
+      |  SELECT doc_id, source, len(gs) AS n_g, unnest(gs) AS g FROM grams
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
+      |         any_value(a.n_g) AS n_a, any_value(b.n_g) AS n_b
+      |  FROM expl a JOIN expl b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
       |)
       |""".stripMargin
 
@@ -486,6 +524,42 @@ object SparkEntry {
         |  CAST(least(64, n - i * 64) AS INTEGER) AS frame_bytes
         |FROM idx WHERE i % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // gram-set oracles: word 3-grams as STRINGS (hash equalities on the
+    // Spark side mirror string equalities exactly — the rolling poly hash
+    // is injective in the token sequence modulo 64-bit collisions),
+    // distinct per doc, then an inverted-index join like the Spark plan so
+    // DuckDB also stays linear.
+    "q_ngram_jaccard" -> (DedupData.DocsCte + GramPairsCte +
+      """SELECT id_a, id_b, CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+        |FROM pairs
+        |WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "q_dedup_containment" -> (DedupData.DocsCte + GramPairsCte +
+      """SELECT id_a, id_b,
+        |  CAST(n_shared AS DOUBLE) / n_a AS c_ab,
+        |  CAST(n_shared AS DOUBLE) / n_b AS c_ba
+        |FROM pairs
+        |WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "q_shared_runs" -> (DedupData.DocsCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM docs
+        |), wins AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) <= 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' '))) END AS ws
+        |  FROM toks
+        |), expl AS (SELECT doc_id, unnest(ws) AS fp FROM wins)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM expl a JOIN expl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // ── §2.3 streaming & general analytics ───────────────────────────────
     "q_window_agg" ->

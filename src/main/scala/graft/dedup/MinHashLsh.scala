@@ -64,6 +64,25 @@ object MinHashLsh {
   def signatures(docs: DataFrame, id: Column, text: Column, k: Int, p: Int): DataFrame =
     docs.select(id.as("mh_id"), signature(shingleHashes(text, k), p).as("sig"))
 
+  /** Shingle hashes as a BAG (no distinct): the multiset of k-gram
+    * occurrences, input to the weighted signature.
+    */
+  def bagShingleHashes(text: Column, k: Int): Column =
+    graft.functions.TextHashExprs.windowPolyHash(
+      transform(tokens(text), t => xxhash64(t)), k, 1099511628211L)
+
+  /** Weighted (integer-frequency) MinHash signatures: each gram occurrence
+    * becomes a distinct instance hash
+    * (graft.functions.BagInstanceHashes), so the signature estimates the
+    * WEIGHTED Jaccard Σmin(count)/Σmax(count) — repeated boilerplate
+    * counts once per occurrence. Same one-pass O(occurrences × p) cost
+    * shape as the unweighted form.
+    */
+  def weightedSignatures(docs: DataFrame, id: Column, text: Column, k: Int, p: Int): DataFrame =
+    docs.select(id.as("mh_id"),
+      signature(graft.functions.TextHashExprs.bagInstanceHashes(
+        bagShingleHashes(text, k)), p).as("sig"))
+
   /** Candidate pairs (idA < idB) sharing ≥1 LSH band bucket, with the
     * signature-estimated Jaccard attached. p must equal bands × rowsPerBand.
     *
@@ -76,7 +95,16 @@ object MinHashLsh {
     */
   def candidatePairs(docs: DataFrame, id: Column, text: Column,
                      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                     hotBucketThreshold: Int = 4096): DataFrame = {
+                     hotBucketThreshold: Int = 4096): DataFrame =
+    candidatePairsFromSigs(signatures(docs, id, text, k, p = bands * rowsPerBand),
+      bands, rowsPerBand, hotBucketThreshold)
+
+  /** LSH banding + candidate scoring over any (mh_id, sig) frame — shared
+    * by the unweighted and weighted variants.
+    */
+  def candidatePairsFromSigs(sigFrame: DataFrame,
+                             bands: Int, rowsPerBand: Int,
+                             hotBucketThreshold: Int): DataFrame = {
     val p = bands * rowsPerBand
     // Persist the signatures: boundedSelfPairs scans the banded frame five
     // times (key histogram + two join sides per path). Without the
@@ -85,7 +113,7 @@ object MinHashLsh {
     // the signature is computed exactly once per document (also the right
     // call at 100 TB: signatures are ~500 bytes/doc, tiny next to the text
     // they summarize). Caller releases via CachePool.releaseAll().
-    val sigs = graft.CachePool.persist(signatures(docs, id, text, k, p))
+    val sigs = graft.CachePool.persist(sigFrame)
     val banded = sigs.select(
       col("mh_id"), col("sig"),
       posexplode(transform(
@@ -111,6 +139,23 @@ object MinHashLsh {
                      bands: Int = 16, rowsPerBand: Int = 4,
                      hotBucketThreshold: Int = 4096): DataFrame =
     candidatePairs(docs, id, text, k, bands, rowsPerBand, hotBucketThreshold)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+
+  /** Weighted near-duplicate pairs: like [[nearDuplicates]] but the
+    * estimate is of the frequency-WEIGHTED Jaccard (Σmin/Σmax of gram
+    * counts) — a doc that repeats another's boilerplate 10× no longer
+    * looks identical to one that contains it once. Same banding, same
+    * bounded self-join, same cost shape.
+    */
+  def nearDuplicatesWeighted(docs: DataFrame, id: Column, text: Column,
+                             threshold: Double = 0.5, k: Int = 3,
+                             bands: Int = 16, rowsPerBand: Int = 4,
+                             hotBucketThreshold: Int = 4096): DataFrame =
+    candidatePairsFromSigs(
+        weightedSignatures(docs, id, text, k, p = bands * rowsPerBand),
+        bands, rowsPerBand, hotBucketThreshold)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
       .orderBy("id_a", "id_b")

@@ -21,12 +21,19 @@ object JsonExtract {
   def parsed(df: DataFrame, jsonCol: Column, ddl: String, as: String = "props_struct"): DataFrame =
     df.withColumn(as, from_json(jsonCol, StructType.fromDDL(ddl)))
 
-  /** Infer the JSON schema from a seeded sample — one extra job; use only
+  /** Infer the JSON schema from a sample — one extra job; use only
     * interactively, then pin the result.
+    *
+    * Inference runs over EVERY sampled row (Spark's JSON reader merges the
+    * per-row schemas), so a field absent from the first row still appears
+    * in the result — `schema_of_json` on a single row would silently drop
+    * it.
     */
   def inferSchema(df: DataFrame, jsonCol: Column, sample: Int = 1000): String = {
-    val row = df.select(jsonCol.as("j")).limit(sample)
-      .select(schema_of_json(collect_list(col("j")).getItem(0)).as("s"))
-    row.head().getString(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sampled = df.select(jsonCol.cast("string").as("j"))
+      .filter(col("j").isNotNull).limit(sample).as[String]
+    spark.read.json(sampled).schema.toDDL
   }
 }

@@ -117,6 +117,52 @@ case class MinHashSignature(child: Expression, p: Int)
     copy(child = newChild)
 }
 
+/** Expand a BAG of 64-bit feature hashes into distinct INSTANCE hashes:
+  * the c-th occurrence (0-based) of value h maps to xxhash64-mix(h, c).
+  * Two documents then share exactly min(c_A(h), c_B(h)) instances of each
+  * feature h, so ordinary (set) MinHash over the instance arrays estimates
+  * the WEIGHTED Jaccard  Σ_h min(c_A,c_B) / Σ_h max(c_A,c_B) — the
+  * integer-weight form large-corpus dedup uses (repeated boilerplate
+  * counts once per occurrence, not once per distinct string). One O(n)
+  * native pass with an open-addressing-free HashMap occurrence counter;
+  * the HOF formulation would need an O(n²) count-of-equal-prefix lambda.
+  */
+case class BagInstanceHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bag_instance_hashes expects array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val seen = new java.util.HashMap[java.lang.Long, java.lang.Integer](n * 2)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      val c = seen.merge(h, 1, (a, b) => a + b) - 1 // occurrences BEFORE this one
+      out(i) = XXH64.hashLong(c.toLong, XXH64.hashLong(h, 42L))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[BagInstanceHashes].getName
+    val ref = ctx.addReferenceObj("bih", this, cls)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BagInstanceHashes =
+    copy(child = newChild)
+}
+
 /** Intersection size of two SORTED long arrays by linear merge — O(n+m),
   * no allocation, no boxing. The generic `array_intersect` builds a boxed
   * hash set per invocation; on a candidate-pair hot path (millions of
@@ -234,4 +280,8 @@ object TextHashExprs {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Bag → per-occurrence instance hashes of an array<long> column. */
+  def bagInstanceHashes(hashes: Column): Column =
+    ColumnBridge.column(BagInstanceHashes(ColumnBridge.expression(hashes)))
 }

@@ -28,6 +28,17 @@ object AsOfJoin {
            toleranceSec: Option[Long] = None): DataFrame = {
     val rightPayload = right.columns.filter(c => c != key && c != tsCol).toSeq
     require(rightPayload.nonEmpty, "right side needs at least one payload column")
+    // Output columns are left's ++ right's payload ++ s"${tsCol}_right":
+    // a shared name would emit an ambiguous duplicate column downstream.
+    val clash = rightPayload.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns: ${clash.mkString(", ")} — rename before joining")
+    require(!left.columns.contains(s"${tsCol}_right") && !rightPayload.contains(s"${tsCol}_right"),
+      s"'${tsCol}_right' is reserved for the matched right timestamp")
+    val reserved = Seq("__side", "__r_row", "__m_row")
+    val reservedClash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(reservedClash.isEmpty,
+      s"input columns use reserved internal names: ${reservedClash.mkString(", ")}")
 
     // The whole right row travels as ONE struct carried by ONE
     // last(ignoreNulls) — per-payload-column windows would stitch a hybrid

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Concrete SQL sink: the distributed re-expression of the reference's
+  * ClickHouse loader (/root/reference/dags/main.py:381-437), which
+  * `collect()`s the whole table to the driver and loops over 2000-row
+  * INSERT batches there. Here every EXECUTOR PARTITION owns its slice:
+  * one connection per partition, one prepared statement, `addBatch` /
+  * `executeBatch` every `batchSize` rows, commit per batch — the driver
+  * never sees a row, so load throughput scales with partitions and the
+  * memory high-water mark is one batch per task.
+  *
+  * JDBC-generic: works against any driver on the executor classpath
+  * (embedded Derby in the test suite; ClickHouse's JDBC driver in the
+  * reference's deployment). Only plain strings cross the closure boundary.
+  */
+object SqlBatchSink {
+
+  /** Append every row of `df` into `table` via batched prepared-statement
+    * inserts, one connection per non-empty partition.
+    *
+    * Failure semantics: commits happen per batch, so a task retry can
+    * re-insert its partition's earlier batches — the same at-least-once
+    * contract as the reference's loader. For exactly-once, load into a
+    * staging table keyed by (partitionId, batch) and MERGE, or make the
+    * insert idempotent (primary key + ON CONFLICT) — both are target-DB
+    * concerns, deliberately outside this generic client.
+    */
+  def loadTable(df: DataFrame, table: String, jdbcUrl: String,
+                batchSize: Int = 2000,
+                connectionProps: Map[String, String] = Map.empty): Unit = {
+    require(batchSize > 0)
+    val cols = df.schema.fieldNames.toSeq
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val props = connectionProps // stable local: the closure captures data, not `this`
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) { // no connection churn for empty partitions
+        val p = new java.util.Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = java.sql.DriverManager.getConnection(jdbcUrl, p)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(insertSql)
+          try {
+            var inBatch = 0
+            while (rows.hasNext) {
+              val r = rows.next()
+              var i = 0
+              while (i < cols.length) { ps.setObject(i + 1, r.get(i)); i += 1 }
+              ps.addBatch()
+              inBatch += 1
+              if (inBatch >= batchSize) { ps.executeBatch(); conn.commit(); inBatch = 0 }
+            }
+            if (inBatch > 0) { ps.executeBatch(); conn.commit() }
+          } finally ps.close()
+        } finally conn.close()
+      }
+    }
+  }
+}

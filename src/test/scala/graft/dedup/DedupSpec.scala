@@ -69,6 +69,53 @@ class DedupSpec extends SparkSpec {
     assert(missing.isEmpty, s"ngram-jaccard missed ${missing.size} planted pairs")
   }
 
+  test("Weighted MinHash recovers planted near-dups like the unweighted form") {
+    val pairs = MinHashLsh.nearDuplicatesWeighted(planted, col("doc_id"), col("text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val missing = nearIds.filterNot(i => pairs.contains((i, i + DedupData.NearIdOffset)))
+    val shortIds = docs.filter(size(split(col("text"), "\\s+")) < 15)
+      .select("doc_id").as[Long].collect().toSet
+    assert(missing.subsetOf(shortIds),
+      s"weighted minhash missed non-short docs: ${missing -- shortIds}")
+    assert(missing.size <= nearIds.size / 10)
+  }
+
+  test("Weighted MinHash discriminates repeated boilerplate where set MinHash cannot") {
+    // docB is docA's text repeated 5×. As gram SETS the two are nearly
+    // identical (only boundary-crossing grams are new → set Jaccard ≈ 0.78);
+    // as gram BAGS the repeats count, so weighted Jaccard ≈ 28/148 ≈ 0.19.
+    // The signature estimates must reflect that gap.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val rep = Seq.fill(5)(base).mkString(" ")
+    val df = Seq((1L, base), (2L, rep)).toDF("doc_id", "text")
+    def estOf(sigs: org.apache.spark.sql.DataFrame): Double = {
+      val m = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      m(1L).zip(m(2L)).count { case (x, y) => x == y }.toDouble / m(1L).length
+    }
+    val setEst = estOf(MinHashLsh.signatures(df, col("doc_id"), col("text"), k = 3, p = 64))
+    val wEst = estOf(MinHashLsh.weightedSignatures(df, col("doc_id"), col("text"), k = 3, p = 64))
+    assert(setEst > 0.6, s"set estimate $setEst should be near the 0.78 true set Jaccard")
+    assert(wEst < 0.4, s"weighted estimate $wEst should be near the 0.19 true weighted Jaccard")
+    assert(wEst < setEst - 0.2)
+  }
+
+  test("Weighted MinHash equals set MinHash when every gram is distinct") {
+    // No repeated grams ⇒ bag = set ⇒ the two estimators agree pair-wise
+    // (instance hashes differ from gram hashes, but BOTH signatures are
+    // min-stable: equal multisets give equal signatures).
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (5 to 44).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    def estOf(sigs: org.apache.spark.sql.DataFrame): Double = {
+      val m = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      m(1L).zip(m(2L)).count { case (x, y) => x == y }.toDouble / m(1L).length
+    }
+    val setEst = estOf(MinHashLsh.signatures(df, col("doc_id"), col("text"), k = 3, p = 128))
+    val wEst = estOf(MinHashLsh.weightedSignatures(df, col("doc_id"), col("text"), k = 3, p = 128))
+    // same true Jaccard, independent hash draws: allow estimator noise.
+    assert(math.abs(setEst - wEst) < 0.2, s"set $setEst vs weighted $wEst")
+  }
+
   test("EmbeddingDedup finds every planted scaled copy and nothing else") {
     val vecs = DedupData.withPlantedVecDups(table("embeddings"))
     val pairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)

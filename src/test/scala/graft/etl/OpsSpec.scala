@@ -10,6 +10,20 @@ import graft.sources.Compaction
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("inferSchema merges fields across the whole sample, not just the first row") {
+    val df = Seq(
+      """{"a": 1}""",
+      """{"a": 2, "b": "x"}""",
+      """{"a": 3, "c": [1, 2]}"""
+    ).toDF("j")
+    val ddl = JsonExtract.inferSchema(df, col("j"))
+    assert(ddl.contains("a") && ddl.contains("b") && ddl.contains("c"),
+      s"fields absent from the first row must still be inferred: $ddl")
+    // the inferred schema round-trips through parsed()
+    val parsed = JsonExtract.parsed(df, col("j"), ddl)
+    assert(parsed.select(col("props_struct.b")).filter(col("b").isNotNull).count() === 1L)
+  }
+
   test("observed metrics count rows, nulls, and violations in one pass") {
     val df = Seq(
       (1L, Some(10.0)), (2L, None), (3L, Some(-5.0)), (4L, Some(2.0))

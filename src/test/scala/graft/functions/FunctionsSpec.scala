@@ -53,6 +53,19 @@ class FunctionsSpec extends SparkSpec {
     assert(native.toSeq === hof.toSeq)
   }
 
+  test("BagInstanceHashes numbers occurrences deterministically and order-independently per value") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def inst(h: Long, c: Int): Long = XXH64.hashLong(c.toLong, XXH64.hashLong(h, 42L))
+    val df = Seq(Tuple1(Array(7L, 7L, 3L, 7L, 3L))).toDF("hs")
+    val got = df.select(TextHashExprs.bagInstanceHashes(col("hs"))).as[Array[Long]].head()
+    assert(got.toSeq === Seq(inst(7L, 0), inst(7L, 1), inst(3L, 0), inst(7L, 2), inst(3L, 1)))
+    // two bags with equal multiplicities yield equal instance SETS
+    // regardless of element order — the property weighted MinHash needs.
+    val other = Seq(Tuple1(Array(3L, 7L, 7L, 3L, 7L))).toDF("hs")
+    val got2 = other.select(TextHashExprs.bagInstanceHashes(col("hs"))).as[Array[Long]].head()
+    assert(got.toSet === got2.toSet)
+  }
+
   test("SimHash64 matches a scala-side reference tally") {
     val hs = Array(0x0F0FL, 0xFFFF0000L, -42L)
     def ref(hashes: Seq[Long]): Long = {

@@ -26,6 +26,21 @@ class AsOfJoinSpec extends SparkSpec {
     ("C", ts(9), 5L)    // key with no right rows → null
   ).toDF("sym", "ts", "qty")
 
+  test("asOf rejects colliding or reserved column names instead of emitting duplicates") {
+    // right payload sharing a left column name → ambiguous output
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades, quotes.withColumnRenamed("px", "qty"), "sym", "ts")
+    }
+    // reserved internal name on an input side
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades.withColumn("__side", lit(1)), quotes, "sym", "ts")
+    }
+    // reserved output name ts_right on the left
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades.withColumn("ts_right", lit(1)), quotes, "sym", "ts")
+    }
+  }
+
   test("asOf attaches the latest quote at-or-before each trade") {
     val got = AsOfJoin.asOf(trades, quotes, key = "sym", tsCol = "ts")
       .select("sym", "qty", "px").as[(String, Long, Option[Double])]

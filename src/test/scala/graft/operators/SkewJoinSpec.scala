@@ -38,4 +38,38 @@ class SkewJoinSpec extends SparkSpec {
     val top = SkewJoin.keyHistogram(df, col("k"), 1).as[(String, Long)].head()
     assert(top === (("heavy", 900L)))
   }
+
+  test("boundedSelfPairs with a planted hot key equals the plain self-join, each pair exactly once") {
+    // one hot key (200 rows → tiled at threshold 32 into ⌈200/32⌉ = 7
+    // groups) plus cold keys that take the ordinary path.
+    val df = spark.range(0, 200).select(lit("hot").as("k"), col("id"))
+      .unionByName(spark.range(200, 260)
+        .select(concat(lit("cold"), pmod(col("id"), lit(6))).as("k"), col("id")))
+      .withColumn("pay", col("id") * 7)
+    val got = SkewJoin.boundedSelfPairs(df, Seq("k"), col("id"), col("pay"), hotThreshold = 32)
+      .select("id_a", "pay_a", "id_b", "pay_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // payloads must travel with their ids through the re-orientation.
+    got.foreach { case (a, pa, b, pb) =>
+      assert(pa === a * 7 && pb === b * 7 && a < b)
+    }
+    val rows = df.select("k", "id").as[(String, Long)].collect().toSeq
+    val expected = (for {
+      (k1, i1) <- rows; (k2, i2) <- rows
+      if k1 == k2 && i1 < i2
+    } yield (i1, i2)).toSet
+    assert(got.map(p => (p._1, p._3)).toSet === expected)
+    assert(got.size === expected.size, "each intra-key pair must appear exactly once")
+  }
+
+  test("boundedSelfPairs is identical whether or not the hot path engages") {
+    val df = spark.range(0, 120)
+      .select(pmod(col("id"), lit(3)).cast("string").as("k"), col("id"),
+        (col("id") % 11).as("pay"))
+    def run(thr: Int) =
+      SkewJoin.boundedSelfPairs(df, Seq("k"), col("id"), col("pay"), hotThreshold = thr)
+        .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    // threshold 1000: all cold. threshold 8: every key hot (40 rows each).
+    assert(run(1000) === run(8))
+  }
 }
