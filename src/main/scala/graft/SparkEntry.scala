@@ -143,6 +143,14 @@ object SparkEntry {
           DedupData.withPlantedDups(t(s, d, "documents")), col("text"), col("doc_id"))
         .orderBy("keep_id")),
 
+    "q_dedup_exact_hash" -> ((s, d) =>
+      // the 100 TB exact-dedup form: shuffle 8-byte xxhash64(norm_text)
+      // instead of full documents. Oracle-checked against the SAME result
+      // as q_dedup_exact — identical modulo 64-bit hash collisions.
+      ExactDedup.groupsByHash(
+          DedupData.withPlantedDups(t(s, d, "documents")), col("text"), col("doc_id"))
+        .orderBy("keep_id")),
+
     "q_dedup_minhash" -> ((s, d) =>
       MinHashLsh.nearDuplicates(
         DedupData.withPlantedDups(t(s, d, "documents")),
@@ -183,6 +191,13 @@ object SparkEntry {
       // cached sample) — the query path itself is assignment + cell join.
       graft.similarity.IvfKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10),
         k = 5, nlist = 8, nprobe = 4)
+    }),
+
+    "q_knn_pq" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+      // product-quantized ADC search: 32× smaller corpus representation,
+      // scoring = m table lookups per pair instead of a d-dim dot.
+      graft.similarity.PqKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
     }),
 
     "q_dedup_containment" -> ((s, d) =>
@@ -438,6 +453,13 @@ object SparkEntry {
 
     // ── §2.2 training-data pipeline extensions ────────────────────────────
     "q_dedup_exact" -> (DedupData.DocsCte +
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text FROM docs)
+        |GROUP BY norm_text ORDER BY keep_id""".stripMargin),
+
+    // same oracle as q_dedup_exact: grouping by the 64-bit hash of the
+    // normalized text yields identical groups modulo hash collisions.
+    "q_dedup_exact_hash" -> (DedupData.DocsCte +
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text FROM docs)
         |GROUP BY norm_text ORDER BY keep_id""".stripMargin),

@@ -1,11 +1,8 @@
 package graft.similarity
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VecOps
 
@@ -15,9 +12,9 @@ import graft.functions.VecOps
   *
   * Scale design: training is a SAMPLE-based fit, hoisted out of the query
   * path — [[fit]] draws ~`samplePerCell` points per cell (centroids need
-  * hundreds of points each, not the corpus), caches the tiny sample across
-  * KMeans iterations, and returns an [[IvfIndex]] of plain float arrays
-  * that ships to executors as literals. [[search]] is then assignment (a
+  * hundreds of points each, not the corpus), fits that bounded sample
+  * locally ([[LocalKMeans]]), and returns an [[IvfIndex]] of plain float
+  * arrays that ships to executors as literals. [[search]] is then assignment (a
   * per-row argmax over `nlist` codegen'd dot products, no shuffle) plus an
   * equi-join on the cell id — the same partitionable/skew-handleable shape
   * as the LSH variants, but with data-adaptive cells, which beats random
@@ -39,29 +36,22 @@ object IvfKnn {
     * scaled copies of a vector land in the same cell.
     *
     * `samplePerCell` bounds the training set at nlist × samplePerCell
-    * expected points — KMeans iterations then scan a cached frame of that
-    * size instead of re-deriving the full corpus once per iteration.
+    * expected points; that bounded sample is collected and fit with
+    * [[LocalKMeans]] — one Spark job total, no per-iteration scheduling.
     */
   def fit(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-          samplePerCell: Int = 128, maxIter: Int = 5): IvfIndex = {
+          samplePerCell: Int = 128, maxIter: Int = 10): IvfIndex = {
     val n = corpus.count()
     val want = nlist.toLong * samplePerCell
     val sample =
       if (n <= want) corpus
       else corpus.sample(withReplacement = false, want.toDouble / n, seed)
-    val feats = sample.select(
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val model = new KMeans()
-        .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
-        .fit(feats)
-      IvfIndex(model.clusterCenters.map { c =>
-        val a = c.toArray
-        val norm = math.sqrt(a.map(x => x * x).sum)
-        a.map(x => if (norm == 0) 0.0f else (x / norm).toFloat)
-      })
-    } finally feats.unpersist(blocking = false)
+    val points = sample.select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    IvfIndex(LocalKMeans.fit(points, nlist, seed, maxIter).map { a =>
+      val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+      a.map(x => if (norm == 0) 0.0f else (x / norm).toFloat)
+    })
   }
 
   private def litVec(c: Array[Float]): Column = array(c.map(lit).toIndexedSeq: _*)
