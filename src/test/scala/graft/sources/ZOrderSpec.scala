@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave produces the Morton code") {
+    // a = 0b101 (bits 0,2 → positions 0,4), b = 0b011 (bits 0,1 → 1,3)
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), 4)).as[Long].head()
+    assert(got === ((1L << 0) | (1L << 4) | (1L << 1) | (1L << 3)))
+  }
+
+  test("z-ordered files bound BOTH dimensions; a single-column sort bounds only one") {
+    val customers = table("customer").select("c_custkey", "c_acctbal")
+    def perFileSpread(dir: String): (Double, Double) = {
+      val back = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+      val ranges = back.groupBy("f").agg(
+        (max("c_acctbal") - min("c_acctbal")).as("ra"),
+        (max("c_custkey") - min("c_custkey")).cast("double").as("rk"))
+      val tot = customers.agg(
+        (max("c_acctbal") - min("c_acctbal")).cast("double"),
+        (max("c_custkey") - min("c_custkey")).cast("double")).head()
+      val r = ranges.agg(avg("ra"), avg("rk")).head()
+      (r.getDouble(0) / tot.getDouble(0), r.getDouble(1) / tot.getDouble(1))
+    }
+
+    val zDir = Files.createTempDirectory("graft_zorder").toString
+    ZOrder.writeZOrdered(customers, zDir, "c_acctbal", "c_custkey", numFiles = 16, bits = 8)
+    val (zA, zK) = perFileSpread(zDir)
+
+    val sDir = Files.createTempDirectory("graft_sorted").toString
+    customers.repartitionByRange(16, col("c_acctbal"))
+      .sortWithinPartitions("c_acctbal").write.mode("overwrite").parquet(sDir)
+    val (sA, sK) = perFileSpread(sDir)
+
+    // z-order: every file is a tile — bounded extent in BOTH dims.
+    assert(zA < 0.6 && zK < 0.6, s"z-order per-file spreads: acctbal $zA custkey $zK")
+    // single-column sort: tight on the sort key, unbounded on the other.
+    assert(sA < 0.2, s"sorted layout should bound its sort key, got $sA")
+    assert(sK > 0.7, s"sorted layout leaves the other dim unbounded, got $sK")
+    // and z-order's second-dim bound is the win over the sorted layout.
+    assert(zK < sK / 2)
+  }
+}
