@@ -200,6 +200,14 @@ object SparkEntry {
       graft.similarity.PqKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
     }),
 
+    "q_knn_ivfpq" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+      // the composed production index: IVF bounds candidates, PQ bounds
+      // bytes per candidate — cell equi-join over (cell, codes) rows.
+      graft.similarity.IvfPqKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10),
+        k = 5, nlist = 8, nprobe = 4)
+    }),
+
     "q_dedup_containment" -> ((s, d) =>
       NGramJaccard.containmentPairs(
         DedupData.withPlantedDups(t(s, d, "documents")),

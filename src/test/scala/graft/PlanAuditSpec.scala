@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
@@ -68,5 +69,33 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("q_topk_filter plans as TakeOrderedAndProject") {
     val plan = finalPlan(q("q_topk_filter"))
     assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+  }
+
+  test("Catalyst injects a runtime bloom filter into a selective shuffle join") {
+    // The engine leans on InjectRuntimeFilter for fact⋈filtered-dim joins:
+    // the dim side's bloom filter prunes fact rows BEFORE the shuffle. The
+    // size thresholds exist for real clusters; lower them to demonstrate
+    // the rewrite on test-scale data, and restore afterwards.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val lineitem = table("lineitem")
+      val supplier = table("supplier").filter(col("s_acctbal") > 9000) // selective dim
+      val joined = lineitem.join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+        .groupBy("s_suppkey").agg(sum("l_quantity"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a runtime bloom filter (might_contain) in:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }

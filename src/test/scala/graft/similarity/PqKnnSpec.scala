@@ -48,6 +48,23 @@ class PqKnnSpec extends SparkSpec {
     assert(exact === index.ksub.toLong)
   }
 
+  test("IVF-PQ search surfaces a planted near-copy's original through both quantizers") {
+    // the perturbed copy must land in the same coarse cell as its original
+    // (cosine ≈ 0.99 ⇒ same argmax centroid with near-certainty) AND
+    // out-score the in-cell background through 4-bit ADC.
+    val queries = vecs.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.9f) + lit(0.01f)).as("embedding"))
+    val idx = IvfPqKnn.fit(vecs, nlist = 8)
+    val got = IvfPqKnn.search(idx, IvfPqKnn.encode(vecs, idx), queries, k = 1, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(got.size === 20)
+    val hits = got.count { case (qid, nid) => nid == qid - 1000000L }
+    // nprobe=2 of 8 cells: a perturbed copy whose original sits at a cell
+    // boundary can probe past it — require near-total, not perfect, recall.
+    assert(hits >= 18, s"IVF-PQ found $hits/20 planted originals")
+  }
+
   test("ADC search ranks a planted near-copy's original first") {
     // The synthetic embeddings are near-orthogonal gaussians (same-label
     // cosine ≈ 0), so exact-top-5 agreement among ~0.2-cosine background
