@@ -25,7 +25,11 @@ object Bench {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // see Verify: a timed-out query's thread can keep submitting jobs;
+    // re-cancel its group each iteration so it cannot pollute later timings.
+    val staleGroups = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      staleGroups.foreach(spark.sparkContext.cancelJobGroup)
       CachePool.releaseAll()     // drop prior queries' persisted intermediates
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -39,6 +43,7 @@ object Bench {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(s"bench-$name")
+          staleGroups += s"bench-$name"
           System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
         case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
       }

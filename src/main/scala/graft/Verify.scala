@@ -25,7 +25,13 @@ object Verify {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // Groups whose query timed out: their abandoned Future threads may
+    // still submit jobs (cancelJobGroup only kills ACTIVE jobs) and may
+    // re-register CachePool persists after our release. Re-cancel and
+    // re-release at every iteration so a runaway query stays contained.
+    val staleGroups = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      staleGroups.foreach(spark.sparkContext.cancelJobGroup)
       val group = s"verify-$name"
       val work = Future {
         // job groups are THREAD-local: set and clear on the pool thread
@@ -40,6 +46,7 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
+          staleGroups += group
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -75,6 +75,9 @@ object Cleaning {
     * order key is unique.
     */
   def reindexScalable(df: DataFrame, order: Column, as: String): DataFrame = {
+    val reservedClash = df.columns.filter(Set("__pid", "__rn"))
+    require(reservedClash.isEmpty,
+      s"input columns use reserved internal names: ${reservedClash.mkString(", ")}")
     val sorted = graft.CachePool.persist(
       df.repartitionByRange(order)
         .withColumn("__pid", spark_partition_id())

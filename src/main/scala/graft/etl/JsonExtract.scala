@@ -34,6 +34,8 @@ object JsonExtract {
     import spark.implicits._
     val sampled = df.select(jsonCol.cast("string").as("j"))
       .filter(col("j").isNotNull).limit(sample).as[String]
-    spark.read.json(sampled).schema.toDDL
+    // DROPMALFORMED: a corrupt row in the sample must not inject a
+    // _corrupt_record column into the inferred schema.
+    spark.read.option("mode", "DROPMALFORMED").json(sampled).schema.toDDL
   }
 }

@@ -35,7 +35,7 @@ object AsOfJoin {
       s"right payload columns collide with left columns: ${clash.mkString(", ")} — rename before joining")
     require(!left.columns.contains(s"${tsCol}_right") && !rightPayload.contains(s"${tsCol}_right"),
       s"'${tsCol}_right' is reserved for the matched right timestamp")
-    val reserved = Seq("__side", "__r_row", "__m_row")
+    val reserved = Seq("__side", "__r_row", "__m_row", "__ts")
     val reservedClash = (left.columns ++ right.columns).filter(reserved.contains)
     require(reservedClash.isEmpty,
       s"input columns use reserved internal names: ${reservedClash.mkString(", ")}")

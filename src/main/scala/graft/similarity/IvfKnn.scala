@@ -40,8 +40,9 @@ object IvfKnn {
     * [[LocalKMeans]] — one Spark job total, no per-iteration scheduling.
     */
   def fit(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-          samplePerCell: Int = 128, maxIter: Int = 10): IvfIndex = {
-    val n = corpus.count()
+          samplePerCell: Int = 128, maxIter: Int = 10,
+          corpusCount: Option[Long] = None): IvfIndex = {
+    val n = corpusCount.getOrElse(corpus.count())
     val want = nlist.toLong * samplePerCell
     val sample =
       if (n <= want) corpus

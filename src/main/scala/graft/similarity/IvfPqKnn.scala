@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VecOps
 
 /** IVF-PQ: the composed production ANN index — an IVF coarse quantizer
   * restricts each query to `nprobe` cells, and within those cells scoring
@@ -23,10 +22,16 @@ object IvfPqKnn {
 
   final case class Index(ivf: IvfKnn.IvfIndex, pq: PqKnn.PqIndex)
 
-  /** Fit both quantizers on bounded seeded samples (2 Spark jobs total). */
+  /** Fit both quantizers on bounded seeded samples; the corpus count is
+    * computed once and shared (one count job + one sample collect per
+    * quantizer).
+    */
   def fit(corpus: DataFrame, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
-          seed: Long = 42L): Index =
-    Index(IvfKnn.fit(corpus, nlist, seed), PqKnn.fit(corpus, m, ksub, seed))
+          seed: Long = 42L): Index = {
+    val n = Some(corpus.count())
+    Index(IvfKnn.fit(corpus, nlist, seed, corpusCount = n),
+      PqKnn.fit(corpus, m, ksub, seed, corpusCount = n))
+  }
 
   /** The materialized search structure: (cell, vec_id, codes). */
   def encode(corpus: DataFrame, index: Index): DataFrame =
@@ -39,27 +44,18 @@ object IvfPqKnn {
     */
   def search(index: Index, encoded: DataFrame, queries: DataFrame, k: Int,
              nprobe: Int = 4): DataFrame = {
-    val dsub = index.pq.dsub
-    val lut = array((0 until index.pq.m).map { j =>
-      array(index.pq.codebooks(j).map(c =>
-        VecOps.dotF(slice(col("embedding"), j * dsub + 1, dsub),
-          array(c.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
-    }: _*)
     val q = broadcast(queries.select(
       explode(IvfKnn.nearestCells(col("embedding"), index.ivf, nprobe)).as("cell"),
-      col("vec_id").as("query_id"), lut.as("lut")))
-    encoded.join(q, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), col("lut"), (c, t) => element_at(t, c + 1)),
-          lit(0.0), (acc, x) => acc + x).as("score"))
-      .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id")
-      .orderBy("query_id", "rnk")
+      col("vec_id").as("query_id"), PqKnn.lutFor(index.pq).as("lut")))
+    PqKnn.rankTopK(
+      encoded.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          PqKnn.adcScore(col("codes"), col("lut")).as("score"))
+        // a corpus row can match a query through several probed cells —
+        // collapse before ranking.
+        .groupBy("query_id", "neighbor_id").agg(max("score").as("score")),
+      k)
   }
 
   /** fit + encode + search (the driver-graded query shape). */

@@ -41,8 +41,9 @@ object PqKnn {
     * each sees only its dsub-dim slice (see [[LocalKMeans]]).
     */
   def fit(corpus: DataFrame, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-          samplePerCentroid: Int = 64, maxIter: Int = 10): PqIndex = {
-    val n = corpus.count()
+          samplePerCentroid: Int = 64, maxIter: Int = 10,
+          corpusCount: Option[Long] = None): PqIndex = {
+    val n = corpusCount.getOrElse(corpus.count())
     val want = ksub.toLong * samplePerCentroid
     val sample =
       if (n <= want) corpus
@@ -92,6 +93,37 @@ object PqKnn {
         (c, book) => element_at(book, c + 1))).as("embedding"))
   }
 
+  /** The query-side m × ksub partial-dot lookup table over `embedding`:
+    * lut(j)(c) = q_subspace_j · centroid_c. Shared by PQ and IVF-PQ search.
+    */
+  private[similarity] def lutFor(index: PqIndex): Column = {
+    val dsub = index.dsub
+    array((0 until index.m).map { j =>
+      array(index.codebooks(j).map(c =>
+        VecOps.dotF(subCol(col("embedding"), j, dsub), litVec(c))).toIndexedSeq: _*)
+    }: _*)
+  }
+
+  /** ADC score: m table lookups summed — approximates q · reconstruct(x).
+    * `codes` and `lut` must be attributes (projected before use), so the
+    * lambda touches only materialized arrays.
+    */
+  private[similarity] def adcScore(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut, (c, t) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (query_id, neighbor_id, score) → (query_id, rnk, neighbor_id), score
+    * desc, deterministic neighbor tie-break. Shared ranking tail.
+    */
+  private[similarity] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+
   /** Approximate top-k by ADC over PQ codes: each query precomputes its
     * m × ksub partial-dot lookup table ONCE (broadcast with the query);
     * each corpus row is scored with m array lookups over its code — the
@@ -101,22 +133,12 @@ object PqKnn {
     */
   def searchEncoded(index: PqIndex, encoded: DataFrame, queries: DataFrame,
                     k: Int): DataFrame = {
-    val dsub = index.dsub
-    val lut = array((0 until index.m).map { j =>
-      array(index.codebooks(j).map(c =>
-        VecOps.dotF(subCol(col("embedding"), j, dsub), litVec(c))).toIndexedSeq: _*)
-    }: _*)
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), lut.as("lut")))
-    encoded.join(q, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), col("lut"), (c, t) => element_at(t, c + 1)),
-          lit(0.0), (acc, x) => acc + x).as("score"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id")
-      .orderBy("query_id", "rnk")
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), lutFor(index).as("lut")))
+    rankTopK(
+      encoded.join(q, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          adcScore(col("codes"), col("lut")).as("score")),
+      k)
   }
 
   /** fit + encode + search in one call (the driver-graded query shape).

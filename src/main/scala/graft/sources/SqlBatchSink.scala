@@ -29,17 +29,33 @@ object SqlBatchSink {
     */
   def loadTable(df: DataFrame, table: String, jdbcUrl: String,
                 batchSize: Int = 2000,
-                connectionProps: Map[String, String] = Map.empty): Unit = {
+                connectionProps: Map[String, String] = Map.empty,
+                driverClass: Option[String] = None): Unit = {
     require(batchSize > 0)
     val cols = df.schema.fieldNames.toSeq
     val insertSql =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val props = connectionProps // stable local: the closure captures data, not `this`
+    val driver = driverClass
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) { // no connection churn for empty partitions
         val p = new java.util.Properties()
         props.foreach { case (k, v) => p.setProperty(k, v) }
-        val conn = java.sql.DriverManager.getConnection(jdbcUrl, p)
+        // DriverManager only sees drivers on the system classpath; a driver
+        // shipped via --jars lives in Spark's task classloader, which
+        // DriverManager's caller-classloader scan skips. When `driverClass`
+        // is given, instantiate it from the context classloader and connect
+        // directly — the same workaround Spark's own JDBC source uses.
+        val conn = driver match {
+          case Some(cls) =>
+            val d = Class.forName(cls, true, Thread.currentThread.getContextClassLoader)
+              .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
+            val c = d.connect(jdbcUrl, p)
+            if (c == null) throw new java.sql.SQLException(
+              s"driver $cls does not accept url $jdbcUrl")
+            c
+          case None => java.sql.DriverManager.getConnection(jdbcUrl, p)
+        }
         try {
           conn.setAutoCommit(false)
           val ps = conn.prepareStatement(insertSql)

@@ -57,6 +57,12 @@ object ZOrder {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input or an all-null layout column: no ranges to grid —
+      // write as-is rather than NPE on the unboxed aggregate.
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val zv = zValue(col(colA), r.getDouble(0), r.getDouble(1),
       col(colB), r.getDouble(2), r.getDouble(3), bits)
     df.withColumn("__zv", zv)
