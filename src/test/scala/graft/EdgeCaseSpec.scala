@@ -35,7 +35,36 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("similarity operators on empty input") {
     assert(EmbeddingDedup.nearDuplicatePairs(noVecs, 0.9).count() === 0)
+    assert(EmbeddingDedup.nearDuplicatePairsLsh(noVecs, 0.9).count() === 0)
     assert(Knn.bruteForceTopK(noVecs, noVecs, 5).count() === 0)
+  }
+
+  test("round-2 operators on degenerate input") {
+    // bounded self-pairs: empty frame and a single-row key → no pairs
+    assert(SkewJoin.boundedSelfPairs(
+      Seq.empty[(String, Long, Long)].toDF("k", "id", "pay"),
+      Seq("k"), col("id"), col("pay"), 16).count() === 0)
+    assert(SkewJoin.boundedSelfPairs(
+      Seq(("a", 1L, 7L)).toDF("k", "id", "pay"),
+      Seq("k"), col("id"), col("pay"), 2).count() === 0)
+    // weighted minhash: empty input and a one-token doc both survive
+    assert(MinHashLsh.nearDuplicatesWeighted(noDocs, col("doc_id"), col("text")).count() === 0)
+    assert(MinHashLsh.weightedSignatures(
+      Seq((1L, "word")).toDF("doc_id", "text"), col("doc_id"), col("text"), 3, 8).count() === 1)
+    // containment inverted index on empty input
+    assert(NGramJaccard.containmentPairs(noDocs, col("doc_id"), col("text"), col("source")).count() === 0)
+    // shared runs on empty input
+    assert(Fingerprint.sharedRunPairs(noDocs, col("doc_id"), col("text")).count() === 0)
+    // z-order: constant column collapses to one grid cell, still writes
+    val dir = java.nio.file.Files.createTempDirectory("graft_zconst").toString
+    sources.ZOrder.writeZOrdered(
+      Seq((1L, 5.0), (2L, 5.0)).toDF("a", "b"), dir, "a", "b", numFiles = 2)
+    assert(spark.read.parquet(dir).count() === 2)
+    // ...and empty input writes an empty (readable) dataset
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_zempty").toString
+    sources.ZOrder.writeZOrdered(
+      Seq.empty[(Long, Double)].toDF("a", "b"), dir2, "a", "b", numFiles = 2)
+    assert(spark.read.parquet(dir2).count() === 0)
   }
 
   test("text operators on empty input and empty strings") {
