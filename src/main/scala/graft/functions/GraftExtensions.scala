@@ -56,6 +56,9 @@ object GraftExtensions {
     ("sorted_long_intersect_count", info("sorted_long_intersect_count",
       "intersection size of two sorted array<bigint>"),
       (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))),
+    ("bag_instance_hashes", info("bag_instance_hashes",
+      "per-occurrence instance hashes of a bag of feature hashes (weighted MinHash input)"),
+      (args: Seq[Expression]) => BagInstanceHashes(args(0))),
     ("unicode_normalize", info("unicode_normalize", "Unicode-normalize a string (NFC/NFD/NFKC/NFKD)"),
       (args: Seq[Expression]) => UnicodeNormalize(args(0), args(1) match {
         case Literal(f, _) => f.toString

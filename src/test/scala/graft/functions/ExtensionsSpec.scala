@@ -19,5 +19,8 @@ class ExtensionsSpec extends SparkSpec {
       .as[Int].head() === 16)
     assert(spark.sql("SELECT size(window_poly_hash(array(1L, 2L, 3L, 4L), 2, 31L))")
       .as[Int].head() === 3)
+    // bag semantics through SQL: 3 occurrences → 3 DISTINCT instance hashes
+    assert(spark.sql("SELECT size(array_distinct(bag_instance_hashes(array(7L, 7L, 7L))))")
+      .as[Int].head() === 3)
   }
 }
