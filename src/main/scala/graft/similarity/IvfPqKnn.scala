@@ -1,57 +1,81 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecOps
 
 /** IVF-PQ: the composed production ANN index — an IVF coarse quantizer
   * restricts each query to `nprobe` cells, and within those cells scoring
   * runs over PQ codes with the query's broadcast lookup table instead of
   * raw vectors.
   *
+  * This is the classical RESIDUAL form: PQ codebooks are trained on
+  * `x − centroid(cell(x))` rather than raw vectors, so the 4-bit codes
+  * spend their capacity on the (much smaller) within-cell displacement;
+  * search scores `q·x ≈ q·centroid + Σ lut[code]`, with the per-cell
+  * offset `q·centroid` computed once per (query, probed cell) on the
+  * broadcast side.
+  *
   * At 100 TB this composition is what actually ships: IVF bounds the
   * CANDIDATE COUNT (scan nprobe/nlist of the corpus), PQ bounds the
   * BYTES PER CANDIDATE (32× smaller codes, m lookups per score). The
-  * corpus representation — (cell, codes) — is 8-ish bytes per vector and
-  * materializes once; searches touch nothing else. (This is the
-  * plain-vector-PQ variant; residual encoding is the classical refinement
-  * and slots into `PqKnn.fit` on `x − centroid(x)` unchanged.)
+  * corpus representation — (cell, codes) — is ~8 bytes per vector and
+  * materializes once; searches touch nothing else.
   */
 object IvfPqKnn {
 
   final case class Index(ivf: IvfKnn.IvfIndex, pq: PqKnn.PqIndex)
 
-  /** Fit both quantizers on bounded seeded samples; the corpus count is
-    * computed once and shared (one count job + one sample collect per
-    * quantizer).
+  private def centroidsLit(ivf: IvfKnn.IvfIndex): Column =
+    array(ivf.centroids.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+
+  /** (vec_id, cell, embedding := x − centroid(cell)) — the frame PQ sees. */
+  private def residuals(corpus: DataFrame, ivf: IvfKnn.IvfIndex): DataFrame =
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        IvfKnn.nearestCells(col("embedding"), ivf, 1).getItem(0).as("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), element_at(centroidsLit(ivf), col("cell") + 1),
+          (x, c) => x - c).as("embedding"))
+
+  /** Fit the coarse quantizer, then PQ codebooks on the cell residuals.
+    * One corpus count shared by both fits; two bounded sample collects.
     */
   def fit(corpus: DataFrame, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
           seed: Long = 42L): Index = {
     val n = Some(corpus.count())
-    Index(IvfKnn.fit(corpus, nlist, seed, corpusCount = n),
-      PqKnn.fit(corpus, m, ksub, seed, corpusCount = n))
+    val ivf = IvfKnn.fit(corpus, nlist, seed, corpusCount = n)
+    Index(ivf, PqKnn.fit(residuals(corpus, ivf), m, ksub, seed, corpusCount = n))
   }
 
-  /** The materialized search structure: (cell, vec_id, codes). */
-  def encode(corpus: DataFrame, index: Index): DataFrame =
-    PqKnn.encode(corpus, index.pq)
-      .join(corpus.select(col("vec_id"),
-        IvfKnn.nearestCells(col("embedding"), index.ivf, 1).getItem(0).as("cell")), "vec_id")
+  /** The materialized search structure: (vec_id, cell, codes) — codes
+    * quantize the residual. Pure projection, no shuffle, no join.
+    */
+  def encode(corpus: DataFrame, index: Index): DataFrame = {
+    val res = residuals(corpus, index.ivf)
+    val codes = (0 until index.pq.m).map(j =>
+      PqKnn.codeFor(col("embedding"), index.pq.codebooks(j), j, index.pq.dsub))
+    res.select(col("vec_id"), col("cell"), array(codes: _*).as("codes"))
+  }
 
-  /** Probe `nprobe` cells per query, ADC-score the PQ codes inside them.
-    * Output (query_id, rnk, neighbor_id) like the other KNNs.
+  /** Probe `nprobe` cells per query; score = q·centroid(cell) + ADC over
+    * the residual codes. Output (query_id, rnk, neighbor_id).
     */
   def search(index: Index, encoded: DataFrame, queries: DataFrame, k: Int,
              nprobe: Int = 4): DataFrame = {
-    val q = broadcast(queries.select(
-      explode(IvfKnn.nearestCells(col("embedding"), index.ivf, nprobe)).as("cell"),
-      col("vec_id").as("query_id"), PqKnn.lutFor(index.pq).as("lut")))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(IvfKnn.nearestCells(col("embedding"), index.ivf, nprobe)).as("cell"))
+      .select(col("query_id"), col("cell"),
+        VecOps.dotF(col("embedding"), element_at(centroidsLit(index.ivf), col("cell") + 1))
+          .cast("double").as("offset"),
+        PqKnn.lutFor(index.pq).as("lut")))
     PqKnn.rankTopK(
       encoded.join(q, Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          PqKnn.adcScore(col("codes"), col("lut")).as("score"))
+          (col("offset") + PqKnn.adcScore(col("codes"), col("lut"))).as("score"))
         // a corpus row can match a query through several probed cells —
         // collapse before ranking.
         .groupBy("query_id", "neighbor_id").agg(max("score").as("score")),

@@ -66,7 +66,7 @@ object PqKnn {
   /** Per-subspace code: argmin-L2 centroid = argmax of (x·c − ‖c‖²/2).
     * Ties break toward the lower centroid id (deterministic).
     */
-  private def codeFor(emb: Column, book: Array[Array[Float]], j: Int, dsub: Int): Column = {
+  private[similarity] def codeFor(emb: Column, book: Array[Array[Float]], j: Int, dsub: Int): Column = {
     val x = subCol(emb, j, dsub)
     val scored = array(book.zipWithIndex.map { case (c, i) =>
       val half = c.map(v => v * v).sum / 2.0f
