@@ -32,16 +32,11 @@ object MinHashLsh {
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
-  /** Distinct 64-bit shingle hashes (the document's feature set): hash
-    * each token once, then roll a k-window polynomial over the token
-    * hashes (graft.functions.WindowPolyHash) — O(tokens) end to end. The
-    * string route (build each k-gram with concat_ws, hash it) re-evaluates
-    * the tokenizer inside every shingle's lambda and re-hashes k tokens'
-    * worth of characters per shingle: O(tokens × k) with big constants.
+  /** Distinct 64-bit shingle hashes (the document's feature set): the
+    * SET form of [[bagShingleHashes]].
     */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(graft.functions.TextHashExprs.windowPolyHash(
-      transform(tokens(text), t => xxhash64(t)), k, 1099511628211L))
+    array_distinct(bagShingleHashes(text, k))
 
   /** MinHash signature: element s = min over shingles of xxhash64(h, s).
     * One native O(shingles × p) loop (graft.functions.MinHashSignature),
@@ -64,8 +59,13 @@ object MinHashLsh {
   def signatures(docs: DataFrame, id: Column, text: Column, k: Int, p: Int): DataFrame =
     docs.select(id.as("mh_id"), signature(shingleHashes(text, k), p).as("sig"))
 
-  /** Shingle hashes as a BAG (no distinct): the multiset of k-gram
-    * occurrences, input to the weighted signature.
+  /** Shingle hashes as a BAG (no distinct) — the multiset of k-gram
+    * occurrences: hash each token once, then roll a k-window polynomial
+    * over the token hashes (graft.functions.WindowPolyHash) — O(tokens)
+    * end to end. The string route (build each k-gram with concat_ws, hash
+    * it) re-evaluates the tokenizer inside every shingle's lambda and
+    * re-hashes k tokens' worth of characters per shingle: O(tokens × k)
+    * with big constants.
     */
   def bagShingleHashes(text: Column, k: Int): Column =
     graft.functions.TextHashExprs.windowPolyHash(
@@ -133,15 +133,19 @@ object MinHashLsh {
         estimatedJaccard(col("sig_a"), col("sig_b"), p).as("est_jaccard"))
   }
 
+  private def thresholded(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs.filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+
   /** Near-duplicate pairs: candidates whose estimated Jaccard ≥ threshold. */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column,
                      threshold: Double = 0.5, k: Int = 3,
                      bands: Int = 16, rowsPerBand: Int = 4,
                      hotBucketThreshold: Int = 4096): DataFrame =
-    candidatePairs(docs, id, text, k, bands, rowsPerBand, hotBucketThreshold)
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
-      .orderBy("id_a", "id_b")
+    thresholded(
+      candidatePairs(docs, id, text, k, bands, rowsPerBand, hotBucketThreshold),
+      threshold)
 
   /** Weighted near-duplicate pairs: like [[nearDuplicates]] but the
     * estimate is of the frequency-WEIGHTED Jaccard (Σmin/Σmax of gram
@@ -153,10 +157,9 @@ object MinHashLsh {
                              threshold: Double = 0.5, k: Int = 3,
                              bands: Int = 16, rowsPerBand: Int = 4,
                              hotBucketThreshold: Int = 4096): DataFrame =
-    candidatePairsFromSigs(
+    thresholded(
+      candidatePairsFromSigs(
         weightedSignatures(docs, id, text, k, p = bands * rowsPerBand),
-        bands, rowsPerBand, hotBucketThreshold)
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
-      .orderBy("id_a", "id_b")
+        bands, rowsPerBand, hotBucketThreshold),
+      threshold)
 }

@@ -86,4 +86,9 @@ object VecOps {
   /** Cosine similarity via one codegen'd pass per operand pair. */
   def cosineF(a: Column, b: Column): Column =
     dotF(a, b) / normF(a) / normF(b)
+
+  /** A driver-side float array as an array<float> literal column (the form
+    * index centroids/hyperplanes ship to executors in).
+    */
+  def litVecF(c: Array[Float]): Column = array(c.map(lit).toIndexedSeq: _*)
 }

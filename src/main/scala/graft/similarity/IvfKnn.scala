@@ -55,12 +55,10 @@ object IvfKnn {
     })
   }
 
-  private def litVec(c: Array[Float]): Column = array(c.map(lit).toIndexedSeq: _*)
-
   /** The `n` cell ids nearest (by cosine) to `emb`, best first. */
   def nearestCells(emb: Column, index: IvfIndex, n: Int): Column = {
     val scored = array(index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(VecOps.dotF(emb, litVec(c)).as("s"), lit(i).as("i"))
+      struct(VecOps.dotF(emb, VecOps.litVecF(c)).as("s"), lit(i).as("i"))
     }.toIndexedSeq: _*)
     transform(slice(reverse(array_sort(scored)), 1, n), s => s.getField("i"))
   }

@@ -28,7 +28,7 @@ object IvfPqKnn {
   final case class Index(ivf: IvfKnn.IvfIndex, pq: PqKnn.PqIndex)
 
   private def centroidsLit(ivf: IvfKnn.IvfIndex): Column =
-    array(ivf.centroids.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    array(ivf.centroids.map(VecOps.litVecF).toIndexedSeq: _*)
 
   /** (vec_id, cell, embedding := x − centroid(cell)) — the frame PQ sees. */
   private def residuals(corpus: DataFrame, ivf: IvfKnn.IvfIndex): DataFrame =

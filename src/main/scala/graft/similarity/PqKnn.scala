@@ -61,8 +61,6 @@ object PqKnn {
     PqIndex(books, dim)
   }
 
-  private def litVec(c: Array[Float]): Column = array(c.map(lit).toIndexedSeq: _*)
-
   /** Per-subspace code: argmin-L2 centroid = argmax of (x·c − ‖c‖²/2).
     * Ties break toward the lower centroid id (deterministic).
     */
@@ -70,7 +68,7 @@ object PqKnn {
     val x = subCol(emb, j, dsub)
     val scored = array(book.zipWithIndex.map { case (c, i) =>
       val half = c.map(v => v * v).sum / 2.0f
-      struct((VecOps.dotF(x, litVec(c)) - lit(half)).as("s"), lit(-i).as("ni"))
+      struct((VecOps.dotF(x, VecOps.litVecF(c)) - lit(half)).as("s"), lit(-i).as("ni"))
     }.toIndexedSeq: _*)
     (-array_max(scored).getField("ni")).as(s"c$j")
   }
@@ -87,7 +85,7 @@ object PqKnn {
     */
   def decode(encoded: DataFrame, index: PqIndex): DataFrame = {
     val bookLit = array(index.codebooks.map(book =>
-      array(book.map(litVec).toIndexedSeq: _*)).toIndexedSeq: _*)
+      array(book.map(VecOps.litVecF).toIndexedSeq: _*)).toIndexedSeq: _*)
     encoded.select(col("vec_id"),
       flatten(zip_with(col("codes"), bookLit,
         (c, book) => element_at(book, c + 1))).as("embedding"))
@@ -100,7 +98,7 @@ object PqKnn {
     val dsub = index.dsub
     array((0 until index.m).map { j =>
       array(index.codebooks(j).map(c =>
-        VecOps.dotF(subCol(col("embedding"), j, dsub), litVec(c))).toIndexedSeq: _*)
+        VecOps.dotF(subCol(col("embedding"), j, dsub), VecOps.litVecF(c))).toIndexedSeq: _*)
     }: _*)
   }
 

@@ -80,6 +80,12 @@ class DedupSpec extends SparkSpec {
     assert(missing.size <= nearIds.size / 10)
   }
 
+  /** Fraction of equal signature components between doc 1 and doc 2. */
+  private def estOf(sigs: org.apache.spark.sql.DataFrame): Double = {
+    val m = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    m(1L).zip(m(2L)).count { case (x, y) => x == y }.toDouble / m(1L).length
+  }
+
   test("Weighted MinHash discriminates repeated boilerplate where set MinHash cannot") {
     // docB is docA's text repeated 5×. As gram SETS the two are nearly
     // identical (only boundary-crossing grams are new → set Jaccard ≈ 0.78);
@@ -88,10 +94,6 @@ class DedupSpec extends SparkSpec {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val rep = Seq.fill(5)(base).mkString(" ")
     val df = Seq((1L, base), (2L, rep)).toDF("doc_id", "text")
-    def estOf(sigs: org.apache.spark.sql.DataFrame): Double = {
-      val m = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-      m(1L).zip(m(2L)).count { case (x, y) => x == y }.toDouble / m(1L).length
-    }
     val setEst = estOf(MinHashLsh.signatures(df, col("doc_id"), col("text"), k = 3, p = 64))
     val wEst = estOf(MinHashLsh.weightedSignatures(df, col("doc_id"), col("text"), k = 3, p = 64))
     assert(setEst > 0.6, s"set estimate $setEst should be near the 0.78 true set Jaccard")
@@ -106,10 +108,6 @@ class DedupSpec extends SparkSpec {
     val a = (1 to 40).map(i => s"w$i").mkString(" ")
     val b = (5 to 44).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
-    def estOf(sigs: org.apache.spark.sql.DataFrame): Double = {
-      val m = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-      m(1L).zip(m(2L)).count { case (x, y) => x == y }.toDouble / m(1L).length
-    }
     val setEst = estOf(MinHashLsh.signatures(df, col("doc_id"), col("text"), k = 3, p = 128))
     val wEst = estOf(MinHashLsh.weightedSignatures(df, col("doc_id"), col("text"), k = 3, p = 128))
     // same true Jaccard, independent hash draws: allow estimator noise.
