@@ -111,6 +111,17 @@ object EventStreams {
         col("r_ts") <= col("l_ts"))
   }
 
+  /** Stream-static dimension enrichment: broadcast-join a streaming fact
+    * against a static dim table. No state, no watermark — each micro-batch
+    * hash-joins against the broadcast dim, so at scale this is the
+    * streaming twin of q_join_enrich (dims broadcast, facts never
+    * shuffled). The dim frame is re-read per batch only if its source is
+    * re-listable; for slowly-changing dims, swap in a Delta/refreshable
+    * view at the caller.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   // ── streaming sessionization ──────────────────────────────────────────
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

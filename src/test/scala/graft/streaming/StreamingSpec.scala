@@ -91,6 +91,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcast-joins each micro-batch against the dim") {
+    val input = MemoryStream[Event](spark)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = EventStreams.enrichStream(input.toDS().toDF(), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("event_id", "tier").as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "gold"), (2L, "gold"), (3L, "gold"),
+        (4L, "silver"), (5L, "silver")))
+    } finally q.stop()
+  }
+
   test("batch tumblingAgg buckets by epoch-aligned windows") {
     val out = EventStreams.tumblingAgg(sample.toDF(), "1 hour")
       .select("n_events", "n_users").as[(Long, Long)].collect().toSeq
