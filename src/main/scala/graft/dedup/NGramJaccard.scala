@@ -44,79 +44,68 @@ object NGramJaccard {
   def containment(a: Column, b: Column): Column =
     TextHashExprs.sortedIntersectCount(a, b).cast("double") / size(a)
 
-  /** Intra-block pairs where either direction's containment ≥ threshold
-    * (idA < idB; both directions reported).
+  /** The shared INVERTED-INDEX pair core: (id_a, id_b, n_shared, n_a, n_b)
+    * for every intra-block pair sharing ≥1 gram.
     *
-    * Plan shape: an INVERTED-INDEX join, not an all-pairs block join. Each
-    * document explodes its distinct gram hashes once; a pair materializes
-    * only for grams two documents actually share (equi-join on the 8-byte
-    * gram hash within the block), and |A ∩ B| falls out of a count
-    * aggregation per pair — the same linear, shuffle-partitionable shape as
-    * [[graft.text.Fingerprint.sharedRunPairs]]. The size prefilter that
-    * saves [[blockedPairs]] cannot help here (containment in EITHER
-    * direction makes the OR of size bounds vacuous), but the inverted index
-    * is stronger anyway: non-overlapping pairs are never formed at all.
-    * Result values are identical to the all-pairs sorted-merge form —
-    * `count(shared grams) / |A|` is the same integer-over-integer division.
+    * Each document explodes its distinct gram hashes once; a pair
+    * materializes only for grams two documents actually share (equi-join
+    * on the 8-byte gram hash within the block, routed through
+    * [[graft.operators.SkewJoin.boundedSelfPairs]] so a stop-gram shared
+    * by thousands of documents cannot concentrate its quadratic pair work
+    * in one task), and |A ∩ B| falls out of a count aggregation per pair —
+    * the same linear, shuffle-partitionable shape as
+    * [[graft.text.Fingerprint.sharedRunPairs]]. Non-overlapping pairs are
+    * never formed at all, which beats any size-banding prefilter.
     */
-  def containmentPairs(docs: DataFrame, id: Column, text: Column, block: Column,
-                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // persist: the exploded gram index feeds both sides of the self-join;
-    // without the boundary the tokenize→hash pipeline runs twice per doc.
+  private def gramPairCounts(docs: DataFrame, id: Column, text: Column, block: Column,
+                             n: Int, hotGramThreshold: Int): DataFrame = {
+    // persist: the exploded gram index feeds the key histogram and both
+    // sides of the self-join; without the boundary the tokenize→hash
+    // pipeline re-runs per consumer.
     val grams = graft.CachePool.persist(
       docs.select(block.as("blk"), id.as("nj_id"), ngramSet(text, n).as("grams"))
         .select(col("blk"), col("nj_id"), size(col("grams")).as("n_g"),
           explode(col("grams")).as("g")))
-    val a = grams.select(col("blk"), col("g"), col("nj_id").as("id_a"), col("n_g").as("n_a"))
-    val b = grams.select(col("blk"), col("g"), col("nj_id").as("id_b"), col("n_g").as("n_b"))
-    a.join(b, Seq("blk", "g"))
-      .filter(col("id_a") < col("id_b"))
+    graft.operators.SkewJoin
+      .boundedSelfPairs(grams, Seq("blk", "g"), col("nj_id"), col("n_g"), hotGramThreshold)
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_shared"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .agg(count(lit(1)).as("n_shared"), first("pay_a").as("n_a"), first("pay_b").as("n_b"))
+  }
+
+  /** Intra-block pairs where either direction's containment ≥ threshold
+    * (idA < idB; both directions reported). Result values are identical to
+    * the all-pairs sorted-merge form — `count(shared grams) / |A|` is the
+    * same integer-over-integer division.
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column, block: Column,
+                       n: Int = 3, threshold: Double = 0.8,
+                       hotGramThreshold: Int = 4096): DataFrame =
+    gramPairCounts(docs, id, text, block, n, hotGramThreshold)
       .select(col("id_a"), col("id_b"),
         (col("n_shared").cast("double") / col("n_a")).as("c_ab"),
         (col("n_shared").cast("double") / col("n_b")).as("c_ba"))
       .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
       .orderBy("id_a", "id_b")
-  }
 
   /** Exact Jaccard for every intra-block pair (idA < idB) with similarity
-    * ≥ threshold.
-    *
-    * Second-level blocking on gram-set SIZE: J ≥ t implies the sizes are
-    * within a factor 1/t, so matching pairs sit within r = ⌈log₂(1/t)⌉
-    * log₂-size bands of each other. Side A keys on its own band; side B
-    * replicates into bands ±r, cutting the quadratic pair term by the
-    * band spread. The gain is data-dependent — large on corpora with
-    * heterogeneous document lengths, modest when lengths cluster (the
-    * synthetic docs table: ~25%) — while the exact size filter always
-    * makes the candidate set precise before any set operation runs.
+    * ≥ threshold, over the inverted-index pair core: J = |A∩B| / |A∪B|
+    * with the intersection counted from shared-gram join rows and the
+    * union derived as n_a + n_b − n_shared. Values are bit-identical to a
+    * per-pair sorted-merge over the gram arrays (same integer intersection,
+    * same IEEE division), but the shuffle carries 8-byte gram rows instead
+    * of whole gram arrays, and pairs sharing no gram — which a size-banding
+    * prefilter still has to form and test — never exist at all. (A J ≥ t
+    * pair always shares a gram for any t > 0, so nothing is lost.)
     */
   def blockedPairs(docs: DataFrame, id: Column, text: Column, block: Column,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   hotGramThreshold: Int = 4096): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    val r = math.ceil(math.log(1.0 / threshold) / math.log(2.0)).toInt
-    // persist: both self-join sides re-derive this frame otherwise, so the
-    // tokenize→hash→sort gram pipeline would run twice per document.
-    val sets = graft.CachePool.persist(
-      docs.select(block.as("blk"), id.as("nj_id"), ngramSet(text, n).as("grams"))
-        .withColumn("band", floor(log(2.0, size(col("grams")))).cast("int")))
-    val a = sets.select(col("blk"), col("band"), col("nj_id").as("id_a"),
-      col("grams").as("grams_a"), size(col("grams")).as("n_a"))
-    val b = sets.select(col("blk"),
-      explode(sequence(col("band") - r, col("band") + r)).as("band"),
-      col("nj_id").as("id_b"), col("grams").as("grams_b"),
-      size(col("grams")).as("n_b"))
-    a.join(b, Seq("blk", "band"))
-      .filter(col("id_a") < col("id_b"))
-      // exact size bound: prunes the residue the banding lets through.
-      .filter(col("n_a") >= lit(threshold) * col("n_b") &&
-        col("n_b") >= lit(threshold) * col("n_a"))
+    gramPairCounts(docs, id, text, block, n, hotGramThreshold)
       .select(col("id_a"), col("id_b"),
-        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+        (col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b")
-      .agg(max("jaccard").as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 }

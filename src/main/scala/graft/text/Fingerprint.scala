@@ -57,15 +57,17 @@ object Fingerprint {
 
   /** Pairs of documents sharing ≥1 window fingerprint (verbatim w-token
     * overlap). The explode → equi-join on the fingerprint is the scale
-    * path: shuffle keyed on the 8-byte hash, AQE-skewable.
+    * path: shuffle keyed on the 8-byte hash, routed through
+    * [[graft.operators.SkewJoin.boundedSelfPairs]] so a boilerplate run
+    * shared by thousands of documents cannot concentrate its quadratic
+    * pair work in one task.
     */
-  def sharedRunPairs(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
+  def sharedRunPairs(docs: DataFrame, id: Column, text: Column, w: Int = 8,
+                     hotRunThreshold: Int = 4096): DataFrame = {
     val fps = graft.CachePool.persist(
       docs.select(id.as("fp_id"), explode(array_distinct(windowHashes(text, w))).as("fp")))
-    val a = fps.select(col("fp"), col("fp_id").as("id_a"))
-    val b = fps.select(col("fp"), col("fp_id").as("id_b"))
-    a.join(b, Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
+    graft.operators.SkewJoin
+      .boundedSelfPairs(fps, Seq("fp"), col("fp_id"), lit(0), hotRunThreshold)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("id_a", "id_b")
