@@ -114,6 +114,26 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(setEst - wEst) < 0.2, s"set $setEst vs weighted $wEst")
   }
 
+  test("inverted-index Jaccard equals the per-pair sorted-merge form bit-for-bit") {
+    // blockedPairs derives J from shared-gram counts; the Column helpers
+    // compute it per pair with the native sorted-merge intersect. Same
+    // integer operands, same IEEE division — pair set AND doubles must be
+    // identical.
+    val pairs = NGramJaccard.blockedPairs(
+        planted, col("doc_id"), col("text"), col("source"))
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = planted.select(col("doc_id").as("id"), col("source"),
+      NGramJaccard.ngramSet(col("text"), 3).as("grams"))
+    val direct = sets.select(col("id").as("id_a"), col("source").as("src_a"), col("grams").as("ga"))
+      .join(sets.select(col("id").as("id_b"), col("source").as("src_b"), col("grams").as("gb")),
+        col("src_a") === col("src_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), NGramJaccard.jaccard(col("ga"), col("gb")).as("j"))
+      .filter(col("j") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === direct)
+    assert(pairs.nonEmpty)
+  }
+
   test("EmbeddingDedup finds every planted scaled copy and nothing else") {
     val vecs = DedupData.withPlantedVecDups(table("embeddings"))
     val pairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
