@@ -168,10 +168,18 @@ object SparkEntry {
 
     "q_dedup_embedding" -> ((s, d) =>
       // the LSH-bucketed scale path IS the graded query; the exact all-pairs
-      // form (EmbeddingDedup.nearDuplicatePairs) is the oracle it must equal
-      // — and does, because pairs above a 0.9-cosine threshold co-bucket
-      // with near-certainty (planted scaled copies: always, float scaling
-      // by 2⁻¹ is sign-exact).
+      // form (EmbeddingDedup.nearDuplicatePairs) is the oracle it must equal.
+      // KNOWN FRAGILITY, deliberate: LSH recall at the decision threshold
+      // itself is probabilistic — a pair at cosine EXACTLY 0.9 (θ ≈ 0.451)
+      // co-buckets per round with prob (1−θ/π)^8 ≈ 0.29, so over 4 rounds
+      // ~25% of exactly-borderline pairs would be missed. Parity holds here
+      // because the corpus's only >0.9-cosine pairs are planted scaled
+      // copies (θ = 0: float ×2⁻¹ is sign-exact, so co-bucketing is
+      // DETERMINISTIC), and random 64-dim gaussians never reach 0.9. If the
+      // data generator ever plants near-threshold pairs, this oracle must
+      // move to a rows-only check — KnnSpec's "recall bound at the
+      // threshold" test pins the analytic miss rate so the failure mode is
+      // measured, not discovered.
       EmbeddingDedup.nearDuplicatePairsLsh(
         DedupData.withPlantedVecDups(t(s, d, "embeddings")), threshold = 0.9)),
 

@@ -76,28 +76,47 @@ object EmbeddingDedup {
 
   /** The 100 TB path: random-hyperplane LSH blocking → exact cosine only
     * within a bucket. The bucket equi-join shuffles on the 8-byte bucket
-    * key (partitionable, AQE-skewable) instead of forming all pairs.
-    * High-cosine pairs land in the same bucket with probability
-    * (1 − θ/π)^nBits — for near-duplicates (θ≈0) essentially always;
-    * repeat with `rounds` different seeds to push recall further.
+    * key instead of forming all pairs, and the self-join routes through
+    * [[graft.operators.SkewJoin.boundedSelfPairs]] on (round, bkt): near-
+    * duplicate embeddings co-bucket BY CONSTRUCTION, so the biggest
+    * duplicate cluster is a hot bucket — one a plain equi-join would hand
+    * to a single task as m² pairs (AQE cannot split one join key). Tiling
+    * bounds the per-task pair work; the (embedding, norm) payload rides
+    * along so the exact-cosine confirm runs once per surviving pair.
+    *
+    * Recall: a pair at angle θ co-buckets per round with probability
+    * (1 − θ/π)^nBits — for true near-duplicates (θ ≈ 0) essentially
+    * always; at the decision threshold itself it is ~0.29 per round at
+    * the defaults (see the recall-bound test in KnnSpec). The bucketed
+    * frame is computed once and persisted (CachePool) — all rounds' band
+    * rows live in ONE frame keyed by (round, bkt), so the corpus is read
+    * and bucketed once, not once per round.
     */
   def nearDuplicatePairsLsh(vecs: DataFrame, threshold: Double,
                             nBits: Int = 8, dim: Int = 64,
-                            rounds: Int = 2, seed: Long = 42L): DataFrame = {
-    val rounds_ = (0 until rounds).map { r =>
-      val planes = LshKnn.hyperplanes(nBits, dim, seed + r)
-      val a = vecs.select(LshKnn.bucket(col("embedding"), planes).as("bkt"),
-        col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        VecOps.normF(col("embedding")).as("norm_a"))
-      val b = vecs.select(LshKnn.bucket(col("embedding"), planes).as("bkt"),
-        col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        VecOps.normF(col("embedding")).as("norm_b"))
-      a.join(b, Seq("bkt"))
-        .filter(col("vec_a") < col("vec_b"))
-        .filter(isNearDup(threshold))
-        .select("vec_a", "vec_b")
-    }
-    rounds_.reduce(_ unionByName _).distinct().orderBy("vec_a", "vec_b")
+                            rounds: Int = 4, seed: Long = 42L,
+                            hotBucketThreshold: Int = 4096): DataFrame = {
+    val banded = graft.CachePool.persist(
+      (0 until rounds).map { r =>
+        val planes = LshKnn.hyperplanes(nBits, dim, seed + r)
+        vecs.select(lit(r).as("round"),
+          LshKnn.bucket(col("embedding"), planes).as("bkt"),
+          col("vec_id"),
+          struct(col("embedding").as("emb"), VecOps.normF(col("embedding")).as("nrm"))
+            .as("pay"))
+      }.reduce(_ unionByName _))
+    graft.operators.SkewJoin
+      .boundedSelfPairs(banded, Seq("round", "bkt"), col("vec_id"), col("pay"),
+        hotBucketThreshold)
+      // a true near-dup shares buckets across several rounds: collapse to
+      // one row per pair BEFORE the exact-cosine confirm, so the dot
+      // product runs once per pair instead of once per shared bucket.
+      .groupBy("id_a", "id_b")
+      .agg(first("pay_a").as("pa"), first("pay_b").as("pb"))
+      .filter((VecOps.dotF(col("pa.emb"), col("pb.emb")) / (col("pa.nrm") * col("pb.nrm")))
+        > lit(threshold))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      .orderBy("vec_a", "vec_b")
   }
 }
 

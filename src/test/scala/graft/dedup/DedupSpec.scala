@@ -153,4 +153,37 @@ class DedupSpec extends SparkSpec {
     // identical sign patterns so every planted pair survives blocking.
     assert(lshPairs === allPairs)
   }
+
+  test("nearDuplicatePairsLsh with a planted HOT bucket: tiled path equals the exact form") {
+    // 150 positive-scaled copies of one vector: scaling by c > 0 preserves
+    // every hyperplane sign EXACTLY (IEEE sign of c·x = sign of x), so all
+    // 150 land in the same (round, bkt) key in every round — precisely the
+    // hot bucket the VERDICT flagged: the biggest duplicate cluster IS the
+    // hot key, and a plain equi-join would hand its m² pairs to one task.
+    // hotBucketThreshold = 32 forces the triangle tiling; the result must
+    // be bit-identical to the exact all-pairs form and to the untiled path.
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val cluster = (0 until 150).map { i =>
+      (i.toLong, base.map(x => x * (0.3f + 0.004f * i)))
+    }
+    val noise = (1000 until 1040).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))
+    }
+    val vecs = (cluster ++ noise).toDF("vec_id", "embedding")
+    val exact = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    val tiled = EmbeddingDedup
+      .nearDuplicatePairsLsh(vecs, threshold = 0.9, hotBucketThreshold = 32)
+      .as[(Long, Long)].collect().toSet
+    val untiled = EmbeddingDedup
+      .nearDuplicatePairsLsh(vecs, threshold = 0.9, hotBucketThreshold = 1000000)
+      .as[(Long, Long)].collect().toSet
+    graft.CachePool.releaseAll()
+    // the cluster is fully pairwise near-dup: the hot key really has
+    // 150 rows > threshold 32, so the tiling genuinely engaged.
+    assert(exact.size >= 150 * 149 / 2)
+    assert(tiled === exact)
+    assert(untiled === tiled)
+  }
 }

@@ -49,6 +49,47 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("recall bound at the threshold: near-threshold pairs are missed at the analytic rate") {
+    // The graded q_dedup_embedding LSH path is verified against the EXACT
+    // all-pairs oracle. That parity is safe only because the graded corpus's
+    // sole >0.9-cosine pairs are scaled copies (θ = 0 ⇒ deterministic
+    // co-bucketing). This test pins the documented fragility: a pair at
+    // cosine 0.905 (θ ≈ 0.437 rad) co-buckets per round with probability
+    // (1 − θ/π)^8 ≈ 0.30, so over 4 rounds recall ≈ 1 − 0.70⁴ ≈ 0.76 —
+    // measurably below 1. If the data generator ever plants near-threshold
+    // pairs, the oracle must move to a rows-only check; this test is the
+    // tripwire that keeps the miss rate measured instead of discovered.
+    val rng = new scala.util.Random(11)
+    val dim = 64
+    val cosT = 0.905
+    val sinT = math.sqrt(1 - cosT * cosT)
+    val plantedPairs = (0 until 60).map { i =>
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val u0 = Array.fill(dim)(rng.nextGaussian())
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val vdotu = v.lazyZip(u0).map(_ * _).sum
+      // Gram-Schmidt: u ⊥ v, then w = cosT·v̂ + sinT·û sits at exactly θ.
+      val u = u0.lazyZip(v).map((ui, vi) => ui - vdotu / (vn * vn) * vi)
+      val un = math.sqrt(u.map(x => x * x).sum)
+      val w = v.lazyZip(u).map((vi, ui) => cosT * vi / vn + sinT * ui / un)
+      (i.toLong, v.map(_.toFloat), (i + 10000).toLong, w.map(_.toFloat))
+    }
+    val vecsDf = plantedPairs
+      .flatMap { case (ia, va, ib, vb) => Seq((ia, va), (ib, vb)) }
+      .toDF("vec_id", "embedding")
+    val exact = EmbeddingDedup.nearDuplicatePairs(vecsDf, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    val lsh = EmbeddingDedup.nearDuplicatePairsLsh(vecsDf, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    graft.CachePool.releaseAll()
+    val planted = plantedPairs.map(p => (p._1, p._3)).toSet
+    assert(planted.subsetOf(exact), "every constructed pair is above the exact threshold")
+    assert(lsh.subsetOf(exact), "blocking can only lose pairs — the confirm is exact")
+    val recall = (lsh & planted).size.toDouble / planted.size
+    assert(recall >= 0.45 && recall <= 0.95,
+      s"recall $recall should sit near the analytic ≈0.76 — far from the θ≈0 deterministic 1.0")
+  }
+
   test("IvfKnn recall vs brute force is substantial on random data") {
     val queries = vecs.filter(col("vec_id") < 20)
     val bf = Knn.bruteForceTopK(vecs, queries, k = 5)
