@@ -134,6 +134,58 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("prefix-filtered containment equals the per-pair sorted-merge form bit-for-bit") {
+    val pairs = NGramJaccard.containmentPairs(
+        planted, col("doc_id"), col("text"), col("source"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val sets = planted.select(col("doc_id").as("id"), col("source"),
+      NGramJaccard.ngramSet(col("text"), 3).as("grams"))
+    val direct = sets.select(col("id").as("id_a"), col("source").as("src_a"), col("grams").as("ga"))
+      .join(sets.select(col("id").as("id_b"), col("source").as("src_b"), col("grams").as("gb")),
+        col("src_a") === col("src_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        NGramJaccard.containment(col("ga"), col("gb")).as("c_ab"),
+        NGramJaccard.containment(col("gb"), col("ga")).as("c_ba"))
+      .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    graft.CachePool.releaseAll()
+    assert(pairs === direct)
+    assert(pairs.nonEmpty)
+  }
+
+  test("a planted stop-gram generates no candidates: the prefix filter prunes boilerplate") {
+    // Every doc opens with the same 12-token boilerplate — its 10 trigrams
+    // have df = #docs (pure stop-grams) — followed by a unique 20-token
+    // tail. The pre-prefix inverted-index core formed all C(n,2) pairs
+    // through the boilerplate grams (Σ m_g² — the VERDICT's 100 TB
+    // scale-killer); the prefix core must generate candidates only where a
+    // RARE gram is shared, because a stop-gram is last in df order and
+    // never lands in a ⌈(1−t)·|A|⌉+1 prefix.
+    val boiler = (1 to 12).map(i => s"same$i").mkString(" ")
+    val base = (0 until 80).map { i =>
+      (i.toLong, s"$boiler " + (0 until 20).map(j => s"u${i}_$j").mkString(" "), "blk")
+    }
+    // one true containment pair: doc 1000 extends doc 0 by 6 tokens, so
+    // C(doc0 → doc1000) = 1.0 — its evidence grams (doc 0's tail) are rare.
+    val sup = (1000L, base(0)._2 + " " + (0 until 6).map(j => s"x$j").mkString(" "), "blk")
+    val docs = (base :+ sup).toDF("doc_id", "text", "source")
+
+    val sets = NGramJaccard.gramSets(docs, col("doc_id"), col("text"), col("source"), n = 3)
+    val cands = NGramJaccard
+      .candidatePairs(sets, threshold = 0.8, symmetric = false, hotGramThreshold = 4096)
+      .as[(Long, Long)].collect().toSet
+    // every doc pair shares the boilerplate grams — the unpruned core
+    // would form all C(81,2) = 3240 candidates.
+    assert(cands.contains((0L, 1000L)), "the true pair must survive pruning")
+    assert(cands.size <= 5, s"stop-gram candidates not pruned: ${cands.size} pairs formed")
+
+    val result = NGramJaccard.containmentPairs(
+        docs, col("doc_id"), col("text"), col("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.CachePool.releaseAll()
+    assert(result === Set((0L, 1000L)))
+  }
+
   test("EmbeddingDedup finds every planted scaled copy and nothing else") {
     val vecs = DedupData.withPlantedVecDups(table("embeddings"))
     val pairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
