@@ -230,9 +230,22 @@ object SparkEntry {
     "q_token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(t(s, d, "documents"), col("doc_id"), col("text"))),
 
-    "q_fingerprint" -> ((s, d) =>
-      Fingerprint.fingerprints(
-        DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))),
+    "q_fingerprint" -> ((s, d) => {
+      // doc_fp/min_fp are 64-bit hash VALUES no external oracle can
+      // recompute, but their EQUALITY STRUCTURE is checkable: doc_fp
+      // equality = normalized-token-stream equality, and window-hash
+      // equality = verbatim-run string equality (the q_shared_runs trick).
+      // The graded projection therefore maps doc_fp to its class
+      // representative (min doc_id over the class) and grades the window
+      // counts; the raw-hash summary stays the operator's output, with
+      // min_fp semantics pinned by TextSpec.
+      val fp = Fingerprint.fingerprints(
+        DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))
+      val rep = fp.groupBy("doc_fp").agg(min("doc_id").as("fp_rep"))
+      fp.join(rep, "doc_fp")
+        .select(col("doc_id"), col("fp_rep"), col("n_windows"), col("n_distinct_fps"))
+        .orderBy("doc_id")
+    }),
 
     "q_shared_runs" -> ((s, d) =>
       // pairs sharing a verbatim 8-token run (fingerprint explode →
@@ -581,6 +594,29 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // fingerprint oracle: doc_fp classes rebuilt from the normalized token
+    // stream as a STRING (hash equality = string equality modulo 2^-64
+    // collisions), window counts from the same windows-as-strings
+    // reconstruction the q_shared_runs oracle uses.
+    "q_fingerprint" -> (DedupData.DocsCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM docs
+        |), base AS (
+        |  SELECT doc_id,
+        |    array_to_string(tk, ' ') AS doc_str,
+        |    CASE WHEN len(tk) <= 8 THEN 1 ELSE len(tk) - 7 END AS n_windows,
+        |    CASE WHEN len(tk) <= 8 THEN 1
+        |         ELSE len(list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' ')))) END AS n_distinct_fps
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(min(doc_id) OVER (PARTITION BY doc_str) AS BIGINT) AS fp_rep,
+        |  CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(n_distinct_fps AS BIGINT) AS n_distinct_fps
+        |FROM base ORDER BY doc_id""".stripMargin),
 
     "q_shared_runs" -> (DedupData.DocsCte +
       """, toks AS (

@@ -41,9 +41,10 @@ object Fingerprint {
       transform(MinHashLsh.tokens(ExactDedup.normalize(text)), t => xxhash64(t)), w, Base)
 
   /** Per-document fingerprint summary: (id, full-doc hash, min window
-    * hash, window count). Normalization-equal documents get identical
-    * `doc_fp`; documents sharing a verbatim w-token run share `min_fp`
-    * with high probability.
+    * hash, window count, distinct-window count). Normalization-equal
+    * documents get identical `doc_fp`; documents sharing a verbatim
+    * w-token run share `min_fp` with high probability; a low
+    * `n_distinct_fps / n_windows` ratio flags internally repetitive text.
     */
   def fingerprints(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
     val wh = windowHashes(text, w)
@@ -51,7 +52,8 @@ object Fingerprint {
       id.as("doc_id"),
       polyHash(transform(MinHashLsh.tokens(ExactDedup.normalize(text)), t => xxhash64(t))).as("doc_fp"),
       array_min(wh).as("min_fp"),
-      size(wh).cast("long").as("n_windows"))
+      size(wh).cast("long").as("n_windows"),
+      size(array_distinct(wh)).cast("long").as("n_distinct_fps"))
       .orderBy("doc_id")
   }
 
