@@ -77,11 +77,12 @@ object IvfKnn {
       explode(nearestCells(col("embedding"), index, nprobe)).as("cell"),
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       VecOps.normF(col("embedding")).as("q_norm")))
+    // each corpus row has exactly ONE cell, so a (query, neighbor) pair can
+    // arise from at most one probed cell — no post-join dedup needed.
     c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (VecOps.dotF(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
-      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rnk") <= k)

@@ -49,15 +49,20 @@ object IvfPqKnn {
     Index(ivf, PqKnn.fit(residuals(corpus, ivf), m, ksub, seed, corpusCount = n))
   }
 
-  /** The materialized search structure: (vec_id, cell, codes) — codes
-    * quantize the residual. Pure projection, no shuffle, no join.
+  /** Quantize an already-computed residual frame: (vec_id, cell, codes).
+    * Pure projection, no shuffle, no join.
     */
-  def encode(corpus: DataFrame, index: Index): DataFrame = {
-    val res = residuals(corpus, index.ivf)
-    val codes = (0 until index.pq.m).map(j =>
-      PqKnn.codeFor(col("embedding"), index.pq.codebooks(j), j, index.pq.dsub))
+  private def encodeResiduals(res: DataFrame, pq: PqKnn.PqIndex): DataFrame = {
+    val codes = (0 until pq.m).map(j =>
+      PqKnn.codeFor(col("embedding"), pq.codebooks(j), j, pq.dsub))
     res.select(col("vec_id"), col("cell"), array(codes: _*).as("codes"))
   }
+
+  /** The materialized search structure: (vec_id, cell, codes) — codes
+    * quantize the residual.
+    */
+  def encode(corpus: DataFrame, index: Index): DataFrame =
+    encodeResiduals(residuals(corpus, index.ivf), index.pq)
 
   /** Probe `nprobe` cells per query; score = q·centroid(cell) + ADC over
     * the residual codes. Output (query_id, rnk, neighbor_id).
@@ -75,19 +80,24 @@ object IvfPqKnn {
       encoded.join(q, Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (col("offset") + PqKnn.adcScore(col("codes"), col("lut"))).as("score"))
-        // a corpus row can match a query through several probed cells —
-        // collapse before ranking.
-        .groupBy("query_id", "neighbor_id").agg(max("score").as("score")),
+          (col("offset") + PqKnn.adcScore(col("codes"), col("lut"))).as("score")),
       k)
   }
 
-  /** fit + encode + search (the driver-graded query shape). */
+  /** fit + encode + search (the driver-graded query shape). ONE residual
+    * frame — cell assignment plus centroid subtraction over the whole
+    * corpus, the expensive projection — is persisted and shared by PQ
+    * training (its bounded sample collect) and encoding, and one corpus
+    * count serves both fits.
+    */
   def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                  nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val index = fit(corpus, nlist, m, ksub, seed)
-    val encoded = graft.CachePool.persist(encode(corpus, index))
-    search(index, encoded, queries, k, nprobe)
+    val n = Some(corpus.count())
+    val ivf = IvfKnn.fit(corpus, nlist, seed, corpusCount = n)
+    val res = graft.CachePool.persist(residuals(corpus, ivf))
+    val pq = PqKnn.fit(res, m, ksub, seed, corpusCount = n)
+    val encoded = graft.CachePool.persist(encodeResiduals(res, pq))
+    search(Index(ivf, pq), encoded, queries, k, nprobe)
   }
 }
