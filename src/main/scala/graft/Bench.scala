@@ -1,5 +1,8 @@
 package graft
+import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException}
+
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,39 +17,83 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: pay JIT/codegen/parquet-reader startup once, not
-    // inside whichever query happens to run first.
-    try SparkEntry.queries("q_geo_pipeline")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // Untimed warmup: one pass over EVERY query at the smallest sibling
+    // scale, so the timed pass measures steady-state engine throughput
+    // instead of first-call Janino/JIT compilation (plan shapes — and so
+    // generated-code cache keys — are scale-independent). All data caches
+    // are dropped afterwards; the timed queries recompute everything.
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      val cand = if (p == null) None else Some(p.resolve("sf0.001"))
+      cand.filter(c => java.nio.file.Files.isDirectory(c) &&
+        c.toAbsolutePath.toString !=
+          java.nio.file.Paths.get(sfDir).toAbsolutePath.toString)
+        .map(_.toString)
+    }
+    warmDir match {
+      case Some(wd) =>
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          try noop(fn(spark, wd)) catch { case _: Throwable => () }
+          CachePool.releaseAll()
+          spark.catalog.clearCache()
+        }
+      case None =>
+        try noop(SparkEntry.queries("q_geo_pipeline")(spark, sfDir))
+        catch { case _: Throwable => () }
+        CachePool.releaseAll()
+        spark.catalog.clearCache()
+    }
+
     // noop sink forces full computation of every column (count() would let
     // Catalyst prune projections and drop sorts).
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    // see Verify: a timed-out query's thread can keep submitting jobs;
-    // re-cancel its group each iteration so it cannot pollute later timings.
+    // A timed-out query's worker may keep submitting jobs (cancelJobGroup
+    // kills only ACTIVE jobs) and re-registering persists; re-cancel and
+    // re-release its group each iteration so it cannot pollute later
+    // timings or pin memory.
     val staleGroups = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      staleGroups.foreach(spark.sparkContext.cancelJobGroup)
-      CachePool.releaseAll()     // drop prior queries' persisted intermediates
+      staleGroups.foreach { g =>
+        spark.sparkContext.cancelJobGroup(g)
+        CachePool.releaseGroup(g)
+      }
       spark.catalog.clearCache()
+      val group = s"bench-$name"
+      // Dedicated single-thread executor per query: on timeout the worker
+      // thread is INTERRUPTED (not abandoned into a shared pool), so
+      // runaway queries can neither exhaust a global executor nor keep
+      // burning CPU unchecked during later iterations.
+      val exec = Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, group); t.setDaemon(true); t
+      }
       val t0 = System.nanoTime()
-      val work = Future {
-        // thread-local: set AND clear on the submitting pool thread.
-        spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        finally spark.sparkContext.clearJobGroup()
-      }
-      try Await.result(work, timeoutSec.seconds)
-      catch {
-        case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(s"bench-$name")
-          staleGroups += s"bench-$name"
+      val work = exec.submit(new Callable[Unit] {
+        def call(): Unit = {
+          // job groups are thread-local: set on the thread that builds the
+          // plan AND submits the jobs, so CachePool registrations and job
+          // cancellation both key on this query's group.
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          try noop(fn(spark, sfDir))
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try {
+        work.get(timeoutSec, TimeUnit.SECONDS)
+        CachePool.releaseGroup(group)
+      } catch {
+        case _: TimeoutException =>
+          work.cancel(true)
+          spark.sparkContext.cancelJobGroup(group)
+          staleGroups += group
           System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
-        case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}")
-      }
+        case e: Throwable =>
+          CachePool.releaseGroup(group)
+          System.err.println(s"[bench] $name: ${e.getMessage}")
+      } finally exec.shutdownNow()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

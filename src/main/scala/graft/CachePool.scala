@@ -10,27 +10,50 @@ import org.apache.spark.storage.StorageLevel
   * re-derive it. Those persists outlive the operator call — Spark caching is
   * tied to the materialized plan, and the consuming action happens later, in
   * caller code. This registry makes the caller's release obligation explicit
-  * and cheap: run the query, then `CachePool.releaseAll()`.
+  * and cheap: run the query, then release.
   *
-  * Verify/Bench call it after every query; a library user composing
-  * operators in a long-lived session calls it at their own batch boundaries
-  * (releasing is safe at any point — an unpersisted frame recomputes).
+  * Registrations are keyed by the registering thread's job group
+  * (`spark.jobGroup.id`, a thread-local), so concurrent queries in one
+  * SparkSession can release their own frames without degrading each other's
+  * still-running plans to recompute: a harness that tags each query with
+  * `setJobGroup` calls [[releaseGroup]] for exactly that query's frames.
+  * Frames registered outside any job group live under `None` and fall to
+  * [[releaseAll]] (the single-user batch-boundary path — releasing is safe
+  * at any point; an unpersisted frame recomputes).
   */
 object CachePool {
 
-  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val frames =
+    scala.collection.mutable.ArrayBuffer.empty[(Option[String], DataFrame)]
 
-  /** Persist MEMORY_AND_DISK and register for later release. */
+  private def currentGroup(df: DataFrame): Option[String] =
+    Option(df.sparkSession.sparkContext.getLocalProperty("spark.jobGroup.id"))
+
+  /** Persist MEMORY_AND_DISK and register under the calling thread's job
+    * group for later release.
+    */
   def persist(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    frames += p
+    frames += ((currentGroup(p), p))
     p
   }
 
-  /** Unpersist every registered frame (non-blocking) and clear the registry. */
+  /** Unpersist every frame registered under `groupId` (non-blocking). */
+  def releaseGroup(groupId: String): Unit = release(Some(groupId))
+
+  /** Unpersist every registered frame (non-blocking) and clear the
+    * registry — the batch-boundary call for single-query sessions.
+    */
   def releaseAll(): Unit = synchronized {
-    frames.foreach(_.unpersist(blocking = false))
+    frames.foreach(_._2.unpersist(blocking = false))
     frames.clear()
+  }
+
+  private def release(g: Option[String]): Unit = synchronized {
+    val (hit, keep) = frames.partition(_._1 == g)
+    hit.foreach(_._2.unpersist(blocking = false))
+    frames.clear()
+    frames ++= keep
   }
 
   /** Number of currently registered (not yet released) frames. */

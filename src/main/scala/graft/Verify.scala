@@ -1,6 +1,9 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException}
+
+import org.apache.spark.sql.SparkSession
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -19,42 +22,51 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Per-query timeout: one pathological query must not eat the whole
-    // correctness gate. On timeout the query's job group is cancelled and
-    // the loop moves on (that query alone reports as failed).
+    // correctness gate. On timeout the worker thread is interrupted, its
+    // job group cancelled, and the loop moves on (that query alone
+    // reports as failed).
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    // Groups whose query timed out: their abandoned Future threads may
-    // still submit jobs (cancelJobGroup only kills ACTIVE jobs) and may
-    // re-register CachePool persists after our release. Re-cancel and
-    // re-release at every iteration so a runaway query stays contained.
+    // Groups whose query timed out: their workers may survive the
+    // interrupt long enough to submit more jobs or re-register persists.
+    // Re-cancel and re-release at every iteration to contain them.
     val staleGroups = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      staleGroups.foreach(spark.sparkContext.cancelJobGroup)
-      val group = s"verify-$name"
-      val work = Future {
-        // job groups are THREAD-local: set and clear on the pool thread
-        // that actually submits the jobs, or the clear is a no-op and pool
-        // threads retain stale group tags.
-        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        finally spark.sparkContext.clearJobGroup()
+      staleGroups.foreach { g =>
+        spark.sparkContext.cancelJobGroup(g)
+        CachePool.releaseGroup(g)
       }
-      try Await.result(work, timeoutSec.seconds)
-      catch {
-        case _: java.util.concurrent.TimeoutException =>
+      val group = s"verify-$name"
+      val exec = Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, group); t.setDaemon(true); t
+      }
+      val work = exec.submit(new Callable[Unit] {
+        def call(): Unit = {
+          // job groups are THREAD-local: set on the thread that builds the
+          // plan and submits the jobs, so CachePool registrations and job
+          // cancellation both key on this query's group.
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try {
+        work.get(timeoutSec, TimeUnit.SECONDS)
+        CachePool.releaseGroup(group)
+      } catch {
+        case _: TimeoutException =>
+          work.cancel(true)
           spark.sparkContext.cancelJobGroup(group)
           staleGroups += group
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
         case e: Throwable =>
+          CachePool.releaseGroup(group)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      finally {
-        // drop operator-internal persists (signature/gram frames) — they
-        // must not pin memory for the remaining queries.
-        CachePool.releaseAll()
+      } finally {
+        exec.shutdownNow()
+        // group-scoped release above drops this query's persists without
+        // touching a still-running stale query's frames; the cache clear
+        // keeps every query's correctness run cold.
         spark.catalog.clearCache()
       }
     }

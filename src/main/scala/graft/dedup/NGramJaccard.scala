@@ -117,10 +117,29 @@ object NGramJaccard {
         ((col("n_g") - col("n2") + col("rk2")) <= prefLen).as("__pref")))
 
     if (symmetric) {
-      graft.operators.SkewJoin
-        .boundedSelfPairs(pruned.filter(col("__pref")).select("blk", "g", "nj_id"),
-          Seq("blk", "g"), col("nj_id"), lit(0), hotGramThreshold)
-        .select("id_a", "id_b").distinct()
+      // Inline triangle tiling (the boundedSelfPairs shape, but with S
+      // derived from the gdf column already on every row instead of a
+      // histogram job + broadcast): a gram hot enough that its prefix
+      // rows could swamp one task splits into S = ⌈gdf/threshold⌉ groups,
+      // each (i ≤ j) group-pair its own join cell. gdf ≥ the prefix row
+      // count, so S only ever over-tiles — per-task work stays bounded,
+      // pair coverage is exact, and a cold gram (S = 1) degenerates to
+      // the plain single-cell self-join with zero replication.
+      val s = ceil(col("gdf").cast("double") / hotGramThreshold).cast("int")
+      val withG = pruned.filter(col("__pref"))
+        .withColumn("__s", s)
+        .withColumn("__g", pmod(xxhash64(col("nj_id")), col("__s").cast("long")).cast("int"))
+      val aSide = withG.select(col("blk"), col("g"), col("__g").as("__c1"),
+        explode(sequence(col("__g"), col("__s") - 1)).as("__c2"),
+        col("nj_id").as("id_a"))
+      val bSide = withG.select(col("blk"), col("g"),
+        explode(sequence(lit(0), col("__g"))).as("__c1"), col("__g").as("__c2"),
+        col("nj_id").as("id_b"))
+      aSide.join(bSide, Seq("blk", "g", "__c1", "__c2"))
+        .filter(col("__c1") < col("__c2") || col("id_a") < col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
     } else {
       // gdf is the EXACT full-side row count for the gram (every df≥2 row
       // survives the prune), so salting needs no separate count pass: a

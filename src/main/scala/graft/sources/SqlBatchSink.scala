@@ -27,12 +27,30 @@ object SqlBatchSink {
     * insert idempotent (primary key + ON CONFLICT) — both are target-DB
     * concerns, deliberately outside this generic client.
     */
+  /** Plain-identifier check: table/column names are interpolated into the
+    * INSERT text (values never are — they go through the prepared
+    * statement), so they must be verifiably inert. Restricting to the
+    * unquoted-identifier grammar both blocks SQL injection through a
+    * crafted name and sidesteps quoting semantics (quoting flips
+    * case-folding rules per dialect, which would silently break matching
+    * against unquoted DDL). Names needing quoting are rejected with an
+    * explicit error rather than guessed at.
+    */
+  private val SafeIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  private def checkIdent(name: String, what: String): Unit =
+    require(SafeIdent.matches(name),
+      s"$what '$name' is not a plain SQL identifier ([A-Za-z_][A-Za-z0-9_]*); " +
+        "rename it or pre-quote it in your own DDL-matched sink")
+
   def loadTable(df: DataFrame, table: String, jdbcUrl: String,
                 batchSize: Int = 2000,
                 connectionProps: Map[String, String] = Map.empty,
                 driverClass: Option[String] = None): Unit = {
     require(batchSize > 0)
+    table.split('.').foreach(checkIdent(_, "table path segment"))
     val cols = df.schema.fieldNames.toSeq
+    cols.foreach(checkIdent(_, "column"))
     val insertSql =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val props = connectionProps // stable local: the closure captures data, not `this`

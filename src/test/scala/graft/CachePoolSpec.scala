@@ -27,4 +27,26 @@ class CachePoolSpec extends SparkSpec {
     assert(after.isEmpty, s"persists leaked past releaseAll: $after")
     assert(CachePool.registered === 0)
   }
+
+  test("releaseGroup drops only the named group's frames") {
+    CachePool.releaseAll()
+    // registrations are keyed by the registering THREAD's job group — the
+    // Verify/Bench harness isolation contract: releasing one query's
+    // frames must not degrade a concurrently running query's persists.
+    spark.sparkContext.setJobGroup("cp-g1", "g1")
+    val f1 = CachePool.persist(table("documents").select("doc_id"))
+    f1.count()
+    spark.sparkContext.setJobGroup("cp-g2", "g2")
+    val f2 = CachePool.persist(table("documents").select("doc_id", "lang"))
+    f2.count()
+    spark.sparkContext.clearJobGroup()
+    assert(CachePool.registered === 2)
+    CachePool.releaseGroup("cp-g1")
+    assert(CachePool.registered === 1)
+    assert(f1.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(f2.storageLevel.useMemory, "the other group's frame must stay persisted")
+    CachePool.releaseAll()
+    assert(CachePool.registered === 0)
+    assert(f2.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
 }
