@@ -186,6 +186,44 @@ class DedupSpec extends SparkSpec {
     assert(result === Set((0L, 1000L)))
   }
 
+  test("hotBucketThreshold bounds an adversarial corpus where one band value covers half the docs") {
+    // 100 IDENTICAL boilerplate docs (EVERY band value shared by all of
+    // them — the worst case of 'one band value covers 50% of the corpus')
+    // plus 100 distinct docs. With hotBucketThreshold = 8 the banded
+    // self-join must tile each hot bucket into S = ceil(100/8) = 13
+    // groups; with a huge threshold it runs the plain path. Results must
+    // be identical, and the full identical cluster recovered either way.
+    val n = 100
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val rng = new scala.util.Random(3)
+    val rows = (0 until n).map(i => (i.toLong, boiler)) ++
+      (0 until n).map(i => ((1000 + i).toLong,
+        (0 until 40).map(_ => s"w${rng.nextInt(5000)}").mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    def run(thr: Int) = MinHashLsh.nearDuplicates(docs, col("doc_id"), col("text"),
+        threshold = 0.5, hotBucketThreshold = thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val tiled = run(8)
+    val plain = run(100000)
+    graft.CachePool.releaseAll()
+    assert(tiled === plain)
+    val cluster = (for { a <- 0 until n; b <- (a + 1) until n }
+      yield (a.toLong, b.toLong)).toSet
+    assert(cluster.subsetOf(tiled), "the identical cluster must be fully recovered")
+
+    // Task-size bound, verified with the tiling's own arithmetic: group =
+    // xxhash64(id) mod S, so the largest join cell holds max-group² pairs.
+    // For the 100-row hot bucket at S = 13 that is ~8²-ish instead of the
+    // 100² a plain equi-join would give one task.
+    val s = math.ceil(n.toDouble / 8).toInt
+    val groupSizes = docs.filter(col("doc_id") < n)
+      .select(pmod(xxhash64(col("doc_id")), lit(s.toLong)).as("grp"))
+      .groupBy("grp").count().as[(Long, Long)].collect().map(_._2)
+    assert(groupSizes.max <= 16, s"hash groups unbalanced: max=${groupSizes.max}")
+    assert(groupSizes.max * groupSizes.max < (n.toLong * n) / 10,
+      "per-cell pair work must be far below the unsplit bucket's n²")
+  }
+
   test("EmbeddingDedup finds every planted scaled copy and nothing else") {
     val vecs = DedupData.withPlantedVecDups(table("embeddings"))
     val pairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
