@@ -36,13 +36,24 @@ object StreamingDedup {
     if (n == 0) 0.0 else same.toDouble / n
   }
 
-  /** Stateless prefix: docs(doc_id, text) → one row per (band, bucket). */
+  /** Stateless prefix: docs(doc_id, text) → one row per (band, bucket).
+    * `weighted = true` signs the gram BAG (per-occurrence instance hashes,
+    * exactly [[MinHashLsh.weightedSignatures]]), so the downstream state
+    * comparison estimates the frequency-weighted Jaccard — batch and
+    * stream stay bit-identical per form because both build signatures
+    * from the same native expressions.
+    */
   def bucketed(docs: DataFrame, k: Int = 3, bands: Int = 16,
-               rowsPerBand: Int = 4): Dataset[BucketDoc] = {
+               rowsPerBand: Int = 4, weighted: Boolean = false): Dataset[BucketDoc] = {
     import docs.sparkSession.implicits._
     val p = bands * rowsPerBand
+    val hashes =
+      if (weighted)
+        graft.functions.TextHashExprs.bagInstanceHashes(
+          MinHashLsh.bagShingleHashes(col("text"), k))
+      else MinHashLsh.shingleHashes(col("text"), k)
     docs
-      .withColumn("sig", MinHashLsh.signature(MinHashLsh.shingleHashes(col("text"), k), p))
+      .withColumn("sig", MinHashLsh.signature(hashes, p))
       .select(col("doc_id"), col("sig"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
@@ -68,7 +79,8 @@ object StreamingDedup {
   def nearDupCandidates(docs: DataFrame, threshold: Double = 0.5,
                         k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                         maxPerBucket: Int = 64,
-                        ttl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(6))): Dataset[NearDupHit] = {
+                        ttl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(6)),
+                        weighted: Boolean = false): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
 
     def update(key: String, batch: Iterator[BucketDoc],
@@ -97,7 +109,7 @@ object StreamingDedup {
     val timeoutConf =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    bucketed(docs, k, bands, rowsPerBand)
+    bucketed(docs, k, bands, rowsPerBand, weighted)
       .groupByKey(_.bucket_key)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
   }

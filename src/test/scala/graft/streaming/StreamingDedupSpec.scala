@@ -33,6 +33,48 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("weighted streaming candidates match the weighted batch pairs (and diverge from set MinHash on boilerplate)") {
+    // docB repeats docA 5x: as gram SETS nearly identical (set J ~ 0.78),
+    // as gram BAGS far apart (weighted J ~ 0.19) - the discrimination the
+    // weighted form exists for. docC appends a short tail to docA (high
+    // similarity under BOTH forms). Stream and batch build signatures from
+    // the same native expressions, so the weighted stream must emit
+    // exactly the weighted batch pair set.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, Seq.fill(5)(base).mkString(" ")),
+      (3L, base + " zz yy xx"),
+      (4L, "entirely different content with nothing shared at all " +
+        "none of the original tokens appear anywhere in here"))
+
+    def streamPairs(weighted: Boolean, name: String): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)](spark)
+      val hits = StreamingDedup.nearDupCandidates(
+        input.toDS().toDF("doc_id", "text"), threshold = 0.5, ttl = None,
+        weighted = weighted)
+      val q = hits.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        corpus.foreach { r => input.addData(r); q.processAllAvailable() }
+        spark.table(name).select("doc_id", "matched_id").as[(Long, Long)]
+          .collect().map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      } finally q.stop()
+    }
+
+    val wStream = streamPairs(weighted = true, "sdedup_w_out")
+    val sStream = streamPairs(weighted = false, "sdedup_s_out")
+    val wBatch = graft.dedup.MinHashLsh.nearDuplicatesWeighted(
+        corpus.toDF("doc_id", "text"), col("doc_id"), col("text"), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.CachePool.releaseAll()
+    assert(wStream === wBatch, s"stream $wStream != batch $wBatch")
+    assert(wStream.contains((1L, 3L)) && !wStream.contains((1L, 2L)),
+      "weighted form must keep the tail near-dup and reject the 5x repeat")
+    assert(sStream.contains((1L, 2L)),
+      "set form must (wrongly) merge the boilerplate repeat - the contrast the weighted path fixes")
+  }
+
   test("bucket state caps at maxPerBucket (bounded memory)") {
     val input = MemoryStream[(Long, String)](spark)
     val docs = input.toDS().toDF("doc_id", "text")
