@@ -208,6 +208,15 @@ object SparkEntry {
       graft.similarity.PqKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
     }),
 
+    "q_knn_opq" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings")
+      // OPQ: sample-trained orthogonal rotation (PCA + eigenvalue
+      // allocation) before the subspace split — same ADC search, better
+      // codes on correlated dims. Rows-only; PqKnnSpec carries the
+      // recall-improvement and orthogonality gates.
+      graft.similarity.OpqKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
+    }),
+
     "q_knn_ivfpq" -> ((s, d) => {
       val vecs = t(s, d, "embeddings")
       // the composed production index: IVF bounds candidates, PQ bounds

@@ -50,6 +50,14 @@ object PqKnn {
       else corpus.sample(withReplacement = false, want.toDouble / n, seed)
     val points = sample.select(col("embedding").cast("array<float>"))
       .collect().map(_.getSeq[Float](0).toArray)
+    fitPoints(points, m, ksub, seed, maxIter)
+  }
+
+  /** Codebooks from an already-collected sample (shared with the OPQ
+    * variant, which rotates the sample before the subspace split).
+    */
+  private[similarity] def fitPoints(points: Array[Array[Float]], m: Int, ksub: Int,
+                                    seed: Long, maxIter: Int = 10): PqIndex = {
     require(points.nonEmpty, "empty corpus")
     val dim = points(0).length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
