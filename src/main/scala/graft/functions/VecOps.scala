@@ -35,28 +35,37 @@ case class VecDotF(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += x(i).toDouble * y(i).toDouble
       i += 1
     }
     s
   }
 
+  // Vectorized-friendly form: one bulk extract per operand (a single
+  // Platform.copyMemory for UnsafeArrayData — no per-element virtual
+  // getFloat calls), then a tight primitive float[] loop HotSpot can
+  // auto-vectorize. The accumulator stays double, so results are
+  // bit-identical to the per-element form (same widening, same order).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |float[] $xs = $a.toFloatArray();
+         |float[] $ys = $b.toFloatArray();
+         |int $n = java.lang.Math.min($xs.length, $ys.length);
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += (double) $xs[$i] * (double) $ys[$i];
          |}
          |${ev.value} = $s;
        """.stripMargin
