@@ -67,6 +67,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(spark.read.parquet(dir2).count() === 0)
   }
 
+  test("round-3 operators on degenerate input") {
+    // Empty-string docs hash to a single sentinel gram that they SHARE —
+    // the prefix-filtered core must keep exact parity with the direct
+    // all-pairs form (the empties are mutual 1.0-containment duplicates).
+    val docs = Seq((1L, "", "b"), (2L, "", "b"),
+      (3L, "x y z w v u t s r q", "b")).toDF("doc_id", "text", "source")
+    val got = NGramJaccard.containmentPairs(docs, col("doc_id"), col("text"), col("source"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val sets = docs.select(col("doc_id").as("id"), NGramJaccard.ngramSet(col("text"), 3).as("g"))
+    val direct = sets.select(col("id").as("id_a"), col("g").as("ga"))
+      .join(sets.select(col("id").as("id_b"), col("g").as("gb")), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        NGramJaccard.containment(col("ga"), col("gb")).as("c_ab"),
+        NGramJaccard.containment(col("gb"), col("ga")).as("c_ba"))
+      .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    CachePool.releaseAll()
+    assert(got === direct)
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 2L)))
+
+    // OPQ on a zero-variance corpus: the covariance is the zero matrix —
+    // the rotation degenerates to a (still orthogonal) identity and the
+    // search must return k well-formed rows, not crash.
+    val const = (0 until 40).map(i => (i.toLong, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = graft.similarity.OpqKnn.approxTopK(const, const.filter(col("vec_id") < 2), k = 3)
+    assert(top.count() === 6)
+    CachePool.releaseAll()
+  }
+
   test("text operators on empty input and empty strings") {
     assert(TextAnalysis.langId(noDocs, col("doc_id"), col("text")).count() === 0)
     assert(Fingerprint.fingerprints(noDocs, col("doc_id"), col("text")).count() === 0)
