@@ -281,6 +281,18 @@ object SparkEntry {
         .orderBy("algo")
     }),
 
+    "q_dedup_clusters" -> ((s, d) => {
+      // transitive closure of near-duplicate pairs -> dedup groups, each
+      // vertex labeled with its component's min doc_id (the canonical
+      // survivor). Edges are the containment pairs, so the oracle can
+      // rebuild the graph exactly and close it with a recursive CTE.
+      val pairs = NGramJaccard.containmentPairs(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)
+      graft.dedup.DedupClusters.components(pairs.select("id_a", "id_b"))
+        .orderBy("id")
+    }),
+
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(t(s, d, "documents"), col("doc_id"), col("text"))),
 
@@ -654,6 +666,24 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // connected components over the (already string-oracled) containment
+    // pair graph: DuckDB closes the same edges with a recursive CTE, so
+    // cluster membership AND the min-id representative are hash-checked.
+    "q_dedup_clusters" -> (DedupData.DocsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + GramPairsCte +
+      """, cpairs AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
+        |), cedges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM cpairs
+        |  UNION SELECT id_b, id_a FROM cpairs
+        |), reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM cedges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN cedges e ON e.src = r.id
+        |)
+        |SELECT id, CAST(min(comp) AS BIGINT) AS comp
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin),
 
     // dedup quality gate: constants pinned like q_knn_recall's — a recall
     // regression in either approximate dedup flips its row red.

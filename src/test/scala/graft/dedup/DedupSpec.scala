@@ -224,6 +224,30 @@ class DedupSpec extends SparkSpec {
       "per-cell pair work must be far below the unsplit bucket's n²")
   }
 
+  test("DedupClusters closes chains, cliques and cycles to min-id components") {
+    // chain 1-2-3-4 (1 and 4 never pair directly), clique {10,11,12},
+    // cycle 20-21-22-20, isolated pair {30,31}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("id_a", "id_b")
+    val comp = DedupClusters.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    graft.CachePool.releaseAll()
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), "chain must close transitively")
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    assert(comp(30L) === 30L && comp(31L) === 30L)
+    assert(comp.size === 12)
+    assert(DedupClusters.components(pairs.limit(0)).count() === 0)
+
+    val sizes = DedupClusters.clusterSizes(pairs)
+      .as[(Long, Long)].collect().toMap
+    graft.CachePool.releaseAll()
+    assert(sizes === Map(1L -> 4L, 10L -> 3L, 20L -> 3L, 30L -> 2L))
+  }
+
   test("EmbeddingDedup finds every planted scaled copy and nothing else") {
     val vecs = DedupData.withPlantedVecDups(table("embeddings"))
     val pairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
