@@ -293,6 +293,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q_pii_redact" -> ((s, d) => {
+      // every 5th doc gets a deterministic PII suffix (URL with embedded
+      // credentials, e-mail, phone, IP) so the redaction chain has real
+      // work; the oracle replays the same planting and the same
+      // sequential regex chain, making redacted TEXT and per-category
+      // counts byte-exact.
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact bob.smith+x@example.org via " +
+            "https://user:pw@ex.example.com/p?q=1 or +1 (555) 123-4567 at 10.20.30.40")))
+          .otherwise(col("text")).as("text"))
+      graft.text.Redact.redactWithCounts(planted, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(t(s, d, "documents"), col("doc_id"), col("text"))),
 
@@ -666,6 +682,41 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // the same sequential regex chain as Redact.Stages — patterns sit in
+    // the Java-regex/RE2 agreement subset, so text and counts match
+    // byte-for-byte. DuckDB regexp_replace needs the explicit 'g' flag
+    // (Spark's is global by default).
+    "q_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN concat(text, ' contact bob.smith+x@example.org via https://user:pw@ex.example.com/p?q=1 or +1 (555) 123-4567 at 10.20.30.40')
+        |         ELSE text END AS text
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t
+        |  FROM planted
+        |), s2 AS (
+        |  SELECT doc_id, n_urls,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, n_urls, n_emails,
+        |    len(regexp_extract_all(t, '\+[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones,
+        |    regexp_replace(t, '\+[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS t
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT doc_id, n_urls, n_emails, n_phones,
+        |    len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |    regexp_replace(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+        |  FROM s3)
+        |SELECT doc_id, t AS text_redacted,
+        |  CAST(n_urls AS INTEGER) AS n_urls, CAST(n_emails AS INTEGER) AS n_emails,
+        |  CAST(n_phones AS INTEGER) AS n_phones, CAST(n_ips AS INTEGER) AS n_ips
+        |FROM s4 ORDER BY doc_id""".stripMargin,
 
     // connected components over the (already string-oracled) containment
     // pair graph: DuckDB closes the same edges with a recursive CTE, so

@@ -64,6 +64,25 @@ class TextSpec extends SparkSpec {
     assert(exactIds.forall(i => merged.contains(i) && merged.contains(i + DedupData.ExactIdOffset)))
   }
 
+  test("Redact scrubs URLs, emails, phones and IPs sequentially") {
+    val docs = Seq(
+      (1L, "reach me at jane_doe%x@corp.example.io or https://a:b@h.example.com/x?y=1 " +
+        "then +44 20-7946 0958 from 192.168.0.1 thanks"),
+      (2L, "no pii here just words"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Redact.redactWithCounts(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int, Int, Int)].collect()
+    val (id1, t1, urls1, emails1, phones1, ips1) = out(0)
+    assert(id1 === 1L)
+    assert(t1 === "reach me at <EMAIL> or <URL> then <PHONE> from <IP> thanks")
+    // the URL's embedded a:b@h credentials must NOT also count as an
+    // e-mail: the chain counts on the previous stage's output.
+    assert((urls1, emails1, phones1, ips1) === ((1, 1, 1, 1)))
+    assert(out(1) === ((2L, "no pii here just words", 0, 0, 0, 0)))
+    assert(out(2) === ((3L, "", 0, 0, 0, 0)))
+  }
+
   test("sharedRunPairs links docs sharing a verbatim 8-token run") {
     val planted = DedupData.withPlantedDups(table("documents"))
     val pairs = Fingerprint.sharedRunPairs(planted, col("doc_id"), col("text"))
