@@ -71,6 +71,45 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
   }
 
+  test("prefix-filtered gram queries stay equi-join shaped (no cartesian, no BNL)") {
+    Seq("q_dedup_containment", "q_ngram_jaccard").foreach { name =>
+      val plan = finalPlan(q(name))
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"$name plans a cartesian product")
+      assert(collect(plan) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.isEmpty, s"$name plans a broadcast nested loop")
+    }
+  }
+
+  test("q_dedup_embedding buckets once: the banded frame is cache-reused across join sides") {
+    val plan = finalPlan(q("q_dedup_embedding"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // CachePool persists the 4-round banded frame; both boundedSelfPairs
+    // sides and the key histogram must read the cache, not re-bucket.
+    val cacheScans = collect(plan) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cacheScans.size >= 2,
+      s"expected the banded frame cache-scanned on both join sides:\n$plan")
+  }
+
+  test("q_dedup_clusters propagation rounds are equi-joins over the cached edge list") {
+    val plan = finalPlan(q("q_dedup_clusters"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_pii_redact is a pure map: no shuffle except the output order") {
+    val plan = finalPlan(q("q_pii_redact"))
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // exactly the range-partition for the final orderBy, nothing else
+    assert(exchanges.size <= 1, s"redaction must not shuffle:\n$plan")
+  }
+
   test("Catalyst injects a runtime bloom filter into a selective shuffle join") {
     // The engine leans on InjectRuntimeFilter for fact⋈filtered-dim joins:
     // the dim side's bloom filter prunes fact rows BEFORE the shuffle. The
