@@ -27,28 +27,46 @@ object DedupClusters {
     * comp = min id in the vertex's connected component.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = graft.CachePool.persist(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .distinct())
-    var comp = graft.CachePool.persist(
-      edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
+    // Lineage is TRUNCATED each round (eager localCheckpoint): an
+    // iterative plan otherwise nests the whole upstream plan once per
+    // round, and driver-side canonicalization / cache lookup over the
+    // deepening tree quickly dwarfs the actual (tiny) shuffles. This is
+    // the standard shape for iterative DataFrame algorithms; at cluster
+    // scale, swap localCheckpoint for reliable checkpointing if
+    // executor-loss fault tolerance matters mid-computation.
+    // Checkpointed round frames are dropped by the ContextCleaner as
+    // soon as the next round stops referencing them.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
+      // neighbor-min step: label := min(own, neighbors')
       val nbrMin = edges
         .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy("src").agg(min("ncomp").as("nmin"))
-      val next = graft.CachePool.persist(
-        comp.join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
-      // one tiny action per round: did any label move? (labels only ever
-      // decrease, so equality of SUM is equality of labels)
-      changed = next.join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .limit(1).count() > 0
-      comp = next
+      // checkpointed: the pointer-jump reads stepped on BOTH join sides
+      val stepped = comp
+        .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("mid"),
+          col("comp").as("prev"))
+        .localCheckpoint(true)
+      // pointer-jump step: label := label(label) — a label is always a
+      // live vertex id, so the lookup is an equi-join against the same
+      // frame, and jumping halves the remaining chain length per round
+      // (O(log diameter) rounds instead of O(diameter)).
+      val next = stepped
+        .join(stepped.select(col("id").as("mid"), col("mid").as("jump")), Seq("mid"))
+        .select(col("id"), least(col("mid"), col("jump")).as("comp"),
+          (least(col("mid"), col("jump")) < col("prev")).as("__moved"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(max(col("__moved")), lit(false)))
+        .collect()(0).getBoolean(0)
+      comp = next.select("id", "comp")
       iter += 1
     }
     comp
