@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerKey
+
+/** TF-IDF term weighting over a document corpus — the standard keyword /
+  * topicality signal a training-data pipeline attaches before filtering or
+  * clustering (reference has no equivalent; modeled on the classic
+  * formulation).
+  *
+  * Scoring uses the RAW inverse-frequency ratio `tf · N / df` instead of the
+  * usual `tf · log(N/df)`: log is monotone, so per-document term RANKING is
+  * identical, and avoiding the transcendental keeps every value an exact
+  * integer product over one IEEE division — bit-reproducible by any engine
+  * (the DuckDB oracle hash-checks it; `log()` differs in the last ulp across
+  * libm implementations).
+  *
+  * Scale shape: one (doc, term) partial-agg shuffle for TF, one term-keyed
+  * partial-agg over the TF frame for DF (input is already one row per
+  * (doc, term) — no second pass over the corpus), a term-keyed 1:m join
+  * (vocabulary grows ~Heaps' law, far sublinear in corpus size; hot terms
+  * are 1:m fan-outs, not m², and AQE splits them), and the per-key top-k
+  * runs through [[graft.plans.TopKPerKey]] — bounded heaps, map-side
+  * capped at k rows per (partition, doc) before the exchange, never a
+  * corpus-wide sort.
+  */
+object TfIdf {
+
+  /** One row per (doc_id, term) with its in-document occurrence count. */
+  def termFrequencies(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Top `k` terms per document by `tf · N / df` (ties broken by term —
+    * a total order, since terms are distinct within a document).
+    * Output: (doc_id, term, tf, df, tfidf), ordered (doc_id, tfidf desc,
+    * term).
+    */
+  def topTerms(docs: DataFrame, id: Column, text: Column, k: Int = 5): DataFrame = {
+    // persist: DF aggregates over the TF frame and the scoring join re-reads
+    // it; without the boundary the tokenize+explode+agg pipeline runs twice.
+    val tf = graft.CachePool.persist(termFrequencies(docs, id, text))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus size as a broadcast 1-row frame — no driver-side count action.
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("__n_docs")).cast("double") / col("df")).as("tfidf"))
+    TopKPerKey.topK(scored, Seq("doc_id"),
+        Seq(("tfidf", false), ("term", true)), k)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+}
