@@ -434,7 +434,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("suppkey")
-    })
+    }),
+
+    "q_tfidf" -> ((s, d) =>
+      graft.text.TfIdf.topTerms(t(s, d, "documents"), col("doc_id"), col("text"), k = 3)),
+
+    "q_repetition" -> ((s, d) => {
+      // every 4th doc is doubled (text + ' ' + text) so the repetition
+      // signal has real positives; the oracle replays the same planting.
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.text.Repetition.repetitionStats(planted, col("doc_id"), col("text"), n = 2)
+    }),
+
+    "q_decontaminate" -> ((s, d) => {
+      // held-out "benchmark": every 10th original doc. Training corpus:
+      // the planted-dup corpus minus the eval originals themselves — the
+      // planted near/exact copies of eval docs (doc_id + 1M/2M) stay in
+      // and are exactly the contamination the 8-gram probe must catch.
+      val docs = t(s, d, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = DedupData.withPlantedDups(docs)
+        .filter(!(col("doc_id") < DedupData.ExactIdOffset && col("doc_id") % 10 === 0))
+      graft.text.Decontaminate.overlaps(corpus, evalDocs, col("doc_id"), col("text"), n = 8)
+    }),
+
+    "q_seq_pack" -> ((s, d) =>
+      graft.text.SeqPack.packGreedy(
+        t(s, d, "documents"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64))
   )
 
   /** DuckDB CTE reproducing the derived dirty-houses table + the cleaning /
@@ -928,6 +958,114 @@ object SparkEntry {
         |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY suppkey, s.s_name
-        |ORDER BY suppkey""".stripMargin
+        |ORDER BY suppkey""".stripMargin,
+
+    // raw tf·N/df (log-free — monotone-equivalent ranking, exact
+    // integer product over one IEEE division, bit-reproducible).
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf * n_docs AS DOUBLE) / df AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term) AS rk
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+
+    // positional 2-grams as strings (bag, not distinct — the equality
+    // structure of the rolling hash, same contract as the gram-set
+    // oracles); docs with ≤ 2 tokens contribute one whole-text gram.
+    "q_repetition" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN concat(text, ' ', text) ELSE text END AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM planted
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(generate_series(1, len(tk) - 1),
+        |                i -> concat_ws(' ', tk[i], tk[i+1])) END AS gs
+        |  FROM toks
+        |), counts AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+        |  GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_rep,
+        |  CAST(max(c) AS BIGINT) AS max_gram_count,
+        |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS rep_ratio
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // distinct 8-grams as strings on both sides; the corpus excludes the
+    // eval ORIGINALS only — their planted copies (+1M/+2M ids) remain and
+    // are the contamination the overlap join must report.
+    "q_decontaminate" -> (DedupData.DocsCte +
+      """, corpus AS (
+        |  SELECT doc_id, text FROM docs
+        |  WHERE NOT (doc_id < 1000000 AND doc_id % 10 = 0)
+        |), evaldocs AS (
+        |  SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 10 = 0
+        |), cg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' '))) END) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk FROM corpus)
+        |), eg AS (
+        |  SELECT eval_id, unnest(
+        |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' '))) END) AS g
+        |  FROM (SELECT eval_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk FROM evaldocs)
+        |)
+        |SELECT c.doc_id,
+        |  CAST(count(DISTINCT c.g) AS BIGINT) AS n_hit_grams,
+        |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM cg c JOIN eg e ON c.g = e.g
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin),
+
+    // the same greedy scan as a recursive CTE per id-range group; global
+    // bin ids via the same exclusive prefix sum over per-group bin counts.
+    "q_seq_pack" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, doc_id // 64 AS grp,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
+        |  FROM documents
+        |), numbered AS (
+        |  SELECT doc_id, grp, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM toks
+        |), pack AS (
+        |  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+        |    CAST(n_tokens AS BIGINT) AS fill
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.grp, n.rn, n.doc_id, n.n_tokens,
+        |    CASE WHEN p.fill + n.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + n.n_tokens > 512 THEN CAST(n.n_tokens AS BIGINT)
+        |         ELSE p.fill + n.n_tokens END
+        |  FROM pack p JOIN numbered n ON n.grp = p.grp AND n.rn = p.rn + 1
+        |), bins AS (
+        |  SELECT grp, max(bin) + 1 AS nb FROM pack GROUP BY grp
+        |), offs AS (
+        |  SELECT grp, CAST(coalesce(sum(nb) OVER (ORDER BY grp
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_off
+        |  FROM bins)
+        |SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
+        |FROM pack p JOIN offs o USING (grp)
+        |ORDER BY doc_id""".stripMargin
   )
 }

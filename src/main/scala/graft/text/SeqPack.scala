@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Greedy sequence packing: assign documents to fixed-token-budget bins —
+  * the batch-construction step of LLM training (concatenate documents into
+  * `budget`-token sequences with minimal padding).
+  *
+  * Global first-fit packing is inherently sequential (every assignment
+  * depends on the full prefix), so the DISTRIBUTED form packs each
+  * fixed-size id-range GROUP independently — exactly how production
+  * packers shard the problem — and the group boundary is a pure function
+  * of doc_id (`doc_id div groupSize`), so the result is deterministic,
+  * reproducible across cluster sizes, and replayable by any other engine
+  * (the DuckDB oracle re-runs the same scan with a recursive CTE).
+  *
+  * Scale shape: one groupBy shuffle builds per-group arrays (bounded at
+  * `groupSize` structs — a few KB each, never a corpus-scale collect); the
+  * greedy scan is a per-row `aggregate` fold over that bounded array; and
+  * global bin ids come from an exclusive prefix sum over per-group bin
+  * counts computed with the range-partition + per-partition-offsets
+  * pattern of [[graft.etl.Cleaning.reindexScalable]] — the only global
+  * window touches the #partitions-row totals frame, never data-scale rows.
+  */
+object SeqPack {
+
+  /** Pack docs in doc-id order within groups of `groupSize` into bins of
+    * ≤ `budget` tokens (greedy: a doc that would overflow the current bin
+    * opens the next one; an oversized doc occupies a bin alone). Output:
+    * (doc_id, n_tokens, bin_id) with globally dense bin ids, ordered by
+    * doc_id.
+    */
+  def packGreedy(docs: DataFrame, id: Column, nTokens: Column,
+                 budget: Int, groupSize: Int): DataFrame = {
+    require(budget > 0 && groupSize > 0)
+    val base = docs.select(id.as("doc_id"), nTokens.cast("int").as("n_tokens"))
+      .withColumn("grp", expr(s"doc_id div $groupSize"))
+    val grouped = base.groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_tokens")))).as("items"))
+
+    // Greedy scan as a fold: state = (current fill, current bin, emitted
+    // assignments). The zero's types must match the merge result EXACTLY
+    // (HOF type check does no promotion), hence the explicit casts and the
+    // typed empty array.
+    val outType = "array<struct<doc_id:bigint,n_tokens:int,bin:bigint>>"
+    val packedState = aggregate(
+      col("items"),
+      named_struct(lit("fill"), lit(0L), lit("bin"), lit(0L),
+        lit("out"), array().cast(outType)),
+      (acc, x) => {
+        val nTok = x.getField("n_tokens")
+        val over = acc.getField("fill") > lit(0L) &&
+          (acc.getField("fill") + nTok) > lit(budget.toLong)
+        val bin = when(over, acc.getField("bin") + lit(1L)).otherwise(acc.getField("bin"))
+        val fill = when(over, nTok.cast("bigint"))
+          .otherwise(acc.getField("fill") + nTok)
+        named_struct(lit("fill"), fill, lit("bin"), bin, lit("out"),
+          array_append(acc.getField("out"), named_struct(
+            lit("doc_id"), x.getField("doc_id"),
+            lit("n_tokens"), nTok,
+            lit("bin"), bin)))
+      },
+      acc => acc.getField("out"))
+    // persist: the per-group bin counts aggregate AND the final join both
+    // read this frame; without the boundary the groupBy + fold re-runs.
+    val perDoc = graft.CachePool.persist(
+      grouped.select(col("grp"), explode(packedState).as("p"))
+        .select(col("grp"), col("p.doc_id").as("doc_id"),
+          col("p.n_tokens").as("n_tokens"), col("p.bin").as("local_bin")))
+
+    // Exclusive prefix sum of per-group bin counts → global bin offsets.
+    // Same scalable shape as reindexScalable: range partition on grp,
+    // per-partition running totals, and ONE tiny global window over the
+    // #partitions-row totals frame.
+    val nbins = perDoc.groupBy("grp").agg((max("local_bin") + 1).as("nb"))
+    val cum = graft.CachePool.persist(
+      nbins.repartitionByRange(col("grp"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__cum",
+          sum("nb").over(Window.partitionBy("__pid").orderBy("grp"))))
+    val pidOffsets = cum.groupBy("__pid").agg(sum("nb").as("__tot"))
+      .withColumn("__poff",
+        coalesce(sum("__tot").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__poff")
+    val offsets = cum.join(broadcast(pidOffsets), "__pid")
+      .select(col("grp"), (col("__cum") - col("nb") + col("__poff")).as("bin_off"))
+
+    perDoc.join(offsets, "grp")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("local_bin") + col("bin_off")).as("bin_id"))
+      .orderBy("doc_id")
+  }
+}

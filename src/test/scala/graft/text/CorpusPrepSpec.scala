@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** TF-IDF, repetition, decontamination, sequence packing — the round-4
+  * corpus-prep operators. Hand-computable fixtures pin exact semantics;
+  * the DuckDB oracles pin them again at sf scale.
+  */
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TfIdf.topTerms ranks by tf·N/df with term tie-break") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.topTerms(df, col("doc_id"), col("text"), k = 2)
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect().toList
+    // N=3. doc1: apple tf=2 df=1 → 6.0; banana tf=1 df=2 → 1.5
+    // doc2: cherry tf=1 df=2 → 1.5; banana tf=1 df=2 → 1.5 (tie → banana first)
+    // doc3: cherry tf=3 df=2 → 4.5; date tf=1 df=1 → 3.0
+    assert(got === List(
+      (1L, "apple", 2L, 1L, 6.0), (1L, "banana", 1L, 2L, 1.5),
+      (2L, "banana", 1L, 2L, 1.5), (2L, "cherry", 1L, 2L, 1.5),
+      (3L, "cherry", 3L, 2L, 4.5), (3L, "date", 1L, 1L, 3.0)))
+  }
+
+  test("repetitionStats counts occurrences of repeated positional 2-grams") {
+    val df = Seq(
+      (1L, "a b a b a"),   // 2-grams: ab ba ab ba → every occurrence repeated
+      (2L, "a b c d"),     // ab bc cd → all unique
+      (3L, "x")            // short doc → one whole-text gram
+    ).toDF("doc_id", "text")
+    val got = Repetition.repetitionStats(df, col("doc_id"), col("text"), n = 2)
+      .select("doc_id", "n_grams", "n_rep", "max_gram_count", "rep_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(got === List(
+      (1L, 4L, 4L, 2L, 1.0),
+      (2L, 3L, 0L, 1L, 0.0),
+      (3L, 1L, 0L, 1L, 0.0)))
+  }
+
+  test("repetitionStats: a doubled document is near-fully repeated") {
+    val text = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, text + " " + text)).toDF("doc_id", "text")
+    val r = Repetition.repetitionStats(df, col("doc_id"), col("text"), n = 2)
+      .collect()(0)
+    // 20 tokens → 19 positional 2-grams; only "ten one" (the seam) is
+    // unique, the other 18 occurrences are 9 grams seen twice.
+    assert(r.getAs[Long]("n_grams") === 19L)
+    assert(r.getAs[Long]("n_rep") === 18L)
+    assert(r.getAs[Double]("rep_ratio") === 18.0 / 19)
+  }
+
+  test("Decontaminate.overlaps flags only docs sharing an 8-gram with the eval set") {
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains eval 8-gram window (first 8 tokens, and 2nd window)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota extra"),
+      // no shared 8-gram (only 5 shared tokens in a row)
+      (2L, "alpha beta gamma delta epsilon other words here padding tail"),
+      (3L, "completely unrelated text with eight distinct words plus more")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlaps(corpus, evalDocs, col("doc_id"), col("text"), n = 8)
+      .select("doc_id", "n_hit_grams", "n_eval_docs")
+      .as[(Long, Long, Long)].collect().toList
+    // eval doc has 9 tokens → two 8-gram windows; doc 1 contains both.
+    assert(got === List((1L, 2L, 1L)))
+  }
+
+  test("packGreedy fills bins greedily in doc order and numbers bins globally") {
+    // groupSize=4 → groups {0..3}, {4..7}; budget=10
+    val df = Seq(
+      (0L, 4), (1L, 4), (2L, 4), (3L, 9),   // grp 0: [0,1]→bin0 (8), 2→bin0? 8+4>10 → bin1; 3→9: 4+9>10 → bin2
+      (4L, 11), (5L, 1), (6L, 10), (7L, 2)  // grp 1: 4→bin3 (11, oversize alone-ish), 5→11+1>10 → bin4 (1), 6→1+10>10 → bin5, 7→10+2>10 → bin6
+    ).toDF("doc_id", "n")
+    val got = SeqPack.packGreedy(df, col("doc_id"), col("n"), budget = 10, groupSize = 4)
+      .select("doc_id", "n_tokens", "bin_id")
+      .as[(Long, Int, Long)].collect().toList
+    assert(got === List(
+      (0L, 4, 0L), (1L, 4, 0L), (2L, 4, 1L), (3L, 9, 2L),
+      (4L, 11, 3L), (5L, 1, 4L), (6L, 10, 5L), (7L, 2, 6L)))
+  }
+
+  test("packGreedy never overfills a bin (except single oversized docs)") {
+    val docs = table("documents")
+    val packed = SeqPack.packGreedy(
+      docs, col("doc_id"), size(TextAnalysis.tokens(col("text"))),
+      budget = 512, groupSize = 64)
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"))
+    val overfull = bins.filter(col("fill") > 512 && col("n_docs") > 1).count()
+    assert(overfull === 0L)
+    // every doc appears exactly once
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    // bin ids are dense from 0
+    val ids = bins.select("bin_id").as[Long].collect().sorted
+    assert(ids === (0L until ids.length).toArray)
+  }
+}
