@@ -464,7 +464,11 @@ object SparkEntry {
     "q_seq_pack" -> ((s, d) =>
       graft.text.SeqPack.packGreedy(
         t(s, d, "documents"), col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64))
+        size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64)),
+
+    "q_source_quota" -> ((s, d) =>
+      graft.text.DocPipeline.sourceQuota(
+        t(s, d, "documents"), col("doc_id"), col("text"), col("source"), k = 15))
   )
 
   /** DuckDB CTE reproducing the derived dirty-houses table + the cleaning /
@@ -1066,6 +1070,32 @@ object SparkEntry {
         |  FROM bins)
         |SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
         |FROM pack p JOIN offs o USING (grp)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the q_quality_score scoring pipeline verbatim (same ratio CTE, same
+    // fixed-order double arithmetic), capped per source by rank.
+    "q_source_quota" ->
+      """WITH feats AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 2.0 +
+        |      CAST(n_alpha AS DOUBLE) / n_chars_c -
+        |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
+        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS quality_score
+        |  FROM feats)
+        |SELECT doc_id, source, quality_score FROM (
+        |  SELECT doc_id, source, quality_score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 15 ORDER BY source, doc_id""".stripMargin
   )
 }

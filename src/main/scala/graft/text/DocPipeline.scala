@@ -39,6 +39,24 @@ object DocPipeline {
     ExactDedup.dedup(featured, text, id)
   }
 
+  /** Per-source quality quota — the domain-mix rebalancing step of corpus
+    * curation: keep at most `k` docs per source, best quality first
+    * (doc_id tie-break). Runs through [[graft.plans.TopKPerKey]], so the
+    * cap is enforced with bounded per-key heaps, map-side partial before
+    * the exchange — never a corpus-wide sort or a global window, and a
+    * source with a billion docs still ships at most k rows per map task.
+    */
+  def sourceQuota(docs: DataFrame, id: Column, text: Column,
+                  source: Column, k: Int): DataFrame = {
+    val scored = withQuality(
+        docs.select(id.as("doc_id"), source.as("source"), text.as("__sq_text")),
+        col("__sq_text"))
+      .select("doc_id", "source", "quality_score")
+    graft.plans.TopKPerKey.topK(scored, Seq("source"),
+        Seq(("quality_score", false), ("doc_id", true)), k)
+      .orderBy("source", "doc_id")
+  }
+
   /** Per-language corpus statistics over the deduplicated corpus. */
   def corpusStats(docs: DataFrame, id: Column, text: Column): DataFrame =
     corpus(docs, id, text)

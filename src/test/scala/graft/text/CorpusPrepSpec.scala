@@ -87,6 +87,24 @@ class CorpusPrepSpec extends SparkSpec {
       (4L, 11, 3L), (5L, 1, 4L), (6L, 10, 5L), (7L, 2, 6L)))
   }
 
+  test("sourceQuota keeps at most k docs per source, best quality first") {
+    val docs = table("documents")
+    val k = 2
+    val quota = DocPipeline.sourceQuota(docs, col("doc_id"), col("text"), col("source"), k)
+    val perSource = quota.groupBy("source").agg(count(lit(1)).as("n"))
+    assert(perSource.filter(col("n") > k).count() === 0L)
+    // kept docs per source are exactly the top-k by (score desc, doc_id)
+    val all = DocPipeline.withQuality(
+        docs.select(col("doc_id"), col("source"), col("text")), col("text"))
+      .select("doc_id", "source", "quality_score")
+      .as[(Long, String, Double)].collect()
+    val expect = all.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(k).toSeq
+    }.map(r => (r._1, r._2)).toSet
+    val got = quota.select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(got === expect)
+  }
+
   test("packGreedy never overfills a bin (except single oversized docs)") {
     val docs = table("documents")
     val packed = SeqPack.packGreedy(
