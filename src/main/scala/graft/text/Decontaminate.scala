@@ -39,4 +39,28 @@ object Decontaminate {
         count_distinct(col("eval_id")).as("n_eval_docs"))
       .orderBy("doc_id")
   }
+
+  /** The eval set's distinct gram hashes, collected to the driver — the
+    * benchmark suite is bounded by definition (thousands of docs, not
+    * corpus-scale), the same justified-collect shape as the ANN index
+    * training samples. Feed to [[flagContaminated]].
+    */
+  def evalGramHashes(evalDocs: DataFrame, id: Column, text: Column,
+                     n: Int = 8): Array[Long] =
+    evalDocs.select(explode(NGramJaccard.ngramSet(text, n)).as("g"))
+      .distinct().orderBy("g")
+      .collect().map(_.getLong(0))
+
+  /** Stateless per-doc contamination flag against a pre-collected eval
+    * gram set: one `arrays_overlap` against the literal array — a pure
+    * map with no shuffle, no state, and no watermark, so the SAME
+    * expression runs batch or streaming (append mode) unchanged. The
+    * sized-for-broadcast trade vs [[overlaps]]: no per-gram hit counts,
+    * but nothing to join either.
+    */
+  def flagContaminated(docs: DataFrame, evalGrams: Array[Long],
+                       id: Column, text: Column, n: Int = 8): DataFrame =
+    docs.select(id.as("doc_id"),
+      arrays_overlap(NGramJaccard.ngramSet(text, n), typedlit(evalGrams))
+        .as("contaminated"))
 }

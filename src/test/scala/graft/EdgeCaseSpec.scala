@@ -97,6 +97,31 @@ class EdgeCaseSpec extends SparkSpec {
     CachePool.releaseAll()
   }
 
+  test("round-4 operators on degenerate input") {
+    import graft.text.{Decontaminate, Repetition, SeqPack, TfIdf}
+    // empty corpus everywhere → empty, well-typed results
+    assert(TfIdf.topTerms(noDocs, col("doc_id"), col("text")).count() === 0)
+    assert(Repetition.repetitionStats(noDocs, col("doc_id"), col("text")).count() === 0)
+    assert(Decontaminate.overlaps(noDocs, noDocs, col("doc_id"), col("text")).count() === 0)
+    assert(SeqPack.packGreedy(noDocs, col("doc_id"), lit(1), 10, 4).count() === 0)
+    // an empty eval set decontaminates nothing
+    val one = Seq((1L, "some text here")).toDF("doc_id", "text")
+    assert(Decontaminate.overlaps(one, noDocs.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text")).count() === 0)
+    // empty-STRING docs: every op emits a row, never throws. The empty
+    // doc's single sentinel gram hits the eval empty doc (by design — the
+    // whole-text gram of "" equals the whole-text gram of "").
+    val empties = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    assert(Repetition.repetitionStats(empties, col("doc_id"), col("text")).count() === 2)
+    assert(Decontaminate.overlaps(empties, empties, col("doc_id"), col("text")).count() === 2)
+    // budget smaller than every doc: each doc gets its own bin, ids dense
+    val tiny = Seq((10L, 5), (11L, 7), (12L, 6)).toDF("doc_id", "n")
+    val bins = SeqPack.packGreedy(tiny, col("doc_id"), col("n"), budget = 1, groupSize = 2)
+      .select("bin_id").as[Long].collect().sorted
+    assert(bins === Array(0L, 1L, 2L))
+    CachePool.releaseAll()
+  }
+
   test("text operators on empty input and empty strings") {
     assert(TextAnalysis.langId(noDocs, col("doc_id"), col("text")).count() === 0)
     assert(Fingerprint.fingerprints(noDocs, col("doc_id"), col("text")).count() === 0)

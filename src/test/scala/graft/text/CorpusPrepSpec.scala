@@ -73,6 +73,32 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got === List((1L, 2L, 1L)))
   }
 
+  test("flagContaminated is batch/stream identical (stateless map, no state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    val grams = Decontaminate.evalGramHashes(evalDocs, col("doc_id"), col("text"))
+    val corpusRows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota extra"),
+      (2L, "unrelated words that do not mention any benchmark window content"))
+    val batch = Decontaminate.flagContaminated(
+        corpusRows.toDF("doc_id", "text"), grams, col("doc_id"), col("text"))
+      .as[(Long, Boolean)].collect().toSet
+    assert(batch === Set((1L, true), (2L, false)))
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Decontaminate.flagContaminated(
+        input.toDS().toDF("doc_id", "text"), grams, col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(corpusRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("decon_stream").as[(Long, Boolean)].collect().toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("packGreedy fills bins greedily in doc order and numbers bins globally") {
     // groupSize=4 → groups {0..3}, {4..7}; budget=10
     val df = Seq(
