@@ -468,7 +468,19 @@ object SparkEntry {
 
     "q_source_quota" -> ((s, d) =>
       graft.text.DocPipeline.sourceQuota(
-        t(s, d, "documents"), col("doc_id"), col("text"), col("source"), k = 15))
+        t(s, d, "documents"), col("doc_id"), col("text"), col("source"), k = 15)),
+
+    "q_curation_quota" -> ((s, d) => {
+      // the composed curation path: quality-filter → exact dedup (planted
+      // exact copies collapse to the original) → per-source quota. One
+      // fused plan; the quota runs over the SURVIVORS' scores.
+      val corpus = graft.text.DocPipeline.corpus(
+        DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))
+      graft.plans.TopKPerKey.topK(
+          corpus.select("doc_id", "source", "quality_score"),
+          Seq("source"), Seq(("quality_score", false), ("doc_id", true)), 10)
+        .orderBy("source", "doc_id")
+    })
   )
 
   /** DuckDB CTE reproducing the derived dirty-houses table + the cleaning /
@@ -1096,6 +1108,41 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY quality_score DESC, doc_id) AS rk
         |  FROM scored)
-        |WHERE rk <= 15 ORDER BY source, doc_id""".stripMargin
+        |WHERE rk <= 15 ORDER BY source, doc_id""".stripMargin,
+
+    // the q_doc_pipeline corpus CTEs (planted dups → features → quality
+    // gate → exact dedup keep-min) with the quota rank on top.
+    "q_curation_quota" -> (DedupData.DocsCte +
+      """, feats AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM docs
+        |), scored AS (
+        |  SELECT *,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0 +
+        |      (CAST(n_alpha AS DOUBLE) / n_chars_c) -
+        |      (CAST(n_punct AS DOUBLE) / n_chars_c) * 3.0 +
+        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS quality_score
+        |  FROM feats
+        |), filtered AS (
+        |  SELECT * FROM scored
+        |  WHERE n_tokens BETWEEN 5 AND 5000
+        |    AND CAST(n_punct AS DOUBLE) / n_chars_c <= 0.2
+        |), keep AS (
+        |  SELECT min(doc_id) AS keep_id
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM filtered)
+        |  GROUP BY norm
+        |)
+        |SELECT doc_id, source, quality_score FROM (
+        |  SELECT doc_id, source, quality_score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id) AS rk
+        |  FROM filtered WHERE doc_id IN (SELECT keep_id FROM keep))
+        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin)
   )
 }

@@ -72,6 +72,75 @@ object DedupClusters {
     comp
   }
 
+  /** The adversarial-graph alternative: two-phase star contraction
+    * (the large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Min-label
+    * propagation with pointer jumping ([[components]]) needs O(log d)
+    * rounds for diameter d — fine for dup graphs (tiny cliques/chains),
+    * but a corpus-length chain is O(log n) rounds EACH costing a join
+    * over the full vertex set. Star contraction converges in O(log² n)
+    * rounds on any graph while shrinking the edge set geometrically:
+    *
+    *  - large-star: every node points its LARGER neighbors at its
+    *    min-neighborhood label m = min(Γ(u) ∪ u);
+    *  - small-star: every node points its smaller-or-equal neighbors
+    *    (and itself) at m.
+    *
+    * Each phase is one groupBy + one join on the (shrinking) edge list.
+    * At fixpoint the edge list IS the component map: (u → component
+    * min) for every non-root u. Output matches [[components]] row for
+    * row (roots carry comp = id).
+    */
+  def componentsStarContraction(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val initial = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val vertices = initial.select(col("u").as("id"))
+      .unionByName(initial.select(col("v").as("id")))
+      .distinct().localCheckpoint(true)
+
+    // large-star: from each node's FULL (symmetrized) neighborhood,
+    // point every strictly-larger neighbor at m = min(Γ(u) ∪ u).
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val m = adj.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      adj.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star: orient each edge from its larger endpoint, point the
+    // smaller neighbors AND the node itself at m = min(N⁻(u) ∪ u).
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val m = oriented.groupBy("u").agg(min("v").as("m"))
+      oriented.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var edges = initial
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint ⇔ identical edge sets (both are distinct): same size and
+      // nothing new on either side. Two cheap anti-join probes.
+      changed = next.join(edges, Seq("u", "v"), "left_anti").head(1).nonEmpty ||
+        edges.join(next, Seq("u", "v"), "left_anti").head(1).nonEmpty
+      edges = next
+      iter += 1
+    }
+    // fixpoint stars: every non-root points at exactly its component's
+    // min (roots carry no outgoing edge — their self-loop dropped).
+    val labels = edges.groupBy("u").agg(min("v").as("comp"))
+      .select(col("u").as("id"), col("comp"))
+    vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** One row per cluster: (comp, n_members) — the dedup survivor is the
     * representative `comp` itself (min id, matching ExactDedup's keep-min
     * convention).

@@ -248,6 +248,36 @@ class DedupSpec extends SparkSpec {
     assert(sizes === Map(1L -> 4L, 10L -> 3L, 20L -> 3L, 30L -> 2L))
   }
 
+  test("star contraction matches min-label propagation on every graph shape") {
+    // the same fixture as the components test...
+    val fixture = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("id_a", "id_b")
+    // ...a long chain (the adversarial high-diameter case this variant
+    // exists for)...
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // ...and seeded random graphs over a sparse vertex space (mixed
+    // density → forests, partial merges, multi-component shapes).
+    val rng = new scala.util.Random(20260812L)
+    val randoms = (0 until 5).map { _ =>
+      val n = 40 + rng.nextInt(60)
+      (0 until n).map { _ =>
+        (rng.nextInt(200).toLong, rng.nextInt(200).toLong)
+      }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    }
+    (fixture +: chain +: randoms).foreach { pairs =>
+      val expect = DedupClusters.components(pairs)
+        .as[(Long, Long)].collect().toSet
+      val got = DedupClusters.componentsStarContraction(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(got === expect)
+    }
+    assert(DedupClusters.componentsStarContraction(fixture.limit(0)).count() === 0)
+    graft.CachePool.releaseAll()
+  }
+
   test("EmbeddingDedup finds every planted scaled copy and nothing else") {
     val vecs = DedupData.withPlantedVecDups(table("embeddings"))
     val pairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
