@@ -110,6 +110,47 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges.size <= 1, s"redaction must not shuffle:\n$plan")
   }
 
+  test("q_decontaminate probes by broadcast: the corpus side never shuffles before the join") {
+    val plan = finalPlan(q("q_decontaminate"))
+    // eval gram set broadcast-built, corpus map-side probed
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
+    // shuffles: only the post-hit distinct-agg exchanges and the output
+    // order — none may sit between the corpus scan and the join.
+    val joins = collect(plan) { case j: BroadcastHashJoinExec => j }
+    val corpusSideShuffles = joins.flatMap(j => collect(j.left) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    assert(corpusSideShuffles.isEmpty,
+      s"corpus side must reach the broadcast probe shuffle-free:\n$plan")
+  }
+
+  test("quota queries bound per-key rows with TopKPerKey partial before the exchange") {
+    Seq("q_source_quota", "q_curation_quota").foreach { name =>
+      val plan = finalPlan(q(name))
+      val str = plan.toString
+      // two TopKPerKey operators: partial (map-side) + final (post-shuffle)
+      assert("TopKPerKey".r.findAllIn(str).size >= 2,
+        s"$name must plan partial+final TopKPerKey:\n$str")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    }
+  }
+
+  test("q_seq_pack's only global window is over the partition-totals frame") {
+    val plan = finalPlan(q("q_seq_pack"))
+    graft.CachePool.releaseAll()
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // every window either partitions by a key (grp-local numbering /
+    // per-__pid running totals) or runs over the #partitions-row totals
+    // frame; none may partition the DATA globally. The totals-frame global
+    // window's child is the tiny per-__pid aggregate — assert the window
+    // count is bounded and at most one is unpartitioned.
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      s"at most the totals-frame window may be global:\n$plan")
+  }
+
   test("Catalyst injects a runtime bloom filter into a selective shuffle join") {
     // The engine leans on InjectRuntimeFilter for fact⋈filtered-dim joins:
     // the dim side's bloom filter prunes fact rows BEFORE the shuffle. The
