@@ -113,6 +113,36 @@ class CorpusPrepSpec extends SparkSpec {
       (4L, 11, 3L), (5L, 1, 4L), (6L, 10, 5L), (7L, 2, 6L)))
   }
 
+  test("packGreedy matches a local reference fold on random sparse-id inputs") {
+    val rng = new scala.util.Random(42)
+    for (round <- 0 until 3) {
+      val n = 30 + rng.nextInt(40)
+      val docs = (0 until n).map(i => (i.toLong * 3 + rng.nextInt(2), 1 + rng.nextInt(20)))
+        .distinctBy(_._1)
+      val budget = 25
+      val g = 8
+      val got = SeqPack.packGreedy(docs.toDF("doc_id", "n"),
+          col("doc_id"), col("n"), budget, g)
+        .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+      // reference: per id-range group, sequential greedy; bins numbered
+      // consecutively across groups in group order
+      var nextBin = 0L
+      val ref = docs.sortBy(_._1).groupBy(_._1 / g).toSeq.sortBy(_._1).flatMap {
+        case (_, items) =>
+          var fill = 0L
+          var b = nextBin
+          val out = items.sortBy(_._1).map { case (id, nt) =>
+            if (fill > 0 && fill + nt > budget) { b += 1; fill = nt.toLong }
+            else fill += nt
+            (id, b)
+          }
+          nextBin = b + 1
+          out
+      }.toMap
+      assert(got === ref, s"round $round mismatch")
+    }
+  }
+
   test("sourceQuota keeps at most k docs per source, best quality first") {
     val docs = table("documents")
     val k = 2
