@@ -339,9 +339,26 @@ object SparkEntry {
       // pairs sharing a verbatim 8-token run (fingerprint explode →
       // equi-join on the window hash). Hash-oracle-checkable because pair
       // identity depends only on hash EQUALITIES, which mirror token-run
-      // string equality — DuckDB rebuilds the runs as strings.
+      // string equality — DuckDB rebuilds the runs as strings. A planted
+      // boilerplate footer (~1/3 of docs share one run) exercises the
+      // maxRunDf cutoff: without it the footer alone would emit C(n/3, 2)
+      // pairs; with it those pairs are excluded (the oracle replays the
+      // same df <= 64 filter) and surface in q_boilerplate_runs instead.
       Fingerprint.sharedRunPairs(
-        DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))),
+        DedupData.withBoilerplate(DedupData.withPlantedDups(t(s, d, "documents"))),
+        col("doc_id"), col("text"), maxRunDf = 64)),
+
+    "q_boilerplate_runs" -> ((s, d) =>
+      // the cutoff's side channel, graded as a df histogram: window runs
+      // with document frequency > 64 (the planted footer plus whatever
+      // natural boilerplate the corpus carries), as (run_df, n_runs) —
+      // fp hashes themselves are not oracle-reproducible, their df
+      // spectrum is.
+      Fingerprint.boilerplateRuns(
+          DedupData.withBoilerplate(DedupData.withPlantedDups(t(s, d, "documents"))),
+          col("doc_id"), col("text"), maxRunDf = 64)
+        .groupBy("run_df").agg(count(lit(1)).as("n_runs"))
+        .orderBy("run_df")),
 
     "q_dedup_minhash_w" -> ((s, d) =>
       MinHashLsh.nearDuplicatesWeighted(
@@ -819,22 +836,43 @@ object SparkEntry {
         |  CAST(n_distinct_fps AS BIGINT) AS n_distinct_fps
         |FROM base ORDER BY doc_id""".stripMargin),
 
-    "q_shared_runs" -> (DedupData.DocsCte +
+    "q_shared_runs" -> (DedupData.DocsCte + DedupData.BoilerCte +
       """, toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM docs
+        |  FROM bdocs
         |), wins AS (
         |  SELECT doc_id,
         |    CASE WHEN len(tk) <= 8 THEN [array_to_string(tk, ' ')]
         |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
         |                i -> array_to_string(tk[i:i+7], ' '))) END AS ws
         |  FROM toks
-        |), expl AS (SELECT doc_id, unnest(ws) AS fp FROM wins)
+        |), expl AS (SELECT doc_id, unnest(ws) AS fp FROM wins
+        |), kept AS (SELECT fp FROM expl GROUP BY fp HAVING count(*) <= 64
+        |), exk AS (SELECT e.doc_id, e.fp FROM expl e JOIN kept k USING (fp))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-        |FROM expl a JOIN expl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM exk a JOIN exk b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // the cutoff's side channel: df spectrum of the excluded (boilerplate)
+    // runs — the planted footer shows up as one run with df ≈ n/3.
+    "q_boilerplate_runs" -> (DedupData.DocsCte + DedupData.BoilerCte +
+      """, toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM bdocs
+        |), wins AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) <= 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' '))) END AS ws
+        |  FROM toks
+        |), expl AS (SELECT doc_id, unnest(ws) AS fp FROM wins
+        |), boiler AS (
+        |  SELECT fp, count(*) AS run_df FROM expl GROUP BY fp HAVING count(*) > 64)
+        |SELECT CAST(run_df AS BIGINT) AS run_df, CAST(count(*) AS BIGINT) AS n_runs
+        |FROM boiler GROUP BY run_df ORDER BY run_df""".stripMargin),
 
     // ── §2.3 streaming & general analytics ───────────────────────────────
     "q_window_agg" ->

@@ -34,6 +34,22 @@ object DedupData {
     base.unionByName(exact).unionByName(near)
   }
 
+  /** Exactly 8 whitespace tokens ⇒ one boilerplate window fingerprint at
+    * w = 8, shared by every doc carrying the footer.
+    */
+  val BoilerFooter = "standard footer boilerplate text shared across many documents"
+
+  /** Plants a shared boilerplate run: every 3rd doc gets [[BoilerFooter]]
+    * appended — a single window fingerprint with document frequency ≈ n/3,
+    * the input class `Fingerprint.sharedRunPairs`' `maxRunDf` cutoff
+    * exists for. Applied AFTER [[withPlantedDups]] so the footer rides on
+    * planted ids too. Mirrored by [[BoilerCte]].
+    */
+  def withBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + BoilerFooter)))
+        .otherwise(col("text")))
+
   /** Embedding near-dups: scaled copies (same direction ⇒ cosine ≈ 1). */
   def withPlantedVecDups(vecs: DataFrame): DataFrame = {
     val base = vecs.select("vec_id", "embedding", "label")
@@ -57,6 +73,19 @@ object DedupData {
       |  FROM documents WHERE doc_id % 5 = 0
       |)
       |""".stripMargin
+
+  /** DuckDB CTE mirroring [[withBoilerplate]] over the `docs` CTE —
+    * append after [[DocsCte]]; reads from `bdocs`.
+    */
+  val BoilerCte: String =
+    s""", bdocs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN concat(text, ' $BoilerFooter')
+       |         ELSE text END AS text,
+       |    lang, source
+       |  FROM docs
+       |)
+       |""".stripMargin
 
   /** DuckDB CTE mirroring [[withPlantedVecDups]] (tables: embeddings). */
   val VecsCte: String =

@@ -68,21 +68,35 @@ object SkewJoin {
     *
     * Output: (id_a, pay_a, id_b, pay_b), one row per key the pair shares.
     * Deterministic (group assignment is xxhash64(id) mod S).
+    *
+    * `maxKeyCount` is the OUTPUT-volume knob tiling cannot provide: a key
+    * with m rows emits C(m,2) pairs no matter how the work is spread, so a
+    * key hotter than `maxKeyCount` is EXCLUDED from pair enumeration
+    * entirely (both paths). The excluded set is bounded — at most
+    * totalRows / maxKeyCount keys — and comes from the same count
+    * aggregate the tiling already runs, so the cutoff costs nothing.
+    * Default Int.MaxValue = no exclusion (tiling only).
     */
   def boundedSelfPairs(df: DataFrame, keys: Seq[String], id: Column, payload: Column,
-                       hotThreshold: Int = 4096): DataFrame = {
+                       hotThreshold: Int = 4096, maxKeyCount: Int = Int.MaxValue): DataFrame = {
     require(hotThreshold > 1, "hotThreshold must exceed 1")
+    require(maxKeyCount > 0, "maxKeyCount must be positive")
     val keyCols = keys.map(col)
     val base = df.select(keyCols :+ id.as("__sp_id") :+ payload.as("__sp_pay"): _*)
     // Hot keys come from a KEY-ONLY count aggregate (the shuffle carries
     // 8-byte keys, not payload rows) and are expected to be a tiny — often
     // empty — set, broadcast to filter both paths. The cold path is then
     // the plain self-join plus a broadcast anti-join: no extra shuffle, no
-    // materialization beyond whatever the caller already persists.
-    val hotKeys = base.groupBy(keyCols: _*).agg(count(lit(1)).as("__sp_cnt"))
-      .filter(col("__sp_cnt") > hotThreshold)
+    // materialization beyond whatever the caller already persists. Keys
+    // above maxKeyCount leave the cold path through the same anti-join and
+    // never enter the hot (tiled) path.
+    val counts = base.groupBy(keyCols: _*).agg(count(lit(1)).as("__sp_cnt"))
+    val hotKeys = counts
+      .filter(col("__sp_cnt") > hotThreshold && col("__sp_cnt") <= maxKeyCount)
+    val notCold = counts
+      .filter(col("__sp_cnt") > math.min(hotThreshold.toLong, maxKeyCount.toLong))
 
-    val cold = base.join(broadcast(hotKeys.select(keyCols: _*)), keys, "left_anti")
+    val cold = base.join(broadcast(notCold.select(keyCols: _*)), keys, "left_anti")
     val coldPairs = cold
       .select(keyCols :+ col("__sp_id").as("id_a") :+ col("__sp_pay").as("pay_a"): _*)
       .join(cold.select(keyCols :+ col("__sp_id").as("id_b") :+ col("__sp_pay").as("pay_b"): _*), keys)

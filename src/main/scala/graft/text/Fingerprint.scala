@@ -60,18 +60,41 @@ object Fingerprint {
   /** Pairs of documents sharing ≥1 window fingerprint (verbatim w-token
     * overlap). The explode → equi-join on the fingerprint is the scale
     * path: shuffle keyed on the 8-byte hash, routed through
-    * [[graft.operators.SkewJoin.boundedSelfPairs]] so a boilerplate run
-    * shared by thousands of documents cannot concentrate its quadratic
-    * pair work in one task.
+    * [[graft.operators.SkewJoin.boundedSelfPairs]] so a hot run cannot
+    * concentrate its quadratic pair work in one task.
+    *
+    * `maxRunDf` is the BOILERPLATE CUTOFF — the semantics knob tiling
+    * cannot replace. The operator's output is every pair sharing a run:
+    * a run appearing in m documents (license header, nav bar) emits
+    * C(m,2) rows, intractable at corpus scale for any plan once m hits
+    * millions. A run with document frequency above `maxRunDf` is
+    * boilerplate by definition, not duplication signal, so it is excluded
+    * from pair enumeration entirely; [[boilerplateRuns]] reports the
+    * excluded (fp, run_df) set as the side channel a curation pipeline
+    * audits. Pairs from below-cutoff runs are unchanged. Default
+    * Int.MaxValue = no cutoff (small-data / faithful form).
     */
   def sharedRunPairs(docs: DataFrame, id: Column, text: Column, w: Int = 8,
-                     hotRunThreshold: Int = 4096): DataFrame = {
+                     hotRunThreshold: Int = 4096, maxRunDf: Int = Int.MaxValue): DataFrame = {
     val fps = graft.CachePool.persist(
       docs.select(id.as("fp_id"), explode(array_distinct(windowHashes(text, w))).as("fp")))
     graft.operators.SkewJoin
-      .boundedSelfPairs(fps, Seq("fp"), col("fp_id"), lit(0), hotRunThreshold)
+      .boundedSelfPairs(fps, Seq("fp"), col("fp_id"), lit(0), hotRunThreshold,
+        maxKeyCount = maxRunDf)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("id_a", "id_b")
   }
+
+  /** The boilerplate side channel of [[sharedRunPairs]]: every window
+    * fingerprint whose document frequency exceeds `maxRunDf`, with its df.
+    * Bounded output by construction (≤ totalWindowRows / maxRunDf rows);
+    * one key-only count aggregate over the exploded fingerprint frame.
+    */
+  def boilerplateRuns(docs: DataFrame, id: Column, text: Column, w: Int = 8,
+                      maxRunDf: Int = 4096): DataFrame =
+    docs.select(id.as("fp_id"), explode(array_distinct(windowHashes(text, w))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("run_df"))
+      .filter(col("run_df") > maxRunDf)
+      .orderBy(col("run_df").desc, col("fp"))
 }

@@ -92,4 +92,31 @@ class TextSpec extends SparkSpec {
     val missing = nearIds.filterNot(i => pairs.contains((i, i + DedupData.NearIdOffset)))
     assert(missing.isEmpty, s"fingerprint missed ${missing.size} planted near pairs")
   }
+
+  test("sharedRunPairs maxRunDf drops boilerplate pairs, keeps genuine runs") {
+    // 100 otherwise-unrelated docs share one planted boilerplate footer;
+    // docs 1001/1002 share a genuine 8-token run and no footer.
+    val footer = DedupData.BoilerFooter
+    val boilerDocs = (1L to 100L).map(i =>
+      (i, s"unique${i}a unique${i}b unique${i}c unique${i}d $footer"))
+    val genuine = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta shared tail run"),
+      (1002L, "different head words alpha beta gamma delta epsilon zeta eta theta"))
+    val docs = (boilerDocs ++ genuine).toDF("doc_id", "text")
+
+    // without the cutoff: the footer alone contributes C(100,2) pairs
+    val unbounded = Fingerprint.sharedRunPairs(docs, col("doc_id"), col("text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unbounded.size >= 100 * 99 / 2)
+
+    // with the cutoff: boilerplate pairs vanish, the genuine pair survives
+    val cut = Fingerprint.sharedRunPairs(docs, col("doc_id"), col("text"), maxRunDf = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cut === Set((1001L, 1002L)))
+
+    // and the excluded run surfaces in the side channel with its df
+    val boiler = Fingerprint.boilerplateRuns(docs, col("doc_id"), col("text"), maxRunDf = 50)
+      .select("run_df").as[Long].collect().toSeq
+    assert(boiler === Seq(100L))
+  }
 }
