@@ -1108,8 +1108,10 @@ object SparkEntry {
         |  FROM numbered WHERE rn = 1
         |  UNION ALL
         |  SELECT n.grp, n.rn, n.doc_id, n.n_tokens,
-        |    CASE WHEN p.fill + n.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
-        |    CASE WHEN p.fill + n.n_tokens > 512 THEN CAST(n.n_tokens AS BIGINT)
+        |    -- fill > 0 guard matches packGreedy: a bin opened by a
+        |    -- zero-token doc still accepts the next doc whatever its size
+        |    CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512 THEN CAST(n.n_tokens AS BIGINT)
         |         ELSE p.fill + n.n_tokens END
         |  FROM pack p JOIN numbered n ON n.grp = p.grp AND n.rn = p.rn + 1
         |), bins AS (

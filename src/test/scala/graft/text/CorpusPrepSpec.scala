@@ -113,6 +113,17 @@ class CorpusPrepSpec extends SparkSpec {
       (4L, 11, 3L), (5L, 1, 4L), (6L, 10, 5L), (7L, 2, 6L)))
   }
 
+  test("packGreedy: a bin opened by a zero-token doc accepts the next doc whatever its size") {
+    // doc 0 has 0 tokens (empty/whitespace-only text), doc 1 alone exceeds
+    // the budget: the fill > 0 guard keeps doc 1 in doc 0's bin instead of
+    // opening a new one — the semantics the DuckDB oracle must replay
+    // (its CASE arms carry the same fill > 0 guard).
+    val df = Seq((0L, 0), (1L, 15), (2L, 3)).toDF("doc_id", "n")
+    val got = SeqPack.packGreedy(df, col("doc_id"), col("n"), budget = 10, groupSize = 64)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toList
+    assert(got === List((0L, 0L), (1L, 0L), (2L, 1L)))
+  }
+
   test("packGreedy matches a local reference fold on random sparse-id inputs") {
     val rng = new scala.util.Random(42)
     for (round <- 0 until 3) {
