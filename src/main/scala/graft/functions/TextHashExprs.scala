@@ -214,6 +214,49 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** True iff ANY element of the input array<long> occurs in the fixed
+  * SORTED haystack, by per-element binary search — O(k · log m) for a
+  * k-gram document against an m-gram haystack. The `arrays_overlap`
+  * formulation builds a hash set from the smaller (per-doc) side and then
+  * LINEARLY SCANS the literal haystack until a hit, so every clean
+  * document — the overwhelming majority in a decontamination pass — pays
+  * O(m); with a benchmark suite of 10⁵-10⁶ grams that is the dominant
+  * cost of the whole probe. The haystack rides inside the expression
+  * (serialized once with the task closure, shared across rows), not as a
+  * per-row Catalyst literal.
+  */
+case class SortedLongContainsAny(child: Expression, haystack: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_long_contains_any expects array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(haystack, xs.getLong(i)) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[SortedLongContainsAny].getName
+    val ref = ctx.addReferenceObj("slca", this, cls)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (Boolean) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedLongContainsAny =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token-hash array: each hash votes +1/-1 per bit
   * position; the sign of each tally is the signature bit. One O(n × 64)
   * native loop — the HOF formulation folds a 64-long array per token,
@@ -280,6 +323,13 @@ object TextHashExprs {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Does any element of `xs` occur in the SORTED long haystack?
+    * Per-element binary search; haystack serialized once per task.
+    */
+  def sortedContainsAny(xs: Column, sortedHaystack: Array[Long]): Column =
+    ColumnBridge.column(SortedLongContainsAny(
+      ColumnBridge.expression(xs), sortedHaystack))
 
   /** Bag → per-occurrence instance hashes of an array<long> column. */
   def bagInstanceHashes(hashes: Column): Column =

@@ -1,9 +1,11 @@
 package graft.text
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.NGramJaccard
+import graft.functions.TextHashExprs
 
 /** Benchmark decontamination: flag training documents that share a verbatim
   * word n-gram with a held-out evaluation set — the standard contamination
@@ -19,21 +21,39 @@ import graft.dedup.NGramJaccard
   * mirrors string equality modulo 2⁻⁶⁴ collisions — the same oracle
   * contract as the Jaccard gram family.
   */
-object Decontaminate {
+object Decontaminate extends Logging {
 
   /** Per-contaminated-doc overlap counts: (doc_id, n_hit_grams,
     * n_eval_docs) for every corpus doc sharing ≥ 1 distinct word `n`-gram
     * with any eval doc — `n_hit_grams` distinct shared gram values,
     * `n_eval_docs` distinct eval docs hit. Docs with ≤ n tokens contribute
     * one whole-text gram (the WindowPolyHash short-input contract).
+    *
+    * The broadcast of the eval gram side assumes the eval set is a
+    * BENCHMARK SUITE (bounded by definition); that assumption is enforced
+    * rather than trusted: the eval side is counted first (one cheap scan
+    * of the small side — no corpus job), and above `maxBroadcastRows`
+    * the probe falls back to a plain shuffle join with a warning instead
+    * of letting `broadcast()` OOM an executor when someone feeds a corpus
+    * as `evalDocs`. Same rows either way; only the plan differs.
     */
   def overlaps(corpus: DataFrame, evalDocs: DataFrame,
-               id: Column, text: Column, n: Int = 8): DataFrame = {
+               id: Column, text: Column, n: Int = 8,
+               maxBroadcastRows: Long = 10000000L): DataFrame = {
     val corpusGrams = corpus.select(
       id.as("doc_id"), explode(NGramJaccard.ngramSet(text, n)).as("g"))
     val evalGrams = evalDocs.select(
       id.as("eval_id"), explode(NGramJaccard.ngramSet(text, n)).as("g"))
-    corpusGrams.join(broadcast(evalGrams), "g")
+    val nEvalGrams = evalGrams.count()
+    val joined =
+      if (nEvalGrams <= maxBroadcastRows) corpusGrams.join(broadcast(evalGrams), "g")
+      else {
+        logWarning(s"Decontaminate.overlaps: eval side has $nEvalGrams gram rows " +
+          s"(> maxBroadcastRows=$maxBroadcastRows); falling back to a shuffle join — " +
+          "the corpus side will shuffle. Is the eval set really a benchmark suite?")
+        corpusGrams.join(evalGrams.hint("shuffle_hash"), "g")
+      }
+    joined
       .groupBy("doc_id")
       .agg(count_distinct(col("g")).as("n_hit_grams"),
         count_distinct(col("eval_id")).as("n_eval_docs"))
@@ -52,15 +72,20 @@ object Decontaminate {
       .collect().map(_.getLong(0))
 
   /** Stateless per-doc contamination flag against a pre-collected eval
-    * gram set: one `arrays_overlap` against the literal array — a pure
-    * map with no shuffle, no state, and no watermark, so the SAME
-    * expression runs batch or streaming (append mode) unchanged. The
-    * sized-for-broadcast trade vs [[overlaps]]: no per-gram hit counts,
+    * gram set: a native binary-search probe of the doc's k grams against
+    * the sorted eval array — O(k · log m) per doc, vs `arrays_overlap`'s
+    * O(m) linear scan of the eval set for every CLEAN document (the
+    * overwhelming majority). A pure map with no shuffle, no state, and no
+    * watermark, so the SAME expression runs batch or streaming (append
+    * mode) unchanged. The trade vs [[overlaps]]: no per-gram hit counts,
     * but nothing to join either.
     */
   def flagContaminated(docs: DataFrame, evalGrams: Array[Long],
-                       id: Column, text: Column, n: Int = 8): DataFrame =
+                       id: Column, text: Column, n: Int = 8): DataFrame = {
+    val sorted = evalGrams.clone()
+    java.util.Arrays.sort(sorted)
     docs.select(id.as("doc_id"),
-      arrays_overlap(NGramJaccard.ngramSet(text, n), typedlit(evalGrams))
+      TextHashExprs.sortedContainsAny(NGramJaccard.ngramSet(text, n), sorted)
         .as("contaminated"))
+  }
 }

@@ -73,6 +73,34 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got === List((1L, 2L, 1L)))
   }
 
+  test("overlaps falls back to a shuffle join above maxBroadcastRows, rows unchanged") {
+    val docs = table("documents")
+    val evalDocs = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id") + 100000L as "doc_id", col("text"))
+    val viaBroadcast = Decontaminate.overlaps(docs, evalDocs, col("doc_id"), col("text"))
+    val viaShuffle = Decontaminate.overlaps(docs, evalDocs, col("doc_id"), col("text"),
+      maxBroadcastRows = 1L)
+    // the guard switches the JOIN STRATEGY hint, not the answer
+    assert(viaBroadcast.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    assert(viaShuffle.queryExecution.optimizedPlan.toString.contains("strategy=shuffle_hash"))
+    assert(viaShuffle.collect().toSeq === viaBroadcast.collect().toSeq)
+  }
+
+  test("flagContaminated probe agrees with the arrays_overlap formulation corpus-wide") {
+    val docs = table("documents")
+    val evalDocs = docs.filter(col("doc_id") % 13 === 0)
+    val grams = Decontaminate.evalGramHashes(evalDocs, col("doc_id"), col("text"))
+    val viaProbe = Decontaminate.flagContaminated(
+        docs, grams, col("doc_id"), col("text"))
+      .as[(Long, Boolean)].collect().toSet
+    val viaOverlap = docs.select(col("doc_id"),
+        arrays_overlap(graft.dedup.NGramJaccard.ngramSet(col("text"), 8),
+          typedlit(grams)).as("contaminated"))
+      .as[(Long, Boolean)].collect().toSet
+    assert(viaProbe === viaOverlap)
+    assert(viaProbe.exists(_._2)) // the eval subset itself is contaminated
+  }
+
   test("flagContaminated is batch/stream identical (stateless map, no state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val evalDocs = Seq(
