@@ -286,10 +286,13 @@ object SparkEntry {
       // vertex labeled with its component's min doc_id (the canonical
       // survivor). Edges are the containment pairs, so the oracle can
       // rebuild the graph exactly and close it with a recursive CTE.
+      // componentsAuto is the graded path: min-label propagation with a
+      // round budget, escalating to star contraction on high-diameter
+      // graphs (spec-equivalent; dup graphs converge in the budget).
       val pairs = NGramJaccard.containmentPairs(
         DedupData.withPlantedDups(t(s, d, "documents")),
         col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)
-      graft.dedup.DedupClusters.components(pairs.select("id_a", "id_b"))
+      graft.dedup.DedupClusters.componentsAuto(pairs.select("id_a", "id_b"))
         .orderBy("id")
     }),
 

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -18,29 +19,45 @@ import org.apache.spark.sql.functions._
   * round is one equi-join + partial-agg shuffle on the 8-byte vertex id
   * (no driver-side graph state; the edge list never leaves executors).
   * For adversarial high-diameter graphs (long chains at the scale of the
-  * corpus), switch to the large-star/small-star contraction, which
-  * converges in O(log²) rounds on the same join shape.
+  * corpus), [[componentsStarContraction]] (large-star/small-star)
+  * converges in O(log² n) rounds on the same join shape, and
+  * [[componentsAuto]] escalates from one to the other automatically.
+  *
+  * Every variant takes `checkpointDir`: `None` truncates per-round
+  * lineage with eager `localCheckpoint` (executor-local blocks — fast,
+  * but a lost executor kills the job), `Some(dir)` uses RELIABLE
+  * `checkpoint()` into that directory so a 100 TB clustering job
+  * survives executor loss mid-iteration. Same results either way.
   */
-object DedupClusters {
+object DedupClusters extends Logging {
 
-  /** (id, comp) for every vertex in `pairs` (columns id_a, id_b), where
-    * comp = min id in the vertex's connected component.
+  /** Per-round lineage truncation: an iterative plan otherwise nests the
+    * whole upstream plan once per round, and driver-side canonicalization
+    * over the deepening tree quickly dwarfs the actual (tiny) shuffles.
+    * Checkpointed round frames are dropped by the ContextCleaner as soon
+    * as the next round stops referencing them.
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Lineage is TRUNCATED each round (eager localCheckpoint): an
-    // iterative plan otherwise nests the whole upstream plan once per
-    // round, and driver-side canonicalization / cache lookup over the
-    // deepening tree quickly dwarfs the actual (tiny) shuffles. This is
-    // the standard shape for iterative DataFrame algorithms; at cluster
-    // scale, swap localCheckpoint for reliable checkpointing if
-    // executor-loss fault tolerance matters mid-computation.
-    // Checkpointed round frames are dropped by the ContextCleaner as
-    // soon as the next round stops referencing them.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint(true)
-    var comp = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+  private def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(_) => df.checkpoint(eager = true)
+      case None    => df.localCheckpoint(eager = true)
+    }
+
+  private def setDir(df: DataFrame, checkpointDir: Option[String]): Unit =
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+
+  /** Min-label + pointer-jump rounds; returns the labels and whether the
+    * fixpoint was reached within `maxIter`.
+    */
+  private def minLabelRounds(pairs: DataFrame, maxIter: Int,
+                             checkpointDir: Option[String]): (DataFrame, Boolean) = {
+    setDir(pairs, checkpointDir)
+    val edges = truncate(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct(), checkpointDir)
+    var comp = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")), checkpointDir)
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -49,26 +66,39 @@ object DedupClusters {
         .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy("src").agg(min("ncomp").as("nmin"))
       // checkpointed: the pointer-jump reads stepped on BOTH join sides
-      val stepped = comp
+      val stepped = truncate(comp
         .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("mid"),
-          col("comp").as("prev"))
-        .localCheckpoint(true)
+          col("comp").as("prev")), checkpointDir)
       // pointer-jump step: label := label(label) — a label is always a
       // live vertex id, so the lookup is an equi-join against the same
       // frame, and jumping halves the remaining chain length per round
       // (O(log diameter) rounds instead of O(diameter)).
-      val next = stepped
+      val next = truncate(stepped
         .join(stepped.select(col("id").as("mid"), col("mid").as("jump")), Seq("mid"))
         .select(col("id"), least(col("mid"), col("jump")).as("comp"),
-          (least(col("mid"), col("jump")) < col("prev")).as("__moved"))
-        .localCheckpoint(true)
+          (least(col("mid"), col("jump")) < col("prev")).as("__moved")), checkpointDir)
       changed = next.agg(coalesce(max(col("__moved")), lit(false)))
         .collect()(0).getBoolean(0)
       comp = next.select("id", "comp")
       iter += 1
     }
+    (comp, !changed)
+  }
+
+  /** (id, comp) for every vertex in `pairs` (columns id_a, id_b), where
+    * comp = min id in the vertex's connected component. Throws if the
+    * fixpoint is not reached within `maxIter` — a truncated label map is
+    * silently WRONG (vertices still carry non-minimal labels), never an
+    * approximation; raise `maxIter` or use [[componentsAuto]].
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val (comp, converged) = minLabelRounds(pairs, maxIter, checkpointDir)
+    if (!converged) throw new IllegalStateException(
+      s"DedupClusters.components did not converge within maxIter=$maxIter rounds; " +
+        "labels would be non-minimal. Raise maxIter or use componentsAuto.")
     comp
   }
 
@@ -89,14 +119,19 @@ object DedupClusters {
     * Each phase is one groupBy + one join on the (shrinking) edge list.
     * At fixpoint the edge list IS the component map: (u → component
     * min) for every non-root u. Output matches [[components]] row for
-    * row (roots carry comp = id).
+    * row (roots carry comp = id). Throws when the fixpoint is not
+    * reached within `maxIter`: this variant exists precisely for the
+    * high-diameter graphs where convergence is slowest, so silent
+    * truncation would yield wrong labels exactly on its target inputs.
     */
-  def componentsStarContraction(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val initial = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    val vertices = initial.select(col("u").as("id"))
+  def componentsStarContraction(pairs: DataFrame, maxIter: Int = 50,
+                                checkpointDir: Option[String] = None): DataFrame = {
+    setDir(pairs, checkpointDir)
+    val initial = truncate(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct(), checkpointDir)
+    val vertices = truncate(initial.select(col("u").as("id"))
       .unionByName(initial.select(col("v").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct(), checkpointDir)
 
     // large-star: from each node's FULL (symmetrized) neighborhood,
     // point every strictly-larger neighbor at m = min(Γ(u) ∪ u).
@@ -125,14 +160,20 @@ object DedupClusters {
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixpoint ⇔ identical edge sets (both are distinct): same size and
-      // nothing new on either side. Two cheap anti-join probes.
-      changed = next.join(edges, Seq("u", "v"), "left_anti").head(1).nonEmpty ||
-        edges.join(next, Seq("u", "v"), "left_anti").head(1).nonEmpty
+      val next = truncate(smallStar(largeStar(edges)), checkpointDir)
+      // fixpoint ⇔ identical edge sets (both are distinct): one
+      // symmetric-difference probe via full outer join — a row missing
+      // on either side means the sets differ.
+      changed = next.withColumn("__n", lit(1))
+        .join(edges.withColumn("__e", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__n").isNull || col("__e").isNull)
+        .head(1).nonEmpty
       edges = next
       iter += 1
     }
+    if (changed) throw new IllegalStateException(
+      s"DedupClusters.componentsStarContraction did not converge within " +
+        s"maxIter=$maxIter rounds; labels would be wrong. Raise maxIter.")
     // fixpoint stars: every non-root points at exactly its component's
     // min (roots carry no outgoing edge — their self-loop dropped).
     val labels = edges.groupBy("u").agg(min("v").as("comp"))
@@ -141,11 +182,34 @@ object DedupClusters {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Auto-selecting entry point: run min-label + pointer-jump for up to
+    * `propagationBudget` rounds (2-4 suffice on real dup graphs — tiny
+    * cliques and short chains), and ESCALATE to star contraction if the
+    * fixpoint is not reached — the budget doubling as the diameter
+    * heuristic: a graph that hasn't converged in b pointer-jumping
+    * rounds has effective diameter ≳ 2^b, exactly star contraction's
+    * target class. Both phases are equi-join rounds over the edge list;
+    * the escalation wastes only the budgeted rounds.
+    */
+  def componentsAuto(pairs: DataFrame, propagationBudget: Int = 8,
+                     maxIter: Int = 50,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val (comp, converged) = minLabelRounds(pairs, propagationBudget, checkpointDir)
+    if (converged) comp
+    else {
+      logWarning(s"componentsAuto: min-label propagation not converged after " +
+        s"$propagationBudget rounds (effective diameter ≳ ${1L << propagationBudget}); " +
+        "escalating to star contraction")
+      componentsStarContraction(pairs, maxIter, checkpointDir)
+    }
+  }
+
   /** One row per cluster: (comp, n_members) — the dedup survivor is the
     * representative `comp` itself (min id, matching ExactDedup's keep-min
     * convention).
     */
-  def clusterSizes(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    components(pairs, maxIter)
+  def clusterSizes(pairs: DataFrame, maxIter: Int = 20,
+                   checkpointDir: Option[String] = None): DataFrame =
+    components(pairs, maxIter, checkpointDir)
       .groupBy("comp").agg(count(lit(1)).as("n_members"))
 }

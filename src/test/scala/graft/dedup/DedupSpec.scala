@@ -278,6 +278,46 @@ class DedupSpec extends SparkSpec {
     graft.CachePool.releaseAll()
   }
 
+  test("reliable checkpointing yields identical components to localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (30L, 31L)).toDF("id_a", "id_b")
+    try {
+      val local = DedupClusters.components(pairs).as[(Long, Long)].collect().toSet
+      val reliable = DedupClusters.components(pairs, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toSet
+      assert(reliable === local)
+      // the reliable path really wrote checkpoint files into the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpointing must materialize files")
+      val star = DedupClusters.componentsStarContraction(pairs, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toSet
+      assert(star === local)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("non-convergence throws instead of returning truncated labels; auto escalates") {
+    // a 200-vertex chain cannot converge in 1 round for either variant
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      DedupClusters.components(chain, maxIter = 1)
+    }
+    intercept[IllegalStateException] {
+      DedupClusters.componentsStarContraction(chain, maxIter = 1)
+    }
+    // componentsAuto with a tiny propagation budget escalates to star
+    // contraction and still produces the full closure
+    val auto = DedupClusters.componentsAuto(chain, propagationBudget = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(auto === (0L to 200L).map(i => (i, 0L)).toSet)
+    graft.CachePool.releaseAll()
+  }
+
   test("EmbeddingDedup finds every planted scaled copy and nothing else") {
     val vecs = DedupData.withPlantedVecDups(table("embeddings"))
     val pairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
