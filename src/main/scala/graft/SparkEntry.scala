@@ -422,6 +422,15 @@ object SparkEntry {
         .select(col("k").as("l_returnflag"), col("q_0").as("p25"),
           col("q_1").as("p50"), col("q_2").as("p75"))),
 
+    "q_group_quantiles_sketch" -> ((s, d) =>
+      // the scale form: mergeable per-group quantile sketch + exact rank
+      // certificate. The sketch's raw values are engine-specific, so the
+      // graded output is (group, quantile index, group size, rank_ok) —
+      // the oracle recomputes the sizes and pins every certificate TRUE.
+      Stats.groupQuantilesSketch(t(s, d, "lineitem"), col("l_returnflag"),
+          col("l_quantity"), Seq(0.25, 0.5, 0.75))
+        .select(col("k").as("l_returnflag"), col("qi"), col("n_rows"), col("rank_ok"))),
+
     "q_doc_pipeline" -> ((s, d) =>
       graft.text.DocPipeline.corpusStats(
         DedupData.withPlantedDups(t(s, d, "documents")), col("doc_id"), col("text"))),
@@ -963,6 +972,17 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // sketch outputs are engine-specific; the graded surface is the group
+    // sizes (data-derived) plus the rank certificates, pinned TRUE — a
+    // sketch whose answer drifts outside the ±1/accuracy rank band flips
+    // the hash red.
+    "q_group_quantiles_sketch" ->
+      """SELECT l_returnflag, CAST(q.qi AS BIGINT) AS qi,
+        |  count(*) AS n_rows, TRUE AS rank_ok
+        |FROM lineitem CROSS JOIN (VALUES (0), (1), (2)) AS q(qi)
+        |GROUP BY l_returnflag, q.qi
+        |ORDER BY l_returnflag, qi""".stripMargin,
 
     "q_doc_pipeline" -> (DedupData.DocsCte +
       """, feats AS (

@@ -73,6 +73,41 @@ object Stats {
       .orderBy("k")
   }
 
+  /** The 100 TB form of [[groupQuantiles]]: per-group quantiles via the
+    * MERGEABLE sketch (`percentile_approx`) — single pass, bounded memory
+    * per partition, map-side partial merge, no per-group sort — plus a
+    * driver-visible RANK CERTIFICATE, because a sketch's raw output is not
+    * replayable across engines: for each (group, quantile) the sketch's
+    * answer is joined back against the data (one equi-join + partial agg,
+    * linear) to compute the answer's exact rank interval
+    * [count(v < a)+1, count(v ≤ a)], and `rank_ok` states that interval
+    * intersects [(q−ε)·n, (q+ε)·n+1] with ε = 1/accuracy — the sketch's
+    * documented error bound. Output (k, qi, n_rows, rank_ok) is
+    * integers + booleans only, so it hash-checks exactly.
+    */
+  def groupQuantilesSketch(df: DataFrame, key: Column, value: Column,
+                           qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty)
+    val base = graft.CachePool.persist(
+      df.select(key.as("k"), value.cast("double").as("v")))
+    val sk = base.groupBy("k").agg(
+      percentile_approx(col("v"), typedlit(qs), lit(accuracy)).as("qv"),
+      count(lit(1)).as("n_rows"))
+    val per = sk.select(col("k"), col("n_rows"), posexplode(col("qv")))
+      .withColumnRenamed("pos", "qi").withColumnRenamed("col", "sv")
+    val q = element_at(typedlit(qs), col("qi") + 1)
+    val eps = lit(1.0 / accuracy)
+    per.join(base, "k")
+      .groupBy("k", "qi", "n_rows", "sv")
+      .agg(
+        sum(when(col("v") < col("sv"), 1L).otherwise(0L)).as("rank_below"),
+        sum(when(col("v") <= col("sv"), 1L).otherwise(0L)).as("rank_at"))
+      .select(col("k"), col("qi").cast("long").as("qi"), col("n_rows"),
+        ((col("rank_below") + 1 <= ceil((q + eps) * col("n_rows")) + 1) &&
+          (col("rank_at") >= floor((q - eps) * col("n_rows")))).as("rank_ok"))
+      .orderBy("k", "qi")
+  }
+
   /** Filter + ORDER BY … DESC LIMIT K with deterministic tie-breaks
     * (main.py:481-502). Catalyst plans this as TakeOrderedAndProject —
     * each partition keeps a K-row heap, the driver merges K*P rows, so it

@@ -61,6 +61,31 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(err / math.max(1.0, exact.getAs[Double]("median_v")) < 0.01)
   }
 
+  test("groupQuantilesSketch certifies sketch ranks against the exact data") {
+    // real table: every certificate must hold at the default accuracy
+    val li = table("lineitem")
+    val got = Stats.groupQuantilesSketch(li, col("l_returnflag"), col("l_quantity"),
+        Seq(0.25, 0.5, 0.75))
+      .as[(String, Long, Long, Boolean)].collect()
+    graft.CachePool.releaseAll()
+    val nFlags = li.select("l_returnflag").distinct().count()
+    assert(got.length === nFlags * 3)
+    assert(got.forall(_._4), s"rank certificate failed: ${got.filterNot(_._4).mkString(",")}")
+    // group sizes must be the real per-flag row counts
+    val sizes = li.groupBy("l_returnflag").count().as[(String, Long)].collect().toMap
+    assert(got.forall(r => sizes(r._1) === r._3))
+
+    // hand fixture: accuracy high => sketch exact; a wrong "sketch" value
+    // (simulated by an impossible quantile ask) would fail — here we
+    // check the certificate bounds tolerate value ties (rank intervals).
+    val tied = Seq.fill(50)(("g", 7.0)) ++ Seq.fill(50)(("g", 9.0))
+    val certTied = Stats.groupQuantilesSketch(tied.toDF("k", "v"), col("k"), col("v"),
+        Seq(0.25, 0.5, 0.75))
+      .as[(String, Long, Long, Boolean)].collect()
+    graft.CachePool.releaseAll()
+    assert(certTied.forall(_._4))
+  }
+
   test("eventRollup counts and sums per user") {
     val ev = Seq(
       (1L, "view", 1.5, "2024-01-01 00:00:00"),
