@@ -296,6 +296,32 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q_dedup_clusters_minhash" -> ((s, d) => {
+      // the approximate pipeline end-to-end: MinHash LSH pairs →
+      // connected components → merged survivors. The pair graph itself is
+      // approximate (rows-only by contract), but the CLOSURE's quality is
+      // gateable exactly like q_dedup_recall: every planted near-dup must
+      // land in its original's cluster — transitivity can only help — so
+      // the oracle pins the planted count (data-derived) and the recall
+      // boolean.
+      val docs = t(s, d, "documents")
+      val planted = DedupData.withPlantedDups(docs)
+      val pairs = MinHashLsh.nearDuplicates(planted, col("doc_id"), col("text"))
+      val comp = graft.dedup.DedupClusters.componentsAuto(pairs.select("id_a", "id_b"))
+      val origComp = comp.filter(col("id") % 5 === 0 && col("id") < DedupData.ExactIdOffset)
+        .select(col("id").as("oid"), col("comp").as("ca"))
+      val nearComp = comp.filter(col("id") >= DedupData.NearIdOffset)
+        .select((col("id") - DedupData.NearIdOffset).as("oid"), col("comp").as("cb"))
+      val merged = origComp.join(nearComp, "oid")
+        .filter(col("ca") === col("cb"))
+        .agg(count(lit(1)).as("rec"))
+      val nNear = docs.filter(col("doc_id") % 5 === 0).agg(count(lit(1)).as("n_p"))
+      merged.crossJoin(nNear).select(
+        lit("minhash_cc").as("algo"),
+        col("n_p").as("n_planted"),
+        (col("rec") >= col("n_p") * 0.9).as("recall_ok"))
+    }),
+
     "q_pii_redact" -> ((s, d) => {
       // every 5th doc gets a deterministic PII suffix (URL with embedded
       // credentials, e-mail, phone, IP) so the redaction chain has real
@@ -816,6 +842,14 @@ object SparkEntry {
     "q_dedup_recall" ->
       """SELECT 'minhash' AS algo, TRUE AS recall_ok
         |UNION ALL SELECT 'simhash', TRUE ORDER BY algo""".stripMargin,
+
+    // closure-quality gate over the MinHash pair graph: planted count is
+    // data-derived, the recall boolean pinned — a regression anywhere in
+    // pairs → components → merge flips the row red.
+    "q_dedup_clusters_minhash" ->
+      """SELECT 'minhash_cc' AS algo, CAST(count(*) AS BIGINT) AS n_planted,
+        |  TRUE AS recall_ok
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
 
     // the ANN gate emits scale-independent structural counts plus a
     // thresholded recall boolean; the oracle pins them as constants, so a
