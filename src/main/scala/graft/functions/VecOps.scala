@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Dot product of two float-vector columns, accumulated in double.
   *
@@ -75,6 +75,62 @@ case class VecDotF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) score for product-quantized search: given a
+  * row's code array (one centroid id per subspace) and a query's
+  * per-subspace lookup table of partial dots, sum lut[j][codes[j]] over
+  * the m subspaces — the hottest inner loop of PQ/OPQ/IVF-PQ search, run
+  * once per (query, candidate).
+  *
+  * The HOF formulation `aggregate(zip_with(codes, lut, element_at...))`
+  * allocates a zipped struct array per row and interprets both lambdas
+  * per element; this is one codegen'd loop of m array reads, bit-identical
+  * (same left-to-right double accumulation of the same lookups).
+  */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"adc_score expects (array<int>, array<array<double>>), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), lut.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lut.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $s += $b.getArray($j).getDouble($a.getInt($j));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecOps {
 
   /** Codegen'd float-vector dot product (double accumulator). */
@@ -100,4 +156,9 @@ object VecOps {
     * index centroids/hyperplanes ship to executors in).
     */
   def litVecF(c: Array[Float]): Column = array(c.map(lit).toIndexedSeq: _*)
+
+  /** Codegen'd ADC lookup-sum: Σ_j lut[j][codes[j]] over the subspaces. */
+  def adcScore(codes: Column, lut: Column): Column =
+    ColumnBridge.column(AdcScore(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 }

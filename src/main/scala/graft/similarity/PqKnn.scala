@@ -111,13 +111,13 @@ object PqKnn {
   }
 
   /** ADC score: m table lookups summed — approximates q · reconstruct(x).
-    * `codes` and `lut` must be attributes (projected before use), so the
-    * lambda touches only materialized arrays.
+    * One native codegen'd loop ([[graft.functions.AdcScore]]) — the HOF
+    * `aggregate(zip_with(...))` form allocates and interprets per row on
+    * the hottest ANN inner loop; results are bit-identical (same
+    * left-to-right double accumulation).
     */
   private[similarity] def adcScore(codes: Column, lut: Column): Column =
-    aggregate(
-      zip_with(codes, lut, (c, t) => element_at(t, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    VecOps.adcScore(codes, lut)
 
   /** (query_id, neighbor_id, score) → (query_id, rnk, neighbor_id), score
     * desc, deterministic neighbor tie-break. Shared ranking tail.

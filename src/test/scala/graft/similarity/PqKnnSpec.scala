@@ -133,6 +133,22 @@ class PqKnnSpec extends SparkSpec {
     assert(hits >= 18, s"IVF-PQ found $hits/20 planted originals")
   }
 
+  test("native ADC score is bit-identical to the aggregate/zip_with HOF form") {
+    val enc = PqKnn.encode(vecs, index)
+    val q = vecs.limit(5).select(col("vec_id").as("query_id"),
+      PqKnn.lutFor(index).as("lut"))
+    val pairs = enc.crossJoin(q)
+    val hof = aggregate(
+      zip_with(col("codes"), col("lut"), (c, t) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val mismatches = pairs.select(
+        graft.functions.VecOps.adcScore(col("codes"), col("lut")).as("native"),
+        hof.as("href"))
+      .filter(col("native") =!= col("href")) // exact double equality
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("ADC search ranks a planted near-copy's original first") {
     // The synthetic embeddings are near-orthogonal gaussians (same-label
     // cosine ≈ 0), so exact-top-5 agreement among ~0.2-cosine background
