@@ -33,6 +33,41 @@ object TfIdf {
     docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** Document frequencies as ONE streaming-legal aggregation: explode each
+    * document's DISTINCT terms and count per term — identical to counting
+    * the TF frame's rows (df = number of docs containing the term), but
+    * expressed without the intermediate (doc, term) aggregate, which
+    * Structured Streaming forbids chaining. The SAME plan therefore runs
+    * as a batch query or as an UPDATE-MODE streaming aggregation: Spark
+    * keeps per-term state and emits each term's refreshed count every
+    * micro-batch — incremental df maintenance, the piece a production
+    * curation loop keeps warm instead of recomputing df over the corpus.
+    */
+  def documentFrequencies(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(array_distinct(TextAnalysis.tokens(text))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** The incremental RE-SCORE half of the loop: score only `newDocs`
+    * against a maintained df snapshot (update df first, then score — the
+    * foreachBatch body of a streaming curation pipeline). With
+    * `dfreq`/`nDocs` covering the full corpus including `newDocs`, output
+    * rows equal [[topTerms]]' rows for those documents bit-for-bit. Terms
+    * absent from the snapshot (possible only if df was not updated first)
+    * default to df = 1.
+    */
+  def topTermsAgainst(newDocs: DataFrame, dfreq: DataFrame, nDocs: Long,
+                      id: Column, text: Column, k: Int = 5): DataFrame = {
+    val tf = termFrequencies(newDocs, id, text)
+    val scored = tf.join(dfreq, Seq("term"), "left")
+      .select(col("doc_id"), col("term"), col("tf"),
+        coalesce(col("df"), lit(1L)).as("df"),
+        ((col("tf") * lit(nDocs)).cast("double") / coalesce(col("df"), lit(1L)))
+          .as("tfidf"))
+    TopKPerKey.topK(scored, Seq("doc_id"),
+        Seq(("tfidf", false), ("term", true)), k)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+
   /** Top `k` terms per document by `tf · N / df` (ties broken by term —
     * a total order, since terms are distinct within a document).
     * Output: (doc_id, term, tf, df, tfidf), ordered (doc_id, tfidf desc,

@@ -55,6 +55,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental TF-IDF: update-mode df maintenance converges to the batch df") {
+    import graft.text.TfIdf
+    val batch1 = Seq((1L, "spark spark streams"), (2L, "streams of data"))
+    val batch2 = Seq((3L, "spark data pipelines"), (4L, "more data more spark"))
+    val allDocs = (batch1 ++ batch2).toDF("doc_id", "text")
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = TfIdf.documentFrequencies(input.toDS().toDF("doc_id", "text"), col("text"))
+      .writeStream.format("memory").queryName("tfidf_df")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val mid = spark.table("tfidf_df").groupBy("term").agg(max("df").as("df"))
+        .as[(String, Long)].collect().toMap
+      assert(mid === Map("spark" -> 1L, "streams" -> 2L, "of" -> 1L, "data" -> 1L))
+
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // update mode re-emits refreshed counts; counts only grow, so the
+      // max per term is the maintained state — and must equal batch df.
+      val got = spark.table("tfidf_df").groupBy("term").agg(max("df").as("df"))
+        .as[(String, Long)].collect().toSet
+      val batchDf = TfIdf.documentFrequencies(allDocs, col("text"))
+        .as[(String, Long)].collect().toSet
+      assert(got === batchDf)
+
+      // the re-score half: scoring any batch against the maintained
+      // snapshot equals the full-corpus batch topTerms for those docs
+      val snapshot = got.toSeq.toDF("term", "df")
+      val inc = TfIdf.topTermsAgainst(batch2.toDF("doc_id", "text"), snapshot,
+          nDocs = 4L, col("doc_id"), col("text"), k = 3)
+        .as[(Long, String, Long, Long, Double)].collect().toSeq
+      val full = TfIdf.topTerms(allDocs, col("doc_id"), col("text"), k = 3)
+        .filter(col("doc_id") >= 3L)
+        .as[(Long, String, Long, Long, Double)].collect().toSeq
+      graft.CachePool.releaseAll()
+      assert(inc === full)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     val input = MemoryStream[Event](spark)
     val deduped = EventStreams.dedupStream(input.toDS().toDF(), Seq("event_id"), "1 hour")
