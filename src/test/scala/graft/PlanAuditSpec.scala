@@ -151,6 +151,40 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"at most the totals-frame window may be global:\n$plan")
   }
 
+  test("q_group_quantiles_sketch aggregates partially map-side; no per-group sort") {
+    val plan = finalPlan(q("q_group_quantiles_sketch"))
+    graft.CachePool.releaseAll()
+    val str = plan.toString
+    // the sketch is a mergeable aggregate: a partial pass must run before
+    // the exchange (ObjectHashAggregate partial_percentile_approx)
+    assert(str.contains("percentile_approx"), str)
+    assert(str.contains("partial_percentile_approx"),
+      s"sketch must partial-aggregate map-side:\n$str")
+    // never the exact form's per-group sort of data rows
+    assert(!str.contains("percentile("), s"exact percentile crept in:\n$str")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_shared_runs excludes boilerplate keys via broadcast anti-join, no extra shuffle") {
+    val plan = finalPlan(q("q_shared_runs"))
+    graft.CachePool.releaseAll()
+    // the cold path's hot/boilerplate-key exclusion is a broadcast
+    // left_anti (the key-count frame is tiny); the pair join itself stays
+    // equi-join shaped
+    assert(plan.toString.contains("LeftAnti, BuildRight"), plan.toString)
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_boilerplate_runs is one count-aggregate over the exploded frame") {
+    val plan = finalPlan(q("q_boilerplate_runs"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // no join anywhere: explode → partial agg → exchange → final agg
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"side channel must be join-free:\n$plan")
+  }
+
   test("Catalyst injects a runtime bloom filter into a selective shuffle join") {
     // The engine leans on InjectRuntimeFilter for fact⋈filtered-dim joins:
     // the dim side's bloom filter prunes fact rows BEFORE the shuffle. The
