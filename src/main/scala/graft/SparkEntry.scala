@@ -322,6 +322,52 @@ object SparkEntry {
         (col("rec") >= col("n_p") * 0.9).as("recall_ok"))
     }),
 
+    "q_split_gate" -> ((s, d) => {
+      // structural gate over the deterministic train/valid/test split
+      // (Sampling.split keys membership off xxhash64, so per-split counts
+      // are not oracle-replayable — but their INVARIANTS are): splits are
+      // pairwise disjoint, together exhaustive, and each split's size sits
+      // within a 4-sigma binomial band of its weight. The oracle pins the
+      // booleans and re-derives the corpus size.
+      val docs = t(s, d, "documents")
+      val w = Seq(0.8, 0.1, 0.1)
+      val splits = graft.etl.Sampling.split(docs, col("doc_id"), w)
+      val counts = splits.zipWithIndex.map { case (sp, i) =>
+        sp.agg(count(lit(1)).as("n"))
+          .select(lit(i.toLong).as("split"), col("n"), lit(w(i)).as("w"))
+      }.reduce(_ unionByName _)
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val sumN = counts.agg(sum("n").as("sum_n"))
+      val overlap = splits.combinations(2).map { case Seq(a, b) =>
+        a.select("doc_id").join(b.select("doc_id"), "doc_id")
+          .agg(count(lit(1)).as("ni"))
+      }.reduce(_ unionByName _).agg(sum("ni").as("overlap"))
+      counts.crossJoin(broadcast(total))
+        .crossJoin(broadcast(sumN))
+        .crossJoin(broadcast(overlap))
+        .select(col("split"), col("n_docs"),
+          (abs(col("n") - col("w") * col("n_docs")) <=
+            lit(4.0) * sqrt(col("w") * (lit(1.0) - col("w")) * col("n_docs")) + lit(2.0))
+            .as("frac_ok"),
+          (col("overlap") === 0).as("disjoint_ok"),
+          (col("sum_n") === col("n_docs")).as("complete_ok"))
+        .orderBy("split")
+    }),
+
+    "q_cluster_survivors" -> ((s, d) => {
+      // canonical-document selection: close the (string-oracled)
+      // containment pair graph, then keep the BEST-QUALITY member of each
+      // cluster (doc_id tie-break) instead of the blind min id — docs
+      // outside the graph survive as their own clusters. Fully
+      // hash-checked: the oracle re-closes the graph recursively, replays
+      // the quality formula, and takes the same argmax.
+      val planted = DedupData.withPlantedDups(t(s, d, "documents"))
+      val pairs = NGramJaccard.containmentPairs(
+        planted, col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)
+      graft.text.DocPipeline.survivorsByQuality(
+        planted, col("doc_id"), col("text"), pairs.select("id_a", "id_b"))
+    }),
+
     "q_pii_redact" -> ((s, d) => {
       // every 5th doc gets a deterministic PII suffix (URL with embedded
       // credentials, e-mail, phone, IP) so the redaction chain has real
@@ -836,6 +882,57 @@ object SparkEntry {
         |)
         |SELECT id, CAST(min(comp) AS BIGINT) AS comp
         |FROM reach GROUP BY id ORDER BY id""".stripMargin),
+
+    // split-gate invariants pinned; only the corpus size is data-derived
+    // (per-split counts are hash-membership, deliberately not replayed).
+    "q_split_gate" ->
+      """SELECT CAST(q.s AS BIGINT) AS split,
+        |  (SELECT count(*) FROM documents) AS n_docs,
+        |  TRUE AS frac_ok, TRUE AS disjoint_ok, TRUE AS complete_ok
+        |FROM (VALUES (0), (1), (2)) q(s) ORDER BY split""".stripMargin,
+
+    // survivor selection: the q_dedup_clusters closure composed with the
+    // q_source_quota quality replay — per cluster, the argmax-quality
+    // member (doc_id tie-break); unclustered docs survive as themselves.
+    "q_cluster_survivors" -> (DedupData.DocsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + GramPairsCte +
+      """, cpairs AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
+        |), cedges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM cpairs
+        |  UNION SELECT id_b, id_a FROM cpairs
+        |), reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM cedges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN cedges e ON e.src = r.id
+        |), compmap AS (
+        |  SELECT id, min(comp) AS comp FROM reach GROUP BY id
+        |), feats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM docs
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 2.0 +
+        |      CAST(n_alpha AS DOUBLE) / n_chars_c -
+        |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
+        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS quality_score
+        |  FROM feats
+        |), labeled AS (
+        |  SELECT s.doc_id, CAST(coalesce(c.comp, s.doc_id) AS BIGINT) AS comp,
+        |    s.quality_score
+        |  FROM scored s LEFT JOIN compmap c ON c.id = s.doc_id)
+        |SELECT comp, doc_id, quality_score FROM (
+        |  SELECT comp, doc_id, quality_score,
+        |    row_number() OVER (PARTITION BY comp
+        |      ORDER BY quality_score DESC, doc_id) AS rk
+        |  FROM labeled)
+        |WHERE rk = 1 ORDER BY comp""".stripMargin),
 
     // dedup quality gate: constants pinned like q_knn_recall's — a recall
     // regression in either approximate dedup flips its row red.

@@ -57,6 +57,35 @@ object DocPipeline {
       .orderBy("source", "doc_id")
   }
 
+  /** Canonical-document selection: ONE survivor per near-duplicate
+    * cluster by QUALITY (argmax `quality_score`, doc_id tie-break) — the
+    * policy production pipelines actually want after closure, where
+    * min-id keeps whichever copy happened to be crawled first and this
+    * keeps the best one. Documents outside the pair graph are their own
+    * clusters and always survive. Shapes: the closure is
+    * [[graft.dedup.DedupClusters.componentsAuto]] (equi-join rounds);
+    * the vertex→score attach is a left join on the 8-byte id; the
+    * per-cluster argmax runs through [[graft.plans.TopKPerKey]] with
+    * k = 1 (bounded heaps, map-side partial — a million-member
+    * boilerplate cluster ships one row per map task, never a window over
+    * the corpus). Output: (comp, doc_id, quality_score), one row per
+    * cluster, ordered by comp.
+    */
+  def survivorsByQuality(docs: DataFrame, id: Column, text: Column,
+                         pairs: DataFrame): DataFrame = {
+    val scored = withQuality(
+        docs.select(id.as("doc_id"), text.as("__sv_text")), col("__sv_text"))
+      .select(col("doc_id"), col("quality_score"))
+    val comp = graft.dedup.DedupClusters.componentsAuto(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val labeled = scored.join(comp, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    graft.plans.TopKPerKey.topK(
+        labeled.select("comp", "doc_id", "quality_score"),
+        Seq("comp"), Seq(("quality_score", false), ("doc_id", true)), 1)
+      .orderBy("comp")
+  }
+
   /** Per-language corpus statistics over the deduplicated corpus. */
   def corpusStats(docs: DataFrame, id: Column, text: Column): DataFrame =
     corpus(docs, id, text)

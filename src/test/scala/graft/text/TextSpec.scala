@@ -93,6 +93,21 @@ class TextSpec extends SparkSpec {
     assert(missing.isEmpty, s"fingerprint missed ${missing.size} planted near pairs")
   }
 
+  test("survivorsByQuality keeps the best-quality member per cluster; isolated docs survive") {
+    val docs = Seq(
+      (1L, "!!! ??? %%% ..."),                        // punctuation soup: worst
+      (2L, "the cat is on the mat and happy today"),  // stopword-rich: best
+      (3L, "zzz qqq"),                                // middling
+      (10L, "a plain doc here")                       // not in the pair graph
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = DocPipeline.survivorsByQuality(docs, col("doc_id"), col("text"), pairs)
+      .select("comp", "doc_id").as[(Long, Long)].collect().toSet
+    // cluster {1,2,3} (comp = min id 1) survives through doc 2 — the
+    // argmax-quality member, NOT the min id; doc 10 survives as itself
+    assert(got === Set((1L, 2L), (10L, 10L)))
+  }
+
   test("sharedRunPairs maxRunDf drops boilerplate pairs, keeps genuine runs") {
     // 100 otherwise-unrelated docs share one planted boilerplate footer;
     // docs 1001/1002 share a genuine 8-token run and no footer.
