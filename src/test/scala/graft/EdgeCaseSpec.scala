@@ -122,6 +122,41 @@ class EdgeCaseSpec extends SparkSpec {
     CachePool.releaseAll()
   }
 
+  test("round-5 operators on degenerate input") {
+    import graft.dedup.DedupClusters
+    import graft.text.{DocPipeline, TfIdf}
+    // CC on an empty pair list → empty labels, all variants; auto included
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(DedupClusters.components(noPairs).count() === 0)
+    assert(DedupClusters.componentsAuto(noPairs).count() === 0)
+    // boilerplate side channel: empty corpus and no-hot-run corpus → empty
+    assert(Fingerprint.boilerplateRuns(noDocs, col("doc_id"), col("text")).count() === 0)
+    assert(Fingerprint.boilerplateRuns(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+      maxRunDf = 1).count() === 0)
+    // maxRunDf = 1: EVERY shared run is "boilerplate" → zero pairs
+    val twins = Seq((1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    assert(Fingerprint.sharedRunPairs(twins, col("doc_id"), col("text"),
+      maxRunDf = 1).count() === 0)
+    // grouped quantile sketch: empty input → no groups; single row → cert ok
+    assert(Stats.groupQuantilesSketch(noDocs, col("source"), lit(1.0),
+      Seq(0.5)).count() === 0)
+    val one = Stats.groupQuantilesSketch(
+        Seq(("g", 3.0)).toDF("k", "v"), col("k"), col("v"), Seq(0.25, 0.5, 0.75))
+      .select("rank_ok").as[Boolean].collect()
+    assert(one.length === 3 && one.forall(identity))
+    // survivors: no pairs → every doc survives as itself
+    val docs3 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val surv = DocPipeline.survivorsByQuality(docs3, col("doc_id"), col("text"), noPairs)
+      .select("comp", "doc_id").as[(Long, Long)].collect().toSet
+    assert(surv === Set((1L, 1L), (2L, 2L)))
+    // incremental tf-idf: empty batch against a snapshot → empty
+    assert(TfIdf.topTermsAgainst(noDocs,
+      Seq(("x", 1L)).toDF("term", "df"), 1L, col("doc_id"), col("text")).count() === 0)
+    CachePool.releaseAll()
+  }
+
   test("text operators on empty input and empty strings") {
     assert(TextAnalysis.langId(noDocs, col("doc_id"), col("text")).count() === 0)
     assert(Fingerprint.fingerprints(noDocs, col("doc_id"), col("text")).count() === 0)
