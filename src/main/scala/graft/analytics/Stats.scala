@@ -73,6 +73,19 @@ object Stats {
       .orderBy("k")
   }
 
+  /** The sketch aggregation itself — ONE streaming-legal groupBy, so the
+    * same plan runs batch or as an update/complete-mode STREAMING
+    * aggregation: Spark keeps each group's mergeable quantile sketch as
+    * state and folds every micro-batch in (the streaming form of the
+    * reference's own percentile_approx call). Output: (k, qv array, n_rows).
+    */
+  def quantileSketchAgg(df: DataFrame, key: Column, value: Column,
+                        qs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.select(key.as("k"), value.cast("double").as("v"))
+      .groupBy("k").agg(
+        percentile_approx(col("v"), typedlit(qs), lit(accuracy)).as("qv"),
+        count(lit(1)).as("n_rows"))
+
   /** The 100 TB form of [[groupQuantiles]]: per-group quantiles via the
     * MERGEABLE sketch (`percentile_approx`) — single pass, bounded memory
     * per partition, map-side partial merge, no per-group sort — plus a
@@ -90,9 +103,7 @@ object Stats {
     require(qs.nonEmpty)
     val base = graft.CachePool.persist(
       df.select(key.as("k"), value.cast("double").as("v")))
-    val sk = base.groupBy("k").agg(
-      percentile_approx(col("v"), typedlit(qs), lit(accuracy)).as("qv"),
-      count(lit(1)).as("n_rows"))
+    val sk = quantileSketchAgg(base, col("k"), col("v"), qs, accuracy)
     val per = sk.select(col("k"), col("n_rows"), posexplode(col("qv")))
       .withColumnRenamed("pos", "qi").withColumnRenamed("col", "sv")
     val q = element_at(typedlit(qs), col("qi") + 1)

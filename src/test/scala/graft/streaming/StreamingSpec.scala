@@ -96,6 +96,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming grouped quantile sketch folds micro-batches into per-group state") {
+    import graft.analytics.Stats
+    val input = MemoryStream[(String, Double)](spark)
+    val q = Stats.quantileSketchAgg(input.toDS().toDF("k", "v"), col("k"), col("v"),
+        Seq(0.5))
+      .writeStream.format("memory").queryName("gq_stream")
+      .outputMode("complete").start()
+    try {
+      // group a: 1..50 then 51..100 across two micro-batches; group b: constant
+      input.addData((1 to 50).map(i => ("a", i.toDouble)) ++ Seq(("b", 7.0)): _*)
+      q.processAllAvailable()
+      input.addData((51 to 100).map(i => ("a", i.toDouble)) ++ Seq(("b", 7.0)): _*)
+      q.processAllAvailable()
+      val got = spark.table("gq_stream")
+        .select(col("k"), element_at(col("qv"), 1).as("p50"), col("n_rows"))
+        .as[(String, Double, Long)].collect()
+        .map { case (k, p, n) => k -> ((p, n)) }.toMap
+      // the sketch folded BOTH micro-batches: median of the merged stream,
+      // not of either batch alone (batch 1 alone would give ~25, batch 2
+      // alone ~75); accuracy 10000 on 100 rows makes the sketch exact ±1
+      assert(got("a")._2 === 100L)
+      assert(math.abs(got("a")._1 - 50.0) <= 1.0, s"p50 = ${got("a")._1}")
+      assert(got("b") === ((7.0, 2L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     val input = MemoryStream[Event](spark)
     val deduped = EventStreams.dedupStream(input.toDS().toDF(), Seq("event_id"), "1 hour")
