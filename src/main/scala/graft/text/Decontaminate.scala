@@ -81,11 +81,16 @@ object Decontaminate extends Logging {
     * but nothing to join either.
     */
   def flagContaminated(docs: DataFrame, evalGrams: Array[Long],
-                       id: Column, text: Column, n: Int = 8): DataFrame = {
+                       id: Column, text: Column, n: Int = 8): DataFrame =
+    docs.select(id.as("doc_id"), contaminationFlag(text, evalGrams, n).as("contaminated"))
+
+  /** The probe as a composable Column (shared by [[flagContaminated]] and
+    * `DocPipeline.curateStream`): true iff `text` shares any verbatim
+    * word n-gram with the pre-collected eval set.
+    */
+  def contaminationFlag(text: Column, evalGrams: Array[Long], n: Int = 8): Column = {
     val sorted = evalGrams.clone()
     java.util.Arrays.sort(sorted)
-    docs.select(id.as("doc_id"),
-      TextHashExprs.sortedContainsAny(NGramJaccard.ngramSet(text, n), sorted)
-        .as("contaminated"))
+    TextHashExprs.sortedContainsAny(NGramJaccard.ngramSet(text, n), sorted)
   }
 }

@@ -57,6 +57,30 @@ object DocPipeline {
       .orderBy("source", "doc_id")
   }
 
+  /** The incremental curation loop as ONE streaming-legal pass:
+    * quality gate → decontamination probe → exact dedup. The gate and the
+    * probe are stateless projections/filters; the dedup is
+    * `dropDuplicates` on the normalized-text hash, whose per-key state is
+    * the only state in the query (bound it upstream with a watermark when
+    * the stream carries event time; unbounded here by the same contract
+    * as a batch dedup's shuffle). The SAME function runs batch or
+    * streaming (append mode) unchanged — streaming keeps the FIRST
+    * arrival per key, which equals batch's keep-min-id whenever ids
+    * arrive in order. Output: (doc_id, quality_score) of survivors.
+    */
+  def curateStream(docs: DataFrame, id: Column, text: Column,
+                   evalGrams: Array[Long]): DataFrame = {
+    val gated = withQuality(
+        docs.select(id.as("doc_id"), text.as("__cs_text")), col("__cs_text"))
+      .filter(qualityFilter())
+    val clean = gated.filter(
+      !Decontaminate.contaminationFlag(col("__cs_text"), evalGrams))
+    clean
+      .withColumn("__cs_key", xxhash64(ExactDedup.normalize(col("__cs_text"))))
+      .dropDuplicates("__cs_key")
+      .select(col("doc_id"), col("quality_score"))
+  }
+
   /** Canonical-document selection: ONE survivor per near-duplicate
     * cluster by QUALITY (argmax `quality_score`, doc_id tie-break) — the
     * policy production pipelines actually want after closure, where

@@ -96,6 +96,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: gate, decontamination and dedup compose in one streaming query") {
+    import graft.text.{Decontaminate, DocPipeline}
+    val evalDocs = Seq(
+      (100L, "held out benchmark question with exactly these eight tokens")).toDF("doc_id", "text")
+    val grams = Decontaminate.evalGramHashes(evalDocs, col("doc_id"), col("text"))
+    val batch1 = Seq(
+      (1L, "a perfectly reasonable document with enough clean tokens"),   // keeps
+      (2L, "!!! ??? %%% ### @@@ &&& ***"),                                // punct soup: gated
+      (3L, "A  perfectly reasonable document WITH enough clean tokens")) // dup of 1 (normalized)
+    val batch2 = Seq(
+      (4L, "a perfectly reasonable document with enough clean tokens"),   // cross-batch dup of 1
+      (5L, "contains the held out benchmark question with exactly these eight tokens inside"), // contaminated
+      (6L, "another good and clean document that also passes the gate"))  // keeps
+    val union = (batch1 ++ batch2).toDF("doc_id", "text")
+
+    // dropDuplicates keeps ONE arbitrary member per group, so assert at
+    // group level: the soup and the contaminated doc are gone, exactly
+    // one of the duplicate trio {1,3,4} survives, doc 6 survives.
+    def check(ids: Set[Long]): Unit = {
+      assert(ids.intersect(Set(2L, 5L)).isEmpty, s"gated doc leaked: $ids")
+      assert(ids.count(Set(1L, 3L, 4L)) === 1, s"dup group not deduped: $ids")
+      assert(ids.contains(6L) && ids.size === 2, s"unexpected survivors: $ids")
+    }
+    check(DocPipeline.curateStream(union, col("doc_id"), col("text"), grams)
+      .select("doc_id").as[Long].collect().toSet)
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = DocPipeline.curateStream(
+        input.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"), grams)
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("curate_stream").select("doc_id").as[Long].collect().toSet
+      check(got)
+      // streaming state holds ACROSS micro-batches: the trio's survivor
+      // must be a batch-1 arrival (doc 4 arrived second and was dropped)
+      assert(!got.contains(4L), s"cross-batch dedup state failed: $got")
+    } finally q.stop()
+  }
+
   test("streaming grouped quantile sketch folds micro-batches into per-group state") {
     import graft.analytics.Stats
     val input = MemoryStream[(String, Double)](spark)
