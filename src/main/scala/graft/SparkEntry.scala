@@ -630,9 +630,12 @@ object SparkEntry {
       val batch = DedupData.withPlantedDups(docs)
         .filter(col("doc_id") >= DedupData.ExactIdOffset)
         .unionByName(recrawl)
+      // size the filter to the snapshot (one cheap count job): a filter
+      // sized 20× over ships a 20× bigger literal into every task for no
+      // fpp the certificate can see.
       graft.dedup.BloomDedup.incrementalStats(
         docs, batch, col("doc_id"), col("text"),
-        expectedItems = 1000000L, fpp = 0.03)
+        expectedItems = math.max(docs.count(), 1L), fpp = 0.03)
     })
   )
 

@@ -66,15 +66,20 @@ object BloomDedup {
   def newDocs(snapshot: DataFrame, batch: DataFrame, id: Column, text: Column,
               expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     val bf = buildFilter(snapshot, text, expectedItems, fpp)
+    // the serialized filter is a BIG literal (≈0.9 bytes/item) — reference
+    // it from exactly ONE expression and let downstream branches read the
+    // boolean column, or every optimizer pass re-hashes megabytes of
+    // literal per plan copy.
     val keyed = graft.CachePool.persist(
-      batch.withColumn("__bd_h", normHash(text)))
-    val negatives = keyed.filter(!mightContain(bf, col("__bd_h")))
-    val positives = keyed.filter(mightContain(bf, col("__bd_h")))
+      batch.withColumn("__bd_h", normHash(text))
+        .withColumn("__bd_hit", mightContain(bf, col("__bd_h"))))
+    val negatives = keyed.filter(!col("__bd_hit"))
+    val positives = keyed.filter(col("__bd_hit"))
     val confirmed = snapshot.select(normHash(text).as("__bd_h"))
       .join(broadcast(positives.select("__bd_h").distinct()), "__bd_h")
       .distinct()
     negatives.unionByName(positives.join(confirmed, Seq("__bd_h"), "left_anti"))
-      .drop("__bd_h")
+      .drop("__bd_h", "__bd_hit")
   }
 
   /** Driver-visible summary of one incremental dedup round, graded like

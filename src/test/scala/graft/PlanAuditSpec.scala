@@ -212,4 +212,49 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("q_ndv_sketch HLL aggregate partial-merges map-side") {
+    val plan = finalPlan(q("q_ndv_sketch"))
+    val str = plan.toString
+    assert(str.contains("partial_approx_count_distinct"),
+      s"HLL sketch must partial-aggregate before the exchange:\n$str")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_chunk_dedup df-attach is an equi-join; rebuild has no window or global sort") {
+    val plan = finalPlan(q("q_chunk_dedup"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"chunk dedup must not window over the corpus:\n$plan")
+  }
+
+  test("q_filter_funnel decontamination stage probes map-side (no corpus-eval join)") {
+    val plan = finalPlan(q("q_filter_funnel"))
+    graft.CachePool.releaseAll()
+    // the contamination flag is the native sorted binary-search probe over
+    // a task-local literal array — the corpus never joins the eval side
+    assert(plan.toString.contains("sortedlongcontainsany") ||
+      plan.toString.toLowerCase.contains("containsany"),
+      s"expected the native sorted-probe expression in:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_bloom_dedup probes map-side and confirms by broadcast; snapshot never shuffles") {
+    val df = q("q_bloom_dedup")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"expected the bloom membership probe in:\n$optimized")
+    val plan = finalPlan(df)
+    graft.CachePool.releaseAll()
+    // the only joins over data-sized frames are broadcast hash joins (the
+    // confirm probe); the 1-row summary crossJoins plan as BNLJ over
+    // single rows, which is fine
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"snapshot-side confirm must broadcast, not shuffle:\n$plan")
+  }
 }
