@@ -46,9 +46,17 @@ object BloomDedup {
     val agg = new BloomFilterAggregate(
       expression(normHash(text)),
       Literal(expectedItems), Literal(numBits))
-    snapshot
+    val bytes = snapshot
       .select(column(agg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
+    if (bytes != null) bytes
+    else {
+      // empty snapshot → the aggregate yields NULL; an empty filter (no
+      // bits set) gives the right semantics: nothing matches.
+      val bos = new java.io.ByteArrayOutputStream()
+      BloomFilter.create(1L, fpp).writeTo(bos)
+      bos.toByteArray
+    }
   }
 
   /** `true` iff the serialized filter might contain the row's key — the
@@ -103,7 +111,7 @@ object BloomDedup {
       .distinct()
     val batchCounts = keyed.agg(
       count(lit(1)).as("n_batch"),
-      sum(when(col("__bd_hit"), 1L).otherwise(0L)).as("n_bloom_hit"))
+      coalesce(sum(when(col("__bd_hit"), 1L).otherwise(0L)), lit(0L)).as("n_bloom_hit"))
     val dupCounts = positives.join(confirmed, "__bd_h")
       .agg(count(lit(1)).as("n_true_dup"))
     val snapCount = snapshot.agg(count(lit(1)).as("n_snapshot"))

@@ -147,9 +147,11 @@ object DocPipeline {
       .agg(min_by(col("source"), col("doc_id")).as("source"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_s"))
+    // coalesce: a corpus whose every doc fails the gates leaves the
+    // survivor frame empty, and sum-over-empty is NULL, not 0
     val dedupQuota = survivorsPerSource.agg(
-      sum(col("n_s")).as("n_dedup"),
-      sum(least(col("n_s"), lit(quotaK.toLong))).as("n_quota"))
+      coalesce(sum(col("n_s")), lit(0L)).as("n_dedup"),
+      coalesce(sum(least(col("n_s"), lit(quotaK.toLong))), lit(0L)).as("n_quota"))
     totals.crossJoin(dedupQuota)
       .select(explode(array(
         struct(lit(0L).as("stage"), lit("raw").as("stage_name"), col("n_raw").as("n_out")),

@@ -157,6 +157,38 @@ class EdgeCaseSpec extends SparkSpec {
     CachePool.releaseAll()
   }
 
+  test("round-5 continuation operators on degenerate input") {
+    import graft.dedup.BloomDedup
+    import graft.text.{ChunkDedup, DocPipeline}
+    // ndv sketch: empty input → no groups, never a null boolean
+    assert(Stats.ndvSketch(noDocs, col("source"), col("text")).count() === 0)
+    // chunk dedup: empty corpus → empty; all-boilerplate corpus → rows
+    // with empty text_clean (exercised in CurationOpsSpec)
+    assert(ChunkDedup.dedupChunks(noDocs, col("doc_id"), col("text")).count() === 0)
+    // funnel: a corpus whose every doc fails the quality gate must report
+    // 0 (not NULL) for the dedup/quota stages
+    val junk = Seq((1L, "s0", "x"), (2L, "s0", "y")).toDF("doc_id", "source", "text")
+    val funnel = DocPipeline.filterFunnel(
+        junk, col("doc_id"), col("text"), col("source"), Array.empty[Long])
+      .select("n_out").as[Long].collect().toList
+    assert(funnel === List(2L, 0L, 0L, 0L, 0L))
+    // bloom: empty snapshot → everything passes; empty batch → zeros
+    val snap1 = Seq((1L, "snapshot doc")).toDF("doc_id", "text")
+    val batch1 = Seq((2L, "fresh doc")).toDF("doc_id", "text")
+    val emptySnap = BloomDedup.incrementalStats(
+      noDocs.select("doc_id", "text"), batch1, col("doc_id"), col("text"),
+      expectedItems = 1L).collect()(0)
+    assert(emptySnap.getAs[Long]("n_true_dup") === 0L)
+    assert(emptySnap.getAs[Long]("n_pass") === 1L)
+    val emptyBatch = BloomDedup.incrementalStats(
+      snap1, noDocs.select("doc_id", "text"), col("doc_id"), col("text"),
+      expectedItems = 1L).collect()(0)
+    assert(emptyBatch.getAs[Long]("n_batch") === 0L)
+    assert(emptyBatch.getAs[Long]("n_pass") === 0L)
+    assert(emptyBatch.getAs[Boolean]("fp_ok"))
+    CachePool.releaseAll()
+  }
+
   test("text operators on empty input and empty strings") {
     assert(TextAnalysis.langId(noDocs, col("doc_id"), col("text")).count() === 0)
     assert(Fingerprint.fingerprints(noDocs, col("doc_id"), col("text")).count() === 0)
