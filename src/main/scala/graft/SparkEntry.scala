@@ -636,7 +636,25 @@ object SparkEntry {
       graft.dedup.BloomDedup.incrementalStats(
         docs, batch, col("doc_id"), col("text"),
         expectedItems = math.max(docs.count(), 1L), fpp = 0.03)
-    })
+    }),
+
+    "q_temperature_mix" -> ((s, d) => {
+      // dataset mixing: per-language targets from √n-flattened weights,
+      // apportioned by integer largest-remainder — every target and
+      // selected count replayable bit-for-bit by the oracle. T = N/4.
+      val docs = t(s, d, "documents")
+      val total = docs.count()
+      graft.etl.Sampling.temperatureMixSummary(
+        docs, col("doc_id"), col("lang"), lit(total / 4L))
+    }),
+
+    "q_topic_clusters" -> ((s, d) =>
+      // embedding topic clustering, graded in the recall-gate idiom:
+      // seeded sample-trained k-means is not oracle-replayable, so the
+      // graded row is data-derived integers + pinned booleans, with
+      // inertia_ok (beats the 1-cluster baseline) as the quality signal.
+      graft.similarity.TopicClusters.clusterGate(
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 8))
   )
 
   /** DuckDB CTE reproducing the derived dirty-houses table + the cleaning /
@@ -1509,6 +1527,44 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN s.norm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
         |  CAST(sum(CASE WHEN s.norm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
         |  TRUE AS fp_ok
-        |FROM b LEFT JOIN snap s USING (norm)""".stripMargin
+        |FROM b LEFT JOIN snap s USING (norm)""".stripMargin,
+
+    // the allocation is pure integer arithmetic after an IEEE-exact sqrt,
+    // so DuckDB replays targets AND selected counts bit-for-bit.
+    "q_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang
+        |), w AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576) AS BIGINT) AS ws
+        |  FROM counts
+        |), tot AS (
+        |  SELECT CAST((SELECT count(*) FROM documents) // 4 AS BIGINT) AS t,
+        |    CAST(sum(ws) AS BIGINT) AS wsum
+        |  FROM w
+        |), a2 AS (
+        |  SELECT source, n_docs,
+        |    CAST((t * ws) // wsum AS BIGINT) AS base,
+        |    CAST((t * ws) % wsum AS BIGINT) AS rem
+        |  FROM w, tot
+        |), r AS (
+        |  SELECT source, n_docs, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a2
+        |), d AS (
+        |  SELECT CAST((SELECT t FROM tot) - (SELECT sum(base) FROM a2) AS BIGINT) AS deficit
+        |)
+        |SELECT source, n_docs,
+        |  CAST(base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS BIGINT) AS target,
+        |  CAST(least(base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS n_selected
+        |FROM r ORDER BY source""".stripMargin,
+
+    // seeded k-means is engine-specific; the graded row is data-derived
+    // integers plus the pinned structural/quality booleans.
+    "q_topic_clusters" ->
+      """SELECT CAST(8 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  TRUE AS complete_ok, TRUE AS used_ok, TRUE AS inertia_ok
+        |FROM embeddings""".stripMargin
   )
 }

@@ -241,6 +241,29 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_temperature_mix bounds the corpus with TopKPerKey before any window") {
+    val plan = finalPlan(q("q_temperature_mix"))
+    graft.CachePool.releaseAll()
+    val str = plan.toString
+    // the per-source rank window must sit above the TopKPerKey cap, so
+    // every corpus-sized window partition is bounded by the max target
+    assert("TopKPerKey".r.findAllIn(str).size >= 2,
+      s"selection must cap per-source rows map-side first:\n$str")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_topic_clusters assignment is a pure map: no join over the corpus") {
+    val plan = finalPlan(q("q_topic_clusters"))
+    graft.CachePool.releaseAll()
+    // centroids ride along as literals; the only joins are the 1-row
+    // summary crossJoins (BNLJ over single rows)
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"assignment must not join the corpus:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("q_bloom_dedup probes map-side and confirms by broadcast; snapshot never shuffles") {
     val df = q("q_bloom_dedup")
     val optimized = df.queryExecution.optimizedPlan.toString

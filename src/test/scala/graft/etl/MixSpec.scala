@@ -1,0 +1,106 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.SparkSpec
+
+/** Temperature mixing (Sampling.temperatureTargets / temperatureMix) and
+  * the topic-cluster gate.
+  */
+class MixSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private def docsFrom(counts: Map[String, Int]) = {
+    val rows = counts.toSeq.sortBy(_._1).flatMap { case (s, n) =>
+      (0 until n).map(i => (s"$s-$i".hashCode.toLong << 8 | i, s))
+    }.zipWithIndex.map { case ((_, s), i) => (i.toLong, s) }
+    rows.toDF("doc_id", "source")
+  }
+
+  test("temperatureTargets: hand-computed Hamilton allocation") {
+    // n = {a: 4, b: 1} → w̃ = {2·2^20, 1·2^20}, W = 3·2^20. T = 3:
+    // base_a = (3·2w)/(3w) = 2 rem 0; base_b = 1 rem 0; deficit 0.
+    val docs = docsFrom(Map("a" -> 4, "b" -> 1))
+    val got = Sampling.temperatureTargets(docs, col("source"), lit(3L))
+      .as[(String, Long, Long)].collect().toList
+    assert(got === List(("a", 4L, 2L), ("b", 1L, 1L)))
+  }
+
+  test("temperatureTargets flattens: a 100x bigger source gets only 10x the quota") {
+    val docs = docsFrom(Map("big" -> 400, "small" -> 4))
+    val targets = Sampling.temperatureTargets(docs, col("source"), lit(110L))
+      .select("source", "target").as[(String, Long)].collect().toMap
+    // √400 : √4 = 10 : 1 → targets 100 and 10
+    assert(targets === Map("big" -> 100L, "small" -> 10L))
+  }
+
+  test("temperatureTargets: targets always sum to T (largest remainder)") {
+    val cases = Table("counts",
+      Map("a" -> 7, "b" -> 13, "c" -> 29),
+      Map("a" -> 1, "b" -> 1, "c" -> 1, "d" -> 997),
+      Map("x" -> 250, "y" -> 333))
+    forAll(cases) { counts =>
+      val docs = docsFrom(counts)
+      for (t <- Seq(1L, 17L, 100L)) {
+        val sum = Sampling.temperatureTargets(docs, col("source"), lit(t))
+          .agg(org.apache.spark.sql.functions.sum("target")).as[Long].head()
+        assert(sum === t, s"counts=$counts T=$t")
+      }
+    }
+  }
+
+  test("temperatureMix selects min(target, n_docs) per source, deterministically") {
+    val docs = docsFrom(Map("a" -> 3, "b" -> 50))
+    // √3·2^20=1815...; allocation strongly favors b but a is tiny: with
+    // T = 40 source a's target can exceed its 3 docs → keeps all 3.
+    val summary = Sampling.temperatureMixSummary(
+        docs, col("doc_id"), col("source"), lit(40L))
+      .as[(String, Long, Long, Long)].collect().toList
+    summary.foreach { case (_, n, target, sel) =>
+      assert(sel === math.min(target, n))
+    }
+    val (sel1, _) = Sampling.temperatureMix(docs, col("doc_id"), col("source"), lit(40L))
+    val (sel2, _) = Sampling.temperatureMix(docs, col("doc_id"), col("source"), lit(40L))
+    assert(sel1.select("doc_id").as[Long].collect().sorted.toSeq ===
+      sel2.select("doc_id").as[Long].collect().sorted.toSeq)
+    graft.CachePool.releaseAll()
+  }
+
+  test("temperatureMix selection is a subset of the corpus keyed by hash rank") {
+    val docs = docsFrom(Map("a" -> 20, "b" -> 20))
+    val (sel, targets) = Sampling.temperatureMix(docs, col("doc_id"), col("source"), lit(10L))
+    val selIds = sel.as[(Long, String)].collect().toSet
+    val all = docs.as[(Long, String)].collect().toSet
+    assert(selIds.subsetOf(all))
+    val perSource = sel.groupBy("source").count().as[(String, Long)].collect().toMap
+    val t = targets.select("source", "target").as[(String, Long)].collect().toMap
+    assert(perSource === t.filter(_._2 > 0))
+    graft.CachePool.releaseAll()
+  }
+
+  test("TopicClusters gate holds on the planted-label embeddings") {
+    val vecs = table("embeddings")
+    val row = graft.similarity.TopicClusters.clusterGate(
+      vecs, col("vec_id"), col("embedding"), k = 8).collect()(0)
+    assert(row.getAs[Long]("n_vecs") === vecs.count())
+    assert(row.getAs[Boolean]("complete_ok"))
+    assert(row.getAs[Boolean]("used_ok"))
+    assert(row.getAs[Boolean]("inertia_ok"))
+    graft.CachePool.releaseAll()
+  }
+
+  test("TopicClusters.assign puts scaled copies in the same cluster") {
+    val vecs = table("embeddings")
+    val index = graft.similarity.IvfKnn.fit(
+      vecs.select(col("embedding")), nlist = 8, seed = 42L)
+    val scaled = vecs.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(0.25f)).as("embedding"))
+    val a = graft.similarity.TopicClusters.assign(
+      vecs, col("vec_id"), col("embedding"), index)
+    val b = graft.similarity.TopicClusters.assign(
+        scaled, col("vec_id"), col("embedding"), index)
+      .withColumnRenamed("cluster", "cluster_b")
+    assert(a.join(b, "vec_id").filter(col("cluster") =!= col("cluster_b")).count() === 0)
+  }
+}
