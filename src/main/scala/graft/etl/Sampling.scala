@@ -117,7 +117,8 @@ object Sampling {
     // the targets frame is mixing config — bounded by source cardinality;
     // collecting the single max is the same justified-driver-read as an
     // ANN index fit.
-    val maxTarget = targets.agg(max("target")).collect()(0).getLong(0)
+    val maxTarget = targets.agg(coalesce(max("target"), lit(0L)))
+      .collect()(0).getLong(0)
     if (maxTarget <= 0L) (docs.limit(0), targets)
     else {
       val keyed = docs.select(id.as("doc_id"), source.as("source"),

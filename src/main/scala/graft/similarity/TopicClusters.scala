@@ -48,7 +48,14 @@ object TopicClusters {
                   seed: Long = 42L): DataFrame = {
     val corpus = graft.CachePool.persist(
       vecs.select(id.as("vec_id"), emb.cast("array<float>").as("embedding")))
-    val index = IvfKnn.fit(corpus, k, seed)
+    val n = corpus.count()
+    if (n == 0L) {
+      // nothing to cluster: every invariant holds vacuously
+      import vecs.sparkSession.implicits._
+      return Seq((k.toLong, 0L, true, true, true))
+        .toDF("k", "n_vecs", "complete_ok", "used_ok", "inertia_ok")
+    }
+    val index = IvfKnn.fit(corpus, k, seed, corpusCount = Some(n))
     // global mean direction: per-dimension average, a bounded (dim-sized)
     // driver read — the k = 1 "index"
     val dim = index.centroids.headOption.map(_.length).getOrElse(0)

@@ -186,6 +186,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(emptyBatch.getAs[Long]("n_batch") === 0L)
     assert(emptyBatch.getAs[Long]("n_pass") === 0L)
     assert(emptyBatch.getAs[Boolean]("fp_ok"))
+    // temperature mix on an empty corpus → empty selection, no NPE
+    val (sel, tgt) = graft.etl.Sampling.temperatureMix(
+      noDocs, col("doc_id"), col("source"), lit(10L))
+    assert(sel.count() === 0 && tgt.count() === 0)
+    // topic-cluster gate on empty embeddings → vacuous row, no k-means fit
+    val gate = graft.similarity.TopicClusters.clusterGate(
+      noVecs, col("vec_id"), col("embedding"), k = 4).collect()(0)
+    assert(gate.getAs[Long]("n_vecs") === 0L)
+    assert(gate.getAs[Boolean]("inertia_ok"))
     CachePool.releaseAll()
   }
 
