@@ -654,7 +654,18 @@ object SparkEntry {
       // graded row is data-derived integers + pinned booleans, with
       // inertia_ok (beats the 1-cluster baseline) as the quality signal.
       graft.similarity.TopicClusters.clusterGate(
-        t(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 8))
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 8)),
+
+    "q_oov_rate" -> ((s, d) => {
+      // LM-filter proxy: per-doc OOV unigram/bigram occurrence counts of
+      // the planted corpus against the even-doc reference vocabulary —
+      // the planted near-dups' appended junk tokens are the OOV signal.
+      val docs = t(s, d, "documents")
+      graft.text.OovRate.oovStats(
+        DedupData.withPlantedDups(docs),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"))
+    })
   )
 
   /** DuckDB CTE reproducing the derived dirty-houses table + the cleaning /
@@ -1565,6 +1576,47 @@ object SparkEntry {
     "q_topic_clusters" ->
       """SELECT CAST(8 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_vecs,
         |  TRUE AS complete_ok, TRUE AS used_ok, TRUE AS inertia_ok
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    // gram hashes mirror gram strings (the standard contract); whole-text
+    // grams for inputs shorter than the window replay the WindowPolyHash
+    // short-input rule, '' included for empty docs.
+    "q_oov_rate" -> (DedupData.DocsCte +
+      """, tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM docs
+        |), rtk AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), cu AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 1 THEN [''] ELSE t END) AS g FROM tk
+        |), cb AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+1], ' ')) END) AS g
+        |  FROM tk
+        |), vu AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) < 1 THEN [''] ELSE t END) AS g FROM rtk
+        |), vb AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+1], ' ')) END) AS g
+        |  FROM rtk
+        |), uc AS (
+        |  SELECT c.doc_id, count(*) AS n_uni,
+        |    sum(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS n_oov_uni
+        |  FROM cu c LEFT JOIN vu v USING (g) GROUP BY c.doc_id
+        |), bc AS (
+        |  SELECT c.doc_id, count(*) AS n_bi,
+        |    sum(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS n_oov_bi
+        |  FROM cb c LEFT JOIN vb v USING (g) GROUP BY c.doc_id
+        |)
+        |SELECT k.doc_id, CAST(len(k.t) AS INTEGER) AS n_tokens,
+        |  CAST(u.n_uni AS BIGINT) AS n_uni, CAST(u.n_oov_uni AS BIGINT) AS n_oov_uni,
+        |  CAST(b.n_bi AS BIGINT) AS n_bi, CAST(b.n_oov_bi AS BIGINT) AS n_oov_bi
+        |FROM tk k JOIN uc u ON k.doc_id = u.doc_id JOIN bc b ON k.doc_id = b.doc_id
+        |ORDER BY k.doc_id""".stripMargin)
   )
 }

@@ -264,6 +264,14 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_oov_rate vocabulary membership is one equi-join enrichment") {
+    val plan = finalPlan(q("q_oov_rate"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"membership must be an equi-join, never BNL:\n$plan")
+  }
+
   test("q_bloom_dedup probes map-side and confirms by broadcast; snapshot never shuffles") {
     val df = q("q_bloom_dedup")
     val optimized = df.queryExecution.optimizedPlan.toString

@@ -166,6 +166,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NDV sketch merges HLL state across micro-batches") {
+    import graft.analytics.Stats
+    val input = MemoryStream[(String, Long)](spark)
+    val q = Stats.ndvSketchOnly(input.toDS().toDF("k", "v"), col("k"), col("v"))
+      .writeStream.format("memory").queryName("ndv_stream")
+      .outputMode("complete").start()
+    try {
+      // group a: values 1..40 then 21..60 (overlap 21..40 must not
+      // double-count); group b: the same value twice
+      input.addData((1L to 40L).map(("a", _)) ++ Seq(("b", 9L)): _*)
+      q.processAllAvailable()
+      input.addData((21L to 60L).map(("a", _)) ++ Seq(("b", 9L)): _*)
+      q.processAllAvailable()
+      val got = spark.table("ndv_stream")
+        .select("k", "n_rows", "ndv_est").as[(String, Long, Long)].collect()
+        .map { case (k, n, e) => k -> ((n, e)) }.toMap
+      assert(got("a")._1 === 80L)
+      // HLL at rsd 0.05 on 60 distincts is exact or near-exact; the point
+      // is that it merged batches (either batch alone has 40)
+      assert(math.abs(got("a")._2 - 60L) <= 3L, s"ndv_est = ${got("a")._2}")
+      assert(got("b") === ((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     val input = MemoryStream[Event](spark)
     val deduped = EventStreams.dedupStream(input.toDS().toDF(), Seq("event_id"), "1 hour")

@@ -110,6 +110,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === List((1L, 2, 1L, "a b c"), (2L, 2, 1L, "x y z")))
   }
 
+  test("OovRate counts occurrence-level OOV at unigram and bigram level") {
+    val ref = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta beta junk"),
+      (2L, ""),
+      (3L, "gamma")
+    ).toDF("doc_id", "text")
+    val got = OovRate.oovStats(corpus, ref, col("doc_id"), col("text"))
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toList
+    assert(got === List(
+      // unigrams: alpha beta beta junk → 1 OOV (junk);
+      // bigrams: "alpha beta" ∈ V, "beta beta" ∉, "beta junk" ∉ → 2 OOV
+      (1L, 4, 4L, 1L, 3L, 2L),
+      // empty doc: one whole-text gram ('' / hash 0) at each level, both OOV
+      (2L, 0, 1L, 1L, 1L, 1L),
+      // "gamma": unigram in vocab; its 1-token whole-text BIGRAM is not
+      // (the ref has no 1-token docs)
+      (3L, 1, 1L, 0L, 1L, 1L)))
+  }
+
+  test("OovRate: planted junk suffix scores OOV against the clean half") {
+    val docs = table("documents")
+    val planted = graft.dedup.DedupData.withPlantedDups(docs)
+    val stats = OovRate.oovStats(
+      planted, docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
+    // near-dup copies carry " zz extra trailing tokens appended" — 'zz'
+    // at least is outside the corpus vocabulary
+    val nearOov = stats.filter(col("doc_id") >= 2000000L && col("n_oov_uni") > 0).count()
+    val nearAll = stats.filter(col("doc_id") >= 2000000L).count()
+    assert(nearAll > 0 && nearOov === nearAll,
+      s"every planted near-dup must show unigram OOV: $nearOov of $nearAll")
+    // clean even docs score zero unigram OOV (their tokens ARE the vocab)
+    assert(stats.filter(col("doc_id") < 1000000L && col("doc_id") % 2 === 0)
+      .filter(col("n_oov_uni") > 0).count() === 0)
+  }
+
   test("BloomDedup.incrementalStats: exact integers, no false negatives") {
     val snapshot = Seq(
       (1L, "alpha document text"), (2L, "beta document text"),
