@@ -150,11 +150,12 @@ object Stats {
     * update/complete mode, same as [[quantileSketchAgg]]).
     */
   def ndvSketchOnly(df: DataFrame, key: Column, value: Column, rsd: Double = 0.05): DataFrame =
+    // no orderBy: sorting a streaming aggregate is only legal in complete
+    // mode, and this is the form that runs as an update-mode stream
     df.select(key.as("k"), value.as("v"))
       .groupBy("k")
       .agg(count(lit(1)).as("n_rows"),
         approx_count_distinct(col("v"), rsd).as("ndv_est"))
-      .orderBy("k")
 
   /** Filter + ORDER BY … DESC LIMIT K with deterministic tie-breaks
     * (main.py:481-502). Catalyst plans this as TakeOrderedAndProject —

@@ -40,23 +40,43 @@ object BloomDedup {
     * `optimalNumOfBits(expectedItems, fpp)`-bit) sketch reaches the
     * driver.
     */
-  def buildFilter(snapshot: DataFrame, text: Column,
-                  expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
+  private def bloomAggColumn(text: Column, expectedItems: Long, fpp: Double): Column = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val agg = new BloomFilterAggregate(
       expression(normHash(text)),
       Literal(expectedItems), Literal(numBits))
+    column(agg.toAggregateExpression())
+  }
+
+  /** An empty filter (no bits set): the right semantics for an empty
+    * snapshot — nothing matches.
+    */
+  private def emptyFilter(fpp: Double): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    BloomFilter.create(1L, fpp).writeTo(bos)
+    bos.toByteArray
+  }
+
+  def buildFilter(snapshot: DataFrame, text: Column,
+                  expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
     val bytes = snapshot
-      .select(column(agg.toAggregateExpression()).as("bf"))
+      .select(bloomAggColumn(text, expectedItems, fpp).as("bf"))
       .head().getAs[Array[Byte]](0)
-    if (bytes != null) bytes
-    else {
-      // empty snapshot → the aggregate yields NULL; an empty filter (no
-      // bits set) gives the right semantics: nothing matches.
-      val bos = new java.io.ByteArrayOutputStream()
-      BloomFilter.create(1L, fpp).writeTo(bos)
-      bos.toByteArray
-    }
+    if (bytes != null) bytes else emptyFilter(fpp)
+  }
+
+  /** One snapshot scan for BOTH the filter and its row count — the
+    * summary query needs n_snapshot anyway, and a 100 TB snapshot should
+    * not be re-scanned for a count the bloom-build job already saw.
+    */
+  def buildFilterWithCount(snapshot: DataFrame, text: Column,
+                           expectedItems: Long, fpp: Double = 0.03): (Array[Byte], Long) = {
+    val row = snapshot
+      .select(bloomAggColumn(text, expectedItems, fpp).as("bf"),
+        count(lit(1)).as("n"))
+      .head()
+    val bytes = row.getAs[Array[Byte]](0)
+    (if (bytes != null) bytes else emptyFilter(fpp), row.getLong(1))
   }
 
   /** `true` iff the serialized filter might contain the row's key — the
@@ -101,7 +121,7 @@ object BloomDedup {
     */
   def incrementalStats(snapshot: DataFrame, batch: DataFrame, id: Column, text: Column,
                        expectedItems: Long, fpp: Double = 0.03): DataFrame = {
-    val bf = buildFilter(snapshot, text, expectedItems, fpp)
+    val (bf, nSnapshot) = buildFilterWithCount(snapshot, text, expectedItems, fpp)
     val keyed = graft.CachePool.persist(
       batch.select(id.as("doc_id"), normHash(text).as("__bd_h"))
         .withColumn("__bd_hit", mightContain(bf, col("__bd_h"))))
@@ -114,7 +134,8 @@ object BloomDedup {
       coalesce(sum(when(col("__bd_hit"), 1L).otherwise(0L)), lit(0L)).as("n_bloom_hit"))
     val dupCounts = positives.join(confirmed, "__bd_h")
       .agg(count(lit(1)).as("n_true_dup"))
-    val snapCount = snapshot.agg(count(lit(1)).as("n_snapshot"))
+    val snapCount = batchCounts.sparkSession.range(1)
+      .select(lit(nSnapshot).as("n_snapshot"))
     batchCounts.crossJoin(dupCounts).crossJoin(snapCount)
       .select(
         col("n_snapshot"),

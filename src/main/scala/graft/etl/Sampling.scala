@@ -117,9 +117,16 @@ object Sampling {
     // the targets frame is mixing config — bounded by source cardinality;
     // collecting the single max is the same justified-driver-read as an
     // ANN index fit.
-    val maxTarget = targets.agg(coalesce(max("target"), lit(0L)))
-      .collect()(0).getLong(0)
-    if (maxTarget <= 0L) (docs.limit(0), targets)
+    val bounds = targets.agg(
+        coalesce(max("target"), lit(0L)), coalesce(min("target"), lit(0L)))
+      .collect()(0)
+    val maxTarget = bounds.getLong(0)
+    // a negative target can only mean t·w̃ wrapped Long (t·√n ≳ 8.8e12);
+    // garbage allocations must fail loudly, not sample silently wrong
+    require(bounds.getLong(1) >= 0L && maxTarget <= Int.MaxValue.toLong,
+      s"temperatureMix allocation out of range (min=${bounds.getLong(1)}, " +
+        s"max=$maxTarget): targetTotal·√n overflows the integer apportionment")
+    if (maxTarget <= 0L) (docs.limit(0).select(id.as("doc_id"), source.as("source")), targets)
     else {
       val keyed = docs.select(id.as("doc_id"), source.as("source"),
         xxhash64(id, lit("mix"), lit(salt)).as("__tm_h"))

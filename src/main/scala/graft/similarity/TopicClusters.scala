@@ -74,8 +74,11 @@ object TopicClusters {
       col("embedding"))
     // centroids are unit vectors, so dot/|x| IS the cosine; the best-cell
     // cosine is recomputed as greatest(dots)/|x| off the same centroids
-    val cellCos = greatest(index.centroids.map(c =>
-      VecOps.dotF(col("embedding"), VecOps.litVecF(c))).toIndexedSeq: _*) / col("n")
+    // (greatest needs ≥ 2 args — with one centroid its dot is the max)
+    val dots = index.centroids.map(c =>
+      VecOps.dotF(col("embedding"), VecOps.litVecF(c))).toIndexedSeq
+    val bestDot = if (dots.length == 1) dots.head else greatest(dots: _*)
+    val cellCos = bestDot / col("n")
     val baseCos = VecOps.dotF(col("embedding"), VecOps.litVecF(ghat)) / col("n")
     val agg = scored
       .select(col("cluster"), cellCos.as("cc"), baseCos.as("bc"))

@@ -26,13 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object ChunkDedup {
 
-  /** The normalized token stream cut into `w`-token chunks (strings, last
-    * chunk possibly short). Tokens are [[TextAnalysis.tokens]] — lowercase,
-    * whitespace-split, empties dropped — so case/whitespace noise never
-    * splits a chunk class.
+  /** A token-ARRAY column cut into `w`-token chunks (strings, last chunk
+    * possibly short). `tk` must be a materialized attribute, not an
+    * inlined tokenizer subtree: higher-order functions do no common-
+    * subexpression elimination, so an inlined `tokens(text)` here would
+    * re-run split/lower/trim once per chunk (the langId pitfall).
     */
-  def chunks(text: Column, w: Int): Column = {
-    val tk = TextAnalysis.tokens(text)
+  def chunksOfTokens(tk: Column, w: Int): Column = {
     val nChunks = ceil(size(tk).cast("double") / w).cast("int")
     when(size(tk) === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nChunks - 1),
@@ -50,7 +50,8 @@ object ChunkDedup {
   def dedupChunks(docs: DataFrame, id: Column, text: Column,
                   w: Int = 16, maxDf: Long = 1L): DataFrame = {
     val base = graft.CachePool.persist(
-      docs.select(id.as("doc_id"), chunks(text, w).as("__cd_ch")))
+      docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__cd_tk"))
+        .select(col("doc_id"), chunksOfTokens(col("__cd_tk"), w).as("__cd_ch")))
     val exploded = base
       .select(col("doc_id"), posexplode(col("__cd_ch")).as(Seq("pos", "chunk")))
       .withColumn("__cd_h", xxhash64(col("chunk")))

@@ -139,8 +139,9 @@ object DocPipeline {
     val persisted = graft.CachePool.persist(flagged)
     val totals = persisted.agg(
       count(lit(1)).as("n_raw"),
-      sum(when(col("__ff_q"), 1L).otherwise(0L)).as("n_quality"),
-      sum(when(col("__ff_q") && col("__ff_clean"), 1L).otherwise(0L)).as("n_decontam"))
+      coalesce(sum(when(col("__ff_q"), 1L).otherwise(0L)), lit(0L)).as("n_quality"),
+      coalesce(sum(when(col("__ff_q") && col("__ff_clean"), 1L).otherwise(0L)), lit(0L))
+        .as("n_decontam"))
     val survivorsPerSource = persisted
       .filter(col("__ff_q") && col("__ff_clean"))
       .groupBy("__ff_h")

@@ -3,8 +3,6 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.MinHashLsh
-
 /** Out-of-vocabulary scoring against a reference corpus — the cheap,
   * exactly-reproducible proxy for the perplexity/LM quality filter of
   * CCNet-style pipelines: a document whose token stream keeps stepping
@@ -30,24 +28,44 @@ import graft.dedup.MinHashLsh
   */
 object OovRate {
 
+  /** Rolling poly-hash base shared with the MinHash/fingerprint gram
+    * family (MinHashLsh.bagShingleHashes uses the same constant).
+    */
+  private val Base = 1099511628211L
+
+  /** Both gram levels off ONE materialized token-hash attribute — the
+    * corpus is scanned and tokenized exactly once (HOFs re-evaluate
+    * inlined subtrees, the langId pitfall): (doc_id, n_tokens, lvl, g)
+    * with one row per gram occurrence.
+    */
+  private def levelGrams(df: DataFrame, id: Column, text: Column,
+                         levels: Seq[Int]): DataFrame = {
+    import graft.functions.TextHashExprs
+    val hashed = df.select(id.as("doc_id"),
+      transform(TextAnalysis.tokens(text), t => xxhash64(t)).as("__ov_th"))
+    val tagged = concat(levels.map(k =>
+      transform(TextHashExprs.windowPolyHash(col("__ov_th"), k, Base),
+        h => struct(lit(k).as("lvl"), h.as("g")))): _*)
+    hashed.select(col("doc_id"), size(col("__ov_th")).as("n_tokens"),
+        explode(tagged).as("__ov_lg"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("__ov_lg.lvl").as("lvl"), col("__ov_lg.g").as("g"))
+  }
+
   /** The reference side's distinct gram hashes at window `k`: (lvl, g). */
   def vocabulary(ref: DataFrame, text: Column, k: Int): DataFrame =
-    ref.select(lit(k).as("lvl"),
-        explode(array_distinct(MinHashLsh.bagShingleHashes(text, k))).as("g"))
-      .distinct()
+    levelGrams(ref, lit(0L), text, Seq(k)).select("lvl", "g").distinct()
 
   /** Per-document OOV occurrence counts at unigram and bigram level
     * against the reference corpus's vocabulary. Output: (doc_id,
     * n_tokens, n_uni, n_oov_uni, n_bi, n_oov_bi), ordered by doc_id —
-    * integers only, hash-exact against a string-gram oracle.
+    * integers only, hash-exact against a string-gram oracle. One scan
+    * per side: both levels explode off one token-hash materialization.
     */
   def oovStats(corpus: DataFrame, ref: DataFrame, id: Column, text: Column): DataFrame = {
-    val grams = corpus.select(id.as("doc_id"), size(TextAnalysis.tokens(text)).as("n_tokens"),
-        lit(1).as("lvl"), explode(MinHashLsh.bagShingleHashes(text, 1)).as("g"))
-      .unionByName(corpus.select(id.as("doc_id"), size(TextAnalysis.tokens(text)).as("n_tokens"),
-        lit(2).as("lvl"), explode(MinHashLsh.bagShingleHashes(text, 2)).as("g")))
-    val vocab = vocabulary(ref, text, 1)
-      .unionByName(vocabulary(ref, text, 2))
+    val grams = levelGrams(corpus, id, text, Seq(1, 2))
+    val vocab = levelGrams(ref, lit(0L), text, Seq(1, 2))
+      .select("lvl", "g").distinct()
       .withColumn("__ov_hit", lit(1))
     grams.join(vocab, Seq("lvl", "g"), "left")
       .groupBy("doc_id")

@@ -90,6 +90,16 @@ class MixSpec extends SparkSpec with TableDrivenPropertyChecks {
     graft.CachePool.releaseAll()
   }
 
+  test("TopicClusters.clusterGate handles k = 1 (the baseline-equals-index case)") {
+    val vecs = table("embeddings").limit(50)
+    val row = graft.similarity.TopicClusters.clusterGate(
+      vecs, col("vec_id"), col("embedding"), k = 1).collect()(0)
+    assert(row.getAs[Long]("n_vecs") === 50L)
+    assert(row.getAs[Boolean]("complete_ok"))
+    assert(row.getAs[Boolean]("used_ok"))
+    graft.CachePool.releaseAll()
+  }
+
   test("TopicClusters.assign puts scaled copies in the same cluster") {
     val vecs = table("embeddings")
     val index = graft.similarity.IvfKnn.fit(

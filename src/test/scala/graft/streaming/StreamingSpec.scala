@@ -190,6 +190,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NDV sketch is update-mode legal (no sort on the streaming aggregate)") {
+    import graft.analytics.Stats
+    val input = MemoryStream[(String, Long)](spark)
+    val q = Stats.ndvSketchOnly(input.toDS().toDF("k", "v"), col("k"), col("v"))
+      .writeStream.format("memory").queryName("ndv_update")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      assert(spark.table("ndv_update").count() >= 2)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     val input = MemoryStream[Event](spark)
     val deduped = EventStreams.dedupStream(input.toDS().toDF(), Seq("event_id"), "1 hour")
