@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.similarity.{IvfKnn, OpqKnn, PqKnn}
+
+/** Persistence for the engine's bounded index artifacts — the other half
+  * of the fit-once-search-many contract: at 100 TB an IVF/PQ quantizer or
+  * a snapshot Bloom filter is trained ONCE (hours of sampling amortized
+  * across months of queries) and every subsequent batch, stream, or
+  * cluster restart loads it instead of refitting. Artifacts are written
+  * as plain parquet (row-per-centroid / row-per-codeword / single-row
+  * blob), so they are versionable, inspectable with any engine, and
+  * readable from a different Spark application than the one that fit
+  * them. All artifacts are bounded by construction (k × dim floats, m ×
+  * ksub codewords, ~1 byte per snapshot item) — driver-side collect on
+  * load is the same justified read as the original fit.
+  */
+object IndexIO {
+
+  /** IVF coarse quantizer: one row per (cell, dim position). */
+  def saveIvf(spark: SparkSession, index: IvfKnn.IvfIndex, path: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (x, j) => (i, j, x) } }
+      .toSeq.toDF("cell", "pos", "x")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvf(spark: SparkSession, path: String): IvfKnn.IvfIndex = {
+    val rows = spark.read.parquet(path)
+      .select("cell", "pos", "x").collect()
+    val cells = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getFloat(2))
+    }
+    IvfKnn.IvfIndex(cells.toArray)
+  }
+
+  /** PQ codebooks: one row per (subspace, codeword, dim position). */
+  def savePq(spark: SparkSession, index: PqKnn.PqIndex, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (book, m) <- index.codebooks.zipWithIndex
+      (code, k) <- book.zipWithIndex
+      (x, j) <- code.zipWithIndex
+    } yield (m, k, j, x, index.dim)
+    rows.toSeq.toDF("sub", "code", "pos", "x", "dim")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPq(spark: SparkSession, path: String): PqKnn.PqIndex = {
+    val rows = spark.read.parquet(path)
+      .select("sub", "code", "pos", "x", "dim").collect()
+    val dim = rows.head.getInt(4)
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, subRows) =>
+      subRows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (_, codeRows) =>
+        codeRows.sortBy(_.getInt(2)).map(_.getFloat(3))
+      }.toArray
+    }.toArray
+    PqKnn.PqIndex(books, dim)
+  }
+
+  /** OPQ = rotation matrix + PQ codebooks, stored side by side. */
+  def saveOpq(spark: SparkSession, index: OpqKnn.OpqIndex, path: String): Unit = {
+    import spark.implicits._
+    index.rotation.zipWithIndex
+      .flatMap { case (row, i) => row.zipWithIndex.map { case (x, j) => (i, j, x) } }
+      .toSeq.toDF("row", "pos", "x")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/rotation")
+    savePq(spark, index.pq, s"$path/pq")
+  }
+
+  def loadOpq(spark: SparkSession, path: String): OpqKnn.OpqIndex = {
+    val rows = spark.read.parquet(s"$path/rotation")
+      .select("row", "pos", "x").collect()
+    val rotation = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getFloat(2))
+    }.toArray
+    OpqKnn.OpqIndex(rotation, loadPq(spark, s"$path/pq"))
+  }
+
+  /** Snapshot Bloom filter (or any bounded binary artifact): single-row
+    * blob with its build parameters for auditability.
+    */
+  def saveBloom(spark: SparkSession, filter: Array[Byte], path: String,
+                expectedItems: Long, fpp: Double): Unit = {
+    import spark.implicits._
+    Seq((filter, expectedItems, fpp))
+      .toDF("filter", "expected_items", "fpp")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBloom(spark: SparkSession, path: String): Array[Byte] =
+    spark.read.parquet(path).select("filter").head().getAs[Array[Byte]](0)
+
+  /** Sorted eval-gram set (the decontamination probe's haystack). */
+  def saveGrams(spark: SparkSession, grams: Array[Long], path: String): Unit = {
+    import spark.implicits._
+    grams.toSeq.toDF("g").repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadGrams(spark: SparkSession, path: String): Array[Long] =
+    spark.read.parquet(path).select("g").collect().map(_.getLong(0)).sorted
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.BloomDedup
+import graft.similarity.{IvfKnn, OpqKnn, PqKnn, TopicClusters}
+
+/** Round-trip persistence for every index artifact: a loaded index must
+  * behave identically to the fitted one (fit once, search forever).
+  */
+class IndexIOSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+
+  test("IVF index round-trips and assigns identically") {
+    val vecs = table("embeddings")
+    val fitted = IvfKnn.fit(vecs.select(col("embedding")), nlist = 8, seed = 42L)
+    val path = tmp("ivf")
+    IndexIO.saveIvf(spark, fitted, path)
+    val loaded = IndexIO.loadIvf(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq === fitted.centroids.map(_.toSeq).toSeq)
+    val a = TopicClusters.assign(vecs, col("vec_id"), col("embedding"), fitted)
+    val b = TopicClusters.assign(vecs, col("vec_id"), col("embedding"), loaded)
+      .withColumnRenamed("cluster", "cluster_b")
+    assert(a.join(b, "vec_id").filter(col("cluster") =!= col("cluster_b")).count() === 0)
+  }
+
+  test("PQ codebooks round-trip bit-exactly") {
+    val vecs = table("embeddings")
+    val fitted = PqKnn.fit(vecs.select(col("embedding")), m = 8, ksub = 16, seed = 7L)
+    val path = tmp("pq")
+    IndexIO.savePq(spark, fitted, path)
+    val loaded = IndexIO.loadPq(spark, path)
+    assert(loaded.dim === fitted.dim)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      fitted.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("OPQ rotation + codebooks round-trip bit-exactly") {
+    val vecs = table("embeddings")
+    val fitted = OpqKnn.fit(vecs.select(col("embedding")), m = 8, ksub = 16, seed = 7L)
+    val path = tmp("opq")
+    IndexIO.saveOpq(spark, fitted, path)
+    val loaded = IndexIO.loadOpq(spark, path)
+    assert(loaded.rotation.map(_.toSeq).toSeq === fitted.rotation.map(_.toSeq).toSeq)
+    assert(loaded.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      fitted.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("Bloom filter round-trips and probes identically") {
+    val docs = table("documents")
+    val bf = BloomDedup.buildFilter(docs, col("text"), expectedItems = 1000L)
+    val path = tmp("bloom")
+    IndexIO.saveBloom(spark, bf, path, 1000L, 0.03)
+    val loaded = IndexIO.loadBloom(spark, path)
+    assert(java.util.Arrays.equals(loaded, bf))
+    val misses = docs.filter(
+      !BloomDedup.mightContain(loaded, BloomDedup.normHash(col("text")))).count()
+    assert(misses === 0L)
+  }
+
+  test("eval gram set round-trips sorted") {
+    val docs = table("documents").limit(20)
+    val grams = graft.text.Decontaminate.evalGramHashes(docs, col("doc_id"), col("text"))
+    val path = tmp("grams")
+    IndexIO.saveGrams(spark, grams, path)
+    val loaded = IndexIO.loadGrams(spark, path)
+    assert(loaded.toSeq === grams.toSeq.sorted)
+  }
+}
