@@ -368,6 +368,42 @@ object SparkEntry {
         planted, col("doc_id"), col("text"), pairs.select("id_a", "id_b"))
     }),
 
+    "q_minhash_survivors" -> ((s, d) => {
+      // survivor POLICY over the APPROXIMATE closure — composes the
+      // MinHash pair graph (q_dedup_clusters_minhash's edges) with the
+      // quality-argmax selection (q_cluster_survivors' policy). The pair
+      // graph is approximate, so the oracle pins the GATE, not the rows:
+      // ≥90% of planted (original, near-dup) pairs must resolve (the
+      // cluster merged, so at most one of the two survives), and no
+      // surviving document may be beaten on quality by a member of its
+      // own cluster (the argmax contract, replayed in-plan from the SAME
+      // labeled frame the selection ran on — no second closure).
+      val docs = t(s, d, "documents")
+      val planted = DedupData.withPlantedDups(docs)
+      val pairs = MinHashLsh.nearDuplicates(planted, col("doc_id"), col("text"))
+      val labeled = graft.CachePool.persist(
+        graft.text.DocPipeline.clusterLabeled(
+          planted, col("doc_id"), col("text"), pairs.select("id_a", "id_b")))
+      val surv = graft.CachePool.persist(
+        graft.text.DocPipeline.survivorsFromLabeled(labeled))
+      val origS = surv.filter(col("doc_id") % 5 === 0 &&
+          col("doc_id") < DedupData.ExactIdOffset)
+        .select(col("doc_id").as("oid"))
+      val nearS = surv.filter(col("doc_id") >= DedupData.NearIdOffset)
+        .select((col("doc_id") - DedupData.NearIdOffset).as("oid"))
+      val nBoth = origS.join(nearS, "oid").agg(count(lit(1)).as("n_both"))
+      val nNear = docs.filter(col("doc_id") % 5 === 0).agg(count(lit(1)).as("n_p"))
+      val clusterMax = labeled.groupBy("comp").agg(max("quality_score").as("max_q"))
+      val argmaxOk = surv.join(clusterMax, "comp")
+        .agg(coalesce(every(col("quality_score") >= col("max_q")), lit(true))
+          .as("argmax_ok"))
+      nBoth.crossJoin(nNear).crossJoin(argmaxOk).select(
+        lit("minhash_survivors").as("algo"),
+        col("n_p").as("n_planted"),
+        (col("n_both") <= col("n_p") * 0.1).as("dedup_ok"),
+        col("argmax_ok"))
+    }),
+
     "q_pii_redact" -> ((s, d) => {
       // every 5th doc gets a deterministic PII suffix (URL with embedded
       // credentials, e-mail, phone, IP) so the redaction chain has real
@@ -570,6 +606,22 @@ object SparkEntry {
     "q_source_quota" -> ((s, d) =>
       graft.text.DocPipeline.sourceQuota(
         t(s, d, "documents"), col("doc_id"), col("text"), col("source"), k = 15)),
+
+    "q_quota_admission" -> ((s, d) => {
+      // the ONLINE quota gate (streaming.AdmissionQuota) run in batch
+      // mode: flatMapGroupsWithState sees each source's rows exactly once,
+      // so first-k admission degenerates to the k smallest doc_ids per
+      // source — which the oracle replays with a rank. The streaming
+      // parity spec drives the SAME code over micro-batches, where state
+      // carries the admitted count across batches.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .as[graft.streaming.AdmissionQuota.DocArrival]
+      graft.streaming.AdmissionQuota.admitFirstK(docs, k = 20)
+        .toDF()
+        .orderBy("source", "doc_id")
+    }),
 
     "q_curation_quota" -> ((s, d) => {
       // the composed curation path: quality-filter → exact dedup (planted
@@ -1032,6 +1084,15 @@ object SparkEntry {
         |  TRUE AS recall_ok
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
 
+    // the survivor-policy gate over the same approximate graph: the pair
+    // count is data-derived; the two booleans are the contract (≥90% of
+    // planted pairs resolved to ≤1 survivor; argmax never beaten by a
+    // cluster member). A recall or argmax regression flips the hash red.
+    "q_minhash_survivors" ->
+      """SELECT 'minhash_survivors' AS algo, CAST(count(*) AS BIGINT) AS n_planted,
+        |  TRUE AS dedup_ok, TRUE AS argmax_ok
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
     // the ANN gate emits scale-independent structural counts plus a
     // thresholded recall boolean; the oracle pins them as constants, so a
     // recall regression flips the hash red (see the query's comment for
@@ -1387,6 +1448,15 @@ object SparkEntry {
         |      ORDER BY quality_score DESC, doc_id) AS rk
         |  FROM scored)
         |WHERE rk <= 15 ORDER BY source, doc_id""".stripMargin,
+
+    // batch execution of the online admission gate = the k smallest
+    // doc_ids per source, with admit_seq the ascending-id rank.
+    "q_quota_admission" ->
+      """SELECT doc_id, source, CAST(rk AS BIGINT) AS admit_seq FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin,
 
     // the q_doc_pipeline corpus CTEs (planted dups → features → quality
     // gate → exact dedup keep-min) with the quota rank on top.

@@ -81,6 +81,35 @@ object DocPipeline {
       .select(col("doc_id"), col("quality_score"))
   }
 
+  /** [[curateStream]] with WATERMARK-BOUNDED dedup state — the form a
+    * forever-running crawl ingest actually deploys. The per-key dedup
+    * state of `dropDuplicates` never ages out; here the stream carries an
+    * event time (crawl timestamp), the watermark trails it by `delay`,
+    * and `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its horizon. Contract: duplicates arriving within
+    * `delay` of the first copy are dropped (the guarantee re-crawl storms
+    * need); a copy arriving LATER than `delay` after the original is
+    * re-admitted — by then it is a re-crawl, not a storm, and the
+    * downstream batch dedup (exact or near) owns it. State is bounded by
+    * arrival rate × delay instead of corpus cardinality. Output adds the
+    * event time so downstream sinks can window it.
+    */
+  def curateStreamWatermarked(docs: DataFrame, id: Column, text: Column,
+                              eventTime: Column, delay: String,
+                              evalGrams: Array[Long]): DataFrame = {
+    val gated = withQuality(
+        docs.select(id.as("doc_id"), eventTime.as("__cs_ts"),
+          text.as("__cs_text")), col("__cs_text"))
+      .filter(qualityFilter())
+    val clean = gated.filter(
+      !Decontaminate.contaminationFlag(col("__cs_text"), evalGrams))
+    clean
+      .withColumn("__cs_key", xxhash64(ExactDedup.normalize(col("__cs_text"))))
+      .withWatermark("__cs_ts", delay)
+      .dropDuplicatesWithinWatermark("__cs_key")
+      .select(col("doc_id"), col("__cs_ts").as("event_ts"), col("quality_score"))
+  }
+
   /** Canonical-document selection: ONE survivor per near-duplicate
     * cluster by QUALITY (argmax `quality_score`, doc_id tie-break) — the
     * policy production pipelines actually want after closure, where
@@ -96,19 +125,35 @@ object DocPipeline {
     * cluster, ordered by comp.
     */
   def survivorsByQuality(docs: DataFrame, id: Column, text: Column,
-                         pairs: DataFrame): DataFrame = {
+                         pairs: DataFrame): DataFrame =
+    survivorsFromLabeled(clusterLabeled(docs, id, text, pairs))
+
+  /** The closure + quality attach HALF of [[survivorsByQuality]]: every
+    * document labeled with its cluster (its own id when outside the pair
+    * graph) and its quality score — exposed so gates can check the argmax
+    * contract against cluster members WITHOUT re-running the closure.
+    * Output: (comp, doc_id, quality_score), one row per document.
+    */
+  def clusterLabeled(docs: DataFrame, id: Column, text: Column,
+                     pairs: DataFrame): DataFrame = {
     val scored = withQuality(
         docs.select(id.as("doc_id"), text.as("__sv_text")), col("__sv_text"))
       .select(col("doc_id"), col("quality_score"))
     val comp = graft.dedup.DedupClusters.componentsAuto(pairs)
       .withColumnRenamed("id", "doc_id")
-    val labeled = scored.join(comp, Seq("doc_id"), "left")
+    scored.join(comp, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .select("comp", "doc_id", "quality_score")
+  }
+
+  /** The argmax HALF of [[survivorsByQuality]] over a
+    * [[clusterLabeled]]-shaped frame.
+    */
+  def survivorsFromLabeled(labeled: DataFrame): DataFrame =
     graft.plans.TopKPerKey.topK(
         labeled.select("comp", "doc_id", "quality_score"),
         Seq("comp"), Seq(("quality_score", false), ("doc_id", true)), 1)
       .orderBy("comp")
-  }
 
   /** Stage-by-stage survivor accounting for the curation cascade — the
     * funnel metric every production pipeline reports: how many documents

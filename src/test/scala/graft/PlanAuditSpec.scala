@@ -288,4 +288,21 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }.isEmpty, s"snapshot-side confirm must broadcast, not shuffle:\n$plan")
   }
+
+  test("q_minhash_survivors: no cartesian over data-sized frames; labeled frame cache-reused") {
+    val df = q("q_minhash_survivors")
+    val plan = finalPlan(df)
+    graft.CachePool.releaseAll()
+    // the closure rounds, argmax and gate joins are all equi-joins; the
+    // only non-equi joins are the 1-row summary crossJoins (BNLJ is fine)
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"cartesian over a data-sized frame:\n$plan")
+    // the persisted labeled frame feeds BOTH the argmax selection and the
+    // cluster-max replay without recomputing the closure
+    val cacheScans = collect(plan) {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    assert(cacheScans.size >= 2,
+      s"labeled frame must be cache-reused across argmax and gate:\n$plan")
+  }
 }

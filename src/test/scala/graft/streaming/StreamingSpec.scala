@@ -279,4 +279,68 @@ class StreamingSpec extends SparkSpec {
       assert(got === Seq(5L))
     } finally q.stop()
   }
+
+  test("curateStreamWatermarked: dup within the delay dropped, state evicted past it") {
+    import graft.text.{Decontaminate, DocPipeline}
+    val evalDocs = Seq(
+      (100L, "held out benchmark question with exactly these eight tokens")).toDF("doc_id", "text")
+    val grams = Decontaminate.evalGramHashes(evalDocs, col("doc_id"), col("text"))
+    val textA = "a perfectly reasonable document with enough clean tokens"
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = DocPipeline.curateStreamWatermarked(
+        input.toDS().toDF("doc_id", "ts", "text"), col("doc_id"), col("text"),
+        col("ts"), "10 minutes", grams)
+      .writeStream.format("memory").queryName("curate_wm")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), textA),
+        (2L, ts(0), "another good and clean document that also passes the gate"))
+      q.processAllAvailable()
+      // same normalized text 5 min later — inside the delay: dropped
+      input.addData((3L, ts(5), "  " + textA.toUpperCase + "  "))
+      q.processAllAvailable()
+      // a clean rider far ahead advances the watermark past key A's horizon
+      input.addData((9L, ts(200), "watermark advancing clean rider document with plenty of tokens"))
+      q.processAllAvailable()
+      // the same text long past the delay: state evicted → re-admitted
+      // (a re-crawl, not a storm; batch dedup downstream owns it)
+      input.addData((4L, ts(210), textA))
+      q.processAllAvailable()
+      val ids = spark.table("curate_wm").select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 9L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("admission quota: batch = k-smallest per source; stream caps across micro-batches") {
+    import graft.streaming.AdmissionQuota
+    import graft.streaming.AdmissionQuota.{Admitted, DocArrival}
+    val batch1 = Seq(DocArrival(2L, "web"), DocArrival(1L, "web"), DocArrival(10L, "books"))
+    val batch2 = Seq(DocArrival(3L, "web"), DocArrival(4L, "web"), DocArrival(11L, "books"))
+    // batch mode: each group seen once → the k smallest doc_ids per source
+    val batchOut = AdmissionQuota.admitFirstK((batch1 ++ batch2).toDS(), k = 3)
+      .collect().toSet
+    assert(batchOut === Set(
+      Admitted(1L, "web", 1L), Admitted(2L, "web", 2L), Admitted(3L, "web", 3L),
+      Admitted(10L, "books", 1L), Admitted(11L, "books", 2L)))
+
+    val input = MemoryStream[DocArrival](spark)
+    val q = AdmissionQuota.admitFirstK(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("admit_out")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("admit_out").as[Admitted].collect().toSet
+      // ids arrived in ascending order across batches, so stream == batch
+      assert(got === batchOut)
+      // budget spent: a smaller id arriving later is NOT admitted — online
+      // admission is first-come, unlike the batch rank
+      input.addData(DocArrival(0L, "web"))
+      q.processAllAvailable()
+      assert(spark.table("admit_out").count() === batchOut.size.toLong)
+    } finally q.stop()
+  }
 }

@@ -134,4 +134,38 @@ class TextSpec extends SparkSpec {
       .select("run_df").as[Long].collect().toSeq
     assert(boiler === Seq(100L))
   }
+
+  test("clusterLabeled + survivorsFromLabeled compose to survivorsByQuality") {
+    val docs = Seq(
+      (1L, "!!! ??? %%% ..."),
+      (2L, "the cat is on the mat and happy today"),
+      (3L, "zzz qqq"),
+      (10L, "a plain doc here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val composed = DocPipeline.survivorsFromLabeled(
+        DocPipeline.clusterLabeled(docs, col("doc_id"), col("text"), pairs))
+      .select("comp", "doc_id", "quality_score").collect().toSet
+    val direct = DocPipeline.survivorsByQuality(docs, col("doc_id"), col("text"), pairs)
+      .select("comp", "doc_id", "quality_score").collect().toSet
+    assert(composed === direct)
+  }
+
+  test("minhash-closure survivors resolve planted near-dup pairs to one doc") {
+    import graft.dedup.MinHashLsh
+    val docs = table("documents")
+    val planted = DedupData.withPlantedDups(docs)
+    val pairs = MinHashLsh.nearDuplicates(planted, col("doc_id"), col("text"))
+    val labeled = DocPipeline.clusterLabeled(
+      planted, col("doc_id"), col("text"), pairs.select("id_a", "id_b"))
+    val surv = DocPipeline.survivorsFromLabeled(labeled)
+      .select("doc_id").as[Long].collect().toSet
+    graft.CachePool.releaseAll()
+    val nearIds = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val both = nearIds.filter(i =>
+      surv.contains(i) && surv.contains(i + DedupData.NearIdOffset))
+    assert(both.size <= nearIds.size / 10,
+      s"${both.size} of ${nearIds.size} planted pairs kept BOTH members")
+  }
 }
