@@ -21,6 +21,12 @@ object Bench {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // optional comma-separated subset for focused local timing; absent →
+    // the full suite (the driver's contract is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
     // Untimed warmup: one pass over EVERY query at the smallest sibling
     // scale, so the timed pass measures steady-state engine throughput
     // instead of first-call Janino/JIT compilation (plan shapes — and so
@@ -36,7 +42,7 @@ object Bench {
     }
     warmDir match {
       case Some(wd) =>
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        selected.foreach { case (_, fn) =>
           try noop(fn(spark, wd)) catch { case _: Throwable => () }
           CachePool.releaseAll()
           spark.catalog.clearCache()
@@ -56,7 +62,7 @@ object Bench {
     // re-release its group each iteration so it cannot pollute later
     // timings or pin memory.
     val staleGroups = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       staleGroups.foreach { g =>
         spark.sparkContext.cancelJobGroup(g)
         CachePool.releaseGroup(g)

@@ -576,6 +576,13 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       graft.text.TfIdf.topTerms(t(s, d, "documents"), col("doc_id"), col("text"), k = 3)),
 
+    "q_vocab_topk" -> ((s, d) =>
+      // corpus-wide vocabulary: top-1000 terms by occurrence with exact
+      // document frequencies — hash agg on term, count-distinct expand,
+      // TakeOrderedAndProject cap (plan-audited: no global vocab sort)
+      graft.text.Vocab.topTerms(
+        t(s, d, "documents"), col("doc_id"), col("text"), k = 1000)),
+
     "q_repetition" -> ((s, d) => {
       // every 4th doc is doubled (text + ' ' + text) so the repetition
       // signal has real positives; the oracle replays the same planting.
@@ -1315,6 +1322,15 @@ object SparkEntry {
 
     // raw tf·N/df (log-free — monotone-equivalent ranking, exact
     // integer product over one IEEE division, bit-reproducible).
+    "q_vocab_topk" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id,
+        |        unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |          t -> len(t) > 0)) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY n_occ DESC, term LIMIT 1000""".stripMargin,
+
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk

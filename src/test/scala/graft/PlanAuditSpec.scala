@@ -289,6 +289,16 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"snapshot-side confirm must broadcast, not shuffle:\n$plan")
   }
 
+  test("q_vocab_topk caps with TakeOrdered and partial-aggregates map-side; no vocab sort") {
+    val plan = finalPlan(q("q_vocab_topk"))
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+    // the only Sort nodes permissible are inside TakeOrdered's per-partition
+    // bound — a standalone global SortExec over the vocab is the scale bug
+    assert(collect(plan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.isEmpty, s"global sort over the vocabulary:\n$plan")
+  }
+
   test("q_minhash_survivors: no cartesian over data-sized frames; labeled frame cache-reused") {
     val df = q("q_minhash_survivors")
     val plan = finalPlan(df)

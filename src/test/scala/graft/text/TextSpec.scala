@@ -135,6 +135,19 @@ class TextSpec extends SparkSpec {
     assert(boiler === Seq(100L))
   }
 
+  test("Vocab.topTerms counts occurrences and document frequency, ranked with tie-break") {
+    val docs = Seq(
+      (1L, "the cat and the hat"),
+      (2L, "the dog"),
+      (3L, "cat cat cat")
+    ).toDF("doc_id", "text")
+    val got = Vocab.topTerms(docs, col("doc_id"), col("text"), k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // 'cat': 4 occurrences in 2 docs; 'the': 3 in 2; 'and'/'dog'/'hat' tie
+    // at 1 — 'and' wins the term tie-break
+    assert(got === Seq(("cat", 4L, 2L), ("the", 3L, 2L), ("and", 1L, 1L)))
+  }
+
   test("clusterLabeled + survivorsFromLabeled compose to survivorsByQuality") {
     val docs = Seq(
       (1L, "!!! ??? %%% ..."),
