@@ -583,6 +583,15 @@ object SparkEntry {
       graft.text.Vocab.topTerms(
         t(s, d, "documents"), col("doc_id"), col("text"), k = 1000)),
 
+    "q_bpe_pairs" -> ((s, d) =>
+      // first BPE merge-rule statistic: adjacent char-pair counts over
+      // the top-500 vocabulary, weighted by word occurrences — the
+      // distributed half of tokenizer induction (the per-merge loop is
+      // driver-side over the bounded vocab by design)
+      graft.text.Vocab.mergePairStats(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        topWords = 500, k = 200)),
+
     "q_repetition" -> ((s, d) => {
       // every 4th doc is doubled (text + ' ' + text) so the repetition
       // signal has real positives; the oracle replays the same planting.
@@ -1330,6 +1339,23 @@ object SparkEntry {
         |          t -> len(t) > 0)) AS term
         |      FROM documents)
         |GROUP BY term ORDER BY n_occ DESC, term LIMIT 1000""".stripMargin,
+
+    // same vocab CTE capped to the top 500, then every adjacent char pair
+    // of each word weighted by the word's occurrence count.
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> len(t) > 0)) AS term
+        |        FROM documents)
+        |  GROUP BY term ORDER BY n_occ DESC, term LIMIT 500
+        |), pairs AS (
+        |  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, n_occ
+        |  FROM words, unnest(generate_series(1, len(term) - 1)) AS t(i)
+        |  WHERE len(term) >= 2)
+        |SELECT pair, CAST(sum(n_occ) AS BIGINT) AS n_weighted
+        |FROM pairs GROUP BY pair ORDER BY n_weighted DESC, pair LIMIT 200""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

@@ -28,4 +28,31 @@ object Vocab {
       .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("df"))
       .orderBy(col("n_occ").desc, col("term"))
       .limit(k)
+
+  /** The first BPE-induction step: adjacent character-pair frequencies
+    * over the word vocabulary, each pair weighted by its word's corpus
+    * occurrence count — the statistic whose argmax is the first merge
+    * rule. Classic BPE iterates this driver-side over the (bounded)
+    * vocabulary; the EXPENSIVE part at 100 TB is the word count itself,
+    * which is [[topTerms]]' distributed agg. Here the pair explode runs
+    * over the top-`topWords` words only (bounded rows × bounded term
+    * length), so the whole statistic stays one short plan: vocab agg →
+    * per-word pair explode → pair agg → `TakeOrderedAndProject` cap.
+    *
+    * Single-character words contribute no pairs (the `length >= 2` guard
+    * matters: Spark's `sequence(1, 0)` counts DOWN, it is not empty).
+    */
+  def mergePairStats(docs: DataFrame, id: Column, text: Column,
+                     topWords: Int, k: Int): DataFrame = {
+    val words = topTerms(docs, id, text, topWords)
+    val pairs = when(length(col("term")) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(col("term")) - 1),
+        i => col("term").substr(i, lit(2))))
+    words.select(explode(pairs).as("pair"), col("n_occ"))
+      .groupBy("pair")
+      .agg(sum(col("n_occ")).as("n_weighted"))
+      .orderBy(col("n_weighted").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -148,6 +148,18 @@ class TextSpec extends SparkSpec {
     assert(got === Seq(("cat", 4L, 2L), ("the", 3L, 2L), ("and", 1L, 1L)))
   }
 
+  test("Vocab.mergePairStats weights char pairs by word occurrences; 1-char words contribute none") {
+    val docs = Seq(
+      (1L, "abc abc ab"),
+      (2L, "a a a a a a a a")   // single-char word: no pairs
+    ).toDF("doc_id", "text")
+    val got = Vocab.mergePairStats(docs, col("doc_id"), col("text"),
+        topWords = 10, k = 10)
+      .as[(String, Long)].collect().toSeq
+    // 'abc'×2 → ab(2), bc(2); 'ab'×1 → ab(1) ⇒ ab=3, bc=2
+    assert(got === Seq(("ab", 3L), ("bc", 2L)))
+  }
+
   test("clusterLabeled + survivorsFromLabeled compose to survivorsByQuality") {
     val docs = Seq(
       (1L, "!!! ??? %%% ..."),
