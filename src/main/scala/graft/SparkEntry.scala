@@ -592,6 +592,27 @@ object SparkEntry {
         t(s, d, "documents"), col("doc_id"), col("text"),
         topWords = 500, k = 200)),
 
+    "q_bpe_train" -> ((s, d) => {
+      // the merge LOOP gate: 30 greedy merges over the top-500 vocab
+      // (Vocab.bpeMerges — one corpus pass, then a driver-side loop over
+      // the bounded vocabulary). The oracle replays what SQL can reach:
+      // the merge count, the FIRST merge (= q_bpe_pairs' argmax, same
+      // tie-break), and the monotonicity certificate — selection weights
+      // never increase in rank, because every instance of a pair created
+      // by a merge contains an instance of that merge.
+      val merges = graft.text.Vocab.bpeMerges(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        topWords = 500, nMerges = 30)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("rank")
+      merges
+        .withColumn("ok",
+          coalesce(lag("weight", 1).over(w) >= col("weight"), lit(true)))
+        .agg(
+          count(lit(1)).as("n_merges"),
+          min_by(col("merged"), col("rank")).as("first_merged"),
+          coalesce(every(col("ok")), lit(true)).as("monotone_ok"))
+    }),
+
     "q_repetition" -> ((s, d) => {
       // every 4th doc is doubled (text + ' ' + text) so the repetition
       // signal has real positives; the oracle replays the same planting.
@@ -1356,6 +1377,26 @@ object SparkEntry {
         |  WHERE len(term) >= 2)
         |SELECT pair, CAST(sum(n_occ) AS BIGINT) AS n_weighted
         |FROM pairs GROUP BY pair ORDER BY n_weighted DESC, pair LIMIT 200""".stripMargin,
+
+    // first merge = the pair-stats argmax (1-char symbols ⇒ (left,right)
+    // lexicographic == concatenated-pair lexicographic, so the tie-break
+    // agrees); count and monotonicity pinned.
+    "q_bpe_train" ->
+      """WITH words AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> len(t) > 0)) AS term
+        |        FROM documents)
+        |  GROUP BY term ORDER BY n_occ DESC, term LIMIT 500
+        |), pairs AS (
+        |  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, n_occ
+        |  FROM words, unnest(generate_series(1, len(term) - 1)) AS t(i)
+        |  WHERE len(term) >= 2)
+        |SELECT CAST(30 AS BIGINT) AS n_merges,
+        |  (SELECT pair FROM pairs GROUP BY pair
+        |   ORDER BY sum(n_occ) DESC, pair LIMIT 1) AS first_merged,
+        |  TRUE AS monotone_ok""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

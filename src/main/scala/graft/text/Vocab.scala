@@ -55,4 +55,68 @@ object Vocab {
       .orderBy(col("n_weighted").desc, col("pair"))
       .limit(k)
   }
+
+  /** The full BPE merge LOOP: greedy argmax-pair merges over the
+    * occurrence-weighted vocabulary. The distributed part is the word
+    * count ([[topTerms]] — the only pass over the corpus); the per-merge
+    * iteration then runs DRIVER-SIDE over the collected vocabulary — a
+    * bounded-by-construction collect (≤ topWords rows), the same contract
+    * as the ANN sample fits, and exactly how production tokenizer
+    * training consumes a corpus. Deterministic: ties break on (left,
+    * right) lexicographic; within a word, merges apply left to right.
+    *
+    * Output: (rank, left, right, merged, weight) for `nMerges` rows (or
+    * fewer if the vocabulary exhausts), rank-ordered. `weight` — the
+    * merged pair's weighted count at selection time — is non-increasing
+    * in rank: every instance of a NEW pair created by a merge contains
+    * that merge's instance, so no later count can exceed an earlier max.
+    */
+  def bpeMerges(docs: DataFrame, id: Column, text: Column,
+                topWords: Int, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words: Array[(String, Long)] = topTerms(docs, id, text, topWords)
+      .select("term", "n_occ").as[(String, Long)].collect()
+
+    // distinct words stay distinct as symbol vectors (concatenation
+    // recovers the word), so a plain map keeps counts intact
+    var vocab: Array[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+
+    def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, l + r, cnt))
+        vocab = vocab.map { case (syms, c) => (mergeWord(syms, l, r), c) }
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "weight")
+      .orderBy("rank")
+  }
 }

@@ -160,6 +160,20 @@ class TextSpec extends SparkSpec {
     assert(got === Seq(("ab", 3L), ("bc", 2L)))
   }
 
+  test("Vocab.bpeMerges replays classic BPE: greedy argmax merges, left-to-right in-word") {
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val got = Vocab.bpeMerges(docs, col("doc_id"), col("text"),
+        topWords = 10, nMerges = 10)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // round 1: (a,a)=6 beats (a,b)=5 → merge aa; aaab→[aa,a,b]
+    // round 2: (a,b)=3+2 beats (aa,a)=3 → merge ab; aaab→[aa,ab], ab→[ab]
+    // round 3: (aa,ab)=3 → merge aaab; then no pairs remain (early stop)
+    assert(got === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
   test("clusterLabeled + survivorsFromLabeled compose to survivorsByQuality") {
     val docs = Seq(
       (1L, "!!! ??? %%% ..."),
