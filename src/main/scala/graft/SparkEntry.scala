@@ -613,6 +613,31 @@ object SparkEntry {
           coalesce(every(col("ok")), lit(true)).as("monotone_ok"))
     }),
 
+    "q_bpe_encode" -> ((s, d) => {
+      // distributed ENCODE under the trained table: BpeEncodeCount is a
+      // native codegen-friendly expression carrying the (bounded) merge
+      // table, so encoding is a pure per-row map — no join, no shuffle.
+      // Oracle-reachable truths: the 0-merge encode IS the corpus
+      // character count (hash-checked as a data-derived total), and a
+      // longer table never increases the count (the shorter table's
+      // fixpoint is an intermediate state of the longer one's run).
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val table = graft.text.Vocab.bpeMerges(docs, col("doc_id"), col("text"),
+          topWords = 500, nMerges = 30)
+        .select("left", "right").as[(String, String)].collect().toSeq
+      val toks = TextAnalysis.tokens(col("text"))
+      docs.select(
+          graft.functions.BpeExprs.encodeCount(toks, table).as("n30"),
+          graft.functions.BpeExprs.encodeCount(toks, table.take(10)).as("n10"),
+          graft.functions.BpeExprs.encodeCount(toks, Nil).as("n0"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n0")).as("n_chars_total"),
+          coalesce(every(col("n30") <= col("n10") && col("n10") <= col("n0")),
+            lit(true)).as("monotone_ok"))
+    }),
+
     "q_repetition" -> ((s, d) => {
       // every 4th doc is doubled (text + ' ' + text) so the repetition
       // signal has real positives; the oracle replays the same planting.
@@ -1397,6 +1422,18 @@ object SparkEntry {
         |  (SELECT pair FROM pairs GROUP BY pair
         |   ORDER BY sum(n_occ) DESC, pair LIMIT 1) AS first_merged,
         |  TRUE AS monotone_ok""".stripMargin,
+
+    // the 0-merge encode equals the corpus character count over the same
+    // token stream; monotonicity pinned (see the query's comment).
+    "q_bpe_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(array_to_string(tk, ''))) AS BIGINT) AS n_chars_total,
+        |  TRUE AS monotone_ok
+        |FROM toks""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

@@ -111,4 +111,20 @@ class FunctionsSpec extends SparkSpec {
       .as[Long].head()
     assert(got === 2L)
   }
+
+  test("BpeEncodeCount applies lowest-rank merges greedily; empty table = char count") {
+    import graft.text.TextAnalysis
+    val df = Seq((1L, "aaab ab ba"), (2L, "   ")).toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    // the table Vocab.bpeMerges trains on "aaab aaab aaab ab ab"
+    val table = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val got = df.select(col("doc_id"),
+        BpeExprs.encodeCount(toks, table).as("n"),
+        BpeExprs.encodeCount(toks, Nil).as("n0"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, n, n0) => i -> ((n, n0)) }.toMap
+    // aaab→[aaab]=1, ab→[ab]=1, ba (no merge applies)=2 ⇒ 4; chars = 8
+    assert(got(1L) === ((4L, 8L)))
+    assert(got(2L) === ((0L, 0L))) // whitespace-only doc: zero tokens
+  }
 }
