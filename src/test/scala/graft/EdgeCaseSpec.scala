@@ -198,6 +198,35 @@ class EdgeCaseSpec extends SparkSpec {
     CachePool.releaseAll()
   }
 
+  test("round-5 third-session operators on degenerate input") {
+    import graft.streaming.AdmissionQuota
+    import graft.text.{DocPipeline, Vocab}
+    // vocab family: empty corpus → empty frames, not errors
+    assert(Vocab.topTerms(noDocs, col("doc_id"), col("text"), 10).count() === 0)
+    assert(Vocab.mergePairStats(noDocs, col("doc_id"), col("text"), 10, 10).count() === 0)
+    val noMerges = Vocab.bpeMerges(noDocs, col("doc_id"), col("text"), 10, 10)
+    assert(noMerges.count() === 0)
+    assert(noMerges.columns.toSeq === Seq("rank", "left", "right", "merged", "weight"))
+    // a single-character vocabulary admits no merges
+    val oneChar = Seq((1L, "a a b")).toDF("doc_id", "text")
+    assert(Vocab.bpeMerges(oneChar, col("doc_id"), col("text"), 10, 10).count() === 0)
+    // encode under the empty table = char count; empty corpus → no rows
+    assert(noDocs.select(graft.functions.BpeExprs.encodeCount(
+      TextAnalysis.tokens(col("text")), Nil)).count() === 0)
+    // admission quota: k = 0 admits nothing; empty input → empty output
+    val arrivals = Seq(AdmissionQuota.DocArrival(1L, "s")).toDS()
+    assert(AdmissionQuota.admitFirstK(arrivals, k = 0).count() === 0)
+    assert(AdmissionQuota.admitFirstK(
+      Seq.empty[AdmissionQuota.DocArrival].toDS(), k = 3).count() === 0)
+    // survivor halves compose on an empty pair graph: everyone survives
+    val docs3 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val noPairs2 = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val lbl = DocPipeline.clusterLabeled(docs3, col("doc_id"), col("text"), noPairs2)
+    assert(DocPipeline.survivorsFromLabeled(lbl).count() === 2)
+    CachePool.releaseAll()
+  }
+
   test("text operators on empty input and empty strings") {
     assert(TextAnalysis.langId(noDocs, col("doc_id"), col("text")).count() === 0)
     assert(Fingerprint.fingerprints(noDocs, col("doc_id"), col("text")).count() === 0)
