@@ -68,4 +68,51 @@ class ExprPropertySpec extends SparkSpec {
       assert(sa.zip(sab).forall { case (x, y) => y <= x }, s"case $i")
     }
   }
+
+  test("BpeEncodeCount equals an independent list-based encode for random words/tables") {
+    // independent reference: immutable-list greedy encode, lowest rank
+    // first, all occurrences left-to-right per application
+    def refEncode(word: String, merges: Seq[(String, String)]): Int = {
+      val rank = merges.zipWithIndex.toMap
+      var syms: List[String] = word.map(_.toString).toList
+      var continue = true
+      while (continue) {
+        val applicable = syms.zip(syms.drop(1)).flatMap(p => rank.get(p).map(p -> _))
+        if (applicable.isEmpty) continue = false
+        else {
+          val (l, r) = applicable.minBy(_._2)._1
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case a :: b :: t if a == l && b == r => out += (l + r); rest = t
+            case a :: t => out += a; rest = t
+            case Nil => ()
+          }
+          syms = out.toList
+        }
+      }
+      syms.length
+    }
+    val alphabet = "abcd"
+    def randWord(): String =
+      Array.fill(1 + rng.nextInt(10))(alphabet(rng.nextInt(alphabet.length))).mkString
+    (1 to 15).foreach { i =>
+      val words = Seq.fill(1 + rng.nextInt(6))(randWord())
+      // random table over short symbols (some inapplicable — fine)
+      val table = Seq.fill(rng.nextInt(8))((randWord().take(2), randWord().take(2))).distinct
+      val expected = words.map(w => refEncode(w, table).toLong).sum
+      val got = Seq(Tuple1(words)).toDF("ws")
+        .select(BpeExprs.encodeCount(col("ws"), table)).as[Long].head()
+      assert(got === expected, s"case $i words=$words table=$table")
+      // empty table degenerates to character count
+      val chars = Seq(Tuple1(words)).toDF("ws")
+        .select(BpeExprs.encodeCount(col("ws"), Nil)).as[Long].head()
+      assert(chars === words.map(_.length.toLong).sum, s"case $i chars")
+      // a longer table never increases the count
+      val shorter = Seq(Tuple1(words)).toDF("ws")
+        .select(BpeExprs.encodeCount(col("ws"), table.take(table.length / 2)))
+        .as[Long].head()
+      assert(got <= shorter, s"case $i monotone")
+    }
+  }
 }
