@@ -21,13 +21,16 @@ object Bench {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // optional comma-separated subset for focused local timing; absent →
-    // the full suite (the driver's contract is unchanged)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // optional comma-separated subset for focused local timing; absent or
+    // blank → the full suite (the driver's contract is unchanged). The
+    // warmup pass below also runs over this subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // Untimed warmup: one pass over EVERY query at the smallest sibling
+    // Untimed warmup: one pass over every SELECTED query at the smallest sibling
     // scale, so the timed pass measures steady-state engine throughput
     // instead of first-call Janino/JIT compilation (plan shapes — and so
     // generated-code cache keys — are scale-independent). All data caches

@@ -1375,8 +1375,6 @@ object SparkEntry {
         |GROUP BY suppkey, s.s_name
         |ORDER BY suppkey""".stripMargin,
 
-    // raw tf·N/df (log-free — monotone-equivalent ranking, exact
-    // integer product over one IEEE division, bit-reproducible).
     "q_vocab_topk" ->
       """SELECT term, CAST(count(*) AS BIGINT) AS n_occ,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
@@ -1425,6 +1423,11 @@ object SparkEntry {
 
     // the 0-merge encode equals the corpus character count over the same
     // token stream; monotonicity pinned (see the query's comment).
+    // KNOWN FRAGILITY, deliberate: Spark counts UTF-16 code units,
+    // DuckDB len() counts codepoints — they agree only while the corpus
+    // stays BMP-only (the generator emits ASCII). If the generator ever
+    // plants astral-plane text, this oracle must drop n_chars_total to a
+    // rows-only check (the monotonicity booleans stay valid).
     "q_bpe_encode" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1435,6 +1438,8 @@ object SparkEntry {
         |  TRUE AS monotone_ok
         |FROM toks""".stripMargin,
 
+    // raw tf·N/df (log-free — monotone-equivalent ranking, exact
+    // integer product over one IEEE division, bit-reproducible).
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk

@@ -174,7 +174,7 @@ class TextSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
-  test("clusterLabeled + survivorsFromLabeled compose to survivorsByQuality") {
+  test("survivorsFromLabeled equals an independent window argmax over the labeled frame") {
     val docs = Seq(
       (1L, "!!! ??? %%% ..."),
       (2L, "the cat is on the mat and happy today"),
@@ -182,12 +182,18 @@ class TextSpec extends SparkSpec {
       (10L, "a plain doc here")
     ).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
-    val composed = DocPipeline.survivorsFromLabeled(
-        DocPipeline.clusterLabeled(docs, col("doc_id"), col("text"), pairs))
+    val labeled = DocPipeline.clusterLabeled(docs, col("doc_id"), col("text"), pairs)
+      .cache()
+    val viaTopK = DocPipeline.survivorsFromLabeled(labeled)
       .select("comp", "doc_id", "quality_score").collect().toSet
-    val direct = DocPipeline.survivorsByQuality(docs, col("doc_id"), col("text"), pairs)
+    // independent semantics: plain rank-1 window, same ordering contract
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("quality_score").desc, col("doc_id"))
+    val viaWindow = labeled
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select("comp", "doc_id", "quality_score").collect().toSet
-    assert(composed === direct)
+    labeled.unpersist()
+    assert(viaTopK === viaWindow)
   }
 
   test("minhash-closure survivors resolve planted near-dup pairs to one doc") {
