@@ -638,6 +638,28 @@ object SparkEntry {
             lit(true)).as("monotone_ok"))
     }),
 
+    "q_bpe_encode_bytes" -> ((s, d) => {
+      // byte-level encode gate — the unicode-robust form: seed symbols
+      // are UTF-8 bytes, so the 0-merge count equals the corpus BYTE
+      // count (DuckDB strlen) on ANY text, no BMP caveat. The
+      // char-trained table's merges coincide with byte-level merges on
+      // ASCII symbols and simply never apply elsewhere, so the
+      // monotonicity certificate holds on any corpus.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val table = graft.text.Vocab.bpeMerges(docs, col("doc_id"), col("text"),
+          topWords = 500, nMerges = 30)
+        .select("left", "right").as[(String, String)].collect().toSeq
+      val toks = TextAnalysis.tokens(col("text"))
+      docs.select(
+          graft.functions.BpeExprs.encodeCountBytes(toks, table).as("b30"),
+          graft.functions.BpeExprs.encodeCountBytes(toks, Nil).as("b0"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("b0")).as("n_bytes_total"),
+          coalesce(every(col("b30") <= col("b0")), lit(true)).as("monotone_ok"))
+    }),
+
     "q_repetition" -> ((s, d) => {
       // every 4th doc is doubled (text + ' ' + text) so the repetition
       // signal has real positives; the oracle replays the same planting.
@@ -1435,6 +1457,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(array_to_string(tk, ''))) AS BIGINT) AS n_chars_total,
+        |  TRUE AS monotone_ok
+        |FROM toks""".stripMargin,
+
+    // strlen counts BYTES in DuckDB, matching the UTF-8 byte seeding —
+    // this equality needs no ASCII assumption at all.
+    "q_bpe_encode_bytes" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(array_to_string(tk, ''))) AS BIGINT) AS n_bytes_total,
         |  TRUE AS monotone_ok
         |FROM toks""".stripMargin,
 

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * never increases the count (lowest-rank-first makes the shorter
   * table's fixpoint an intermediate state of the longer one's).
   */
-case class BpeEncodeCount(child: Expression, merges: Seq[(String, String)])
+case class BpeEncodeCount(child: Expression, merges: Seq[(String, String)],
+                          byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -49,11 +50,30 @@ case class BpeEncodeCount(child: Expression, merges: Seq[(String, String)])
     m
   }
 
+  /** Seed symbols: UTF-16 units (char level) or UTF-8 bytes mapped to
+    * chars 0-255 (byte level — the GPT-2-style unicode-robust seeding;
+    * whitespace never survives tokenization and no UTF-8 byte of a
+    * non-whitespace character equals 0x20, so the space separator stays
+    * safe at both levels).
+    */
+  private def seed(word: String): Array[String] =
+    if (byteLevel) {
+      val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new Array[String](bs.length)
+      var i = 0
+      while (i < bs.length) { out(i) = String.valueOf((bs(i) & 0xFF).toChar); i += 1 }
+      out
+    } else {
+      val out = new Array[String](word.length)
+      var i = 0
+      while (i < word.length) { out(i) = String.valueOf(word.charAt(i)); i += 1 }
+      out
+    }
+
   private def encodeCount(word: String): Long = {
-    if (word.length < 2 || merges.isEmpty) return word.length.toLong
-    var syms = new Array[String](word.length)
+    var syms = seed(word)
+    if (syms.length < 2 || merges.isEmpty) return syms.length.toLong
     var i = 0
-    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
     var n = syms.length
     while (true) {
       var best = Int.MaxValue
@@ -109,4 +129,12 @@ object BpeExprs {
     */
   def encodeCount(words: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncodeCount(ColumnBridge.expression(words), merges))
+
+  /** Byte-level variant: seed symbols are UTF-8 bytes, so the 0-merge
+    * count equals the corpus UTF-8 byte count on ANY text (no BMP/astral
+    * caveat) — the unicode-robust form production byte-BPE uses.
+    */
+  def encodeCountBytes(words: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(
+      BpeEncodeCount(ColumnBridge.expression(words), merges, byteLevel = true))
 }

@@ -127,4 +127,23 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L) === ((4L, 8L)))
     assert(got(2L) === ((0L, 0L))) // whitespace-only doc: zero tokens
   }
+
+  test("BpeEncodeCount byte level seeds UTF-8 bytes; char level counts UTF-16 units") {
+    import graft.text.TextAnalysis
+    // "héllo" = 5 chars, 6 UTF-8 bytes; "día" = 3 chars, 4 bytes
+    val df = Seq((1L, "héllo día ab")).toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val table = Seq(("a", "b"))
+    val got = df.select(
+        BpeExprs.encodeCountBytes(toks, Nil).as("b0"),
+        BpeExprs.encodeCount(toks, Nil).as("c0"),
+        BpeExprs.encodeCountBytes(toks, table).as("bt"),
+        BpeExprs.encodeCount(toks, table).as("ct"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 === 6L + 4L + 2L, "byte seeding")
+    assert(got._2 === 5L + 3L + 2L, "char seeding")
+    // the ASCII merge (a,b) applies identically at both levels
+    assert(got._3 === got._1 - 1L)
+    assert(got._4 === got._2 - 1L)
+  }
 }
