@@ -343,4 +343,39 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("admit_out").count() === batchOut.size.toLong)
     } finally q.stop()
   }
+
+  test("rolling admission quota refills after the source goes quiet for the TTL") {
+    import graft.streaming.AdmissionQuota
+    import graft.streaming.AdmissionQuota.TimedArrival
+    val input = MemoryStream[TimedArrival](spark)
+    val q = AdmissionQuota.admitFirstKRolling(input.toDS(), k = 2,
+        ttlMillis = 60L * 60000L, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("admit_roll")
+      .outputMode("append").start()
+    try {
+      // burst 1: budget of 2 admits ids 1,2; id 3 rejected
+      input.addData(
+        TimedArrival(1L, "web", ts(0)), TimedArrival(2L, "web", ts(1)),
+        TimedArrival(3L, "web", ts(2)))
+      q.processAllAvailable()
+      // same burst window: still rejected
+      input.addData(TimedArrival(4L, "web", ts(30)))
+      q.processAllAvailable()
+      // another source far ahead pushes the watermark past 30min + 60min
+      // TTL → web's counter evicts
+      input.addData(TimedArrival(90L, "books", ts(300)))
+      q.processAllAvailable()
+      input.addData(TimedArrival(91L, "books", ts(320)))
+      q.processAllAvailable()
+      // burst 2, long after the TTL: budget refilled, admit_seq restarts
+      input.addData(TimedArrival(5L, "web", ts(330)), TimedArrival(6L, "web", ts(331)))
+      q.processAllAvailable()
+      input.addData(TimedArrival(99L, "books", ts(400)))
+      q.processAllAvailable()
+      val got = spark.table("admit_roll")
+        .filter(col("source") === "web")
+        .select("doc_id", "admit_seq").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 1L), (2L, 2L), (5L, 1L), (6L, 2L)), s"got $got")
+    } finally q.stop()
+  }
 }
