@@ -639,16 +639,14 @@ object SparkEntry {
     }),
 
     "q_bpe_encode_bytes" -> ((s, d) => {
-      // byte-level encode gate — the unicode-robust form: seed symbols
-      // are UTF-8 bytes, so the 0-merge count equals the corpus BYTE
-      // count (DuckDB strlen) on ANY text, no BMP caveat. The
-      // char-trained table's merges coincide with byte-level merges on
-      // ASCII symbols and simply never apply elsewhere, so the
-      // monotonicity certificate holds on any corpus.
+      // byte-level encode gate — the unicode-robust form: BOTH training
+      // and encode seed UTF-8 bytes, so the 0-merge count equals the
+      // corpus BYTE count (DuckDB strlen) on ANY text, no BMP caveat,
+      // and the monotonicity certificate is table-independent.
       import s.implicits._
       val docs = t(s, d, "documents")
       val table = graft.text.Vocab.bpeMerges(docs, col("doc_id"), col("text"),
-          topWords = 500, nMerges = 30)
+          topWords = 500, nMerges = 30, byteLevel = true)
         .select("left", "right").as[(String, String)].collect().toSeq
       val toks = TextAnalysis.tokens(col("text"))
       docs.select(

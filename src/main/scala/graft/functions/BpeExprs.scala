@@ -20,10 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * same delegation every graft native expression uses).
   *
   * Per word: seed symbols = characters (UTF-16 units — the corpora this
-  * engine grades on are ASCII-normalized upstream), then repeatedly
-  * apply the LOWEST-RANK applicable merge, all its occurrences left to
-  * right — the classic greedy encode, matching how the table was
-  * trained. With an EMPTY table the count degenerates to the corpus
+  * engine grades on are ASCII-normalized upstream; `byteLevel` seeds
+  * UTF-8 bytes instead, the GPT-2 form, Radford et al. 2019), then
+  * repeatedly apply the LOWEST-RANK applicable merge, all its
+  * occurrences left to right — the classic greedy encode (Sennrich,
+  * Haddow & Birch, ACL 2016), matching how the table was trained. With an EMPTY table the count degenerates to the corpus
   * character count, which is what the oracle replays; a longer table
   * never increases the count (lowest-rank-first makes the shorter
   * table's fixpoint an intermediate state of the longer one's).

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Corpus-wide vocabulary statistics — the precursor every tokenizer /
   * BPE-vocabulary induction run starts from: for each term, its total
   * occurrence count and its document frequency, capped to the k most
-  * frequent terms.
+  * frequent terms. (BPE for subword tokenization: Sennrich, Haddow &
+  * Birch, ACL 2016; byte-level seeding: Radford et al. 2019, GPT-2.)
   *
   * Scale shape: the exploded (doc_id, term) frame is corpus-token-sized
   * but never materialized — it flows straight into a hash aggregate keyed
@@ -72,16 +73,25 @@ object Vocab {
     * that merge's instance, so no later count can exceed an earlier max.
     */
   def bpeMerges(docs: DataFrame, id: Column, text: Column,
-                topWords: Int, nMerges: Int): DataFrame = {
+                topWords: Int, nMerges: Int,
+                byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words: Array[(String, Long)] = topTerms(docs, id, text, topWords)
       .select("term", "n_occ").as[(String, Long)].collect()
 
-    // distinct words stay distinct as symbol vectors (concatenation
-    // recovers the word), so a plain map keeps counts intact
+    // byte level seeds UTF-8 bytes as chars 0-255 (pairs with
+    // BpeExprs.encodeCountBytes); on ASCII corpora the two levels train
+    // identical tables. Distinct words stay distinct as symbol vectors
+    // (concatenation recovers the word), so a plain map keeps counts
+    // intact.
+    def seed(w: String): Vector[String] =
+      if (byteLevel)
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => String.valueOf((b & 0xFF).toChar)).toVector
+      else w.map(_.toString).toVector
     var vocab: Array[(Vector[String], Long)] =
-      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      words.map { case (w, c) => (seed(w), c) }
 
     def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
       val out = Vector.newBuilder[String]

@@ -174,6 +174,22 @@ class TextSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("byte-level bpeMerges equals char-level on ASCII; seeds UTF-8 bytes otherwise") {
+    val ascii = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val char = Vocab.bpeMerges(ascii, col("doc_id"), col("text"), 10, 10).collect().toSeq
+    val byte = Vocab.bpeMerges(ascii, col("doc_id"), col("text"), 10, 10,
+      byteLevel = true).collect().toSeq
+    assert(char === byte)
+    // 'é' is 2 UTF-8 bytes (0xC3 0xA9): byte level's first merge fuses
+    // them ((C3,A9) weight 2·2+1 = 5, beating (A9,C3) at 2), invisible
+    // at char level where 'é' is already one symbol
+    val nonAscii = Seq((1L, "éé éé é")).toDF("doc_id", "text")
+    val bm = Vocab.bpeMerges(nonAscii, col("doc_id"), col("text"), 10, 1,
+        byteLevel = true)
+      .select("left", "right", "weight").as[(String, String, Long)].head()
+    assert(bm === ((String.valueOf(0xC3.toChar), String.valueOf(0xA9.toChar), 5L)))
+  }
+
   test("survivorsFromLabeled equals an independent window argmax over the labeled frame") {
     val docs = Seq(
       (1L, "!!! ??? %%% ..."),
