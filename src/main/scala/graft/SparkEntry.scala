@@ -658,6 +658,38 @@ object SparkEntry {
           coalesce(every(col("b30") <= col("b0")), lit(true)).as("monotone_ok"))
     }),
 
+    "q_bpe_sweep" -> ((s, d) => {
+      // the vocab-size SWEEP — the compression-curve report tokenizer
+      // teams read before picking a vocab budget: train ONCE at the max
+      // merge count, then encode under nested prefix tables (0, 1, 10,
+      // 30, 60 merges; a BPE table's prefix IS the smaller-budget
+      // tokenizer, so one training yields every point). Oracle-reachable
+      // truths: the 0-point is the corpus char count; the 1-point is
+      // chars minus the greedy non-overlapping occurrences of the argmax
+      // pair (SQL replays it with a literal replace — same left-to-right
+      // non-overlap as the encoder's single-rule pass); deeper points
+      // pin the nested-monotonicity certificate.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val table = graft.text.Vocab.bpeMerges(docs, col("doc_id"), col("text"),
+          topWords = 500, nMerges = 60)
+        .select("left", "right").as[(String, String)].collect().toSeq
+      val toks = TextAnalysis.tokens(col("text"))
+      docs.select(
+          graft.functions.BpeExprs.encodeCount(toks, Nil).as("n0"),
+          graft.functions.BpeExprs.encodeCount(toks, table.take(1)).as("n1"),
+          graft.functions.BpeExprs.encodeCount(toks, table.take(10)).as("n10"),
+          graft.functions.BpeExprs.encodeCount(toks, table.take(30)).as("n30"),
+          graft.functions.BpeExprs.encodeCount(toks, table).as("n60"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n0")).as("n_chars_total"),
+          sum(col("n1")).as("n_tokens_m1"),
+          coalesce(every(col("n60") <= col("n30") && col("n30") <= col("n10") &&
+            col("n10") <= col("n1") && col("n1") <= col("n0")), lit(true))
+            .as("monotone_ok"))
+    }),
+
     "q_repetition" -> ((s, d) => {
       // every 4th doc is doubled (text + ' ' + text) so the repetition
       // signal has real positives; the oracle replays the same planting.
@@ -703,6 +735,23 @@ object SparkEntry {
       graft.streaming.AdmissionQuota.admitFirstK(docs, k = 20)
         .toDF()
         .orderBy("source", "doc_id")
+    }),
+
+    "q_quota_topk" -> ((s, d) => {
+      // the online top-k-BY-QUALITY quota (admission WITH eviction): the
+      // changelog of each source's current best-10 set as documents
+      // arrive in id order. Batch execution replays exactly in SQL:
+      // admit iff < 10 predecessors have quality ≥ yours; evict iff
+      // admitted but outside the final per-source top-10.
+      import s.implicits._
+      val scored = graft.text.DocPipeline.withQuality(
+          t(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
+          col("text"))
+        .select(col("doc_id"), col("source"), col("quality_score").as("quality"))
+        .as[graft.streaming.AdmissionQuota.ScoredArrival]
+      graft.streaming.AdmissionQuota.admitTopKByQuality(scored, k = 10)
+        .toDF()
+        .orderBy("source", "doc_id", "action")
     }),
 
     "q_curation_quota" -> ((s, d) => {
@@ -1470,6 +1519,41 @@ object SparkEntry {
         |  TRUE AS monotone_ok
         |FROM toks""".stripMargin,
 
+    // the sweep gate: 0-point = corpus char count; 1-point = chars minus
+    // the greedy non-overlapping occurrences of the trained FIRST merge
+    // (the pair-stats argmax — q_bpe_train's replay), which a literal
+    // replace() counts with the same left-to-right non-overlap semantics
+    // as the encoder's single-rule pass (tokens after one rule =
+    // (len + len_after_removal) / 2, always even difference). Deeper
+    // points are engine-side; monotonicity pinned. Same BMP-only len()
+    // caveat as q_bpe_encode.
+    "q_bpe_sweep" ->
+      """WITH words AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> len(t) > 0)) AS term
+        |        FROM documents)
+        |  GROUP BY term ORDER BY n_occ DESC, term LIMIT 500
+        |), pairs AS (
+        |  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, n_occ
+        |  FROM words, unnest(generate_series(1, len(term) - 1)) AS t(i)
+        |  WHERE len(term) >= 2
+        |), p1 AS (
+        |  SELECT pair FROM pairs GROUP BY pair
+        |  ORDER BY sum(n_occ) DESC, pair LIMIT 1
+        |), toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents)
+        |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(len(tok)), 0) AS BIGINT) AS n_chars_total,
+        |  CAST(coalesce(sum((len(tok) + len(replace(tok, (SELECT pair FROM p1), ''))) // 2), 0) AS BIGINT)
+        |    AS n_tokens_m1,
+        |  TRUE AS monotone_ok
+        |FROM toks""".stripMargin,
+
     // raw tf·N/df (log-free — monotone-equivalent ranking, exact
     // integer product over one IEEE division, bit-reproducible).
     "q_tfidf" ->
@@ -1614,6 +1698,46 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin,
+
+    // the online top-k-by-quality changelog, replayed: admitted = fewer
+    // than k PREDECESSORS (smaller doc_id, same source) with quality ≥
+    // yours (ties keep the incumbent); evicted = admitted but outside the
+    // final per-source top-k by (quality DESC, doc_id). The quality CTE
+    // is the q_source_quota one verbatim.
+    "q_quota_topk" ->
+      """WITH feats AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 2.0 +
+        |      CAST(n_alpha AS DOUBLE) / n_chars_c -
+        |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
+        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS q
+        |  FROM feats
+        |), adm AS (
+        |  SELECT a.doc_id, a.source
+        |  FROM scored a LEFT JOIN scored b
+        |    ON b.source = a.source AND b.doc_id < a.doc_id AND b.q >= a.q
+        |  GROUP BY a.doc_id, a.source
+        |  HAVING count(b.doc_id) < 10
+        |), fin AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+        |  FROM scored)
+        |SELECT source, doc_id, action FROM (
+        |  SELECT source, doc_id, 'admit' AS action FROM adm
+        |  UNION ALL
+        |  SELECT a.source, a.doc_id, 'evict' AS action
+        |  FROM adm a JOIN fin f ON f.doc_id = a.doc_id AND f.source = a.source
+        |  WHERE f.rk > 10)
+        |ORDER BY source, doc_id, action""".stripMargin,
 
     // the q_doc_pipeline corpus CTEs (planted dups → features → quality
     // gate → exact dedup keep-min) with the quota rank on top.

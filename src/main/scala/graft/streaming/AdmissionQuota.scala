@@ -54,6 +54,76 @@ object AdmissionQuota {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class ScoredArrival(doc_id: Long, source: String, quality: Double)
+
+  /** One changelog event of [[admitTopKByQuality]]: a document entering
+    * (`admit`) or leaving (`evict`) its source's current best-k set.
+    */
+  case class QuotaEvent(source: String, doc_id: Long, action: String)
+
+  /** Heap members carried across micro-batches — parallel arrays so the
+    * state encoder stays a flat product (≤ k entries per source).
+    */
+  case class TopKState(ids: Array[Long], qs: Array[Double])
+
+  /** The true ONLINE top-k-by-quality quota — admission WITH EVICTION.
+    * [[admitFirstK]] is the pure gate (admit-until-spent: cheap, but the
+    * budget goes to whoever arrived first); this is the policy a quality
+    * -aware ingest wants: every source's CURRENT k best documents, kept
+    * current as better ones arrive. A set that can shrink needs
+    * retraction, so the output is a CHANGELOG — `admit` when a document
+    * enters its source's best-k, `evict` when a later, better arrival
+    * pushes it out; the live set at any time is admits minus evicts, and
+    * once the stream drains it equals the BATCH top-k
+    * ([[graft.text.DocPipeline.sourceQuota]]) exactly.
+    *
+    * Deterministic contract: arrivals are processed in ascending doc_id
+    * within each micro-batch (the batch is buffered and sorted per source
+    * — bounded by micro-batch size, the same per-batch bound every
+    * stateful sink has; one-shot batch execution buffers the full source,
+    * which only the oracle harness runs). A challenger displaces the
+    * incumbent worst only on STRICTLY better quality — on ties the
+    * incumbent keeps its seat (first-come, and in id order that is also
+    * the smaller doc_id, so batch execution replays as: admit iff fewer
+    * than k predecessors have quality ≥ yours; evict iff admitted but
+    * outside the final per-source top-k by (quality desc, doc_id)).
+    * State per source is the k (id, quality) pairs — bounded by
+    * k × distinct sources, independent of stream length.
+    */
+  def admitTopKByQuality(docs: Dataset[ScoredArrival], k: Int): Dataset[QuotaEvent] = {
+    import docs.sparkSession.implicits._
+
+    def update(source: String, batch: Iterator[ScoredArrival],
+               state: GroupState[TopKState]): Iterator[QuotaEvent] = {
+      if (k <= 0) { batch.foreach(_ => ()); return Iterator.empty }
+      // head = the current WORST member: lowest quality, largest id on
+      // ties (dequeue takes the MAX, so rank by (-quality, id))
+      implicit val worstFirst: Ordering[(Double, Long)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+      val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()
+      state.getOption.foreach(s =>
+        s.ids.indices.foreach(i => heap.enqueue((s.qs(i), s.ids(i)))))
+      val events = Seq.newBuilder[QuotaEvent]
+      batch.toArray.sortBy(_.doc_id).foreach { d =>
+        if (heap.size < k) {
+          heap.enqueue((d.quality, d.doc_id))
+          events += QuotaEvent(source, d.doc_id, "admit")
+        } else if (d.quality > heap.head._1) {
+          val (_, evictedId) = heap.dequeue()
+          heap.enqueue((d.quality, d.doc_id))
+          events += QuotaEvent(source, evictedId, "evict")
+          events += QuotaEvent(source, d.doc_id, "admit")
+        }
+      }
+      val members = heap.dequeueAll
+      state.update(TopKState(members.map(_._2).toArray, members.map(_._1).toArray))
+      events.result().iterator
+    }
+
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class TimedArrival(doc_id: Long, source: String, ts: Timestamp)
 
   /** ROLLING admission quota: like [[admitFirstK]], but a source's budget

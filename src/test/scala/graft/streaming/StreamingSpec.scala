@@ -344,6 +344,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("top-k-by-quality quota: eviction changelog, stream parity, net set = batch top-k") {
+    import graft.streaming.AdmissionQuota
+    import graft.streaming.AdmissionQuota.{QuotaEvent, ScoredArrival}
+    // web, k=2: 1(q.5) admit, 2(q.9) admit, 3(q.7) evicts 1, 4(q.7) ties
+    // the incumbent 3 → rejected, 5(q.8) evicts 3. Final set {2, 5}.
+    val batch1 = Seq(
+      ScoredArrival(2L, "web", 0.9), ScoredArrival(1L, "web", 0.5),
+      ScoredArrival(3L, "web", 0.7), ScoredArrival(10L, "books", 0.4))
+    val batch2 = Seq(ScoredArrival(4L, "web", 0.7), ScoredArrival(5L, "web", 0.8))
+    val expected = Set(
+      QuotaEvent("web", 1L, "admit"), QuotaEvent("web", 2L, "admit"),
+      QuotaEvent("web", 1L, "evict"), QuotaEvent("web", 3L, "admit"),
+      QuotaEvent("web", 3L, "evict"), QuotaEvent("web", 5L, "admit"),
+      QuotaEvent("books", 10L, "admit"))
+
+    val batchOut = AdmissionQuota.admitTopKByQuality((batch1 ++ batch2).toDS(), k = 2)
+      .collect().toSet
+    assert(batchOut === expected)
+    // the live set (admits minus evicts) equals the batch per-source top-k
+    val admits = batchOut.filter(_.action == "admit").map(e => (e.source, e.doc_id))
+    val evicts = batchOut.filter(_.action == "evict").map(e => (e.source, e.doc_id))
+    assert(admits -- evicts === Set(("web", 2L), ("web", 5L), ("books", 10L)))
+
+    // streamed in two id-ordered micro-batches: same changelog, with the
+    // heap state (members + qualities) carried across the batch boundary
+    val input = MemoryStream[ScoredArrival](spark)
+    val q = AdmissionQuota.admitTopKByQuality(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_quota")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("topk_quota").as[QuotaEvent].collect().toSet
+      assert(got === batchOut)
+    } finally q.stop()
+  }
+
   test("rolling admission quota refills after the source goes quiet for the TTL") {
     import graft.streaming.AdmissionQuota
     import graft.streaming.AdmissionQuota.TimedArrival

@@ -190,6 +190,39 @@ class TextSpec extends SparkSpec {
     assert(bm === ((String.valueOf(0xC3.toChar), String.valueOf(0xA9.toChar), 5L)))
   }
 
+  test("BPE sweep: nested prefix tables encode non-increasing; 1-rule point = greedy replace count") {
+    import graft.functions.BpeExprs
+    val docs = Seq(
+      (1L, "aaab aaab aaab ab ab"),
+      (2L, "banana bandana cabana"),
+      (3L, "xyz")).toDF("doc_id", "text")
+    val table = Vocab.bpeMerges(docs, col("doc_id"), col("text"),
+        topWords = 50, nMerges = 8)
+      .select("left", "right").as[(String, String)].collect().toSeq
+    val toks = TextAnalysis.tokens(col("text"))
+    val rows = docs.select(
+        BpeExprs.encodeCount(toks, Nil).as("n0"),
+        BpeExprs.encodeCount(toks, table.take(1)).as("n1"),
+        BpeExprs.encodeCount(toks, table.take(4)).as("n4"),
+        BpeExprs.encodeCount(toks, table).as("n8"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    rows.foreach { case (n0, n1, n4, n8) =>
+      assert(n8 <= n4 && n4 <= n1 && n1 <= n0, s"not nested: $rows")
+    }
+    // the full table strictly compresses somewhere
+    assert(rows.map(_._4).sum < rows.map(_._1).sum)
+    // 1-rule point = chars minus greedy non-overlapping occurrences of
+    // the first pair, via an INDEPENDENT literal String.replace (the
+    // same left-to-right non-overlap the SQL oracle's replace() uses)
+    val (l, r) = table.head
+    val pair = l + r
+    val expected1 = docs.select(TextAnalysis.tokens(col("text")).as("tk"))
+      .as[Seq[String]].collect()
+      .map(_.map(tok => (tok.length + tok.replace(pair, "").length) / 2).sum.toLong)
+      .sum
+    assert(rows.map(_._2).sum === expected1)
+  }
+
   test("survivorsFromLabeled equals an independent window argmax over the labeled frame") {
     val docs = Seq(
       (1L, "!!! ??? %%% ..."),
