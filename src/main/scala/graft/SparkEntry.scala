@@ -831,6 +831,23 @@ object SparkEntry {
         docs, col("doc_id"), col("lang"), lit(total / 4L))
     }),
 
+    "q_token_mix" -> ((s, d) => {
+      // TOKEN-budget temperature mixing: targets denominated in tokens
+      // (√Σtokens-flattened, integer largest-remainder), each source's
+      // budget filled best-quality-first under a running token total —
+      // allocation AND greedy fill both replayed exactly by the oracle.
+      // T = total tokens / 4.
+      val scored = graft.text.DocPipeline.withQuality(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
+        col("text"))
+      val totalToks = scored.agg(sum(col("n_tokens").cast("long")))
+        .collect()(0).getLong(0)
+      graft.etl.Sampling.tokenBudgetMixSummary(
+        scored, col("doc_id"), col("source"), col("n_tokens"),
+        lit(totalToks / 4L),
+        rankBy = Seq((col("quality_score"), false)))
+    }),
+
     "q_topic_clusters" -> ((s, d) =>
       // embedding topic clustering, graded in the recall-gate idiom:
       // seeded sample-trained k-means is not oracle-replayable, so the
@@ -1921,6 +1938,70 @@ object SparkEntry {
         |  CAST(base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS BIGINT) AS target,
         |  CAST(least(base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS n_selected
         |FROM r ORDER BY source""".stripMargin,
+
+    // token-denominated temperature allocation (the q_temperature_mix
+    // integer machinery over Σtokens) + the greedy best-quality-first
+    // fill under an inclusive running token total. Zero-token docs are
+    // excluded from the fill on both sides.
+    "q_token_mix" ->
+      """WITH feats AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tok,
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 2.0 +
+        |      CAST(n_alpha AS DOUBLE) / n_chars_c -
+        |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
+        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS q
+        |  FROM feats
+        |), counts AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM scored GROUP BY source
+        |), w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT) AS ws
+        |  FROM counts
+        |), tot AS (
+        |  SELECT CAST((SELECT sum(n_tok) FROM scored) // 4 AS BIGINT) AS t,
+        |    CAST(sum(ws) AS BIGINT) AS wsum
+        |  FROM w
+        |), a2 AS (
+        |  SELECT source, n_tokens,
+        |    CAST((t * ws) // wsum AS BIGINT) AS base,
+        |    CAST((t * ws) % wsum AS BIGINT) AS rem
+        |  FROM w, tot
+        |), r AS (
+        |  SELECT source, n_tokens, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a2
+        |), dfc AS (
+        |  SELECT CAST((SELECT t FROM tot) - (SELECT sum(base) FROM a2) AS BIGINT) AS deficit
+        |), targets AS (
+        |  SELECT source, n_tokens,
+        |    CAST(base + CASE WHEN rk <= (SELECT deficit FROM dfc) THEN 1 ELSE 0 END AS BIGINT)
+        |      AS target_tokens
+        |  FROM r
+        |), fill AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM scored WHERE n_tok >= 1
+        |), sel AS (
+        |  SELECT f.source, count(*) AS n_sel_docs, sum(f.n_tok) AS n_sel_tokens
+        |  FROM fill f JOIN targets tg ON tg.source = f.source
+        |  WHERE f.run <= tg.target_tokens
+        |  GROUP BY f.source)
+        |SELECT tg.source, tg.n_tokens, tg.target_tokens,
+        |  CAST(coalesce(s.n_sel_docs, 0) AS BIGINT) AS n_sel_docs,
+        |  CAST(coalesce(s.n_sel_tokens, 0) AS BIGINT) AS n_sel_tokens
+        |FROM targets tg LEFT JOIN sel s ON s.source = tg.source
+        |ORDER BY tg.source""".stripMargin,
 
     // seeded k-means is engine-specific; the graded row is data-derived
     // integers plus the pinned structural/quality booleans.

@@ -80,11 +80,21 @@ object Sampling {
     * Output: (source, n_docs, target), ordered by source.
     */
   def temperatureTargets(docs: DataFrame, source: Column,
-                         targetTotal: Column): DataFrame = {
-    val counts = docs.groupBy(source.as("source"))
-      .agg(count(lit(1)).as("n_docs"))
+                         targetTotal: Column): DataFrame =
+    tempAllocate(
+      docs.groupBy(source.as("source")).agg(count(lit(1)).as("n_docs")),
+      "n_docs", targetTotal, "target")
+
+  /** The shared largest-remainder core: `counts` is one row per source
+    * with a size column `nCol`; the target column apportions
+    * `targetTotal` units ∝ ⌊√n · 2²⁰⌋ in pure integers (see
+    * [[temperatureTargets]]). The unit is whatever `nCol` counts — docs
+    * there, tokens in [[temperatureTargetsTokens]].
+    */
+  private def tempAllocate(counts: DataFrame, nCol: String,
+                           targetTotal: Column, outTarget: String): DataFrame = {
     val w = counts.withColumn("ws",
-      floor(sqrt(col("n_docs").cast("double")) * WScale).cast("long"))
+      floor(sqrt(col(nCol).cast("double")) * WScale).cast("long"))
     val tot = w.agg(sum("ws").as("wsum"))
     val alloc = w.crossJoin(broadcast(tot))
       .withColumn("t", targetTotal.cast("long"))
@@ -95,8 +105,99 @@ object Sampling {
     val deficit = alloc.agg((first("t") - sum("base")).as("deficit"))
     alloc.withColumn("rk", row_number().over(win))
       .crossJoin(broadcast(deficit))
-      .select(col("source"), col("n_docs"),
-        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("target"))
+      .select(col("source"), col(nCol),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as(outTarget))
+      .orderBy("source")
+  }
+
+  /** Temperature targets denominated in TOKENS — the budget mixture
+    * designers actually allocate (a source's cost in a training run is
+    * its tokens, not its document count): per-source weights are
+    * √(Σ tokens), flattened and apportioned by the same integer
+    * largest-remainder core. Output: (source, n_tokens, target_tokens).
+    */
+  def temperatureTargetsTokens(docs: DataFrame, source: Column, tokens: Column,
+                               targetTotal: Column): DataFrame =
+    tempAllocate(
+      docs.groupBy(source.as("source"))
+        .agg(sum(tokens.cast("long")).as("n_tokens")),
+      "n_tokens", targetTotal, "target_tokens")
+
+  /** Fill each source's TOKEN budget greedily down a deterministic rank:
+    * admit a document while the source's running token total (inclusive)
+    * stays within `target_tokens`. The default rank is the reproducible
+    * hash draw (mixing); rank by descending quality instead and this
+    * becomes budget-constrained curation — the knob is a policy, the
+    * plan is identical. Zero-token documents are excluded up front (they
+    * consume no budget and would inflate doc counts for free).
+    *
+    * Scale shape: each admitted document consumes ≥ 1 token, so at most
+    * `max(target_tokens)` documents per source can ever be admitted —
+    * [[graft.plans.TopKPerKey]] bounds the frame to that k with map-side
+    * heaps BEFORE the per-source cumsum window sees it. (When the budget
+    * approaches the source's full token count the cap degenerates and
+    * the window legitimately sorts the near-whole source — inherent to a
+    * running-total gate, and still per-source, never global.) Returns
+    * (selected (doc_id, source, n_tok), targets).
+    */
+  def tokenBudgetMix(docs: DataFrame, id: Column, source: Column, tokens: Column,
+                     targetTotal: Column,
+                     rankBy: Seq[(Column, Boolean)] = Nil,
+                     salt: Long = 0L): (DataFrame, DataFrame) = {
+    val targets = graft.CachePool.persist(
+      temperatureTargetsTokens(docs, source, tokens, targetTotal))
+    val bounds = targets.agg(
+        coalesce(max("target_tokens"), lit(0L)), coalesce(min("target_tokens"), lit(0L)))
+      .collect()(0)
+    val maxTarget = bounds.getLong(0)
+    require(bounds.getLong(1) >= 0L,
+      s"tokenBudgetMix allocation out of range (min=${bounds.getLong(1)}): " +
+        "targetTotal·√n overflows the integer apportionment")
+    if (maxTarget <= 0L)
+      (docs.limit(0).select(id.as("doc_id"), source.as("source"),
+        tokens.cast("long").as("n_tok")), targets)
+    else {
+      val ranks = if (rankBy.nonEmpty) rankBy
+        else Seq((xxhash64(id, lit("mix"), lit(salt)), true))
+      val rankCols = ranks.zipWithIndex.map { case ((c, _), i) => c.as(s"__tb_r$i") }
+      val rankSpec = ranks.zipWithIndex.map { case ((_, asc), i) => (s"__tb_r$i", asc) }
+      val keyed = docs.select(
+        Seq(id.as("doc_id"), source.as("source"), tokens.cast("long").as("n_tok")) ++
+          rankCols: _*)
+        .filter(col("n_tok") >= 1L)
+      val capK = math.min(maxTarget, Int.MaxValue.toLong).toInt
+      val capped = graft.plans.TopKPerKey.topK(
+        keyed, Seq("source"), rankSpec :+ (("doc_id", true)), capK)
+      val ordered = rankSpec.map { case (n, asc) =>
+        if (asc) col(n).asc else col(n).desc } :+ col("doc_id").asc
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(ordered: _*)
+      val sel = capped
+        .withColumn("__tb_run", sum(col("n_tok")).over(
+          win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .join(broadcast(targets.select("source", "target_tokens")), "source")
+        .filter(col("__tb_run") <= col("target_tokens"))
+        .select("doc_id", "source", "n_tok")
+      (sel, targets)
+    }
+  }
+
+  /** Driver-graded token-mix summary: (source, n_tokens, target_tokens,
+    * n_sel_docs, n_sel_tokens) — the oracle replays the allocation AND
+    * the greedy fill when the rank is oracle-computable (quality rank;
+    * the default hash rank grades counts only).
+    */
+  def tokenBudgetMixSummary(docs: DataFrame, id: Column, source: Column,
+                            tokens: Column, targetTotal: Column,
+                            rankBy: Seq[(Column, Boolean)] = Nil,
+                            salt: Long = 0L): DataFrame = {
+    val (sel, targets) = tokenBudgetMix(docs, id, source, tokens, targetTotal, rankBy, salt)
+    val selAgg = sel.groupBy("source").agg(
+      count(lit(1)).as("n_sel_docs"), sum("n_tok").as("n_sel_tokens"))
+    targets.join(selAgg, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        coalesce(col("n_sel_docs"), lit(0L)).as("n_sel_docs"),
+        coalesce(col("n_sel_tokens"), lit(0L)).as("n_sel_tokens"))
       .orderBy("source")
   }
 

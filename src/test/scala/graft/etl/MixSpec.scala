@@ -79,6 +79,51 @@ class MixSpec extends SparkSpec with TableDrivenPropertyChecks {
     graft.CachePool.releaseAll()
   }
 
+  test("tokenBudgetMix: quality-ranked fill equals a hand-computed greedy prefix") {
+    // one source, budget fills down the quality rank until the running
+    // token total would exceed the target
+    val docs = Seq(
+      (1L, "s", 10L, 0.9),
+      (2L, "s", 10L, 0.8),
+      (3L, "s", 10L, 0.7),
+      (4L, "s", 2L, 0.6),   // 3 won't fit (run=30 > 25) and neither will
+      (5L, "s", 10L, 0.5)   // anything after it: inclusive-cumsum gate
+    ).toDF("doc_id", "source", "n_tok", "q")
+    val (sel, targets) = Sampling.tokenBudgetMix(
+      docs, col("doc_id"), col("source"), col("n_tok"), lit(25L),
+      rankBy = Seq((col("q"), false)))
+    assert(targets.select("target_tokens").as[Long].head() === 25L)
+    assert(sel.select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    graft.CachePool.releaseAll()
+  }
+
+  test("tokenBudgetMix: token targets sum to T; fill never exceeds a source's budget") {
+    val docs = (1 to 60).map { i =>
+      val src = if (i % 3 == 0) "big" else "small"
+      (i.toLong, src, (i % 7 + 1).toLong, (i % 11).toDouble)
+    }.toDF("doc_id", "source", "n_tok", "q")
+    val summary = Sampling.tokenBudgetMixSummary(
+        docs, col("doc_id"), col("source"), col("n_tok"), lit(50L),
+        rankBy = Seq((col("q"), false)))
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(summary.map(_._3).sum === 50L)
+    summary.foreach { case (src, _, target, _, selTok) =>
+      assert(selTok <= target, s"$src overfilled: $selTok > $target")
+    }
+    // zero-token docs never selected, and the default hash rank is
+    // deterministic across runs
+    val withZero = docs.union(Seq((999L, "big", 0L, 99.0)).toDF(
+      "doc_id", "source", "n_tok", "q"))
+    val (s1, _) = Sampling.tokenBudgetMix(
+      withZero, col("doc_id"), col("source"), col("n_tok"), lit(50L))
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(!ids1.contains(999L))
+    val (s2, _) = Sampling.tokenBudgetMix(
+      withZero, col("doc_id"), col("source"), col("n_tok"), lit(50L))
+    assert(ids1 === s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    graft.CachePool.releaseAll()
+  }
+
   test("TopicClusters gate holds on the planted-label embeddings") {
     val vecs = table("embeddings")
     val row = graft.similarity.TopicClusters.clusterGate(
