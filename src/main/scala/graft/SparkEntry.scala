@@ -865,6 +865,19 @@ object SparkEntry {
         DedupData.withPlantedDups(docs),
         docs.filter(col("doc_id") % 2 === 0),
         col("doc_id"), col("text"))
+    }),
+
+    "q_dsir_select" -> ((s, d) => {
+      // DSIR-style importance selection: hashed unigram+bigram buckets
+      // (PolyBuckets — the portable hash IS the contract), target-hot
+      // buckets by exact 128-bit cross-multiply, majority-vote selection.
+      // Target sample: every 10th original; raw: the planted corpus whose
+      // junk-token near-dups drift off the target distribution.
+      val docs = t(s, d, "documents")
+      graft.text.Dsir.importanceStats(
+        DedupData.withPlantedDups(docs),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"))
     })
   )
 
@@ -2009,6 +2022,59 @@ object SparkEntry {
       """SELECT CAST(8 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_vecs,
         |  TRUE AS complete_ok, TRUE AS used_ok, TRUE AS inertia_ok
         |FROM embeddings""".stripMargin,
+
+    // the DSIR replay: the SAME portable polynomial bucket hash on both
+    // engines (base-31 over chars mod 1000003, mod 4096 — deliberate
+    // collisions make the hash part of the contract), hot buckets via
+    // HUGEINT cross-multiply, per-doc majority vote. Zero-gram docs
+    // absent on both sides.
+    "q_dsir_select" -> (DedupData.DocsCte +
+      """, tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM docs
+        |), ttk AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), rg AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, unnest(t) AS g FROM tk
+        |    UNION ALL
+        |    SELECT doc_id, concat_ws(' ', t[CAST(i AS INTEGER)], t[CAST(i AS INTEGER) + 1]) AS g
+        |    FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |    WHERE len(t) >= 2)
+        |), tg AS (
+        |  SELECT g FROM (
+        |    SELECT unnest(t) AS g FROM ttk
+        |    UNION ALL
+        |    SELECT concat_ws(' ', t[CAST(i AS INTEGER)], t[CAST(i AS INTEGER) + 1]) AS g
+        |    FROM ttk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |    WHERE len(t) >= 2)
+        |), rb AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, len(g)),
+        |      i -> CAST(unicode(substr(g, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000003) % 4096 AS bkt
+        |  FROM rg
+        |), tb AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, len(g)),
+        |      i -> CAST(unicode(substr(g, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000003) % 4096 AS bkt
+        |  FROM tg
+        |), rc AS (
+        |  SELECT bkt, CAST(count(*) AS BIGINT) AS r FROM rb GROUP BY bkt
+        |), tcn AS (
+        |  SELECT bkt, CAST(count(*) AS BIGINT) AS tcnt FROM tb GROUP BY bkt
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM rb) AS rt, (SELECT count(*) FROM tb) AS tt
+        |), hot AS (
+        |  SELECT coalesce(rc.bkt, tcn.bkt) AS bkt
+        |  FROM rc FULL OUTER JOIN tcn ON rc.bkt = tcn.bkt, tot
+        |  WHERE CAST(coalesce(tcnt, 0) AS HUGEINT) * rt > CAST(coalesce(r, 0) AS HUGEINT) * tt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN bkt IN (SELECT bkt FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+        |  2 * sum(CASE WHEN bkt IN (SELECT bkt FROM hot) THEN 1 ELSE 0 END) > count(*) AS selected
+        |FROM rb GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // gram hashes mirror gram strings (the standard contract); whole-text
     // grams for inputs shorter than the window replay the WindowPolyHash

@@ -128,6 +128,19 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2L) === ((0L, 0L))) // whitespace-only doc: zero tokens
   }
 
+  test("PolyBuckets matches the DuckDB list_reduce replay; drops null elements") {
+    // expected values computed with DuckDB 1.0:
+    //   list_reduce(list_prepend(0, [unicode(c) for c in g]),
+    //     (a,b) -> (a*31+b) % 1000003) % 4096
+    val df = Seq(Tuple1(Seq("hello", "a", "the quick", ""))).toDF("gs")
+    val got = df.select(StringExprs.polyBuckets(col("gs"), 4096).as("b"))
+      .as[Seq[Long]].head()
+    assert(got === Seq(2281L, 97L, 2018L, 0L))
+    val withNull = Seq(Tuple1(Seq[String]("a", null, "hello"))).toDF("gs")
+    assert(withNull.select(StringExprs.polyBuckets(col("gs"), 4096))
+      .as[Seq[Long]].head() === Seq(97L, 2281L))
+  }
+
   test("BpeEncodeCount byte level seeds UTF-8 bytes; char level counts UTF-16 units") {
     import graft.text.TextAnalysis
     // "héllo" = 5 chars, 6 UTF-8 bytes; "día" = 3 chars, 4 bytes

@@ -188,4 +188,24 @@ class CurationOpsSpec extends SparkSpec {
       .count()
     assert(misses === 0L)
   }
+
+  test("Dsir: target-like docs selected by majority vote, off-distribution docs not") {
+    import graft.text.Dsir
+    val target = Seq(
+      (100L, "alpha beta alpha beta"),
+      (101L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha"),    // all grams in target buckets
+      (2L, "zzz qqq xxx"),         // none
+      (3L, "alpha zzz")            // uni: alpha hot, zzz not; bigram not: 1/3 < half
+    ).toDF("doc_id", "text")
+    val got = Dsir.importanceStats(raw, target, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: 3 unigrams + 2 bigrams = 5 grams, all in target-hot buckets
+    assert(got(1L) === ((5L, 5L, true)))
+    assert(got(2L) === ((5L, 0L, false)))
+    assert(got(3L) === ((3L, 1L, false)))
+    graft.CachePool.releaseAll()
+  }
 }
