@@ -717,6 +717,15 @@ object SparkEntry {
         t(s, d, "documents"), col("doc_id"),
         size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64)),
 
+    "q_seq_pack_ffd" -> ((s, d) =>
+      // first-fit-decreasing packing over the same 64-doc id-range groups
+      // as q_seq_pack: largest-first into the lowest open bin with room
+      // (FfdBins, a native expression over the bounded group array). The
+      // oracle replays the whole assignment with a fill-list recursive CTE.
+      graft.text.SeqPack.packFfd(
+        t(s, d, "documents"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64)),
+
     "q_source_quota" -> ((s, d) =>
       graft.text.DocPipeline.sourceQuota(
         t(s, d, "documents"), col("doc_id"), col("text"), col("source"), k = 15)),
@@ -1684,6 +1693,44 @@ object SparkEntry {
         |    CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512 THEN CAST(n.n_tokens AS BIGINT)
         |         ELSE p.fill + n.n_tokens END
         |  FROM pack p JOIN numbered n ON n.grp = p.grp AND n.rn = p.rn + 1
+        |), bins AS (
+        |  SELECT grp, max(bin) + 1 AS nb FROM pack GROUP BY grp
+        |), offs AS (
+        |  SELECT grp, CAST(coalesce(sum(nb) OVER (ORDER BY grp
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_off
+        |  FROM bins)
+        |SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
+        |FROM pack p JOIN offs o USING (grp)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the FFD replay: rows ranked (n_tokens DESC, doc_id) per group, the
+    // open-bin fill list carried through the recursive CTE, first fit =
+    // the lowest index whose fill still takes the doc (list comprehension
+    // [1] — NULL opens a new bin). Same dense global bin offsets as
+    // q_seq_pack.
+    "q_seq_pack_ffd" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, doc_id // 64 AS grp,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
+        |  FROM documents
+        |), numbered AS (
+        |  SELECT doc_id, grp, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
+        |  FROM toks
+        |), pack AS (
+        |  SELECT grp, rn, doc_id, n_tokens,
+        |    [CAST(n_tokens AS BIGINT)] AS fills, CAST(0 AS BIGINT) AS bin
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT grp, rn, doc_id, n_tokens,
+        |    CASE WHEN idx IS NULL THEN list_append(fills, CAST(n_tokens AS BIGINT))
+        |         ELSE list_transform(generate_series(1, len(fills)),
+        |                j -> CASE WHEN j = idx THEN fills[j] + n_tokens ELSE fills[j] END) END AS fills,
+        |    CAST(CASE WHEN idx IS NULL THEN len(fills) ELSE idx - 1 END AS BIGINT) AS bin
+        |  FROM (
+        |    SELECT p.fills AS fills, n.grp, n.rn, n.doc_id, n.n_tokens,
+        |      ([i FOR i IN generate_series(1, len(p.fills)) IF p.fills[i] + n.n_tokens <= 512])[1] AS idx
+        |    FROM pack p JOIN numbered n ON n.grp = p.grp AND n.rn = p.rn + 1)
         |), bins AS (
         |  SELECT grp, max(bin) + 1 AS nb FROM pack GROUP BY grp
         |), offs AS (

@@ -69,11 +69,43 @@ object SeqPack {
       grouped.select(col("grp"), explode(packedState).as("p"))
         .select(col("grp"), col("p.doc_id").as("doc_id"),
           col("p.n_tokens").as("n_tokens"), col("p.bin").as("local_bin")))
+    globalBinIds(perDoc)
+  }
 
-    // Exclusive prefix sum of per-group bin counts → global bin offsets.
-    // Same scalable shape as reindexScalable: range partition on grp,
-    // per-partition running totals, and ONE tiny global window over the
-    // #partitions-row totals frame.
+  /** First-fit-decreasing packing over the same id-range groups — the
+    * better-packing heuristic (FFD ≤ 11/9·OPT + 6/9 vs next-fit's 2·OPT;
+    * Johnson 1973) for when bin COUNT matters more than preserving doc
+    * order within bins: per group, docs place largest-first into the
+    * lowest open bin with room ([[graft.functions.FfdBins]], a native
+    * expression over the bounded group array). Identical distribution
+    * shape to [[packGreedy]] — one groupBy to bounded arrays, a pure
+    * per-row assignment, the same prefix-sum global bin ids — so the two
+    * policies swap freely. Output: (doc_id, n_tokens, bin_id), ordered.
+    */
+  def packFfd(docs: DataFrame, id: Column, nTokens: Column,
+              budget: Int, groupSize: Int): DataFrame = {
+    require(budget > 0 && groupSize > 0)
+    val base = docs.select(id.as("doc_id"), nTokens.cast("int").as("n_tokens"))
+      .withColumn("grp", expr(s"doc_id div $groupSize"))
+    val grouped = base.groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_tokens")))).as("items"))
+      .withColumn("bins", graft.functions.PackExprs.ffdBins(
+        transform(col("items"), x => x.getField("n_tokens")), budget))
+    val perDoc = graft.CachePool.persist(
+      grouped.select(col("grp"), col("bins"),
+          posexplode(col("items")).as(Seq("pos", "p")))
+        .select(col("grp"), col("p.doc_id").as("doc_id"),
+          col("p.n_tokens").as("n_tokens"),
+          element_at(col("bins"), col("pos") + 1).as("local_bin")))
+    globalBinIds(perDoc)
+  }
+
+  /** Globally dense bin ids from (grp, doc_id, n_tokens, local_bin):
+    * exclusive prefix sum of per-group bin counts — range partition on
+    * grp, per-partition running totals, ONE tiny global window over the
+    * #partitions-row totals frame (the reindexScalable shape).
+    */
+  private def globalBinIds(perDoc: DataFrame): DataFrame = {
     val nbins = perDoc.groupBy("grp").agg((max("local_bin") + 1).as("nb"))
     val cum = graft.CachePool.persist(
       nbins.repartitionByRange(col("grp"))

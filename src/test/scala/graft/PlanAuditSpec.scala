@@ -299,6 +299,33 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"global sort over the vocabulary:\n$plan")
   }
 
+  test("q_token_mix caps the fill with TopKPerKey before the per-source cumsum window") {
+    val plan = finalPlan(q("q_token_mix"))
+    graft.CachePool.releaseAll()
+    val str = plan.toString
+    // same contract as q_temperature_mix: the running-total window only
+    // ever sees the TopKPerKey-capped frame (≤ max target_tokens rows per
+    // source), never the raw corpus
+    assert("TopKPerKey".r.findAllIn(str).size >= 2,
+      s"token fill must cap per-source rows map-side first:\n$str")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_dsir_select: hot-set join broadcasts; per-doc count is a partial agg, no window") {
+    val plan = finalPlan(q("q_dsir_select"))
+    graft.CachePool.releaseAll()
+    // the gram→hot membership attach must broadcast the ≤ B-row hot set,
+    // never shuffle the gram frame against it as a sort-merge join; the
+    // only BNLJ/cross shapes permissible are the 1-row totals attaches
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"hot-bucket membership must be a broadcast hash join:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // no window anywhere: doc scoring is groupBy partial aggregation
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"DSIR scoring must not window the gram frame:\n$plan")
+  }
+
   test("q_minhash_survivors: no cartesian over data-sized frames; labeled frame cache-reused") {
     val df = q("q_minhash_survivors")
     val plan = finalPlan(df)

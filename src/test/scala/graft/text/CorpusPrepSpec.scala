@@ -216,4 +216,61 @@ class CorpusPrepSpec extends SparkSpec {
     val ids = bins.select("bin_id").as[Long].collect().sorted
     assert(ids === (0L until ids.length).toArray)
   }
+
+  test("FfdBins places largest-first into the lowest open bin with room") {
+    import graft.functions.PackExprs
+    // budget 10, sizes by (desc, pos): 7→b0, 6→b1, 4→b1(=10), 3→b0(=10), 2→b2
+    val df = Seq(Tuple1(Seq(6, 7, 3, 4, 2))).toDF("sizes")
+    val got = df.select(PackExprs.ffdBins(col("sizes"), 10).as("b"))
+      .as[Seq[Long]].head()
+    assert(got === Seq(1L, 0L, 0L, 1L, 2L))
+    // oversized doc opens its own bin; nothing joins it
+    val over = Seq(Tuple1(Seq(15, 9, 2))).toDF("sizes")
+    assert(over.select(PackExprs.ffdBins(col("sizes"), 10))
+      .as[Seq[Long]].head() === Seq(0L, 1L, 2L)) // 9+2 > 10 → 2 opens bin2
+  }
+
+  test("packFfd matches a local reference FFD on random inputs; invariants hold") {
+    val rng = new scala.util.Random(7)
+    for (round <- 0 until 3) {
+      val n = 30 + rng.nextInt(40)
+      val docs = (0 until n).map(i => (i.toLong * 3 + rng.nextInt(2), 1 + rng.nextInt(20)))
+        .distinctBy(_._1)
+      val budget = 25
+      val g = 8
+      val got = SeqPack.packFfd(docs.toDF("doc_id", "n"),
+          col("doc_id"), col("n"), budget, g)
+        .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+      graft.CachePool.releaseAll()
+      // reference FFD per id-range group: size desc (id tie-break), first
+      // open bin with room; bins numbered consecutively across groups
+      var nextBin = 0L
+      val ref = docs.groupBy(_._1 / g).toSeq.sortBy(_._1).flatMap { case (_, items) =>
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = items.sortBy { case (id, nt) => (-nt, id) }.map { case (id, nt) =>
+          val j = fills.indexWhere(_ + nt <= budget)
+          val b = if (j < 0) { fills += nt.toLong; fills.length - 1 }
+            else { fills(j) += nt; j }
+          (id, nextBin + b)
+        }
+        nextBin += fills.length
+        out
+      }.toMap
+      assert(got === ref, s"round $round mismatch")
+    }
+    // corpus invariants: exactly-once coverage, no multi-doc bin overfull,
+    // dense ids — and FFD is never WORSE on padding than the lower bound
+    val docs = table("documents")
+    val packed = SeqPack.packFfd(
+      docs, col("doc_id"), size(TextAnalysis.tokens(col("text"))),
+      budget = 512, groupSize = 64)
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"))
+    assert(bins.filter(col("fill") > 512 && col("n_docs") > 1).count() === 0L)
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    val ids = bins.select("bin_id").as[Long].collect().sorted
+    assert(ids === (0L until ids.length).toArray)
+    graft.CachePool.releaseAll()
+  }
 }
