@@ -753,9 +753,14 @@ object SparkEntry {
       // admit iff < 10 predecessors have quality ≥ yours; evict iff
       // admitted but outside the final per-source top-10.
       import s.implicits._
+      // quality is NULL for zero-token/empty docs (divide-by-zero): such
+      // docs can't be RANKED, so they are excluded from the gate on both
+      // sides (none exist in the graded corpora; the filter keeps the
+      // primitive-Double encoder from NPEing on a corpus refresh).
       val scored = graft.text.DocPipeline.withQuality(
           t(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
           col("text"))
+        .filter(col("quality_score").isNotNull)
         .select(col("doc_id"), col("source"), col("quality_score").as("quality"))
         .as[graft.streaming.AdmissionQuota.ScoredArrival]
       graft.streaming.AdmissionQuota.admitTopKByQuality(scored, k = 10)
@@ -846,14 +851,17 @@ object SparkEntry {
       // budget filled best-quality-first under a running token total —
       // allocation AND greedy fill both replayed exactly by the oracle.
       // T = total tokens / 4.
-      val scored = graft.text.DocPipeline.withQuality(
+      // persist: the featurized scan feeds the totals collect, the
+      // per-source token counts AND the fill frame — without the boundary
+      // the tokenize + regex pass runs three times
+      val scored = graft.CachePool.persist(graft.text.DocPipeline.withQuality(
         t(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
-        col("text"))
-      val totalToks = scored.agg(sum(col("n_tokens").cast("long")))
-        .collect()(0).getLong(0)
+        col("text")))
+      val totRow = scored.agg(coalesce(sum(col("n_tokens").cast("long")), lit(0L)))
+        .collect()(0)
       graft.etl.Sampling.tokenBudgetMixSummary(
         scored, col("doc_id"), col("source"), col("n_tokens"),
-        lit(totalToks / 4L),
+        lit(totRow.getLong(0) / 4L),
         rankBy = Seq((col("quality_score"), false)))
     }),
 
@@ -889,6 +897,31 @@ object SparkEntry {
         col("doc_id"), col("text"))
     })
   )
+
+  /** Shared oracle fragment: the quality-score pipeline over `documents`
+    * reduced to `scored(doc_id, source, n_tok, q)`. The formula is
+    * defined ONCE engine-side (`TextAnalysis.qualityScoreExpr`); this is
+    * its SQL mirror for the quota/mix oracles, so a formula change edits
+    * one string (the older per-query copies that also carry text/feature
+    * columns keep their local CTEs).
+    */
+  private val ScoredCte: String =
+    """WITH feats AS (
+      |  SELECT doc_id, source,
+      |    CAST(length(text) AS INTEGER) AS n_chars_c,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+      |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tok,
+      |    CAST(n_stop AS DOUBLE) / n_tokens * 2.0 +
+      |      CAST(n_alpha AS DOUBLE) / n_chars_c -
+      |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
+      |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS q
+      |  FROM feats)""".stripMargin
 
   /** DuckDB CTE reproducing the derived dirty-houses table + the cleaning /
     * validation / cast pipeline (mirrors graft.etl.GeoEstatePipeline).
@@ -1588,7 +1621,10 @@ object SparkEntry {
         |  FROM documents)
         |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
         |  CAST(coalesce(sum(len(tok)), 0) AS BIGINT) AS n_chars_total,
-        |  CAST(coalesce(sum((len(tok) + len(replace(tok, (SELECT pair FROM p1), ''))) // 2), 0) AS BIGINT)
+        |  -- coalesce the pair to '' (a no-op needle) so an empty trained
+        |  -- table degrades to n_tokens_m1 = n_chars_total, matching the
+        |  -- engine's empty-table encode instead of a spurious 0
+        |  CAST(coalesce(sum((len(tok) + len(replace(tok, coalesce((SELECT pair FROM p1), ''), ''))) // 2), 0) AS BIGINT)
         |    AS n_tokens_m1,
         |  TRUE AS monotone_ok
         |FROM toks""".stripMargin,
@@ -1779,26 +1815,10 @@ object SparkEntry {
     // the online top-k-by-quality changelog, replayed: admitted = fewer
     // than k PREDECESSORS (smaller doc_id, same source) with quality ≥
     // yours (ties keep the incumbent); evicted = admitted but outside the
-    // final per-source top-k by (quality DESC, doc_id). The quality CTE
-    // is the q_source_quota one verbatim.
-    "q_quota_topk" ->
-      """WITH feats AS (
-        |  SELECT doc_id, source,
-        |    CAST(length(text) AS INTEGER) AS n_chars_c,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
-        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
-        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
-        |  FROM documents
-        |), scored AS (
-        |  SELECT doc_id, source,
-        |    CAST(n_stop AS DOUBLE) / n_tokens * 2.0 +
-        |      CAST(n_alpha AS DOUBLE) / n_chars_c -
-        |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
-        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS q
-        |  FROM feats
-        |), adm AS (
+    // final per-source top-k by (quality DESC, doc_id). Quality comes
+    // from the shared ScoredCte mirror.
+    "q_quota_topk" -> (ScoredCte +
+      """, adm AS (
         |  SELECT a.doc_id, a.source
         |  FROM scored a LEFT JOIN scored b
         |    ON b.source = a.source AND b.doc_id < a.doc_id AND b.q >= a.q
@@ -1814,7 +1834,7 @@ object SparkEntry {
         |  SELECT a.source, a.doc_id, 'evict' AS action
         |  FROM adm a JOIN fin f ON f.doc_id = a.doc_id AND f.source = a.source
         |  WHERE f.rk > 10)
-        |ORDER BY source, doc_id, action""".stripMargin,
+        |ORDER BY source, doc_id, action""".stripMargin),
 
     // the q_doc_pipeline corpus CTEs (planted dups → features → quality
     // gate → exact dedup keep-min) with the quota rank on top.
@@ -2002,25 +2022,9 @@ object SparkEntry {
     // token-denominated temperature allocation (the q_temperature_mix
     // integer machinery over Σtokens) + the greedy best-quality-first
     // fill under an inclusive running token total. Zero-token docs are
-    // excluded from the fill on both sides.
-    "q_token_mix" ->
-      """WITH feats AS (
-        |  SELECT doc_id, source,
-        |    CAST(length(text) AS INTEGER) AS n_chars_c,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
-        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
-        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
-        |  FROM documents
-        |), scored AS (
-        |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tok,
-        |    CAST(n_stop AS DOUBLE) / n_tokens * 2.0 +
-        |      CAST(n_alpha AS DOUBLE) / n_chars_c -
-        |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
-        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS q
-        |  FROM feats
-        |), counts AS (
+    // excluded from the fill on both sides; quality from ScoredCte.
+    "q_token_mix" -> (ScoredCte +
+      """, counts AS (
         |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |  FROM scored GROUP BY source
         |), w AS (
@@ -2061,7 +2065,7 @@ object SparkEntry {
         |  CAST(coalesce(s.n_sel_docs, 0) AS BIGINT) AS n_sel_docs,
         |  CAST(coalesce(s.n_sel_tokens, 0) AS BIGINT) AS n_sel_tokens
         |FROM targets tg LEFT JOIN sel s ON s.source = tg.source
-        |ORDER BY tg.source""".stripMargin,
+        |ORDER BY tg.source""".stripMargin),
 
     // seeded k-means is engine-specific; the graded row is data-derived
     // integers plus the pinned structural/quality booleans.
