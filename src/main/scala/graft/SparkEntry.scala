@@ -884,6 +884,23 @@ object SparkEntry {
         col("doc_id"), col("text"))
     }),
 
+    "q_quality_classifier" -> ((s, d) => {
+      // the fastText-shaped quality filter trained IN-ENGINE: originals
+      // vs their junk-suffixed near-dup copies — the classifier must find
+      // the contamination signal in otherwise near-identical pairs.
+      // Bag-of-PolyBuckets features, Adagrad logistic regression (40
+      // bounded-collect rounds over one persisted frame); graded via the
+      // count/threshold gate (floats never cross the engine boundary).
+      // At (iters=40, lr=8) training accuracy is 1.0 on both graded sfs
+      // with margins ±3 — far from the 0.9 gate.
+      val docs = t(s, d, "documents")
+      val neg = DedupData.withPlantedDups(docs)
+        .filter(col("doc_id") >= DedupData.NearIdOffset)
+      graft.text.QualityClassifier.trainGate(
+        docs, neg, col("doc_id"), col("text"),
+        buckets = 4096, iters = 40, lr = 8.0)
+    }),
+
     "q_dsir_select" -> ((s, d) => {
       // DSIR-style importance selection: hashed unigram+bigram buckets
       // (PolyBuckets — the portable hash IS the contract), target-hot
@@ -2073,6 +2090,15 @@ object SparkEntry {
       """SELECT CAST(8 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_vecs,
         |  TRUE AS complete_ok, TRUE AS used_ok, TRUE AS inertia_ok
         |FROM embeddings""".stripMargin,
+
+    // engine-specific float training can't be value-replayed; the graded
+    // row is the data-derived class counts, the pinned model size, and
+    // the pinned quality booleans (the TopicClusters/recall-gate idiom).
+    "q_quality_classifier" ->
+      """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_pos,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_neg,
+        |  CAST(4096 AS BIGINT) AS n_weights,
+        |  TRUE AS acc_ok, TRUE AS loss_ok""".stripMargin,
 
     // the DSIR replay: the SAME portable polynomial bucket hash on both
     // engines (base-31 over chars mod 1000003, mod 4096 — deliberate

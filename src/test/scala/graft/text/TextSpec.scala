@@ -223,6 +223,33 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_._2).sum === expected1)
   }
 
+  test("QualityClassifier separates planted junk from clean docs; gate booleans hold") {
+    val pos = (1L to 30L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
+    val neg = (101L to 130L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here " +
+        "zxq wvv zxq wvv junkmarker")).toDF("doc_id", "text")
+    val gate = QualityClassifier.trainGate(pos, neg, col("doc_id"), col("text"),
+        buckets = 512, iters = 40, lr = 2.0)
+      .collect()(0)
+    assert(gate.getAs[Long]("n_pos") === 30L)
+    assert(gate.getAs[Long]("n_neg") === 30L)
+    assert(gate.getAs[Long]("n_weights") === 512L)
+    assert(gate.getAs[Boolean]("acc_ok"), "training accuracy below gate")
+    assert(gate.getAs[Boolean]("loss_ok"), "log-loss no better than the zero model")
+    // the scorer is a pure map usable on unseen rows: junk marker drives
+    // the margin down on a fresh doc too
+    val model = QualityClassifier.fit(pos, neg, col("doc_id"), col("text"),
+      buckets = 512, iters = 40, lr = 2.0)
+    val fresh = Seq(
+      (900L, "a perfectly clean document number nine hundred with enough ordinary tokens here"),
+      (901L, "zxq wvv zxq wvv junkmarker zxq wvv junkmarker")).toDF("doc_id", "text")
+    val scores = QualityClassifier.score(fresh, col("doc_id"), col("text"), model)
+      .select("doc_id", "predicted").as[(Long, Boolean)].collect().toMap
+    assert(scores(900L) && !scores(901L), s"got $scores")
+    graft.CachePool.releaseAll()
+  }
+
   test("survivorsFromLabeled equals an independent window argmax over the labeled frame") {
     val docs = Seq(
       (1L, "!!! ??? %%% ..."),
