@@ -901,6 +901,33 @@ object SparkEntry {
         buckets = 4096, iters = 40, lr = 8.0)
     }),
 
+    "q_margin_quota" -> ((s, d) => {
+      // classifier-score-ranked curation — the composition production
+      // pipelines run: train the quality model, then keep each source's
+      // top-5 by MARGIN (TopKPerKey bounded heaps). The pinned zero
+      // junk column is the accuracy gate in selection form: every
+      // original margins above every junk copy, so no planted copy
+      // survives any source's quota.
+      val docs = t(s, d, "documents")
+      val neg = DedupData.withPlantedDups(docs)
+        .filter(col("doc_id") >= DedupData.NearIdOffset)
+      val model = graft.text.QualityClassifier.fit(
+        docs, neg, col("doc_id"), col("text"),
+        buckets = 4096, iters = 40, lr = 8.0)
+      val corpus = docs.select("doc_id", "source", "text")
+        .unionByName(neg.select("doc_id", "source", "text"))
+      val scored = graft.text.QualityClassifier.score(
+        corpus, col("doc_id"), col("text"), model, keep = Seq(col("source")))
+      graft.plans.TopKPerKey.topK(
+          scored.select("doc_id", "source", "margin"),
+          Seq("source"), Seq(("margin", false), ("doc_id", true)), 5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"),
+          coalesce(sum(when(col("doc_id") >= DedupData.NearIdOffset, 1L)
+            .otherwise(0L)), lit(0L)).as("n_junk_selected"))
+        .orderBy("source")
+    }),
+
     "q_dsir_select" -> ((s, d) => {
       // DSIR-style importance selection: hashed unigram+bigram buckets
       // (PolyBuckets — the portable hash IS the contract), target-hot
@@ -2099,6 +2126,20 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_neg,
         |  CAST(4096 AS BIGINT) AS n_weights,
         |  TRUE AS acc_ok, TRUE AS loss_ok""".stripMargin,
+
+    // margin values are engine floats; the replayable truths are the
+    // per-source selection count (= min(5, source size) — every source
+    // has ≥ 5 docs with ≥ 1 gram) and the ZERO junk survivors the
+    // classifier's strict margin separation guarantees.
+    "q_margin_quota" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, source FROM documents WHERE doc_id % 5 = 0
+        |), c AS (SELECT source, count(*) AS n FROM corpus GROUP BY source)
+        |SELECT source, CAST(least(5, n) AS BIGINT) AS n_selected,
+        |  CAST(0 AS BIGINT) AS n_junk_selected
+        |FROM c ORDER BY source""".stripMargin,
 
     // the DSIR replay: the SAME portable polynomial bucket hash on both
     // engines (base-31 over chars mod 1000003, mod 4096 — deliberate

@@ -38,21 +38,26 @@ object QualityClassifier {
       (VecOps.bucketDot(barr, w) / nGrams.cast("double")) + lit(bias)
   }
 
-  /** (doc_id, barr, n) — each doc's unigram+bigram bucket ids (one array,
-    * occurrence-level) and its gram count. Zero-gram docs drop (no
+  /** (doc_id, keep..., barr, n) — each doc's unigram+bigram bucket ids
+    * (one array, occurrence-level) and its gram count; `keep` columns
+    * ride through for downstream grouping. Zero-gram docs drop (no
     * evidence, and x = counts/n is undefined).
     */
-  def features(docs: DataFrame, id: Column, text: Column, buckets: Int): DataFrame = {
-    val toked = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__qc_tk"))
+  def features(docs: DataFrame, id: Column, text: Column, buckets: Int,
+               keep: Seq[Column] = Nil): DataFrame = {
+    val toked = docs.select(
+      id.as("doc_id") +: (keep :+ TextAnalysis.tokens(text).as("__qc_tk")): _*)
     val bigrams = when(size(col("__qc_tk")) < 2, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(col("__qc_tk")) - 2),
         i => concat_ws(" ",
           element_at(col("__qc_tk"), i + 1), element_at(col("__qc_tk"), i + 2))))
-    toked.select(col("doc_id"),
-        StringExprs.polyBuckets(concat(col("__qc_tk"), bigrams), buckets).as("barr"))
+    toked
+      .withColumn("barr",
+        StringExprs.polyBuckets(concat(col("__qc_tk"), bigrams), buckets))
       .withColumn("n", size(col("barr")).cast("long"))
       .filter(col("n") >= 1L)
+      .drop("__qc_tk")
   }
 
   /** Fit by batch gradient descent with ADAGRAD per-coordinate steps
@@ -102,13 +107,15 @@ object QualityClassifier {
     Model(buckets, bias, w)
   }
 
-  /** Stateless per-doc scores under a trained model: (doc_id, margin,
-    * predicted). Pure map — batch or streaming.
+  /** Stateless per-doc scores under a trained model: (doc_id, keep...,
+    * margin, predicted). Pure map — batch or streaming.
     */
-  def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame =
-    features(docs, id, text, model.buckets)
+  def score(docs: DataFrame, id: Column, text: Column, model: Model,
+            keep: Seq[Column] = Nil): DataFrame =
+    features(docs, id, text, model.buckets, keep)
       .withColumn("margin", model.marginCol(col("barr"), col("n")))
-      .select(col("doc_id"), col("margin"), (col("margin") > 0.0).as("predicted"))
+      .drop("barr", "n")
+      .withColumn("predicted", col("margin") > 0.0)
 
   /** The graded training gate: fit on pos-vs-neg, evaluate on the same
     * labeled frame, and emit what an external oracle can replay — the
