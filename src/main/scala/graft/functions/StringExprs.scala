@@ -103,6 +103,71 @@ case class PolyBuckets(child: Expression, buckets: Int, mod: Long = 1000003L)
     copy(child = newChild)
 }
 
+/** One-pass unigram+bigram feature buckets over a token array: for n
+  * tokens, emits n unigram buckets followed by n−1 bigram buckets, where
+  * a bigram hashes EXACTLY like `polyBuckets` over `concat_ws(" ", l, r)`
+  * (left chars, a space, right chars — no intermediate string is ever
+  * built). This exists because composing the same thing from
+  * `transform(sequence(...), i -> concat_ws(" ", element_at(tk, i),
+  * element_at(tk, i+1)))` re-evaluates the tokenization subtree per
+  * element after projection collapse — the langId pitfall — turning a
+  * linear pass quadratic (~10× wall on the sf0.1 corpus).
+  */
+case class GramBuckets(child: Expression, buckets: Int, mod: Long = 1000003L)
+    extends UnaryExpression {
+
+  require(buckets > 0 && mod > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_buckets expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def rawHash(s: String, h0: Long): Long = {
+    var h = h0
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % mod; i += 1 }
+    h
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { toks(m) = arr.getUTF8String(i).toString; m += 1 }
+      i += 1
+    }
+    val out = new Array[Long](if (m == 0) 0 else 2 * m - 1)
+    i = 0
+    while (i < m) {
+      out(i) = rawHash(toks(i), 0L) % buckets
+      i += 1
+    }
+    i = 0
+    while (i + 1 < m) {
+      out(m + i) = rawHash(toks(i + 1), (rawHash(toks(i), 0L) * 31 + ' ') % mod) % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[GramBuckets].getName
+    val ref = ctx.addReferenceObj("gramBkt", this, cls)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramBuckets =
+    copy(child = newChild)
+}
+
 object StringExprs {
 
   /** Per-element portable feature bucket of an array<string> (see
@@ -110,6 +175,13 @@ object StringExprs {
     */
   def polyBuckets(c: Column, buckets: Int): Column =
     ColumnBridge.column(PolyBuckets(ColumnBridge.expression(c), buckets))
+
+  /** Unigram+bigram buckets of a token array in one native pass (see
+    * [[GramBuckets]]); bit-identical to `polyBuckets` over the tokens
+    * plus their space-joined adjacent pairs.
+    */
+  def gramBuckets(tokens: Column, buckets: Int): Column =
+    ColumnBridge.column(GramBuckets(ColumnBridge.expression(tokens), buckets))
 
   /** Normalize to the given Unicode form ("NFC", "NFD", "NFKC", "NFKD"). */
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =

@@ -37,21 +37,15 @@ import graft.functions.StringExprs
 object Dsir {
 
   /** (doc_id, bkt) — one row per unigram/bigram OCCURRENCE of each doc,
-    * off one materialized token array (single tokenize per doc).
-    * Documents with zero tokens contribute no rows.
+    * in ONE native pass over the token array ([[graft.functions
+    * .GramBuckets]] — composing the bigrams from `element_at` HOFs
+    * re-tokenizes per element after projection collapse). Documents with
+    * zero tokens contribute no rows.
     */
   private def bucketGrams(df: DataFrame, id: Column, text: Column,
-                          buckets: Int): DataFrame = {
-    val toked = df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__ds_tk"))
-    val bigrams = when(size(col("__ds_tk")) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(col("__ds_tk")) - 2),
-        i => concat_ws(" ",
-          element_at(col("__ds_tk"), i + 1), element_at(col("__ds_tk"), i + 2))))
-    toked.select(col("doc_id"),
-      explode(StringExprs.polyBuckets(
-        concat(col("__ds_tk"), bigrams), buckets)).as("bkt"))
-  }
+                          buckets: Int): DataFrame =
+    df.select(id.as("doc_id"),
+      explode(StringExprs.gramBuckets(TextAnalysis.tokens(text), buckets)).as("bkt"))
 
   /** Per-raw-document importance stats against the target sample:
     * (doc_id, n_grams, n_hot, selected), ordered by doc_id. Documents

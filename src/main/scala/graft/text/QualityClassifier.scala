@@ -44,67 +44,95 @@ object QualityClassifier {
     * evidence, and x = counts/n is undefined).
     */
   def features(docs: DataFrame, id: Column, text: Column, buckets: Int,
-               keep: Seq[Column] = Nil): DataFrame = {
-    val toked = docs.select(
-      id.as("doc_id") +: (keep :+ TextAnalysis.tokens(text).as("__qc_tk")): _*)
-    val bigrams = when(size(col("__qc_tk")) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(col("__qc_tk")) - 2),
-        i => concat_ws(" ",
-          element_at(col("__qc_tk"), i + 1), element_at(col("__qc_tk"), i + 2))))
-    toked
-      .withColumn("barr",
-        StringExprs.polyBuckets(concat(col("__qc_tk"), bigrams), buckets))
+               keep: Seq[Column] = Nil): DataFrame =
+    docs.select(
+        id.as("doc_id") +: (keep :+
+          StringExprs.gramBuckets(TextAnalysis.tokens(text), buckets).as("barr")): _*)
       .withColumn("n", size(col("barr")).cast("long"))
       .filter(col("n") >= 1L)
-      .drop("__qc_tk")
-  }
 
   /** Fit by batch gradient descent with ADAGRAD per-coordinate steps
     * (Duchi et al. 2011) — the bias sees a feature of 1.0 while bucket
     * features are counts/n ≈ 1/50; a single global step size either
     * crawls on the buckets or oscillates the bias, and Adagrad's
-    * 1/√Σg² scaling absorbs exactly that mismatch. Labels ride as
-    * y ∈ {1, 0}; per round the mean-log-loss gradient
-    * Σ_docs (σ(margin) − y) · x_doc is one explode + B-key partial agg
-    * over the persisted feature frame, collected bounded (≤ B+1 rows) to
-    * update the driver-held model.
+    * 1/√Σg² scaling absorbs exactly that mismatch.
+    *
+    * Per round, the mean-log-loss gradient Σ_docs (σ(margin) − y)·x_doc
+    * is a DENSE fixed-size vector (B+1 doubles) — so it aggregates as
+    * one `treeAggregate` job over the cached (buckets, y) RDD, each task
+    * folding its docs into a local dense array, partials tree-merged
+    * (the MLlib gradient shape). Exploding ~n·grams (bucket, contrib)
+    * rows into a B-key shuffle per round would rebuild that same 32 KB
+    * vector through the exchange — one of the rare cases where
+    * per-partition imperative code IS the right Spark shape. The margin
+    * is computed in the same local pass, so a round is exactly one job
+    * and zero shuffles.
     */
   def fit(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
           buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0): Model = {
     require(iters >= 0 && buckets > 0)
-    val labeled = graft.CachePool.persist(
-      features(pos, id, text, buckets).withColumn("y", lit(1.0))
-        .unionByName(features(neg, id, text, buckets).withColumn("y", lit(0.0))))
-    val nDocs = labeled.count().toDouble
-    val w = new Array[Double](buckets)
-    val gsq = new Array[Double](buckets + 1) // index `buckets` = bias slot
-    var bias = 0.0
-    if (nDocs > 0) {
-      var it = 0
-      while (it < iters) {
-        val m = Model(buckets, bias, w.clone())
-        val err = labeled.withColumn("e",
-          lit(1.0) / (lit(1.0) + exp(-m.marginCol(col("barr"), col("n")))) - col("y"))
-        // bucket gradient: each occurrence of bucket b in a doc adds e/n
-        val grad = err
-          .select(explode(col("barr")).as("b"), (col("e") / col("n")).as("g"))
-          .groupBy("b").agg(sum("g").as("g"))
-          .collect()
-        val biasGrad = err.agg(coalesce(sum("e"), lit(0.0))).collect()(0).getDouble(0)
-        grad.foreach { r =>
-          val b = r.getLong(0).toInt
-          val g = r.getDouble(1) / nDocs
-          gsq(b) += g * g
-          w(b) -= lr * g / (math.sqrt(gsq(b)) + 1e-8)
+    val spark = pos.sparkSession
+    import spark.implicits._
+    // a gradient round costs (tasks × scheduling) + (rows × grams); the
+    // cached doc vectors are tiny relative to task overhead, so bound the
+    // partition count — 40 rounds over 64 shards is 2 560 no-op task
+    // launches on a local corpus, and even at cluster scale a few
+    // thousand docs per shard amortizes scheduling without losing
+    // parallelism on corpora that matter.
+    val raw = features(pos, id, text, buckets).withColumn("y", lit(1.0))
+      .unionByName(features(neg, id, text, buckets).withColumn("y", lit(0.0)))
+      .select("barr", "y").as[(Array[Long], Double)].rdd
+    val parts = math.max(1, math.min(raw.getNumPartitions,
+      spark.sparkContext.defaultParallelism))
+    val data = raw.coalesce(parts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = data.count().toDouble
+      val w = new Array[Double](buckets)
+      val gsq = new Array[Double](buckets + 1) // index `buckets` = bias slot
+      var bias = 0.0
+      if (nDocs > 0) {
+        var it = 0
+        while (it < iters) {
+          val wLocal = w.clone()
+          val biasLocal = bias
+          val zero = new Array[Double](buckets + 1)
+          val grad = data.treeAggregate(zero)(
+            seqOp = (acc, doc) => {
+              val (barr, y) = doc
+              val n = barr.length.toDouble
+              var m = 0.0
+              var i = 0
+              while (i < barr.length) { m += wLocal(barr(i).toInt); i += 1 }
+              val e = 1.0 / (1.0 + math.exp(-(m / n + biasLocal))) - y
+              val en = e / n
+              i = 0
+              while (i < barr.length) { acc(barr(i).toInt) += en; i += 1 }
+              acc(buckets) += e
+              acc
+            },
+            combOp = (a, b) => {
+              var i = 0
+              while (i < a.length) { a(i) += b(i); i += 1 }
+              a
+            })
+          var b = 0
+          while (b < buckets) {
+            val g = grad(b) / nDocs
+            if (g != 0.0) {
+              gsq(b) += g * g
+              w(b) -= lr * g / (math.sqrt(gsq(b)) + 1e-8)
+            }
+            b += 1
+          }
+          val gb = grad(buckets) / nDocs
+          gsq(buckets) += gb * gb
+          bias -= lr * gb / (math.sqrt(gsq(buckets)) + 1e-8)
+          it += 1
         }
-        val gb = biasGrad / nDocs
-        gsq(buckets) += gb * gb
-        bias -= lr * gb / (math.sqrt(gsq(buckets)) + 1e-8)
-        it += 1
       }
-    }
-    Model(buckets, bias, w)
+      Model(buckets, bias, w)
+    } finally data.unpersist(blocking = false)
   }
 
   /** Stateless per-doc scores under a trained model: (doc_id, keep...,

@@ -141,6 +141,24 @@ class FunctionsSpec extends SparkSpec {
       .as[Seq[Long]].head() === Seq(97L, 2281L))
   }
 
+  test("GramBuckets equals polyBuckets over tokens plus space-joined bigrams") {
+    val df = Seq(
+      Tuple1(Seq("alpha", "beta", "gamma")),
+      Tuple1(Seq("solo")),
+      Tuple1(Seq.empty[String])).toDF("tk")
+    val got = df.select(StringExprs.gramBuckets(col("tk"), 4096).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    val expected = df.select(StringExprs.polyBuckets(
+        concat(col("tk"),
+          when(size(col("tk")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("tk")) - 2),
+              i => concat_ws(" ",
+                element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))),
+        4096).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got === expected)
+  }
+
   test("BpeEncodeCount byte level seeds UTF-8 bytes; char level counts UTF-16 units") {
     import graft.text.TextAnalysis
     // "héllo" = 5 chars, 6 UTF-8 bytes; "día" = 3 chars, 4 bytes
