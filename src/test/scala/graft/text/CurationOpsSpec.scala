@@ -189,6 +189,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(misses === 0L)
   }
 
+  test("Dsir.logRatioScores ranks target-like docs above off-distribution docs") {
+    import graft.text.Dsir
+    val target = Seq(
+      (100L, "alpha beta alpha beta"),
+      (101L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "zzz qqq xxx"),
+      (3L, "alpha zzz")).toDF("doc_id", "text")
+    val got = Dsir.logRatioScores(raw, target, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // pure target grams > mixed > pure junk, and junk scores negative
+    assert(got(1L) > got(3L) && got(3L) > got(2L), s"got $got")
+    assert(got(2L) < 0.0)
+    graft.CachePool.releaseAll()
+  }
+
   test("Dsir: target-like docs selected by majority vote, off-distribution docs not") {
     import graft.text.Dsir
     val target = Seq(
