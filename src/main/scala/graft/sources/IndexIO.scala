@@ -101,4 +101,44 @@ object IndexIO {
 
   def loadGrams(spark: SparkSession, path: String): Array[Long] =
     spark.read.parquet(path).select("g").collect().map(_.getLong(0)).sorted
+
+  /** A trained BPE merge table — the tokenizer itself: one row per rank,
+    * rank order IS merge priority ([[graft.functions.BpeEncodeCount]]
+    * consumes it verbatim).
+    */
+  def saveBpe(spark: SparkSession, merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBpe(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).select("rank", "left", "right").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** A trained quality-classifier model: one row per non-zero weight plus
+    * a bias row at index −1 (sparse — junk-signal models are mostly
+    * zeros), with the bucket count for shape recovery.
+    */
+  def saveClassifier(spark: SparkSession,
+                     model: graft.text.QualityClassifier.Model, path: String): Unit = {
+    import spark.implicits._
+    val rows = (-1, model.bias, model.buckets) +:
+      model.w.zipWithIndex.collect { case (x, b) if x != 0.0 => (b, x, model.buckets) }.toSeq
+    rows.toDF("b", "x", "buckets")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadClassifier(spark: SparkSession, path: String): graft.text.QualityClassifier.Model = {
+    val rows = spark.read.parquet(path).select("b", "x", "buckets").collect()
+    val buckets = rows.head.getInt(2)
+    val w = new Array[Double](buckets)
+    var bias = 0.0
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      if (b < 0) bias = r.getDouble(1) else w(b) = r.getDouble(1)
+    }
+    graft.text.QualityClassifier.Model(buckets, bias, w)
+  }
 }

@@ -69,4 +69,45 @@ class IndexIOSpec extends SparkSpec {
     val loaded = IndexIO.loadGrams(spark, path)
     assert(loaded.toSeq === grams.toSeq.sorted)
   }
+
+  test("BPE merge table round-trips in rank order and encodes identically") {
+    import graft.functions.BpeExprs
+    import graft.text.{TextAnalysis, Vocab}
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val table = Vocab.bpeMerges(docs, col("doc_id"), col("text"), 10, 10)
+      .select("left", "right").as[(String, String)].collect().toSeq
+    val path = tmp("bpe")
+    IndexIO.saveBpe(spark, table, path)
+    val loaded = IndexIO.loadBpe(spark, path)
+    assert(loaded === table)
+    val toks = TextAnalysis.tokens(col("text"))
+    val pair = docs.select(
+        BpeExprs.encodeCount(toks, table).as("a"),
+        BpeExprs.encodeCount(toks, loaded).as("b"))
+      .as[(Long, Long)].head()
+    assert(pair._1 === pair._2)
+  }
+
+  test("classifier model round-trips sparsely and scores identically") {
+    import graft.text.QualityClassifier
+    import spark.implicits._
+    val pos = (1L to 20L).map(i => (i, s"clean doc $i with plain tokens")).toDF("doc_id", "text")
+    val neg = (101L to 120L).map(i => (i, s"clean doc $i with plain tokens zxq zxq junkmarker"))
+      .toDF("doc_id", "text")
+    val model = QualityClassifier.fit(pos, neg, col("doc_id"), col("text"),
+      buckets = 256, iters = 20, lr = 2.0)
+    val path = tmp("qc")
+    IndexIO.saveClassifier(spark, model, path)
+    val loaded = IndexIO.loadClassifier(spark, path)
+    assert(loaded.buckets === model.buckets)
+    assert(loaded.bias === model.bias)
+    assert(loaded.w.toSeq === model.w.toSeq)
+    val a = QualityClassifier.score(pos.union(neg), col("doc_id"), col("text"), model)
+      .select("doc_id", "margin").as[(Long, Double)].collect().toMap
+    val b = QualityClassifier.score(pos.union(neg), col("doc_id"), col("text"), loaded)
+      .select("doc_id", "margin").as[(Long, Double)].collect().toMap
+    assert(a === b)
+    graft.CachePool.releaseAll()
+  }
 }

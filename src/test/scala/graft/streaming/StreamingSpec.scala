@@ -344,6 +344,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifier scoring is a stateless map: streaming scores equal batch scores") {
+    import graft.text.QualityClassifier
+    val pos = (1L to 20L).map(i => (i, s"clean doc $i with plain tokens")).toDF("doc_id", "text")
+    val neg = (101L to 120L).map(i => (i, s"clean doc $i with plain tokens zxq zxq junkmarker"))
+      .toDF("doc_id", "text")
+    val model = QualityClassifier.fit(pos, neg, col("doc_id"), col("text"),
+      buckets = 256, iters = 20, lr = 2.0)
+    val rows = Seq(
+      (900L, "a fresh clean doc with plain tokens"),
+      (901L, "zxq zxq junkmarker zxq"))
+    val batch = QualityClassifier.score(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), model)
+      .select("doc_id", "margin").as[(Long, Double)].collect().toMap
+    val input = MemoryStream[(Long, String)](spark)
+    val q = QualityClassifier.score(input.toDS().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), model)
+      .writeStream.format("memory").queryName("qc_scores")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qc_scores")
+        .select("doc_id", "margin").as[(Long, Double)].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+    graft.CachePool.releaseAll()
+  }
+
   test("top-k-by-quality quota: eviction changelog, stream parity, net set = batch top-k") {
     import graft.streaming.AdmissionQuota
     import graft.streaming.AdmissionQuota.{QuotaEvent, ScoredArrival}
