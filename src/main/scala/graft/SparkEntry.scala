@@ -901,6 +901,18 @@ object SparkEntry {
         buckets = 4096, iters = 40, lr = 8.0)
     }),
 
+    "q_classifier_holdout" -> ((s, d) => {
+      // the held-out gate: 80/20 deterministic hash split per class,
+      // fit on train only, accuracy gated on BOTH frames — the junk
+      // signal must GENERALIZE to unseen docs, not just memorize.
+      val docs = t(s, d, "documents")
+      val neg = DedupData.withPlantedDups(docs)
+        .filter(col("doc_id") >= DedupData.NearIdOffset)
+      graft.text.QualityClassifier.trainGateHoldout(
+        docs, neg, col("doc_id"), col("text"),
+        buckets = 4096, iters = 40, lr = 8.0)
+    }),
+
     "q_margin_quota" -> ((s, d) => {
       // classifier-score-ranked curation — the composition production
       // pipelines run: train the quality model, then keep each source's
@@ -2126,6 +2138,14 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_neg,
         |  CAST(4096 AS BIGINT) AS n_weights,
         |  TRUE AS acc_ok, TRUE AS loss_ok""".stripMargin,
+
+    // split sizes are hash-derived (not replayable); the gate emits the
+    // replayable class totals plus the pinned generalization booleans.
+    "q_classifier_holdout" ->
+      """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_pos,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_neg,
+        |  CAST(4096 AS BIGINT) AS n_weights,
+        |  TRUE AS acc_train_ok, TRUE AS acc_test_ok""".stripMargin,
 
     // margin values are engine floats; the replayable truths are the
     // per-source selection count (= min(5, source size) — every source

@@ -145,6 +145,42 @@ object QualityClassifier {
       .drop("barr", "n")
       .withColumn("predicted", col("margin") > 0.0)
 
+  /** Held-out evaluation gate — the ML-hygiene form of [[trainGate]]:
+    * each class splits train/test by the deterministic hash split
+    * ([[graft.etl.Sampling.split]] — membership is a pure function of
+    * the id, stable across partitionings), the model fits on train
+    * ONLY, and the gate requires accuracy on BOTH frames: train ≥
+    * `minAccTrain` and, the number that actually matters, held-out
+    * test ≥ `minAccTest`. Output mirrors [[trainGate]]'s shape with
+    * TOTAL class counts (split sizes are hash-derived and so not
+    * externally replayable): (n_pos, n_neg, n_weights, acc_train_ok,
+    * acc_test_ok). One row.
+    */
+  def trainGateHoldout(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
+                       buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
+                       minAccTrain: Double = 0.9, minAccTest: Double = 0.85,
+                       testFraction: Double = 0.2, salt: Long = 0L): DataFrame = {
+    require(testFraction > 0.0 && testFraction < 1.0)
+    val weights = Seq(1.0 - testFraction, testFraction)
+    val Seq(posTr, posTe) = graft.etl.Sampling.split(pos, id, weights, salt)
+    val Seq(negTr, negTe) = graft.etl.Sampling.split(neg, id, weights, salt)
+    val model = fit(posTr, negTr, id, text, buckets, iters, lr)
+    def accOf(p: DataFrame, n: DataFrame): DataFrame =
+      score(p, id, text, model).withColumn("y", lit(1.0))
+        .unionByName(score(n, id, text, model).withColumn("y", lit(0.0)))
+        .agg(coalesce(avg(when((col("margin") > 0.0) === (col("y") > 0.5), 1.0)
+          .otherwise(0.0)), lit(1.0)).as("acc"))
+    val trainAcc = accOf(posTr, negTr).withColumnRenamed("acc", "acc_train")
+    val testAcc = accOf(posTe, negTe).withColumnRenamed("acc", "acc_test")
+    val counts = pos.agg(count(lit(1)).as("n_pos"))
+      .crossJoin(neg.agg(count(lit(1)).as("n_neg")))
+    counts.crossJoin(trainAcc).crossJoin(testAcc)
+      .select(col("n_pos"), col("n_neg"),
+        lit(buckets.toLong).as("n_weights"),
+        (col("acc_train") >= minAccTrain).as("acc_train_ok"),
+        (col("acc_test") >= minAccTest).as("acc_test_ok"))
+  }
+
   /** The graded training gate: fit on pos-vs-neg, evaluate on the same
     * labeled frame, and emit what an external oracle can replay — the
     * class counts (data-derived), the model size (pinned), and the

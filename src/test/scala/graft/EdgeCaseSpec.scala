@@ -244,6 +244,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Stats.topGroupsByCount(noDocs, col("source"), 10).count() === 0)
   }
 
+  test("session-4 operators on degenerate input") {
+    import graft.etl.Sampling
+    import graft.functions.PackExprs
+    import graft.streaming.AdmissionQuota
+    import graft.streaming.AdmissionQuota.ScoredArrival
+    import graft.text.{Dsir, QualityClassifier, SeqPack}
+    // top-k quota with k = 0 admits nothing; empty input emits nothing
+    assert(AdmissionQuota.admitTopKByQuality(
+      Seq(ScoredArrival(1L, "w", 0.5)).toDS(), k = 0).count() === 0)
+    assert(AdmissionQuota.admitTopKByQuality(
+      Seq.empty[ScoredArrival].toDS(), k = 3).count() === 0)
+    // FFD on an empty group array and on all-zero sizes
+    assert(Seq(Tuple1(Seq.empty[Int])).toDF("s")
+      .select(PackExprs.ffdBins(col("s"), 10)).as[Seq[Long]].head() === Seq.empty)
+    assert(Seq(Tuple1(Seq(0, 0, 0))).toDF("s")
+      .select(PackExprs.ffdBins(col("s"), 10)).as[Seq[Long]].head() === Seq(0L, 0L, 0L))
+    assert(SeqPack.packFfd(noDocs, col("doc_id"), lit(1), 10, 4).count() === 0)
+    CachePool.releaseAll()
+    // token mix with an empty corpus: empty selection, empty targets
+    val (sel, targets) = Sampling.tokenBudgetMix(
+      noDocs, col("doc_id"), col("source"), lit(1L), lit(100L))
+    assert(sel.count() === 0 && targets.count() === 0)
+    CachePool.releaseAll()
+    // DSIR with an empty target: no bucket is target-hot, nothing selected
+    val raw = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val st = Dsir.importanceStats(raw, noDocs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(st === Array((1L, 3L, 0L, false)))
+    CachePool.releaseAll()
+    // classifier on empty classes: zero model, gate counts stay 0
+    val gate = QualityClassifier.trainGate(
+      noDocs, noDocs, col("doc_id"), col("text"), buckets = 64, iters = 3)
+      .collect()(0)
+    assert(gate.getAs[Long]("n_pos") === 0L && gate.getAs[Long]("n_neg") === 0L)
+    CachePool.releaseAll()
+  }
+
   test("join operators on empty sides") {
     val pts = Seq.empty[(Long, Double)].toDF("pid", "x")
     val ivs = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")

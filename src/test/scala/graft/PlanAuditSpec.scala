@@ -326,6 +326,23 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"DSIR scoring must not window the gram frame:\n$plan")
   }
 
+  test("q_margin_quota selection caps with TopKPerKey; scoring joins nothing corpus-sized") {
+    val plan = finalPlan(q("q_margin_quota"))
+    graft.CachePool.releaseAll()
+    val str = plan.toString
+    // the margin rank is a TopKPerKey bounded-heap cap (the only global
+    // sort is the output orderBy over the per-source aggregate — ≤ one
+    // row per source); the model rides inside BucketDot, so scoring
+    // adds no join over the corpus
+    assert("TopKPerKey".r.findAllIn(str).size >= 2,
+      s"margin quota must cap per-source rows map-side first:\n$str")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"scoring must not shuffle-join the corpus:\n$plan")
+  }
+
   test("q_minhash_survivors: no cartesian over data-sized frames; labeled frame cache-reused") {
     val df = q("q_minhash_survivors")
     val plan = finalPlan(df)

@@ -250,6 +250,22 @@ class TextSpec extends SparkSpec {
     graft.CachePool.releaseAll()
   }
 
+  test("trainGateHoldout: the junk signal generalizes to the unseen hash split") {
+    val pos = (1L to 60L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
+    val neg = (101L to 160L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here " +
+        "zxq wvv zxq wvv junkmarker")).toDF("doc_id", "text")
+    val gate = QualityClassifier.trainGateHoldout(pos, neg, col("doc_id"), col("text"),
+        buckets = 512, iters = 40, lr = 2.0)
+      .collect()(0)
+    assert(gate.getAs[Long]("n_pos") === 60L)
+    assert(gate.getAs[Long]("n_neg") === 60L)
+    assert(gate.getAs[Boolean]("acc_train_ok"))
+    assert(gate.getAs[Boolean]("acc_test_ok"), "held-out accuracy below gate")
+    graft.CachePool.releaseAll()
+  }
+
   test("survivorsFromLabeled equals an independent window argmax over the labeled frame") {
     val docs = Seq(
       (1L, "!!! ??? %%% ..."),
