@@ -700,6 +700,34 @@ object SparkEntry {
       graft.text.Repetition.repetitionStats(planted, col("doc_id"), col("text"), n = 2)
     }),
 
+    "q_c4_filters" -> ((s, d) => {
+      // the published C4 rule set, doc-level: every flag + the keep
+      // conjunction per document, all exactly SQL-replayable. Planted
+      // rule-breakers make each flag's false branch real: %6 gets a code
+      // brace, %7 'lorem ipsum', %11 'javascript', %13 a 60-char token.
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" {code}")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" lorem ipsum dolor")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" enable javascript now")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" "), lpad(lit("x"), 60, "x"))).otherwise(lit(""))).as("text"))
+      graft.text.C4Filters.flags(planted, col("doc_id"), col("text"))
+    }),
+
+    "q_leak_report" -> ((s, d) => {
+      // the contamination report from the BENCHMARK side: per eval doc,
+      // how many corpus docs share a verbatim 8-gram and over how many
+      // distinct grams — the planted near/exact copies of eval docs are
+      // the expected leaks; clean eval docs report 0/0.
+      val docs = t(s, d, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = DedupData.withPlantedDups(docs)
+        .filter(!(col("doc_id") < DedupData.ExactIdOffset && col("doc_id") % 10 === 0))
+      graft.text.Decontaminate.leakReport(corpus, evalDocs, col("doc_id"), col("text"), n = 8)
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // held-out "benchmark": every 10th original doc. Training corpus:
       // the planted-dup corpus minus the eval originals themselves — the
@@ -1737,6 +1765,69 @@ object SparkEntry {
     // distinct 8-grams as strings on both sides; the corpus excludes the
     // eval ORIGINALS only — their planted copies (+1M/+2M ids) remain and
     // are the contamination the overlap join must report.
+    // every C4 rule replayed: token count, terminal punctuation, brace /
+    // lorem / javascript containment, longest-token cap — same planted
+    // rule-breakers, flags and the keep conjunction hash-exact.
+    "q_c4_filters" ->
+      """WITH planted AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 6 = 0 THEN ' {code}' ELSE '' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor' ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN ' enable javascript now' ELSE '' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN concat(' ', repeat('x', 60)) ELSE '' END) AS text
+        |  FROM documents
+        |), tkd AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM planted
+        |), f AS (
+        |  SELECT doc_id,
+        |    len(tk) >= 5 AS f_min_words,
+        |    regexp_matches(trim(text), '[.!?"'']$') AS f_terminal_punct,
+        |    NOT contains(text, '{') AS f_no_brace,
+        |    NOT contains(lower(text), 'lorem ipsum') AS f_no_lorem,
+        |    NOT regexp_matches(lower(text), '\bjavascript\b') AS f_no_script,
+        |    coalesce(list_max(list_transform(tk, t -> len(t))), 0) <= 50 AS f_word_len
+        |  FROM tkd)
+        |SELECT doc_id, f_min_words, f_terminal_punct, f_no_brace, f_no_lorem,
+        |  f_no_script, f_word_len,
+        |  f_min_words AND f_terminal_punct AND f_no_brace AND f_no_lorem
+        |    AND f_no_script AND f_word_len AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the q_decontaminate gram CTEs with the aggregation flipped to the
+    // eval side, zero-filled over all eval docs.
+    "q_leak_report" -> (DedupData.DocsCte +
+      """, corpus AS (
+        |  SELECT doc_id, text FROM docs
+        |  WHERE NOT (doc_id < 1000000 AND doc_id % 10 = 0)
+        |), evaldocs AS (
+        |  SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 10 = 0
+        |), cg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' '))) END) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk FROM corpus)
+        |), eg AS (
+        |  SELECT eval_id, unnest(
+        |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' '))) END) AS g
+        |  FROM (SELECT eval_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk FROM evaldocs)
+        |), hits AS (
+        |  SELECT e.eval_id,
+        |    CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_docs,
+        |    CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams
+        |  FROM cg c JOIN eg e ON c.g = e.g
+        |  GROUP BY e.eval_id)
+        |SELECT ev.eval_id AS eval_id,
+        |  CAST(coalesce(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+        |  CAST(coalesce(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams
+        |FROM (SELECT DISTINCT eval_id FROM evaldocs) ev
+        |LEFT JOIN hits h ON h.eval_id = ev.eval_id
+        |ORDER BY ev.eval_id""".stripMargin),
+
     "q_decontaminate" -> (DedupData.DocsCte +
       """, corpus AS (
         |  SELECT doc_id, text FROM docs

@@ -39,25 +39,55 @@ object Decontaminate extends Logging {
     */
   def overlaps(corpus: DataFrame, evalDocs: DataFrame,
                id: Column, text: Column, n: Int = 8,
-               maxBroadcastRows: Long = 10000000L): DataFrame = {
+               maxBroadcastRows: Long = 10000000L): DataFrame =
+    hitPairs(corpus, evalDocs, id, text, n, maxBroadcastRows)
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_hit_grams"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+
+  /** The contamination report seen from the BENCHMARK side — the table an
+    * eval owner actually reads: for every eval document, how many corpus
+    * documents share a verbatim n-gram with it and over how many distinct
+    * grams (0/0 when clean — every eval doc appears). Same probe plan as
+    * [[overlaps]] (broadcast eval side, corpus never shuffles before the
+    * join); only the aggregation key flips, and the zero-fill join
+    * touches eval-sized frames only.
+    */
+  def leakReport(corpus: DataFrame, evalDocs: DataFrame,
+                 id: Column, text: Column, n: Int = 8,
+                 maxBroadcastRows: Long = 10000000L): DataFrame = {
+    val hits = hitPairs(corpus, evalDocs, id, text, n, maxBroadcastRows)
+      .groupBy("eval_id")
+      .agg(count_distinct(col("doc_id")).as("n_corpus_docs"),
+        count_distinct(col("g")).as("n_shared_grams"))
+    evalDocs.select(id.as("eval_id")).distinct()
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .orderBy("eval_id")
+  }
+
+  /** (doc_id, g, eval_id) — one row per (corpus doc, shared gram, eval
+    * doc) candidate hit; the broadcast-or-fallback plan shared by
+    * [[overlaps]] and [[leakReport]].
+    */
+  private def hitPairs(corpus: DataFrame, evalDocs: DataFrame,
+                       id: Column, text: Column, n: Int,
+                       maxBroadcastRows: Long): DataFrame = {
     val corpusGrams = corpus.select(
       id.as("doc_id"), explode(NGramJaccard.ngramSet(text, n)).as("g"))
     val evalGrams = evalDocs.select(
       id.as("eval_id"), explode(NGramJaccard.ngramSet(text, n)).as("g"))
     val nEvalGrams = evalGrams.count()
-    val joined =
-      if (nEvalGrams <= maxBroadcastRows) corpusGrams.join(broadcast(evalGrams), "g")
-      else {
-        logWarning(s"Decontaminate.overlaps: eval side has $nEvalGrams gram rows " +
-          s"(> maxBroadcastRows=$maxBroadcastRows); falling back to a shuffle join — " +
-          "the corpus side will shuffle. Is the eval set really a benchmark suite?")
-        corpusGrams.join(evalGrams.hint("shuffle_hash"), "g")
-      }
-    joined
-      .groupBy("doc_id")
-      .agg(count_distinct(col("g")).as("n_hit_grams"),
-        count_distinct(col("eval_id")).as("n_eval_docs"))
-      .orderBy("doc_id")
+    if (nEvalGrams <= maxBroadcastRows) corpusGrams.join(broadcast(evalGrams), "g")
+    else {
+      logWarning(s"Decontaminate: eval side has $nEvalGrams gram rows " +
+        s"(> maxBroadcastRows=$maxBroadcastRows); falling back to a shuffle join — " +
+        "the corpus side will shuffle. Is the eval set really a benchmark suite?")
+      corpusGrams.join(evalGrams.hint("shuffle_hash"), "g")
+    }
   }
 
   /** The eval set's distinct gram hashes, collected to the driver — the
