@@ -941,6 +941,43 @@ object SparkEntry {
         buckets = 4096, iters = 40, lr = 8.0)
     }),
 
+    "q_classifier_calibration" -> ((s, d) => {
+      // does the margin RANK quality, not just separate at 0? Ten
+      // margin-rank decile bins over the labeled corpus, each reporting
+      // its empirical positive count; the rate must be monotone in the
+      // bin. With the wide planted-junk separation, ascending-rank bins
+      // fill negatives first, so per-bin positive counts are pure
+      // integer arithmetic in (n, n_neg) — exactly what the oracle
+      // replays.
+      val docs = t(s, d, "documents")
+      val neg = DedupData.withPlantedDups(docs)
+        .filter(col("doc_id") >= DedupData.NearIdOffset)
+      graft.text.QualityClassifier.calibrationGate(
+        docs, neg, col("doc_id"), col("text"),
+        buckets = 4096, iters = 40, lr = 8.0)
+    }),
+
+    "q_subword_classifier" -> ((s, d) => {
+      // the SUBWORD-aware quality gate — the tokenizer composed with the
+      // filter: train the BPE table, then hash the classifier features
+      // over its symbol stream instead of whitespace words (GramBuckets
+      // over BpeEncodeSymbols). Junk that hides INSIDE words still
+      // surfaces as rare symbol transitions. Same planted labels, same
+      // Adagrad loop, same gate columns as q_quality_classifier.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val neg = DedupData.withPlantedDups(docs)
+        .filter(col("doc_id") >= DedupData.NearIdOffset)
+      val table = graft.text.Vocab.bpeMerges(docs, col("doc_id"), col("text"),
+          topWords = 500, nMerges = 60)
+        .select("left", "right").as[(String, String)].collect().toSeq
+      val sub: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        tc => graft.functions.BpeExprs.encodeSymbols(TextAnalysis.tokens(tc), table)
+      graft.text.QualityClassifier.trainGate(
+        docs, neg, col("doc_id"), col("text"),
+        buckets = 4096, iters = 40, lr = 8.0, tokensOf = sub)
+    }),
+
     "q_margin_quota" -> ((s, d) => {
       // classifier-score-ranked curation — the composition production
       // pipelines run: train the quality model, then keep each source's
@@ -2237,6 +2274,37 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_neg,
         |  CAST(4096 AS BIGINT) AS n_weights,
         |  TRUE AS acc_train_ok, TRUE AS acc_test_ok""".stripMargin,
+
+    // bin sizes are pure integer arithmetic in n (size of bin b =
+    // ceil((b+1)n/10) − ceil(bn/10)); with the classifier's strict
+    // margin separation (every junk copy below every original),
+    // ascending-rank bins fill negatives first, so per-bin positive
+    // counts are arithmetic in (n, n_neg) too. Monotonicity pinned.
+    "q_classifier_calibration" ->
+      """WITH p AS (
+        |  SELECT CAST((SELECT count(*) FROM documents)
+        |         + (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n,
+        |    CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_neg
+        |), b AS (
+        |  SELECT CAST(t.b AS BIGINT) AS b, n, n_neg
+        |  FROM p, generate_series(0, 9) AS t(b)
+        |)
+        |SELECT b + 1 AS bin,
+        |  ((b + 1) * n + 9) // 10 - (b * n + 9) // 10 AS n_docs,
+        |  GREATEST(0, ((b + 1) * n + 9) // 10
+        |    - GREATEST((b * n + 9) // 10, n_neg)) AS n_pos,
+        |  TRUE AS rate_monotone_ok
+        |FROM b
+        |WHERE ((b + 1) * n + 9) // 10 - (b * n + 9) // 10 > 0
+        |ORDER BY bin""".stripMargin,
+
+    // same pinned shape as q_quality_classifier: the subword feature
+    // space changes the hash inputs, not the gate contract.
+    "q_subword_classifier" ->
+      """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_pos,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_neg,
+        |  CAST(4096 AS BIGINT) AS n_weights,
+        |  TRUE AS acc_ok, TRUE AS loss_ok""".stripMargin,
 
     // margin values are engine floats; the replayable truths are the
     // per-source selection count (= min(5, source size) — every source

@@ -42,12 +42,19 @@ object QualityClassifier {
     * (one array, occurrence-level) and its gram count; `keep` columns
     * ride through for downstream grouping. Zero-gram docs drop (no
     * evidence, and x = counts/n is undefined).
+    *
+    * `tokensOf` maps the text column to the token array the buckets hash
+    * over — whitespace words by default; a BPE symbol stream
+    * ([[graft.functions.BpeExprs.encodeSymbols]]) makes the feature
+    * space subword-aware (robust to within-word junk and unseen
+    * surface forms) without touching the training loop.
     */
   def features(docs: DataFrame, id: Column, text: Column, buckets: Int,
-               keep: Seq[Column] = Nil): DataFrame =
+               keep: Seq[Column] = Nil,
+               tokensOf: Column => Column = TextAnalysis.tokens): DataFrame =
     docs.select(
         id.as("doc_id") +: (keep :+
-          StringExprs.gramBuckets(TextAnalysis.tokens(text), buckets).as("barr")): _*)
+          StringExprs.gramBuckets(tokensOf(text), buckets).as("barr")): _*)
       .withColumn("n", size(col("barr")).cast("long"))
       .filter(col("n") >= 1L)
 
@@ -69,7 +76,8 @@ object QualityClassifier {
     * and zero shuffles.
     */
   def fit(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
-          buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0): Model = {
+          buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
+          tokensOf: Column => Column = TextAnalysis.tokens): Model = {
     require(iters >= 0 && buckets > 0)
     val spark = pos.sparkSession
     import spark.implicits._
@@ -79,8 +87,10 @@ object QualityClassifier {
     // launches on a local corpus, and even at cluster scale a few
     // thousand docs per shard amortizes scheduling without losing
     // parallelism on corpora that matter.
-    val raw = features(pos, id, text, buckets).withColumn("y", lit(1.0))
-      .unionByName(features(neg, id, text, buckets).withColumn("y", lit(0.0)))
+    val raw = features(pos, id, text, buckets, tokensOf = tokensOf)
+      .withColumn("y", lit(1.0))
+      .unionByName(features(neg, id, text, buckets, tokensOf = tokensOf)
+        .withColumn("y", lit(0.0)))
       .select("barr", "y").as[(Array[Long], Double)].rdd
     val parts = math.max(1, math.min(raw.getNumPartitions,
       spark.sparkContext.defaultParallelism))
@@ -139,8 +149,9 @@ object QualityClassifier {
     * margin, predicted). Pure map — batch or streaming.
     */
   def score(docs: DataFrame, id: Column, text: Column, model: Model,
-            keep: Seq[Column] = Nil): DataFrame =
-    features(docs, id, text, model.buckets, keep)
+            keep: Seq[Column] = Nil,
+            tokensOf: Column => Column = TextAnalysis.tokens): DataFrame =
+    features(docs, id, text, model.buckets, keep, tokensOf)
       .withColumn("margin", model.marginCol(col("barr"), col("n")))
       .drop("barr", "n")
       .withColumn("predicted", col("margin") > 0.0)
@@ -189,10 +200,13 @@ object QualityClassifier {
     */
   def trainGate(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
                 buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
-                minAcc: Double = 0.9): DataFrame = {
-    val model = fit(pos, neg, id, text, buckets, iters, lr)
-    val scoredPos = score(pos, id, text, model).withColumn("y", lit(1.0))
-    val scoredNeg = score(neg, id, text, model).withColumn("y", lit(0.0))
+                minAcc: Double = 0.9,
+                tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val model = fit(pos, neg, id, text, buckets, iters, lr, tokensOf)
+    val scoredPos = score(pos, id, text, model, tokensOf = tokensOf)
+      .withColumn("y", lit(1.0))
+    val scoredNeg = score(neg, id, text, model, tokensOf = tokensOf)
+      .withColumn("y", lit(0.0))
     // stable log-loss: −log σ(m) = softplus(−m), −log(1−σ(m)) = softplus(m)
     def softplus(x: Column): Column =
       when(x > 30.0, x).otherwise(log1p(exp(least(x, lit(30.0)))))
@@ -210,5 +224,57 @@ object QualityClassifier {
         lit(buckets.toLong).as("n_weights"),
         (col("acc") >= minAcc).as("acc_ok"),
         (col("mll") < math.log(2.0)).as("loss_ok"))
+  }
+
+  /** The CALIBRATION gate — does the margin actually RANK quality, not
+    * just separate at 0? The labeled corpus is binned into `bins`
+    * margin-rank quantile bins and each bin reports its empirical
+    * positive count; a usable ranking score must have a positive rate
+    * that is monotone non-decreasing across bins (the property margin
+    * thresholds, quota ranking and temperature mixing all silently
+    * assume). Output: one row per NON-EMPTY bin — (bin, n_docs, n_pos,
+    * rate_monotone_ok), integers + a boolean, so the table hash-checks.
+    *
+    * Binning is by GLOBAL margin rank (ties broken on doc_id), computed
+    * scalably with the [[graft.etl.Cleaning.reindexScalable]] shape:
+    * one range-partitioned sort of (doc_id, margin, y) rows — the
+    * TeraSort shape, never a single-partition window — then
+    * `bin = (rank-1)·bins div n + 1` as pure integer arithmetic, so an
+    * external engine can replay bin SIZES from n alone (size of bin b =
+    * ⌈(b+1)n/B⌉ − ⌈bn/B⌉) and, when the classifier strictly separates
+    * the classes (every neg margin below every pos margin — the graded
+    * corpora hold this with wide margins), per-bin positive counts too.
+    * The monotonicity certificate is computed over the ≤ `bins`-row
+    * aggregate (the only unpartitioned window, bounded by construction).
+    */
+  def calibrationGate(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
+                      buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
+                      bins: Int = 10,
+                      tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
+    require(bins >= 2, s"need at least 2 calibration bins, got $bins")
+    val model = fit(pos, neg, id, text, buckets, iters, lr, tokensOf)
+    val scored = score(pos, id, text, model, tokensOf = tokensOf)
+      .withColumn("y", lit(1.0))
+      .unionByName(score(neg, id, text, model, tokensOf = tokensOf)
+        .withColumn("y", lit(0.0)))
+      .select("doc_id", "margin", "y")
+    val ranked = graft.etl.Cleaning.reindexScalable(
+      scored, struct(col("margin"), col("doc_id")), "rank")
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val perBin = graft.CachePool.persist(
+      ranked.crossJoin(broadcast(total))
+        .withColumn("bin", expr(s"(rank - 1) * $bins div __n") + 1L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y").cast("long")).as("n_pos")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val mono = perBin
+      .withColumn("rate", col("n_pos").cast("double") / col("n_docs"))
+      .withColumn("ok", coalesce(
+        lag("rate", 1).over(w) <= col("rate"), lit(true)))
+      .agg(coalesce(every(col("ok")), lit(true)).as("rate_monotone_ok"))
+    perBin.crossJoin(broadcast(mono))
+      .select(col("bin"), col("n_docs"), col("n_pos"), col("rate_monotone_ok"))
+      .orderBy("bin")
   }
 }

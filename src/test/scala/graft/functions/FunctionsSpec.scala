@@ -128,6 +128,36 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2L) === ((0L, 0L))) // whitespace-only doc: zero tokens
   }
 
+  test("BpeEncodeSymbols keeps the symbol stream; size equals BpeEncodeCount") {
+    import graft.text.TextAnalysis
+    val df = Seq((1L, "aaab ab ba"), (2L, "   ")).toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val table = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val got = df.select(col("doc_id"),
+        BpeExprs.encodeSymbols(toks, table).as("syms"),
+        BpeExprs.encodeCount(toks, table).as("n"))
+      .as[(Long, Seq[String], Long)].collect()
+      .map { case (i, s, n) => i -> ((s, n)) }.toMap
+    // aaab: aa+ab merge via rank 2 after (a,a),(a,b); ab → [ab]; ba unmergeable
+    assert(got(1L)._1 === Seq("aaab", "ab", "b", "a"))
+    assert(got(1L)._2 === 4L)
+    // concatenation recovers the original token text
+    assert(got(1L)._1.mkString === "aaababba")
+    assert(got(2L) === ((Seq.empty[String], 0L)))
+  }
+
+  test("BpeEncodeSymbols byte level splits non-ASCII into UTF-8 byte symbols") {
+    import graft.text.TextAnalysis
+    val df = Seq((1L, "é")).toDF("doc_id", "text") // U+00E9 = 0xC3 0xA9
+    val toks = TextAnalysis.tokens(col("text"))
+    val got = df.select(
+        BpeExprs.encodeSymbolsBytes(toks, Nil).as("b"),
+        BpeExprs.encodeSymbols(toks, Nil).as("c"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(got._1.map(_.charAt(0).toInt) === Seq(0xC3, 0xA9))
+    assert(got._2 === Seq("é"))
+  }
+
   test("PolyBuckets matches the DuckDB list_reduce replay; drops null elements") {
     // expected values computed with DuckDB 1.0:
     //   list_reduce(list_prepend(0, [unicode(c) for c in g]),

@@ -250,6 +250,60 @@ class TextSpec extends SparkSpec {
     graft.CachePool.releaseAll()
   }
 
+  test("calibrationGate: junk-heavy bottom bins, clean top bins, monotone rate") {
+    val pos = (1L to 30L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
+    val neg = (101L to 130L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here " +
+        "zxq wvv zxq wvv junkmarker")).toDF("doc_id", "text")
+    val got = QualityClassifier.calibrationGate(pos, neg, col("doc_id"), col("text"),
+        buckets = 512, iters = 40, lr = 2.0, bins = 6)
+      .select("bin", "n_docs", "n_pos", "rate_monotone_ok")
+      .as[(Long, Long, Long, Boolean)].collect().toList
+    // 60 docs into 6 rank bins of 10; strict separation ⇒ the bottom 3
+    // bins are all-junk (ascending margin), the top 3 all-clean.
+    assert(got === List(
+      (1L, 10L, 0L, true), (2L, 10L, 0L, true), (3L, 10L, 0L, true),
+      (4L, 10L, 10L, true), (5L, 10L, 10L, true), (6L, 10L, 10L, true)))
+    graft.CachePool.releaseAll()
+  }
+
+  test("calibrationGate: uneven n spreads remainders per the ceil arithmetic") {
+    // 7 docs, 3 bins: k-intervals [0,3) [3,5) [5,7) ⇒ sizes 3,2,2
+    val pos = (1L to 4L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
+    val neg = (101L to 103L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here " +
+        "zxq wvv zxq wvv junkmarker")).toDF("doc_id", "text")
+    val got = QualityClassifier.calibrationGate(pos, neg, col("doc_id"), col("text"),
+        buckets = 512, iters = 40, lr = 2.0, bins = 3)
+      .select("bin", "n_docs", "n_pos").as[(Long, Long, Long)].collect().toList
+    // ceil((b+1)·7/3) − ceil(b·7/3) = 3,2,2; negatives fill ranks 1-3
+    assert(got === List((1L, 3L, 0L), (2L, 2L, 2L), (3L, 2L, 2L)))
+    graft.CachePool.releaseAll()
+  }
+
+  test("subword features: trainGate separates junk through the BPE symbol stream") {
+    val pos = (1L to 30L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
+    val neg = (101L to 130L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here " +
+        "zxq wvv zxq wvv junkmarker")).toDF("doc_id", "text")
+    val table = Vocab.bpeMerges(pos, col("doc_id"), col("text"),
+        topWords = 100, nMerges = 30)
+      .select("left", "right").as[(String, String)].collect().toSeq
+    val sub: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      tc => graft.functions.BpeExprs.encodeSymbols(TextAnalysis.tokens(tc), table)
+    val gate = QualityClassifier.trainGate(pos, neg, col("doc_id"), col("text"),
+        buckets = 512, iters = 40, lr = 2.0, tokensOf = sub)
+      .collect()(0)
+    assert(gate.getAs[Long]("n_pos") === 30L)
+    assert(gate.getAs[Long]("n_neg") === 30L)
+    assert(gate.getAs[Boolean]("acc_ok"), "subword training accuracy below gate")
+    assert(gate.getAs[Boolean]("loss_ok"))
+    graft.CachePool.releaseAll()
+  }
+
   test("trainGateHoldout: the junk signal generalizes to the unseen hash split") {
     val pos = (1L to 60L).map(i =>
       (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
