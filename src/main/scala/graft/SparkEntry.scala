@@ -912,6 +912,19 @@ object SparkEntry {
         col("doc_id"), col("text"))
     }),
 
+    "q_lm_score" -> ((s, d) => {
+      // KenLM-shaped integer bigram LM scoring: the planted corpus
+      // scored against the even-doc reference counts. Junk-suffix
+      // bigrams are unseen (0 bits each), so planted copies rank below
+      // their originals by mean bit-weight — spec'd; the graded surface
+      // is the exact per-doc integer table.
+      val docs = t(s, d, "documents")
+      graft.text.NgramLm.scoreStats(
+        DedupData.withPlantedDups(docs),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"))
+    }),
+
     "q_quality_classifier" -> ((s, d) => {
       // the fastText-shaped quality filter trained IN-ENGINE: originals
       // vs their junk-suffixed near-dup copies — the classifier must find
@@ -2261,6 +2274,44 @@ object SparkEntry {
     // engine-specific float training can't be value-replayed; the graded
     // row is the data-derived class counts, the pinned model size, and
     // the pinned quality booleans (the TopicClusters/recall-gate idiom).
+    // the q_oov_rate bigram CTEs with counts instead of membership:
+    // each seen occurrence contributes length(bin(c)) = floor(log2 c)+1
+    // bits — both engines expose integer binary length, so the
+    // discretized log-likelihood replays bit-for-bit.
+    "q_lm_score" -> (DedupData.DocsCte +
+      """, tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM docs
+        |), rtk AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), cb AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+1], ' ')) END) AS g
+        |  FROM tk
+        |), rb AS (
+        |  SELECT unnest(
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+1], ' ')) END) AS g
+        |  FROM rtk
+        |), rc AS (
+        |  SELECT g, count(*) AS c FROM rb GROUP BY g
+        |), sc AS (
+        |  SELECT b.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN r.c IS NOT NULL THEN 1 ELSE 0 END) AS n_seen,
+        |    sum(CASE WHEN r.c IS NOT NULL THEN len(bin(r.c)) ELSE 0 END) AS lp2
+        |  FROM cb b LEFT JOIN rc r USING (g) GROUP BY b.doc_id
+        |)
+        |SELECT k.doc_id, CAST(len(k.t) AS INTEGER) AS n_tokens,
+        |  CAST(s.n_grams AS BIGINT) AS n_grams,
+        |  CAST(s.n_seen AS BIGINT) AS n_seen,
+        |  CAST(s.lp2 AS BIGINT) AS lp2
+        |FROM tk k JOIN sc s ON k.doc_id = s.doc_id
+        |ORDER BY k.doc_id""".stripMargin),
+
     "q_quality_classifier" ->
       """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_pos,
         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_neg,

@@ -326,6 +326,29 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"DSIR scoring must not window the gram frame:\n$plan")
   }
 
+  test("q_lm_score count enrichment is one equi-join, never BNL or cartesian") {
+    val plan = finalPlan(q("q_lm_score"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"count attach must be an equi-join, never BNL:\n$plan")
+  }
+
+  test("q_classifier_calibration ranks via the range-sort shape, bounded global windows") {
+    val plan = finalPlan(q("q_classifier_calibration"))
+    graft.CachePool.releaseAll()
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // permissible unpartitioned windows: the reindexScalable offsets
+    // frame (#partitions rows) and the monotonicity lag over the ≤bins-row
+    // aggregate — never a corpus-wide single-partition rank
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 2,
+      s"only the offsets and mono-cert windows may be global:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("q_margin_quota selection caps with TopKPerKey; scoring joins nothing corpus-sized") {
     val plan = finalPlan(q("q_margin_quota"))
     graft.CachePool.releaseAll()

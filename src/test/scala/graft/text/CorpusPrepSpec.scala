@@ -56,6 +56,35 @@ class CorpusPrepSpec extends SparkSpec {
     assert(r.getAs[Double]("rep_ratio") === 18.0 / 19)
   }
 
+  test("NgramLm.scoreStats: bit-length log-likelihood computed by hand") {
+    val ref = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    // ref bigrams: doc1 → ab, ba, ab; doc2 (len 2 → one window) → ab
+    // counts: ab=3, ba=1
+    val corpus = Seq(
+      (10L, "a b a c"), // ab(c=3→2 bits), ba(c=1→1 bit), ac(unseen→0)
+      (11L, "x")        // short doc → one whole-text gram, unseen
+    ).toDF("doc_id", "text")
+    val got = NgramLm.scoreStats(corpus, ref, col("doc_id"), col("text"))
+      .select("doc_id", "n_tokens", "n_grams", "n_seen", "lp2")
+      .as[(Long, Int, Long, Long, Long)].collect().toList
+    assert(got === List((10L, 4, 3L, 2L, 3L), (11L, 1, 1L, 0L, 0L)))
+  }
+
+  test("NgramLm: a junk-suffixed copy ranks strictly below its original by mean bits") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val ref = Seq((1L, base), (2L, base + " and yesterday")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, base),
+      (11L, base + " zxq wvv qqj zxq wvv")).toDF("doc_id", "text")
+    val got = NgramLm.scoreStats(corpus, ref, col("doc_id"), col("text"))
+      .select("doc_id", "n_grams", "lp2").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (ngO, lpO) = got(10L)
+    val (ngC, lpC) = got(11L)
+    // integer cross-multiply: lp2/n_grams strictly larger for the original
+    assert(lpO * ngC > lpC * ngO, s"got $got")
+  }
+
   test("Decontaminate.overlaps flags only docs sharing an 8-gram with the eval set") {
     val evalDocs = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota")).toDF("doc_id", "text")
