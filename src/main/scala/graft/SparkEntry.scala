@@ -183,6 +183,20 @@ object SparkEntry {
       EmbeddingDedup.nearDuplicatePairsLsh(
         DedupData.withPlantedVecDups(t(s, d, "embeddings")), threshold = 0.9)),
 
+    "q_semdedup" -> ((s, d) =>
+      // SemDeDup (Abbas et al. 2023): k-means cluster blocking → within-
+      // cluster cosine pairs → CC duplicate groups → keep the least-
+      // prototypical member. Seeded k-means is engine-specific, so the
+      // graded row is the recall-gate idiom: planted scaled copies share
+      // their original's cluster DETERMINISTICALLY (power-of-two scaling
+      // commutes with float rounding ⇒ bit-identical cosines), and the
+      // booleans pin resolution, policy determinism, and the paper's
+      // no-surviving-duplicates guarantee end-to-end.
+      graft.similarity.SemDeDup.semDedupGate(
+        DedupData.withPlantedVecDups(t(s, d, "embeddings")),
+        col("vec_id"), col("embedding"), k = 8, threshold = 0.9,
+        plantedOffset = DedupData.ExactIdOffset)),
+
     "q_knn_bruteforce" -> ((s, d) => {
       val vecs = t(s, d, "embeddings")
       Knn.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
@@ -1218,6 +1232,18 @@ object SparkEntry {
         |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.9
         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // seeded k-means clustering is engine-specific; the graded row is
+    // data-derived counts plus the pinned structural booleans (planted
+    // scaled copies co-cluster deterministically — see the query comment).
+    "q_semdedup" ->
+      """SELECT CAST(8 AS BIGINT) AS k,
+        |  CAST((SELECT count(*) FROM embeddings)
+        |    + (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0) AS BIGINT) AS n_vecs,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0) AS BIGINT) AS n_planted,
+        |  TRUE AS planted_resolved_ok,
+        |  TRUE AS originals_survive_ok,
+        |  TRUE AS no_dup_survivors_ok""".stripMargin,
 
     "q_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

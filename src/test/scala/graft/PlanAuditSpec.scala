@@ -349,6 +349,18 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_semdedup pairs within clusters by equi-join; no cartesian over the corpus") {
+    val plan = finalPlan(q("q_semdedup"))
+    graft.CachePool.releaseAll()
+    // cluster blocking + triangle tiling: the pair space is an equi-join
+    // on the cluster (or tiled cell) key, never an all-pairs product;
+    // the only BNLs are the 1-row gate-summary crossJoins
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"semdedup must never plan an all-pairs product:\n$plan")
+    assert(plan.toString.contains("TopKPerKey"),
+      s"survivor argmin must run through bounded heaps:\n$plan")
+  }
+
   test("q_tfidf_incr merges df by equi-join; TopKPerKey caps; no cartesian") {
     val plan = finalPlan(q("q_tfidf_incr"))
     graft.CachePool.releaseAll()
