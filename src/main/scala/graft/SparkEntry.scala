@@ -834,6 +834,29 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    "q_rollup_stats" -> ((s, d) =>
+      // two-level rollup (source → lang → totals) in ONE Expand + one
+      // partial-aggregated shuffle — exact counts + integer token sums,
+      // grouping_id-disambiguated (the encoding DuckDB GROUPING replays).
+      graft.analytics.Olap.rollupStats(
+        t(s, d, "documents"), col("source"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))))),
+
+    "q_pivot_counts" -> ((s, d) =>
+      // explicit-values pivot: one conditional-aggregate pass, no
+      // distinct-collect, no pivotMaxValues cap — the 100 TB pivot form.
+      graft.analytics.Olap.pivotCounts(
+        t(s, d, "documents"), col("source"), col("lang"),
+        Seq("de", "en", "es", "fr", "zh"))),
+
+    "q_cms_heavy_hitters" -> ((s, d) =>
+      // Count-Min heavy hitters with the sketch certificate: exact top-20
+      // occurrence counts (oracle-replayed) + per-term pinned booleans for
+      // the never-underestimates and ε·N overestimate bounds. The sketch
+      // and the 20 probe rows are bounded driver reads.
+      graft.text.HeavyHitters.cmsTopTermsGate(
+        t(s, d, "documents"), col("text"), k = 20)),
+
     "q_ndv_sketch" -> ((s, d) =>
       // per-source distinct-document count via the mergeable HLL++ sketch
       // plus the exact certificate (Stats.ndvSketch — the 100 TB form of
@@ -2129,6 +2152,40 @@ object SparkEntry {
         |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin),
 
     // the sketch's estimate is engine-specific; the graded columns are the
+    // rollup grouping-set encoding: DuckDB's GROUPING(g1, g2) emits the
+    // same bitmask as Spark's grouping_id() (first arg most significant).
+    "q_rollup_stats" ->
+      """WITH toks AS (
+        |  SELECT source AS g1, lang AS g2,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tk
+        |  FROM documents
+        |)
+        |SELECT CAST(GROUPING(g1, g2) AS BIGINT) AS gid,
+        |  coalesce(g1, '<all>') AS g1, coalesce(g2, '<all>') AS g2,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(tk), 0) AS BIGINT) AS n_tokens
+        |FROM toks GROUP BY ROLLUP(g1, g2)
+        |ORDER BY gid, g1, g2""".stripMargin,
+
+    "q_pivot_counts" ->
+      """SELECT source AS g,
+        |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY g""".stripMargin,
+
+    // the sketch estimate is Spark-internal; the graded surface is the
+    // EXACT top-20 occurrence counts plus the pinned CMS-bound booleans.
+    "q_cms_heavy_hitters" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n_occ,
+        |  TRUE AS cms_ge_ok, TRUE AS cms_within_ok
+        |FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents)
+        |GROUP BY term ORDER BY n_occ DESC, term LIMIT 20""".stripMargin,
+
     // exact count (replayed here) and the pinned certificate boolean.
     "q_ndv_sketch" -> (DedupData.DocsCte +
       """SELECT source AS k, CAST(count(*) AS BIGINT) AS n_rows,
