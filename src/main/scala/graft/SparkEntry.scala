@@ -295,6 +295,36 @@ object SparkEntry {
         .orderBy("algo")
     }),
 
+    "q_dedup_incr" -> ((s, d) => {
+      // incremental cross-snapshot NEAR-dup dedup (the MinHash analogue of
+      // q_bloom_dedup's exact path): the new batch is the planted copies —
+      // exact re-crawls (case/whitespace noise) and near refreshes
+      // (appended suffix) — banded against the UNTOUCHED corpus in a
+      // two-sided equi-join; the corpus never self-pairs. Exact re-crawls
+      // have bit-identical signatures (recall pinned as equality); near
+      // refreshes gate at the q_dedup_recall 90% threshold.
+      val docs = t(s, d, "documents")
+      val newBatch = DedupData.withPlantedDups(docs)
+        .filter(col("doc_id") >= DedupData.ExactIdOffset)
+      val pairs = MinHashLsh.crossSnapshotNearDuplicates(
+        newBatch, docs, col("doc_id"), col("text"))
+      val exactRec = pairs.filter(col("new_id") < DedupData.NearIdOffset &&
+          col("old_id") === col("new_id") - DedupData.ExactIdOffset)
+        .agg(count(lit(1)).as("rec"))
+      val nearRec = pairs.filter(col("new_id") >= DedupData.NearIdOffset &&
+          col("old_id") === col("new_id") - DedupData.NearIdOffset)
+        .agg(count(lit(1)).as("rec"))
+      val n7 = docs.filter(col("doc_id") % 7 === 0).agg(count(lit(1)).as("n_planted"))
+      val n5 = docs.filter(col("doc_id") % 5 === 0).agg(count(lit(1)).as("n_planted"))
+      exactRec.crossJoin(broadcast(n7))
+        .select(lit("exact_recrawl").as("class"), col("n_planted"),
+          (col("rec") === col("n_planted")).as("recall_ok"))
+        .unionByName(nearRec.crossJoin(broadcast(n5))
+          .select(lit("near_refresh").as("class"), col("n_planted"),
+            (col("rec") >= col("n_planted") * 0.9).as("recall_ok")))
+        .orderBy("class")
+    }),
+
     "q_dedup_clusters" -> ((s, d) => {
       // transitive closure of near-duplicate pairs -> dedup groups, each
       // vertex labeled with its component's min doc_id (the canonical
@@ -1473,6 +1503,19 @@ object SparkEntry {
     "q_dedup_recall" ->
       """SELECT 'minhash' AS algo, TRUE AS recall_ok
         |UNION ALL SELECT 'simhash', TRUE ORDER BY algo""".stripMargin,
+
+    // cross-snapshot incremental dedup gate: planted counts data-derived,
+    // recall booleans pinned (exact re-crawls have bit-identical
+    // signatures, so their recall is an equality, not a threshold).
+    "q_dedup_incr" ->
+      """SELECT * FROM (
+        |  SELECT 'exact_recrawl' AS class, CAST(count(*) AS BIGINT) AS n_planted,
+        |    TRUE AS recall_ok
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'near_refresh', CAST(count(*) AS BIGINT), TRUE
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |ORDER BY class""".stripMargin,
 
     // closure-quality gate over the MinHash pair graph: planted count is
     // data-derived, the recall boolean pinned — a regression anywhere in

@@ -30,7 +30,16 @@ object Verify {
     // interrupt long enough to submit more jobs or re-register persists.
     // Re-cancel and re-release at every iteration to contain them.
     val staleGroups = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter, mirroring Bench: SPARK_GRAFT_ONLY is a
+    // comma-list of query keys; absent or blank → full suite (the driver
+    // contract is unchanged — the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       staleGroups.foreach { g =>
         spark.sparkContext.cancelJobGroup(g)
         CachePool.releaseGroup(g)

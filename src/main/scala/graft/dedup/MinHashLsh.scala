@@ -162,4 +162,42 @@ object MinHashLsh {
         weightedSignatures(docs, id, text, k, p = bands * rowsPerBand),
         bands, rowsPerBand, hotBucketThreshold),
       threshold)
+
+  /** Cross-snapshot near-duplicate detection: which NEW docs near-duplicate
+    * the EXISTING corpus — the incremental crawl-refresh shape (the
+    * near-dup analogue of the Bloom exact path in `sources`/q_bloom_dedup).
+    * Both sides band independently and meet in a TWO-SIDED equi-join on
+    * (band, bucket): the corpus never pairs with itself (no quadratic term
+    * in corpus size — only new×old candidates materialize), and a
+    * boilerplate bucket hot on both sides is an ordinary skewed join key
+    * that AQE splits (two distinct sides make hot keys splittable; only
+    * SELF-joins need the triangle tiling). At steady state the corpus
+    * signature frame is the maintained snapshot — computed once per doc
+    * ever, not once per incoming batch.
+    *
+    * Output: (new_id, old_id, est_jaccard ≥ threshold), ordered.
+    */
+  def crossSnapshotNearDuplicates(newDocs: DataFrame, oldDocs: DataFrame,
+                                  id: Column, text: Column,
+                                  threshold: Double = 0.5, k: Int = 3,
+                                  bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val p = bands * rowsPerBand
+    def banded(docs: DataFrame, side: String): DataFrame =
+      graft.CachePool.persist(signatures(docs, id, text, k, p))
+        .select(col("mh_id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
+          posexplode(transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+    banded(newDocs, "new").join(banded(oldDocs, "old"), Seq("band", "bucket"))
+      // collapse shared bands to one row per (new, old) pair BEFORE the
+      // interpreted Jaccard estimate — a true near-dup shares many bands
+      .groupBy("new_id", "old_id")
+      .agg(first("new_sig").as("sa"), first("old_sig").as("sb"))
+      .filter(estimatedJaccard(col("sa"), col("sb"), p) >= threshold)
+      .select(col("new_id"), col("old_id"),
+        estimatedJaccard(col("sa"), col("sb"), p).as("est_jaccard"))
+      .orderBy("new_id", "old_id")
+  }
 }

@@ -349,6 +349,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_dedup_incr bands meet in a two-sided equi-join, never cartesian/BNL over docs") {
+    val plan = finalPlan(q("q_dedup_incr"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // the only BNLs are the 1-row planted-count broadcasts of the gate
+    val bnl = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 2, s"corpus-sized BNL in the cross-snapshot join:\n$plan")
+  }
+
   test("q_semdedup pairs within clusters by equi-join; no cartesian over the corpus") {
     val plan = finalPlan(q("q_semdedup"))
     graft.CachePool.releaseAll()

@@ -47,6 +47,27 @@ class DedupSpec extends SparkSpec {
     assert(missing.size <= nearIds.size / 10)
   }
 
+  test("crossSnapshotNearDuplicates flags every re-crawl against the untouched corpus") {
+    val newBatch = planted.filter(col("doc_id") >= DedupData.ExactIdOffset)
+    val pairs = MinHashLsh.crossSnapshotNearDuplicates(
+        newBatch, docs, col("doc_id"), col("text"))
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    graft.CachePool.releaseAll()
+    // exact re-crawls: identical token stream ⇒ identical signature ⇒
+    // every band co-buckets — recall is an equality, not a threshold
+    exactIds.foreach { i =>
+      assert(pairs.contains((i + DedupData.ExactIdOffset, i)),
+        s"exact re-crawl of $i not flagged")
+    }
+    // near refreshes gate like the self-join detector (short docs can
+    // fall below the Jaccard threshold — same contract as nearDuplicates)
+    val missed = nearIds.filterNot(i => pairs.contains((i + DedupData.NearIdOffset, i)))
+    assert(missed.size <= nearIds.size / 10, s"missed near refreshes: $missed")
+    // the corpus never pairs with itself: every flagged pair has a
+    // new-batch id on the left
+    assert(pairs.forall(_._1 >= DedupData.ExactIdOffset))
+  }
+
   test("SimHash finds all planted EXACT dups (hamming 0) plus long near-dups") {
     val pairs = SimHash.nearDuplicates(planted, col("doc_id"), col("text"))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
