@@ -540,6 +540,59 @@ object SparkEntry {
     "q_event_rollup" -> ((s, d) =>
       Relational.eventRollup(events(s, d))),
 
+    "q_event_funnel" -> ((s, d) =>
+      // ordered conversion funnel, windowFunnel semantics: each step
+      // strictly after the user's earliest completion of the previous
+      // one. ONE user-keyed shuffle (conditional sorted collect per
+      // step), greedy earliest-completion fold per user row — never one
+      // corpus re-join per step. Epoch-microsecond comparisons so the
+      // oracle replays them on integers.
+      graft.analytics.EventAnalytics.funnel(events(s, d), col("user_id"),
+        col("ts"), col("event_type"), Seq("signup", "view", "click", "purchase"))),
+
+    "q_retention_cohorts" -> ((s, d) =>
+      // weekly cohort retention: cohort = epoch week (integer floor-div,
+      // no week-start convention) of the user's first event; one row per
+      // (cohort_week, offset) counting active cohort users. The distinct
+      // (user, week) frame is the only reduce over the raw log — cohort
+      // assignment and the retention join both read it (persisted).
+      graft.analytics.EventAnalytics.retentionWeekly(
+        events(s, d), col("user_id"), col("ts"))),
+
+    "q_gap_fill" -> ((s, d) =>
+      // per-user daily grid + forward fill (the resample/ffill
+      // primitive): each user's observed days aligned to their own dense
+      // [min, max] day span, missing days carrying the last observed
+      // count forward. Graded as one bounded row per user with an
+      // order-weighted integer checksum of the filled series — a wrong
+      // fill anywhere shifts it. The fill window partitions by user.
+      graft.analytics.EventAnalytics.gapFillDaily(
+        events(s, d), col("user_id"), col("ts"))),
+
+    "q_moving_window" -> ((s, d) =>
+      // per-supplier sliding-frame aggregate (ROWS BETWEEN 6 PRECEDING):
+      // trailing-7-row quantity sum + lag along each supplier's shipment
+      // history — key-partitioned window, exact BIGINT frame sums.
+      Relational.movingSum(t(s, d, "lineitem"))),
+
+    "q_corr_stats" -> ((s, d) =>
+      // per-group correlation, integer-certified: five exact BIGINT
+      // moments (order-independent — corr()'s float path never
+      // hash-matches across engines) + the DECIMAL cross-multiplied
+      // sign certificate. Pearson r is driver-derivable from the row.
+      Stats.corrMoments(t(s, d, "lineitem"), col("l_returnflag"),
+        col("l_quantity"), floor(col("l_extendedprice")))),
+
+    "q_winsorized" -> ((s, d) =>
+      // per-group winsorized statistics: values clipped to the group's
+      // [p25, p75] before aggregation — robust mean without one float
+      // aggregate (clip counts + quarter-unit integer sums; interpolated
+      // quartiles of integral values are exact dyadic quarters). Cut
+      // points broadcast back onto rows; at 100 TB the cut-point frame
+      // swaps to the mergeable quantile sketch, clip pass unchanged.
+      Stats.winsorizedStats(t(s, d, "lineitem"), col("l_returnflag"),
+        col("l_quantity"))),
+
     "q_pricing_summary" -> ((s, d) =>
       Relational.pricingSummary(t(s, d, "lineitem"))),
 
@@ -879,6 +932,13 @@ object SparkEntry {
         t(s, d, "documents"), col("source"), col("lang"),
         Seq("de", "en", "es", "fr", "zh"))),
 
+    "q_cube_stats" -> ((s, d) =>
+      // full CUBE (all four grouping sets incl. the cross-dimension
+      // marginal ROLLUP lacks) — still ONE Expand + one shuffle.
+      graft.analytics.Olap.cubeStats(
+        t(s, d, "documents"), col("source"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))))),
+
     "q_cms_heavy_hitters" -> ((s, d) =>
       // Count-Min heavy hitters with the sketch certificate: exact top-20
       // occurrence counts (oracle-replayed) + per-term pinned booleans for
@@ -1045,6 +1105,21 @@ object SparkEntry {
       val neg = DedupData.withPlantedDups(docs)
         .filter(col("doc_id") >= DedupData.NearIdOffset)
       graft.text.QualityClassifier.calibrationGate(
+        docs, neg, col("doc_id"), col("text"),
+        buckets = 4096, iters = 40, lr = 8.0)
+    }),
+
+    "q_reliability" -> ((s, d) => {
+      // the reliability-diagram gate over the same labeled corpus: per
+      // margin-rank bin, mean predicted probability σ(margin) must track
+      // the empirical positive rate (per-bin gap bound) and the
+      // n-weighted gap mean — the Expected Calibration Error — must stay
+      // under 0.1. Integer columns replay exactly as in
+      // q_classifier_calibration; the σ sums feed only the two booleans.
+      val docs = t(s, d, "documents")
+      val neg = DedupData.withPlantedDups(docs)
+        .filter(col("doc_id") >= DedupData.NearIdOffset)
+      graft.text.QualityClassifier.reliabilityGate(
         docs, neg, col("doc_id"), col("text"),
         buckets = 4096, iters = 40, lr = 8.0)
     }),
@@ -1632,6 +1707,119 @@ object SparkEntry {
         |  max(ts) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // windowFunnel replayed as chained strictly-after minima: the greedy
+    // earliest-completion choice is optimal, so the CTE chain (earliest
+    // step-k time after the chosen step-(k-1) time per user) IS the
+    // funnel. Comparisons on integer epoch micros, as in Spark.
+    "q_event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t GROUP BY e.user_id
+        |), s4 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        |ORDER BY step""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+        |  FROM events
+        |), fw AS (
+        |  SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id
+        |)
+        |SELECT f.cohort_week, a.w - f.cohort_week AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM fw f JOIN wk a ON f.user_id = a.user_id
+        |GROUP BY f.cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // the forward fill replayed with a dense generate_series grid and an
+    // IGNORE NULLS running last_value; the order-weighted checksum pins
+    // every filled position.
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id, day
+        |), bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, d0, CAST(unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |), filled AS (
+        |  SELECT g.user_id, g.d0, g.day, d.n_events,
+        |    last_value(d.n_events IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day) AS filled_n
+        |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days_grid,
+        |  CAST(count(n_events) AS BIGINT) AS n_days_observed,
+        |  CAST(sum((date_diff('day', d0, day) + 1) * filled_n) AS BIGINT) AS fill_checksum
+        |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_moving_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |  CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_qty,
+        |  CAST(lag(CAST(l_quantity AS BIGINT), 1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS prev_qty
+        |FROM lineitem ORDER BY l_suppkey, rn""".stripMargin,
+
+    // five exact integer moments + the hugeint cross-multiplied sign
+    // certificate (DuckDB sums BIGINT into int128, so the products are
+    // exact — the same no-float contract as Spark's DECIMAL(38,0) path).
+    "q_corr_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_xx,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(y * y) AS BIGINT) AS sum_yy,
+        |  (count(*) * sum(x * y) > sum(x) * sum(y)) AS corr_pos
+        |FROM m GROUP BY k ORDER BY k""".stripMargin,
+
+    // quartile cut points are exact dyadic quarters of integral values
+    // (quantile_cont = Spark percentile there), so ×4 casts are integral
+    // on both engines and every column is an exact integer.
+    "q_winsorized" ->
+      """WITH cuts AS (
+        |  SELECT l_returnflag AS k, quantile_cont(l_quantity, 0.25) AS lo,
+        |    quantile_cont(l_quantity, 0.75) AS hi
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(lo) * 4 AS BIGINT) AS lo_q4,
+        |  CAST(min(hi) * 4 AS BIGINT) AS hi_q4,
+        |  CAST(sum(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(CAST(least(greatest(l_quantity, lo), hi) * 4 AS BIGINT)) AS BIGINT) AS wins_sum_q4
+        |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.k
+        |GROUP BY k ORDER BY k""".stripMargin,
+
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -2210,6 +2398,19 @@ object SparkEntry {
         |FROM toks GROUP BY ROLLUP(g1, g2)
         |ORDER BY gid, g1, g2""".stripMargin,
 
+    "q_cube_stats" ->
+      """WITH toks AS (
+        |  SELECT source AS g1, lang AS g2,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tk
+        |  FROM documents
+        |)
+        |SELECT CAST(GROUPING(g1, g2) AS BIGINT) AS gid,
+        |  coalesce(g1, '<all>') AS g1, coalesce(g2, '<all>') AS g2,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(tk), 0) AS BIGINT) AS n_tokens
+        |FROM toks GROUP BY CUBE(g1, g2)
+        |ORDER BY gid, g1, g2""".stripMargin,
+
     "q_pivot_counts" ->
       """SELECT source AS g,
         |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
@@ -2505,6 +2706,27 @@ object SparkEntry {
         |  GREATEST(0, ((b + 1) * n + 9) // 10
         |    - GREATEST((b * n + 9) // 10, n_neg)) AS n_pos,
         |  TRUE AS rate_monotone_ok
+        |FROM b
+        |WHERE ((b + 1) * n + 9) // 10 - (b * n + 9) // 10 > 0
+        |ORDER BY bin""".stripMargin,
+
+    // same binning arithmetic as q_classifier_calibration; the two
+    // probability-honesty booleans (per-bin gap, n-weighted ECE) are
+    // pinned — saturated margins put σ(margin) at the empirical rate.
+    "q_reliability" ->
+      """WITH p AS (
+        |  SELECT CAST((SELECT count(*) FROM documents)
+        |         + (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n,
+        |    CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_neg
+        |), b AS (
+        |  SELECT CAST(t.b AS BIGINT) AS b, n, n_neg
+        |  FROM p, generate_series(0, 9) AS t(b)
+        |)
+        |SELECT b + 1 AS bin,
+        |  ((b + 1) * n + 9) // 10 - (b * n + 9) // 10 AS n_docs,
+        |  GREATEST(0, ((b + 1) * n + 9) // 10
+        |    - GREATEST((b * n + 9) // 10, n_neg)) AS n_pos,
+        |  TRUE AS gap_ok, TRUE AS ece_ok
         |FROM b
         |WHERE ((b + 1) * n + 9) // 10 - (b * n + 9) // 10 > 0
         |ORDER BY bin""".stripMargin,

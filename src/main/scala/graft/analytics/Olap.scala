@@ -47,4 +47,26 @@ object Olap {
       .na.fill(0L, values)
       .orderBy("g")
   }
+
+  /** Full CUBE over two dimensions — all four grouping sets
+    * ((g1,g2), (g1), (g2), ()) in one pass, where [[rollupStats]]'s
+    * hierarchy only descends one way. Same physical shape (one Expand
+    * before ONE partial-aggregated exchange — 4 sets ⇒ 4× the map-side
+    * rows, still never one scan per set) and the same grouping_id/
+    * sentinel discipline, so the same DuckDB GROUPING() bitmask replays
+    * it. The cross-dimension marginal ((g2) alone) is what CUBE adds
+    * over ROLLUP — a per-language total across every source here.
+    */
+  def cubeStats(df: DataFrame, grp1: Column, grp2: Column,
+                tokens: Column): DataFrame =
+    df.select(grp1.as("g1"), grp2.as("g2"), tokens.cast("long").as("tk"))
+      .cube(col("g1"), col("g2"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("tk")), lit(0L)).as("n_tokens"))
+      .select(col("gid"),
+        coalesce(col("g1"), lit("<all>")).as("g1"),
+        coalesce(col("g2"), lit("<all>")).as("g2"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("gid", "g1", "g2")
 }

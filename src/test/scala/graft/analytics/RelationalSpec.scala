@@ -86,6 +86,73 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(certTied.forall(_._4))
   }
 
+  test("movingSum: trailing frame sums and lag along each supplier's history") {
+    val li = Seq(
+      (1L, 10L, 1, 1.0, "1995-01-01"),
+      (1L, 11L, 1, 2.0, "1995-01-02"),
+      (1L, 12L, 1, 3.0, "1995-01-03"),
+      (1L, 13L, 1, 4.0, "1995-01-04"),
+      (2L, 14L, 1, 9.0, "1995-01-01")
+    ).toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp"))
+    val got = Relational.movingSum(li, frame = 2)
+      .select("l_suppkey", "rn", "qty", "mov_qty", "prev_qty")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toList
+    assert(got === List(
+      (1L, 1L, 1L, 1L, None), (1L, 2L, 2L, 3L, Some(1L)),
+      (1L, 3L, 3L, 6L, Some(2L)), (1L, 4L, 4L, 9L, Some(3L)),
+      (2L, 1L, 9L, 9L, None)))
+  }
+
+  test("movingSum windows are all supplier-partitioned") {
+    val li = Seq((1L, 10L, 1, 1.0, "1995-01-01"))
+      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp"))
+    val df = Relational.movingSum(li)
+    df.collect()
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("corrMoments: exact integer moments and the decimal sign certificate") {
+    val df = Seq(
+      ("A", 1.0, 2.0), ("A", 2.0, 4.0), ("A", 3.0, 7.0),   // positive corr
+      ("B", 1.0, 9.0), ("B", 2.0, 5.0), ("B", 3.0, 1.0)    // negative corr
+    ).toDF("k", "x", "y")
+    val got = Stats.corrMoments(df, col("k"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)].collect().toList
+    assert(got === List(
+      ("A", 3L, 6L, 13L, 14L, 31L, 69L, true),
+      ("B", 3L, 6L, 15L, 14L, 22L, 107L, false)))
+    // the moments reproduce Pearson r exactly where it's defined
+    val (_, n, sx, sy, sxx, sxy, syy, _) = got.head
+    val r = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    val sparkR = df.filter(col("k") === "A").agg(corr(col("x"), col("y")))
+      .as[Double].collect().head
+    assert(math.abs(r - sparkR) < 1e-12)
+  }
+
+  test("winsorizedStats clips to the quartile cut points with exact integer sums") {
+    // sorted group: [-50, 1..8, 100] — outliers on both tails.
+    // percentile interp (0-indexed rank r = q·9): p25 → r=2.25 →
+    // 2 + 0.25·1 = 2.25; p75 → r=6.75 → 6 + 0.75·1 = 6.75.
+    val df = (Seq(100.0, -50.0) ++ (1 to 8).map(_.toDouble)).map(("A", _))
+      .toDF("k", "v")
+    val got = Stats.winsorizedStats(df, col("k"), col("v"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    val (_, n, loQ4, hiQ4, nLo, nHi, sumQ4) = got
+    assert(n === 10L)
+    assert(loQ4 === 9L && hiQ4 === 27L)   // 2.25·4, 6.75·4
+    assert(nLo === 3L && nHi === 3L)      // {-50,1,2} below, {7,8,100} above
+    // clamped ×4: [9,9,9,12,16,20,24,27,27,27] — sum 180, mean 4.5
+    assert(sumQ4 === 180L)
+    // the winsorized mean sits at the data's center, unmoved by ±outliers
+    assert(sumQ4.toDouble / (4 * n) === 4.5)
+  }
+
   test("eventRollup counts and sums per user") {
     val ev = Seq(
       (1L, "view", 1.5, "2024-01-01 00:00:00"),

@@ -55,6 +55,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: depth changelog matches the batch funnel per user") {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val funnelSample = Seq(
+      // user 1: full funnel in order
+      Event(1L, ts(0), 1L, "signup", 0.0), Event(2L, ts(1), 1L, "view", 0.0),
+      Event(3L, ts(2), 1L, "click", 0.0), Event(4L, ts(3), 1L, "purchase", 0.0),
+      // user 2: view precedes signup (ignored), funnel stops at view
+      Event(5L, ts(0), 2L, "view", 0.0), Event(6L, ts(1), 2L, "signup", 0.0),
+      Event(7L, ts(2), 2L, "view", 0.0),
+      // user 3: no signup — depth 0
+      Event(8L, ts(0), 3L, "purchase", 0.0))
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.funnelStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // event-time-ordered feed, split across micro-batches mid-funnel
+      val (b1, b2) = funnelSample.sortBy(_.ts.getTime).splitAt(4)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .as[EventStreams.FunnelProgress].collect()
+        .groupBy(_.user_id).view.mapValues(_.map(_.step).max).toMap
+      val batch = graft.analytics.EventAnalytics.funnel(funnelSample.toDF(),
+          col("user_id"), col("ts"), col("event_type"), steps)
+        .as[(Int, String, Long)].collect()
+      // batch counts users per depth; rebuild per-user depth from the
+      // stream changelog and compare the step counts
+      val streamCounts = (1 to steps.length).map(s =>
+        got.values.count(_ >= s).toLong)
+      assert(batch.map(_._3).toSeq === streamCounts,
+        s"stream depths $got vs batch funnel ${batch.toSeq}")
+      assert(!got.contains(3L), "depth-0 user must emit nothing")
+    } finally q.stop()
+  }
+
   test("incremental TF-IDF: update-mode df maintenance converges to the batch df") {
     import graft.text.TfIdf
     val batch1 = Seq((1L, "spark spark streams"), (2L, "streams of data"))

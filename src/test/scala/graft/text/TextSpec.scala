@@ -268,6 +268,46 @@ class TextSpec extends SparkSpec {
     graft.CachePool.releaseAll()
   }
 
+  test("reliabilityGate: same bins as calibration, honest probabilities pass") {
+    val pos = (1L to 30L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
+    val neg = (101L to 130L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here " +
+        "zxq wvv zxq wvv junkmarker")).toDF("doc_id", "text")
+    val got = QualityClassifier.reliabilityGate(pos, neg, col("doc_id"), col("text"),
+        buckets = 512, iters = 40, lr = 2.0, bins = 6)
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toList
+    graft.CachePool.releaseAll()
+    // integer columns identical to calibrationGate's binning; with the
+    // saturated margins this corpus trains to, σ tracks the rate in
+    // every bin and the n-weighted gap mean stays under the ECE bound
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      List((1L, 10L, 0L), (2L, 10L, 0L), (3L, 10L, 0L),
+        (4L, 10L, 10L), (5L, 10L, 10L), (6L, 10L, 10L)))
+    assert(got.forall(_._5), s"ECE certificate failed: $got")
+    assert(got.forall(_._4), s"per-bin gap certificate failed: $got")
+  }
+
+  test("reliabilityGate: a deliberately mis-scaled model fails the gates") {
+    // score with margins ÷ far from calibration: train normally but bin
+    // with a cold model (1 iteration — probabilities hover near 0.5
+    // while rates are 0/1) — the diagram leaves the diagonal and the
+    // booleans must catch it
+    val pos = (1L to 30L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
+    val neg = (101L to 130L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here " +
+        "zxq wvv zxq wvv junkmarker")).toDF("doc_id", "text")
+    val got = QualityClassifier.reliabilityGate(pos, neg, col("doc_id"), col("text"),
+        buckets = 512, iters = 1, lr = 0.05, bins = 6)
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toList
+    graft.CachePool.releaseAll()
+    // an uncalibrated scorer must not pass everywhere: at least one gap
+    // bound or the ECE bound trips
+    assert(got.exists(r => !r._4) || got.exists(r => !r._5),
+      s"uncalibrated model passed the reliability gates: $got")
+  }
+
   test("calibrationGate: uneven n spreads remainders per the ceil arithmetic") {
     // 7 docs, 3 bins: k-intervals [0,3) [3,5) [5,7) ⇒ sizes 3,2,2
     val pos = (1L to 4L).map(i =>
