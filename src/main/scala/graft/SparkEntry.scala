@@ -583,6 +583,47 @@ object SparkEntry {
       Stats.corrMoments(t(s, d, "lineitem"), col("l_returnflag"),
         col("l_quantity"), floor(col("l_extendedprice")))),
 
+    "q_keyset_page" -> ((s, d) => {
+      // keyset pagination: page 2 of the per-source quality ranking via
+      // a broadcast cursor filter + the same bounded-heap top-k —
+      // row-identical to the rank-window slice k+1..2k (the oracle) at a
+      // cost independent of page number, where OFFSET re-ranks
+      // everything before the page every time.
+      val scored = graft.CachePool.persist(
+        graft.text.DocPipeline.withQuality(
+            t(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
+            col("text"))
+          .select("doc_id", "source", "quality_score"))
+      val page1 = graft.text.DocPipeline.pageByQuality(scored, 5)
+      val page2 = graft.text.DocPipeline.pageByQuality(scored, 5,
+        Some(graft.text.DocPipeline.pageCursors(page1)))
+      page2.select("source", "doc_id").orderBy("source", "doc_id")
+    }),
+
+    "q_ref_integrity" -> ((s, d) =>
+      // the dbt-test surface: five referential checks as LEFT ANTI
+      // equi-joins folded into counts; a healthy schema yields zeros and
+      // the real data-derived counts (never-ordered customers/parts)
+      // prove the probes actually probe.
+      Relational.integrityAudit(t(s, d, "orders"), t(s, d, "lineitem"),
+        t(s, d, "customer"), t(s, d, "part"))),
+
+    "q_snapshot_diff" -> ((s, d) => {
+      // dataset-version diff: the re-crawl snapshot drops every 7th doc,
+      // revises every 5th survivor, appends re-keyed copies of every
+      // 11th — one full-outer join over 8-byte (id, hash) projections
+      // classifies all four change classes; counts are pure modular
+      // arithmetic for the oracle.
+      val docs = t(s, d, "documents")
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      graft.etl.SnapshotDiff.diffCounts(docs, newSnap,
+        col("doc_id"), xxhash64(col("text")))
+    }),
+
     "q_winsorized" -> ((s, d) =>
       // per-group winsorized statistics: values clipped to the group's
       // [p25, p75] before aggregation — robust mean without one float
@@ -1819,6 +1860,53 @@ object SparkEntry {
         |  CAST(sum(CAST(least(greatest(l_quantity, lo), hi) * 4 AS BIGINT)) AS BIGINT) AS wins_sum_q4
         |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.k
         |GROUP BY k ORDER BY k""".stripMargin,
+
+    // keyset page 2 ≡ the rank-window slice 6..10 under the same strict
+    // total order (quality DESC, doc_id ASC) — the defining equivalence
+    // of keyset pagination.
+    "q_keyset_page" -> (ScoredCte +
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+        |  FROM scored)
+        |WHERE rk BETWEEN 6 AND 10
+        |ORDER BY source, doc_id""".stripMargin),
+
+    "q_ref_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'childless_orders' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |  UNION ALL
+        |  SELECT 'customers_no_orders', CAST(count(*) AS BIGINT)
+        |  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT 'orders_bad_customer', CAST(count(*) AS BIGINT)
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'orphan_lineitems', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'parts_never_ordered', CAST(count(*) AS BIGINT)
+        |  FROM part p WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+        |ORDER BY check_name""".stripMargin,
+
+    // change-class counts are pure modular arithmetic over the base
+    // snapshot (removed wins over changed on %35 ids; added rows are
+    // re-keyed so they never collide).
+    "q_snapshot_diff" ->
+      """WITH t AS (
+        |  SELECT count(*) AS total,
+        |    sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_rem,
+        |    sum(CASE WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS n_chg,
+        |    sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS n_add
+        |  FROM documents
+        |)
+        |SELECT * FROM (
+        |  SELECT 'added' AS change, CAST(n_add AS BIGINT) AS n FROM t
+        |  UNION ALL SELECT 'changed', CAST(n_chg AS BIGINT) FROM t
+        |  UNION ALL SELECT 'removed', CAST(n_rem AS BIGINT) FROM t
+        |  UNION ALL SELECT 'unchanged', CAST(total - n_rem - n_chg AS BIGINT) FROM t)
+        |WHERE n > 0 ORDER BY change""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

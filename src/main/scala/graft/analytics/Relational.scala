@@ -71,6 +71,36 @@ object Relational {
       .limit(n)
   }
 
+  /** Referential-integrity audit over the star schema — the dbt-test
+    * surface as ONE frame of violation counts: orphan facts (lineitem
+    * rows whose order vanished), childless orders, customers who never
+    * ordered, orders pointing at missing customers, parts never shipped.
+    * Each check is a LEFT ANTI equi-join (the probe side streams; the
+    * build side is the DISTINCT key projection, which Catalyst
+    * broadcasts when small and shuffle-hashes otherwise) folded straight
+    * into a count — no violation rows materialize unless asked.
+    */
+  def integrityAudit(orders: DataFrame, lineitem: DataFrame,
+                     customer: DataFrame, part: DataFrame): DataFrame = {
+    def violations(name: String, probe: DataFrame, probeKey: String,
+                   keys: DataFrame, key: String): DataFrame =
+      probe.join(keys, probe(probeKey) === keys(key), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    Seq(
+      violations("childless_orders", orders, "o_orderkey",
+        lineitem.select("l_orderkey").distinct(), "l_orderkey"),
+      violations("customers_no_orders", customer, "c_custkey",
+        orders.select("o_custkey").distinct(), "o_custkey"),
+      violations("orders_bad_customer", orders, "o_custkey",
+        customer.select("c_custkey"), "c_custkey"),
+      violations("orphan_lineitems", lineitem, "l_orderkey",
+        orders.select("o_orderkey"), "o_orderkey"),
+      violations("parts_never_ordered", part, "p_partkey",
+        lineitem.select("l_partkey").distinct(), "l_partkey")
+    ).reduce(_ unionByName _).orderBy("check_name")
+  }
+
   /** Per-key sliding-frame aggregate (ROWS BETWEEN n PRECEDING AND
     * CURRENT ROW) — the moving-average/moving-sum shape none of the
     * grouped aggregates cover: each supplier's shipment history ordered

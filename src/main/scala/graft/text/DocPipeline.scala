@@ -57,6 +57,39 @@ object DocPipeline {
       .orderBy("source", "doc_id")
   }
 
+  /** KEYSET-paginated per-source quality ranking — the "page N" shape
+    * that OFFSET cannot survive at scale: OFFSET re-ranks (and at 100 TB
+    * re-sorts) everything before the requested page on EVERY page, while
+    * a keyset cursor filters to strictly-after-the-cursor rows map-side
+    * and re-runs the same bounded-heap top-k. `cursors` is one
+    * (source, cursor) row per source — the LAST row of the previous page
+    * under the (quality DESC, doc_id ASC) total order, encoded as
+    * `struct(quality, -doc_id)` so ONE lexicographic `<` is exactly
+    * "after the cursor" — broadcast onto the corpus. No cursors → first
+    * page. Pages are identical to rank-window slices (the oracle
+    * replays page 2 as ranks k+1..2k) at a per-page cost independent of
+    * page number.
+    */
+  def pageByQuality(scored: DataFrame, k: Int,
+                    cursors: Option[DataFrame] = None): DataFrame = {
+    val base = cursors match {
+      case Some(c) => scored.join(broadcast(c), "source")
+        .filter(struct(col("quality_score"), -col("doc_id")) < col("cursor"))
+        .drop("cursor")
+      case None => scored
+    }
+    graft.plans.TopKPerKey.topK(base, Seq("source"),
+      Seq(("quality_score", false), ("doc_id", true)), k)
+  }
+
+  /** The continuation cursors of a page from [[pageByQuality]]: per
+    * source, the page's last row under the pagination order (= the
+    * MINIMUM of the keyset struct). Bounded: one row per source.
+    */
+  def pageCursors(page: DataFrame): DataFrame =
+    page.groupBy("source")
+      .agg(min(struct(col("quality_score"), -col("doc_id"))).as("cursor"))
+
   /** The incremental curation loop as ONE streaming-legal pass:
     * quality gate → decontamination probe → exact dedup. The gate and the
     * probe are stateless projections/filters; the dedup is

@@ -381,6 +381,28 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scans.size <= 1, s"one scan per grouping set:\n$plan")
   }
 
+  test("q_keyset_page: cursors broadcast onto the corpus; TopKPerKey caps; no global window") {
+    val plan = finalPlan(q("q_keyset_page"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // the cursor attach must be a broadcast join, never a corpus shuffle
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty, s"$plan")
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"keyset pagination must not rank-window the corpus:\n$plan")
+    assert(plan.toString.contains("TopKPerKey"), s"$plan")
+  }
+
+  test("q_snapshot_diff is one full-outer equi-join over (id, hash) projections") {
+    val plan = finalPlan(q("q_snapshot_diff"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    val bnl = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.isEmpty, s"non-equi join in the snapshot diff:\n$plan")
+  }
+
   test("q_dedup_incr bands meet in a two-sided equi-join, never cartesian/BNL over docs") {
     val plan = finalPlan(q("q_dedup_incr"))
     graft.CachePool.releaseAll()

@@ -153,6 +153,22 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(sumQ4.toDouble / (4 * n) === 4.5)
   }
 
+  test("integrityAudit counts planted referential violations per check") {
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 99L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 100L), (10L, 101L), (77L, 100L))
+      .toDF("l_orderkey", "l_partkey")
+    val customer = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val part = Seq((100L, "p"), (200L, "q")).toDF("p_partkey", "p_name")
+    val got = Relational.integrityAudit(orders, lineitem, customer, part)
+      .as[(String, Long)].collect().toList
+    assert(got === List(
+      ("childless_orders", 2L),      // 11, 12 have no lineitem
+      ("customers_no_orders", 1L),   // customer 3
+      ("orders_bad_customer", 1L),   // order 12 → custkey 99
+      ("orphan_lineitems", 1L),      // orderkey 77
+      ("parts_never_ordered", 1L)))  // part 200 never shipped
+  }
+
   test("eventRollup counts and sums per user") {
     val ev = Seq(
       (1L, "view", 1.5, "2024-01-01 00:00:00"),

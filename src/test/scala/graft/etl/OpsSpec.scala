@@ -38,6 +38,19 @@ class OpsSpec extends SparkSpec {
     assert(m("negative_v") === 1L)
   }
 
+  test("SnapshotDiff classifies added/removed/changed/unchanged exactly") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "t")
+    val nw = Seq((2L, "b"), (3L, "C2"), (4L, "d"), (5L, "e")).toDF("id", "t")
+    val classes = SnapshotDiff.classify(old, nw, col("id"), xxhash64(col("t")))
+      .as[(Long, String)].collect().toMap
+    assert(classes === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "unchanged", 5L -> "added"))
+    val counts = SnapshotDiff.diffCounts(old, nw, col("id"), xxhash64(col("t")))
+      .as[(String, Long)].collect().toList
+    assert(counts === List(("added", 1L), ("changed", 1L),
+      ("removed", 1L), ("unchanged", 2L)))
+  }
+
   test("compact rewrites a fragmented directory into few files, preserving rows") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     spark.range(0, 20000).toDF("id")

@@ -226,4 +226,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(3L) === ((3L, 1L, false)))
     graft.CachePool.releaseAll()
   }
+
+  test("keyset pages tile the ranking: disjoint, ordered, = rank-window slices") {
+    import org.apache.spark.sql.expressions.Window
+    // synthetic scored frame with quality ties (tie-break on doc_id)
+    val scored = (1L to 23L).map(i => (i, s"s${i % 2}", (i % 5).toDouble))
+      .toDF("doc_id", "source", "quality_score")
+    val p1 = DocPipeline.pageByQuality(scored, 4)
+    val p2 = DocPipeline.pageByQuality(scored, 4, Some(DocPipeline.pageCursors(p1)))
+    val p3 = DocPipeline.pageByQuality(scored, 4,
+      Some(DocPipeline.pageCursors(p2)))
+    val pages = Seq(p1, p2, p3).map(
+      _.select("source", "doc_id").as[(String, Long)].collect().toSet)
+    assert(pages(0).intersect(pages(1)).isEmpty &&
+      pages(1).intersect(pages(2)).isEmpty && pages(0).intersect(pages(2)).isEmpty)
+    // each page equals the corresponding rank-window slice
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val ranked = scored.withColumn("rk", row_number().over(w))
+    pages.zipWithIndex.foreach { case (page, i) =>
+      val slice = ranked.filter(col("rk").between(i * 4 + 1, (i + 1) * 4))
+        .select("source", "doc_id").as[(String, Long)].collect().toSet
+      assert(page === slice, s"page ${i + 1} diverged from the rank slice")
+    }
+  }
 }
