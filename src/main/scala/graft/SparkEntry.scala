@@ -39,6 +39,19 @@ object SparkEntry {
     }
   }
 
+  /** The re-crawl scenario shared by the snapshot queries
+    * (q_snapshot_diff / q_snapshot_dedup / q_drift): drop every 7th doc,
+    * revise every 5th survivor (+' rev2'), append verbatim re-keyed
+    * copies of every 11th — every class count is modular arithmetic for
+    * the oracles.
+    */
+  private def recrawl(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_geo_pipeline")(spark, "/root/testdata/sf0.001")
@@ -615,13 +628,42 @@ object SparkEntry {
       // classifies all four change classes; counts are pure modular
       // arithmetic for the oracle.
       val docs = t(s, d, "documents")
-      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .withColumn("doc_id", col("doc_id") + 10000000L))
-      graft.etl.SnapshotDiff.diffCounts(docs, newSnap,
+      graft.etl.SnapshotDiff.diffCounts(docs, recrawl(docs),
         col("doc_id"), xxhash64(col("text")))
+    }),
+
+    "q_snapshot_dedup" -> ((s, d) => {
+      // the composed incremental pipeline: snapshot diff finds what's
+      // NEW, cross-snapshot MinHash asks what of it is near-duplicate of
+      // the corpus — the two-step loop every refreshed crawl runs. The
+      // planted additions are verbatim re-keyed copies, so signatures
+      // are bit-identical and the flagged count pins as an equality.
+      val docs = t(s, d, "documents")
+      val nw = graft.CachePool.persist(recrawl(docs))
+      val addedIds = graft.etl.SnapshotDiff.classify(docs, nw,
+          col("doc_id"), xxhash64(col("text")))
+        .filter(col("change") === "added")
+        .select(col("id").as("doc_id"))
+      val addedDocs = nw.join(addedIds, "doc_id")
+      val flagged = graft.dedup.MinHashLsh.crossSnapshotNearDuplicates(
+          addedDocs, docs, col("doc_id"), col("text"))
+        .filter(col("old_id") === col("new_id") - 10000000L)
+        .agg(count(lit(1)).as("n_flagged"))
+      val nAdded = docs.filter(col("doc_id") % 11 === 0)
+        .agg(count(lit(1)).as("n_added"))
+      flagged.crossJoin(broadcast(nAdded))
+        .select(lit("added_near_dup_of_origin").as("class"), col("n_added"),
+          (col("n_flagged") === col("n_added")).as("flagged_ok"))
+    }),
+
+    "q_drift" -> ((s, d) => {
+      // per-source distribution drift across the re-crawl: char-length
+      // histograms old vs new, total-variation distance as an exact
+      // integer fraction (tv_num/tv_den), drift flag by integer
+      // cross-multiply — no float anywhere in the row.
+      val docs = t(s, d, "documents")
+      graft.etl.SnapshotDiff.driftTable(docs, recrawl(docs),
+        col("source"), expr("length(text) div 200"))
     }),
 
     "q_winsorized" -> ((s, d) =>
@@ -1907,6 +1949,48 @@ object SparkEntry {
         |  UNION ALL SELECT 'removed', CAST(n_rem AS BIGINT) FROM t
         |  UNION ALL SELECT 'unchanged', CAST(total - n_rem - n_chg AS BIGINT) FROM t)
         |WHERE n > 0 ORDER BY change""".stripMargin,
+
+    // additions are verbatim re-keyed copies of their origin (which is
+    // still in the OLD snapshot whatever its fate in the new), so
+    // bit-identical signatures co-bucket in every band: the flagged
+    // count pins as an equality, n data-derived.
+    "q_snapshot_dedup" ->
+      """SELECT 'added_near_dup_of_origin' AS class,
+        |  CAST(count(*) AS BIGINT) AS n_added, TRUE AS flagged_ok
+        |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+
+    // the TV fraction replayed as pure integer arithmetic over the two
+    // modular-scenario histograms.
+    "q_drift" ->
+      """WITH oldh AS (
+        |  SELECT source, CAST(length(text) // 200 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_old
+        |  FROM documents GROUP BY source, bucket
+        |), newh AS (
+        |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_new FROM (
+        |    SELECT source, CAST(CASE WHEN doc_id % 5 = 0 THEN (length(text) + 5) // 200
+        |      ELSE length(text) // 200 END AS BIGINT) AS bucket
+        |    FROM documents WHERE doc_id % 7 <> 0
+        |    UNION ALL
+        |    SELECT source, CAST(length(text) // 200 AS BIGINT) FROM documents
+        |    WHERE doc_id % 11 = 0)
+        |  GROUP BY source, bucket
+        |), cells AS (
+        |  SELECT coalesce(o.source, n.source) AS source,
+        |    coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new
+        |  FROM oldh o FULL JOIN newh n ON o.source = n.source AND o.bucket = n.bucket
+        |), tot AS (
+        |  SELECT source, CAST(sum(n_old) AS BIGINT) AS t_old,
+        |    CAST(sum(n_new) AS BIGINT) AS t_new
+        |  FROM cells GROUP BY source
+        |)
+        |SELECT c.source, min(t.t_old) AS t_old, min(t.t_new) AS t_new,
+        |  CAST(sum(abs(c.n_new * t.t_old - c.n_old * t.t_new)) AS BIGINT) AS tv_num,
+        |  CAST(min(t.t_old * t.t_new * 2) AS BIGINT) AS tv_den,
+        |  (CAST(sum(abs(c.n_new * t.t_old - c.n_old * t.t_new)) AS BIGINT) * 20
+        |    > min(t.t_old) * min(t.t_new) * 2) AS drift
+        |FROM cells c JOIN tot t ON c.source = t.source
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

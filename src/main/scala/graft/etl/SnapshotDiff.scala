@@ -40,4 +40,45 @@ object SnapshotDiff {
       .groupBy("change")
       .agg(count(lit(1)).as("n"))
       .orderBy("change")
+
+  /** Per-source DISTRIBUTION DRIFT between snapshots — did a re-crawl
+    * shift what a source looks like, not just which rows it has? Both
+    * snapshots histogram over an integer `bucket` feature (token/char
+    * deciles — any derived integer); per source the total-variation
+    * distance between the two bucket distributions is emitted as an
+    * exact integer FRACTION: tv_num = Σ_buckets |n_new·t_old −
+    * n_old·t_new|, tv_den = 2·t_old·t_new, TV = tv_num/tv_den ∈ [0, 1]
+    * driver-derivable, `drift` = (TV > 5%) via the integer
+    * cross-multiply tv_num·20 > tv_den. No float anywhere, so any
+    * engine replays the row bit-for-bit. (The BIGINT products cover
+    * ~10⁹ rows per source; beyond that the same shape runs with
+    * DECIMAL(38,0) sums, as with the correlation moments.)
+    *
+    * Shape: two map-side-combinable grouped counts, one full-outer
+    * equi-join on (source, bucket) — cells per source bounded by the
+    * bucket count — then a per-source fold over the bounded cells with
+    * the 1-row-per-source totals broadcast back on.
+    */
+  def driftTable(oldSnap: DataFrame, newSnap: DataFrame,
+                 source: Column, bucket: Column): DataFrame = {
+    def hist(df: DataFrame, as: String) =
+      df.select(source.as("source"), bucket.cast("long").as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as(as))
+    val cells = hist(oldSnap, "n_old")
+      .join(hist(newSnap, "n_new"), Seq("source", "bucket"), "full_outer")
+      .select(col("source"), col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = cells.groupBy("source")
+      .agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
+    cells.join(broadcast(totals), "source")
+      .groupBy("source")
+      .agg(first(col("t_old")).as("t_old"), first(col("t_new")).as("t_new"),
+        sum(abs(col("n_new") * col("t_old") - col("n_old") * col("t_new")))
+          .as("tv_num"))
+      .select(col("source"), col("t_old"), col("t_new"), col("tv_num"),
+        (col("t_old") * col("t_new") * 2).as("tv_den"),
+        (col("tv_num") * 20 > col("t_old") * col("t_new") * 2).as("drift"))
+      .orderBy("source")
+  }
 }

@@ -403,6 +403,19 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnl.isEmpty, s"non-equi join in the snapshot diff:\n$plan")
   }
 
+  test("q_snapshot_dedup and q_drift stay equi-join shaped over the snapshots") {
+    Seq("q_snapshot_dedup", "q_drift").foreach { name =>
+      val plan = finalPlan(q(name))
+      graft.CachePool.releaseAll()
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, name)
+      // permissible BNLs: only the bounded 1-row gate/totals attaches
+      val bnl = collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bnl.size <= 1, s"$name has corpus-sized non-equi joins:\n$plan")
+    }
+  }
+
   test("q_dedup_incr bands meet in a two-sided equi-join, never cartesian/BNL over docs") {
     val plan = finalPlan(q("q_dedup_incr"))
     graft.CachePool.releaseAll()

@@ -51,6 +51,20 @@ class OpsSpec extends SparkSpec {
       ("removed", 1L), ("unchanged", 2L)))
   }
 
+  test("driftTable: exact TV fractions; a planted shift flips the drift flag") {
+    // old: source A uniform over buckets 0/1; new: all mass moved to 1
+    val old = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
+      ("B", 0L), ("B", 1L)).toDF("source", "b")
+    val nw = Seq(("A", 1L), ("A", 1L), ("A", 1L), ("A", 1L),
+      ("B", 0L), ("B", 1L)).toDF("source", "b")
+    val got = SnapshotDiff.driftTable(old, nw, col("source"), col("b"))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toList
+    // A: cells (b0: 2→0, b1: 2→4), t=4/4: tv_num = |0·4−2·4| + |4·4−2·4| = 16,
+    // tv_den = 32 → TV = 0.5 > 5% ⇒ drift. B unchanged ⇒ TV 0.
+    assert(got === List(("A", 4L, 4L, 16L, 32L, true),
+      ("B", 2L, 2L, 0L, 8L, false)))
+  }
+
   test("compact rewrites a fragmented directory into few files, preserving rows") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     spark.range(0, 20000).toDF("id")
