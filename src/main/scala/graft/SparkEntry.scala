@@ -553,6 +553,19 @@ object SparkEntry {
     "q_event_rollup" -> ((s, d) =>
       Relational.eventRollup(events(s, d))),
 
+    "q_top_sessions" -> ((s, d) => {
+      // composition: sessionize OUTPUT as input — the global top-25
+      // sessions by event count under a strict total order, capped with
+      // TakeOrderedAndProject (never a global sort of all sessions);
+      // duration emitted as exact integer micros.
+      val sess = graft.streaming.EventStreams.sessionize(events(s, d))
+      sess.select(col("user_id"), col("session_seq"), col("n_events"),
+          (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+            .as("dur_us"))
+        .orderBy(col("n_events").desc, col("user_id"), col("session_seq"))
+        .limit(25)
+    }),
+
     "q_event_funnel" -> ((s, d) =>
       // ordered conversion funnel, windowFunnel semantics: each step
       // strictly after the user's earliest completion of the previous
@@ -1783,6 +1796,25 @@ object SparkEntry {
         |  FROM flags)
         |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
         |FROM seqs GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // the sessionize CTE re-used, then the strict-total-order top-25
+    "q_top_sessions" ->
+      """WITH lagd AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagd
+        |), seqs AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flags)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+        |FROM seqs GROUP BY user_id, session_seq
+        |ORDER BY n_events DESC, user_id, session_seq LIMIT 25""".stripMargin,
 
     "q_event_rollup" ->
       """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,

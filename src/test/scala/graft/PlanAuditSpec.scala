@@ -403,6 +403,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnl.isEmpty, s"non-equi join in the snapshot diff:\n$plan")
   }
 
+  test("q_top_sessions caps with TakeOrdered after per-user session windows") {
+    val plan = finalPlan(q("q_top_sessions"))
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"global sort instead of a bounded top-k:\n$plan")
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"sessionize window must stay user-partitioned:\n$plan")
+  }
+
   test("q_snapshot_dedup and q_drift stay equi-join shaped over the snapshots") {
     Seq("q_snapshot_dedup", "q_drift").foreach { name =>
       val plan = finalPlan(q(name))

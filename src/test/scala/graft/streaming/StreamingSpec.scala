@@ -55,6 +55,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor converges to the batch driftTable row per source") {
+    import graft.etl.SnapshotDiff
+    val oldSnap = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
+      ("B", 0L), ("B", 1L)).toDF("source", "b")
+    val newRows = Seq(("A", 1L), ("A", 1L), ("A", 1L), ("A", 1L),
+      ("B", 0L), ("B", 1L))
+    val baseline = oldSnap.groupBy("source", "b").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (s, b, c) => (s, b) -> c }.toMap
+    val input = MemoryStream[(String, Long)](spark)
+    val q = DriftMonitor.driftStream(input.toDS(), baseline)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("update").start()
+    try {
+      // split mid-source so state must carry counts across batches
+      val (b1, b2) = newRows.splitAt(3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // last emission per source (latest batch id wins: dedupe by re-read order)
+      val got = spark.table("drift_out")
+        .as[DriftMonitor.DriftRow].collect()
+        .groupBy(_.source)
+        // the final row per source has the max t_new (counts only grow)
+        .map { case (s, rows) => s -> rows.maxBy(_.t_new) }
+      val batch = SnapshotDiff.driftTable(oldSnap,
+          newRows.toDF("source", "b"), col("source"), col("b"))
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      batch.foreach { case (s, (_, tOld, tNew, num, den, drift)) =>
+        val g = got(s)
+        assert((g.t_old, g.t_new, g.tv_num, g.tv_den, g.drift) ===
+          ((tOld, tNew, num, den, drift)), s"source $s diverged")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel: depth changelog matches the batch funnel per user") {
     val steps = Seq("signup", "view", "click", "purchase")
     val funnelSample = Seq(
