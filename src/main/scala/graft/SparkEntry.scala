@@ -679,6 +679,28 @@ object SparkEntry {
         col("source"), expr("length(text) div 200"))
     }),
 
+    "q_group_mode" -> ((s, d) =>
+      // grouped MODE: each source's most frequent language with the
+      // deterministic (count DESC, lang ASC) tie-break — the count agg
+      // is map-side combinable and the argmax runs through TopKPerKey
+      // k=1 bounded heaps, so a source with a billion docs ships ONE
+      // row per map task, never a per-group sort.
+      graft.plans.TopKPerKey.topK(
+          t(s, d, "documents").groupBy("source", "lang")
+            .agg(count(lit(1)).as("n_mode")),
+          Seq("source"), Seq(("n_mode", false), ("lang", true)), 1)
+        .select("source", "lang", "n_mode")
+        .orderBy("source")),
+
+    "q_geo_bins" -> ((s, d) =>
+      // multi-resolution spatial binning over the reference-derived
+      // houses table: both zoom levels in ONE scan (explode before the
+      // single exchange), cell ids by pure IEEE arithmetic, square sums
+      // in exact micros.
+      graft.analytics.SpatialBins.binCounts(
+        Geo.houses(s, d), col("latitude"), col("longitude"),
+        col("square"), Seq(4, 8))),
+
     "q_winsorized" -> ((s, d) =>
       // per-group winsorized statistics: values clipped to the group's
       // [p25, p75] before aggregation — robust mean without one float
@@ -1916,6 +1938,25 @@ object SparkEntry {
         |  CAST(sum(y * y) AS BIGINT) AS sum_yy,
         |  (count(*) * sum(x * y) > sum(x) * sum(y)) AS corr_pos
         |FROM m GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_group_mode" ->
+      """SELECT source, lang, n_mode FROM (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_mode,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY count(*) DESC, lang) AS rk
+        |  FROM documents GROUP BY source, lang)
+        |WHERE rk = 1 ORDER BY source""".stripMargin,
+
+    // cell ids replay as the identical IEEE multiply-divide chain; sums
+    // in exact micros.
+    "q_geo_bins" -> (HousesCte +
+      """SELECT res, CAST(floor((latitude + 90) * 2^res / 180) AS BIGINT) AS cell_y,
+        |  CAST(floor((longitude + 180) * 2^res / 360) AS BIGINT) AS cell_x,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(square * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_mu
+        |FROM houses, (SELECT unnest([4, 8]) AS res)
+        |GROUP BY res, cell_y, cell_x
+        |ORDER BY res, cell_y, cell_x""".stripMargin),
 
     // quartile cut points are exact dyadic quarters of integral values
     // (quantile_cont = Spark percentile there), so ×4 casts are integral

@@ -52,6 +52,50 @@ class OlapSpec extends SparkSpec {
     assert("Scan|LocalTableScan".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("grouped mode via TopKPerKey k=1: count-desc with lang-asc tie-break") {
+    val d = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),
+      ("s2", "fr")).toDF("source", "lang")
+    val got = graft.plans.TopKPerKey.topK(
+        d.groupBy("source", "lang").agg(count(lit(1)).as("n_mode")),
+        Seq("source"), Seq(("n_mode", false), ("lang", true)), 1)
+      .select("source", "lang", "n_mode")
+      .as[(String, String, Long)].collect().toList.sorted
+    assert(got === List(("s1", "de", 2L), ("s2", "fr", 1L)))
+  }
+
+  test("SpatialBins: known cells, exact micro sums, 4-in-1 pyramid nesting") {
+    val pts = Seq(
+      (10.0, 20.0, 1.5), (10.1, 20.1, 2.5),   // same coarse cell, nearby
+      (10.0, 100.0, 4.0),                       // different cell_x
+      (-10.0, 20.0, 8.0)                        // southern hemisphere
+    ).toDF("lat", "lon", "v")
+    val got = SpatialBins.binCounts(pts, col("lat"), col("lon"), col("v"), Seq(2, 4))
+      .as[(Int, Long, Long, Long, Long)].collect().toList
+    // res 2 (4 cells/axis): lat 10 → floor(100·4/180)=2; lon 20 → floor(200·4/360)=2;
+    // lon 100 → floor(280·4/360)=3; lat −10 → floor(80·4/180)=1
+    assert(got.filter(_._1 == 2).contains((2, 2L, 2L, 2L, 4000000L)))
+    assert(got.filter(_._1 == 2).contains((2, 2L, 3L, 1L, 4000000L)))
+    assert(got.filter(_._1 == 2).contains((2, 1L, 2L, 1L, 8000000L)))
+    // pyramid invariant: every res-4 cell maps into its res-2 parent
+    // (cell div 4) and per-parent counts agree
+    val coarse = got.filter(_._1 == 2)
+      .map(r => (r._2, r._3) -> r._4).toMap
+    val fineByParent = got.filter(_._1 == 4)
+      .groupBy(r => (r._2 / 4, r._3 / 4))
+      .view.mapValues(_.map(_._4).sum).toMap
+    assert(fineByParent === coarse)
+  }
+
+  test("SpatialBins computes every resolution in one scan via explode") {
+    val pts = Seq((10.0, 20.0, 1.0)).toDF("lat", "lon", "v")
+    val df = SpatialBins.binCounts(pts, col("lat"), col("lon"), col("v"),
+      Seq(2, 4, 8))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan|LocalTableScan".r.findAllIn(plan).size <= 2,
+      s"one pass per resolution:\n$plan")
+  }
+
   test("rollupStats plans ONE shuffle via Expand, not one pass per level") {
     val df = Olap.rollupStats(docs, col("source"), col("lang"), col("tk"))
     df.collect()
