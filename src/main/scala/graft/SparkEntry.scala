@@ -701,6 +701,39 @@ object SparkEntry {
         Geo.houses(s, d), col("latitude"), col("longitude"),
         col("square"), Seq(4, 8))),
 
+    "q_tile_topk" -> ((s, d) => {
+      // best-listing-per-map-tile: the spatial argmax composition —
+      // res-8 cell ids (the q_geo_bins arithmetic) then TopKPerKey k=1
+      // per cell by (square DESC, src_id ASC); a tile with a million
+      // listings ships one row per map task.
+      val h = Geo.houses(s, d).select(col("src_id"),
+        graft.analytics.SpatialBins.cellY(col("latitude"), lit(8)).as("cell_y"),
+        graft.analytics.SpatialBins.cellX(col("longitude"), lit(8)).as("cell_x"),
+        Relational.micros(col("square")).as("square_mu"))
+      graft.plans.TopKPerKey.topK(h, Seq("cell_y", "cell_x"),
+          Seq(("square_mu", false), ("src_id", true)), 1)
+        .select("cell_y", "cell_x", "src_id", "square_mu")
+        .orderBy("cell_y", "cell_x")
+    }),
+
+    "q_partition_prune" -> ((s, d) => {
+      // partition PRUNING — the first scale lever a 100 TB lake table
+      // has: a value-partitioned write read back with a partition-key
+      // filter must scan ONE partition's files, not all (plan-audited:
+      // non-empty partitionFilters on the scan). Roundtrip through the
+      // partitioned parquet sink, integer aggregate over the survivors.
+      val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+      graft.sources.BatchSink.writeParquetPartitioned(
+        events(s, d), out, Seq("event_type"))
+      s.read.parquet(out)
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("user_id")).as("sum_user_ids"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(lit("purchase").as("event_type"), col("n_events"),
+          col("sum_user_ids"), col("n_users"))
+    }),
+
     "q_winsorized" -> ((s, d) =>
       // per-group winsorized statistics: values clipped to the group's
       // [p25, p75] before aggregation — robust mean without one float
@@ -1957,6 +1990,24 @@ object SparkEntry {
         |FROM houses, (SELECT unnest([4, 8]) AS res)
         |GROUP BY res, cell_y, cell_x
         |ORDER BY res, cell_y, cell_x""".stripMargin),
+
+    "q_tile_topk" -> (HousesCte +
+      """SELECT cell_y, cell_x, src_id, square_mu FROM (
+        |  SELECT CAST(floor((latitude + 90) * 256 / 180) AS BIGINT) AS cell_y,
+        |    CAST(floor((longitude + 180) * 256 / 360) AS BIGINT) AS cell_x,
+        |    src_id, CAST(floor(square * 1e6) AS BIGINT) AS square_mu,
+        |    row_number() OVER (
+        |      PARTITION BY floor((latitude + 90) * 256 / 180),
+        |        floor((longitude + 180) * 256 / 360)
+        |      ORDER BY CAST(floor(square * 1e6) AS BIGINT) DESC, src_id) AS rk
+        |  FROM houses)
+        |WHERE rk = 1 ORDER BY cell_y, cell_x""".stripMargin),
+
+    "q_partition_prune" ->
+      """SELECT 'purchase' AS event_type, count(*) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user_ids,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     // quartile cut points are exact dyadic quarters of integral values
     // (quantile_cont = Spark percentile there), so ×4 casts are integral

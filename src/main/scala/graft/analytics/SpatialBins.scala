@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object SpatialBins {
 
+  /** The cell-id arithmetic, exposed for compositions (per-tile top-k
+    * etc.): floor((coord + offset) · 2^res / span) — one IEEE
+    * multiply-divide chain, bit-replayable on any engine. `res` may be a
+    * literal or a column.
+    */
+  def cellY(lat: Column, res: Column): Column =
+    floor((lat + 90.0) * pow(lit(2.0), res) / 180.0).cast("long")
+  def cellX(lon: Column, res: Column): Column =
+    floor((lon + 180.0) * pow(lit(2.0), res) / 360.0).cast("long")
+
   /** (res, cell_y, cell_x, n, sum_value_mu) for every non-empty cell at
     * every resolution in `resolutions`, ordered.
     */
@@ -29,10 +39,8 @@ object SpatialBins {
         Relational.micros(value).as("__v_mu"),
         explode(typedlit(resolutions)).as("res"))
       .select(col("res"),
-        floor((col("__lat") + 90.0) * pow(lit(2.0), col("res")) / 180.0)
-          .cast("long").as("cell_y"),
-        floor((col("__lon") + 180.0) * pow(lit(2.0), col("res")) / 360.0)
-          .cast("long").as("cell_x"),
+        cellY(col("__lat"), col("res")).as("cell_y"),
+        cellX(col("__lon"), col("res")).as("cell_x"),
         col("__v_mu"))
       .groupBy("res", "cell_y", "cell_x")
       .agg(count(lit(1)).as("n"), sum(col("__v_mu")).as("sum_value_mu"))

@@ -403,6 +403,35 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnl.isEmpty, s"non-equi join in the snapshot diff:\n$plan")
   }
 
+  test("q_partition_prune: the partition-key filter prunes at the scan") {
+    val df = q("q_partition_prune")
+    df.collect()
+    val scans = collect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the read of the partitioned roundtrip table must carry partition
+    // filters — a scan of all five event_type partitions would have none
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"no partition pruning:\n${df.queryExecution.executedPlan}")
+    // and the data filter must NOT appear as a post-scan Filter on the
+    // partition column (pruning replaces it)
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+    assert(pruned.forall(_.relation.partitionSchema.fieldNames.contains("event_type")))
+  }
+
+  test("q_tile_topk caps per cell with TopKPerKey, no window over houses") {
+    val plan = finalPlan(q("q_tile_topk"))
+    assert(plan.toString.contains("TopKPerKey"), s"$plan")
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the reindex inside the houses derivation owns the only windows;
+    // the spatial argmax itself must not add one
+    assert(windows.forall(_.partitionSpec.nonEmpty) || windows.size <= 1,
+      s"unexpected windows:\n$plan")
+  }
+
   test("q_top_sessions caps with TakeOrdered after per-user session windows") {
     val plan = finalPlan(q("q_top_sessions"))
     assert(plan.toString.contains("TakeOrderedAndProject"),
