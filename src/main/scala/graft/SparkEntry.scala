@@ -553,6 +553,33 @@ object SparkEntry {
     "q_event_rollup" -> ((s, d) =>
       Relational.eventRollup(events(s, d))),
 
+    "q_sessionize_native" -> ((s, d) =>
+      // Catalyst's native session_window graded against an independent
+      // engine: one user+window-keyed aggregate (state = open sessions,
+      // not events), streaming-ready unchanged; the oracle replays the
+      // strict-gap merge convention.
+      graft.streaming.EventStreams.sessionizeNative(events(s, d))),
+
+    "q_schema_evolution" -> ((s, d) => {
+      // lake schema evolution: v1 files lack the column v2 adds; a
+      // mergeSchema read unions the file schemas and v1 rows surface
+      // NULL for it — graded on total rows, rows carrying the new
+      // column, and its exact integer sum (v2 rows only).
+      val ev = events(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").parquet(s"$out/v=1")
+      ev.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          Relational.micros(col("value")).as("value_mu"))
+        .write.mode("overwrite").parquet(s"$out/v=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("value_mu").isNotNull, 1L).otherwise(0L)).as("n_with_value"),
+          sum(col("value_mu")).as("sum_value_mu"))
+    }),
+
     "q_top_sessions" -> ((s, d) => {
       // composition: sessionize OUTPUT as input — the global top-25
       // sessions by event count under a strict total order, capped with
@@ -1851,6 +1878,33 @@ object SparkEntry {
         |  FROM flags)
         |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
         |FROM seqs GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // session_window merges inclusively at the gap boundary
+    // (spec-pinned), identical to q_sessionize's convention — the same
+    // gap test, grouped without the seq column.
+    "q_sessionize_native" ->
+      """WITH lagd AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagd
+        |), seqs AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flags)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM seqs GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+        |  CAST(sum(CASE WHEN event_id % 2 <> 0
+        |    THEN CAST(floor(value * 1e6) AS BIGINT) END) AS BIGINT) AS sum_value_mu
+        |FROM events""".stripMargin,
 
     // the sessionize CTE re-used, then the strict-total-order top-25
     "q_top_sessions" ->

@@ -75,6 +75,27 @@ object EventStreams {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Gap sessionization via Catalyst's NATIVE `session_window` — the
+    * same semantics as [[sessionize]] expressed as ONE aggregate instead
+    * of lag + running-sum windows, and the form that runs UNCHANGED as a
+    * watermarked streaming query (session windows merge in the state
+    * store; the lag/cumsum form is batch-only). The merge convention is
+    * INCLUSIVE at the boundary — an event exactly gapSec after the
+    * previous one extends the session (spec-pinned) — identical to
+    * [[sessionize]]'s gap ≤ gapSec, so both forms share one oracle.
+    *
+    * Scale: one user+window-keyed partial-merged aggregate — Spark
+    * merges overlapping candidate sessions before and after the
+    * exchange, so per-task state is open sessions, not events.
+    */
+  def sessionizeNative(events: DataFrame, gapSec: Long = 1800L): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+
   /** Streaming exact dedup: drop rows whose `keys` were already seen,
     * with state bounded by the watermark (a duplicate arriving later than
     * `lateness` after the original is outside the guarantee — the batch

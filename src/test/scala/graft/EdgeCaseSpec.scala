@@ -281,6 +281,56 @@ class EdgeCaseSpec extends SparkSpec {
     CachePool.releaseAll()
   }
 
+  test("seventh-session operators on degenerate input") {
+    import graft.analytics.{EventAnalytics, Olap, SpatialBins}
+    import graft.etl.SnapshotDiff
+    // event analytics over an empty log: typed empty frames, no throw
+    assert(EventAnalytics.funnel(noEvents, col("user_id"), col("ts"),
+      col("event_type"), Seq("signup", "view")).count() === 2) // 0-count rows
+    assert(EventAnalytics.funnel(noEvents, col("user_id"), col("ts"),
+      col("event_type"), Seq("signup", "view"))
+      .agg(sum("n_users")).as[Long].collect().head === 0L)
+    assert(EventAnalytics.retentionWeekly(noEvents, col("user_id"), col("ts"))
+      .count() === 0)
+    assert(EventAnalytics.gapFillDaily(noEvents, col("user_id"), col("ts"))
+      .count() === 0)
+    graft.CachePool.releaseAll()
+    // single-row frames: funnel depth 1, gap fill grid of one day
+    val one = Seq((1L, new java.sql.Timestamp(86400000L), 1L, "signup", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.funnel(one, col("user_id"), col("ts"),
+      col("event_type"), Seq("signup", "view"))
+      .as[(Int, String, Long)].collect().toList.map(_._3) === List(1L, 0L))
+    assert(EventAnalytics.gapFillDaily(one, col("user_id"), col("ts"))
+      .as[(Long, Long, Long, Long)].collect().toList === List((1L, 1L, 1L, 1L)))
+    graft.CachePool.releaseAll()
+    // empty snapshots: diff classifies nothing, drift joins to nothing
+    val e = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(SnapshotDiff.diffCounts(e, e, col("doc_id"), xxhash64(col("text")))
+      .count() === 0)
+    assert(SnapshotDiff.driftTable(e, e, col("source"),
+      length(col("text"))).count() === 0)
+    // winsorize/moments/cube/mode on empty frames
+    assert(Stats.winsorizedStats(e.select(col("source").as("k"),
+      col("doc_id").cast("double").as("v")), col("k"), col("v")).count() === 0)
+    assert(Stats.corrMoments(e, col("source"), col("doc_id"), col("doc_id"))
+      .count() === 0)
+    // grouped grouping-sets on empty input emit NO rows (the grand
+    // total is a grouping set, not an ungrouped aggregate)
+    assert(Olap.cubeStats(e, col("source"), col("text"), lit(1L))
+      .count() === 0)
+    assert(SpatialBins.binCounts(
+      Seq.empty[(Double, Double, Double)].toDF("la", "lo", "v"),
+      col("la"), col("lo"), col("v"), Seq(4)).count() === 0)
+    // keyset pagination past the last page returns empty, not an error
+    val scored = Seq((1L, "s", 1.0)).toDF("doc_id", "source", "quality_score")
+    val p1 = graft.text.DocPipeline.pageByQuality(scored, 5)
+    val p2 = graft.text.DocPipeline.pageByQuality(scored, 5,
+      Some(graft.text.DocPipeline.pageCursors(p1)))
+    assert(p1.count() === 1 && p2.count() === 0)
+  }
+
   test("join operators on empty sides") {
     val pts = Seq.empty[(Long, Double)].toDF("pid", "x")
     val ivs = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")

@@ -55,6 +55,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window sessionize equals the lag/cumsum form off-boundary") {
+    val batch = EventStreams.sessionize(sample.toDF(), gapSec = 1800L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val native = EventStreams.sessionizeNative(sample.toDF(), gapSec = 1800L)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(native === batch)
+    // the boundary convention is inclusive in BOTH forms: an event
+    // exactly gapSec after the previous one extends the session
+    val edge = Seq(Event(1L, ts(0), 7L, "view", 0.0),
+      Event(2L, ts(30), 7L, "view", 0.0)).toDF()
+    assert(EventStreams.sessionize(edge, 1800L).count() === 1L)
+    assert(EventStreams.sessionizeNative(edge, 1800L).count() === 1L)
+  }
+
+  test("session_window runs as a watermarked streaming aggregate unchanged") {
+    val input = MemoryStream[Event](spark)
+    val q = input.toDS().toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      input.addData(Event(99L, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(100L, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("native_sessions")
+        .filter(col("user_id") < 9)
+        .as[(Long, Timestamp, Long)].collect()
+        .map(s => (s._1, s._2.getTime / 60000 - Base, s._3)).toSet
+      assert(got === Set((1L, 0L, 2L), (1L, 50L, 1L), (2L, 5L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming drift monitor converges to the batch driftTable row per source") {
     import graft.etl.SnapshotDiff
     val oldSnap = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
