@@ -696,6 +696,32 @@ object SparkEntry {
           (col("n_flagged") === col("n_added")).as("flagged_ok"))
     }),
 
+    "q_snapshot_merge" -> ((s, d) => {
+      // MERGE compaction closes the snapshot loop: diff the re-crawl,
+      // ship ONLY upserts (added ∪ changed) and delete ids, fold them
+      // into the old snapshot with applyDelta — unchanged payloads never
+      // move through a wide join. The result must equal the re-crawl
+      // snapshot EXACTLY: count plus an order-independent XOR
+      // fingerprint over (id, text) hashes, pinned booleans.
+      val docs = t(s, d, "documents")
+      val nw = graft.CachePool.persist(recrawl(docs))
+      val classes = graft.CachePool.persist(graft.etl.SnapshotDiff.classify(
+        docs, nw, col("doc_id"), xxhash64(col("text"))))
+      val upserts = nw.join(
+        classes.filter(col("change").isin("added", "changed"))
+          .select(col("id").as("doc_id")), "doc_id")
+      val deletes = classes.filter(col("change") === "removed")
+        .select(col("id").as("doc_id"))
+      val merged = graft.etl.SnapshotDiff.applyDelta(
+        docs, upserts, deletes, col("doc_id"))
+      def fp(df: DataFrame, n: String, x: String) = df.agg(
+        count(lit(1)).as(n), expr("bit_xor(xxhash64(doc_id, text))").as(x))
+      fp(merged, "n_m", "x_m").crossJoin(broadcast(fp(nw, "n_w", "x_w")))
+        .select(col("n_w").as("n_rows"),
+          (col("n_m") === col("n_w")).as("count_ok"),
+          (col("x_m") === col("x_w")).as("content_ok"))
+    }),
+
     "q_drift" -> ((s, d) => {
       // per-source distribution drift across the re-crawl: char-length
       // histograms old vs new, total-variation distance as an exact
@@ -2136,6 +2162,13 @@ object SparkEntry {
       """SELECT 'added_near_dup_of_origin' AS class,
         |  CAST(count(*) AS BIGINT) AS n_added, TRUE AS flagged_ok
         |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+
+    // merged-equals-target is the certified MERGE contract; the target
+    // size is modular arithmetic (survivors + re-keyed additions).
+    "q_snapshot_merge" ->
+      """SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 7 <> 0)
+        |     + (SELECT count(*) FROM documents WHERE doc_id % 11 = 0) AS BIGINT) AS n_rows,
+        |  TRUE AS count_ok, TRUE AS content_ok""".stripMargin,
 
     // the TV fraction replayed as pure integer arithmetic over the two
     // modular-scenario histograms.

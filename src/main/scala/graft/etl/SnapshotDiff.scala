@@ -41,6 +41,25 @@ object SnapshotDiff {
       .agg(count(lit(1)).as("n"))
       .orderBy("change")
 
+  /** Apply a delta to a snapshot — the MERGE INTO shape (upserts win
+    * over existing rows, deletes drop them, untouched rows carry over):
+    * the incremental-compaction step that folds a re-crawl's diff back
+    * into the canonical snapshot WITHOUT re-shipping unchanged payloads
+    * through a wide join. One LEFT ANTI equi-join of the snapshot
+    * against the touched-id set (broadcast when the delta is small —
+    * the common case) plus a union with the upserts. (A partitioned
+    * lake would additionally rewrite only the partitions the touched
+    * ids land in — compose with the partitioned sink's layout.)
+    */
+  def applyDelta(snapshot: DataFrame, upserts: DataFrame,
+                 deleteIds: DataFrame, id: Column): DataFrame = {
+    val touched = upserts.select(id.as("__tid"))
+      .unionByName(deleteIds.select(id.as("__tid")))
+      .distinct()
+    snapshot.join(touched, id === col("__tid"), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Per-source DISTRIBUTION DRIFT between snapshots — did a re-crawl
     * shift what a source looks like, not just which rows it has? Both
     * snapshots histogram over an integer `bucket` feature (token/char

@@ -51,6 +51,20 @@ class OpsSpec extends SparkSpec {
       ("removed", 1L), ("unchanged", 2L)))
   }
 
+  test("applyDelta: upserts win, deletes drop, untouched rows carry over") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val ups = Seq((2L, "B2"), (4L, "d")).toDF("id", "t")
+    val dels = Seq(Tuple1(3L)).toDF("id")
+    val merged = SnapshotDiff.applyDelta(snap, ups, dels, col("id"))
+      .as[(Long, String)].collect().toSet
+    assert(merged === Set((1L, "a"), (2L, "B2"), (4L, "d")))
+    // merge then re-diff: applying a snapshot's own diff reproduces it
+    val classes = SnapshotDiff.classify(snap, merged.toSeq.toDF("id", "t"),
+      col("id"), xxhash64(col("t"))).as[(Long, String)].collect().toMap
+    assert(classes === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("driftTable: exact TV fractions; a planted shift flips the drift flag") {
     // old: source A uniform over buckets 0/1; new: all mass moved to 1
     val old = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
