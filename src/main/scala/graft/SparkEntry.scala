@@ -722,6 +722,34 @@ object SparkEntry {
           (col("x_m") === col("x_w")).as("content_ok"))
     }),
 
+    "q_cdc_apply" -> ((s, d) => {
+      // CDC last-writer-wins: the delta carries VERSIONED upserts
+      // arriving out of order (v2 listed before v1); collapse to the
+      // max version per id (TopKPerKey k=1 — no per-id window), MERGE
+      // into the snapshot. Gate: every touched doc carries its v2
+      // payload and no stale v1 survives.
+      val docs = t(s, d, "documents")
+      val touched = docs.filter(col("doc_id") % 5 === 0)
+      val delta = touched
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("ver", lit(2L))
+        .unionByName(touched
+          .withColumn("text", concat(col("text"), lit(" v1")))
+          .withColumn("ver", lit(1L)))
+      val latest = graft.etl.SnapshotDiff.collapseCdc(delta, "doc_id", "ver")
+        .drop("ver")
+      val merged = graft.etl.SnapshotDiff.applyDelta(
+        docs, latest, docs.limit(0).select("doc_id"), col("doc_id"))
+      merged.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("text").endsWith(" v2"), 1L).otherwise(0L)).as("n_v2"),
+          sum(when(col("text").endsWith(" v1"), 1L).otherwise(0L)).as("n_v1"))
+        .crossJoin(broadcast(
+          touched.agg(count(lit(1)).as("n_touched"))))
+        .select(col("n_rows"), col("n_touched"),
+          (col("n_v2") === col("n_touched")).as("lww_ok"),
+          (col("n_v1") === 0L).as("no_stale_ok"))
+    }),
+
     "q_drift" -> ((s, d) => {
       // per-source distribution drift across the re-crawl: char-length
       // histograms old vs new, total-variation distance as an exact
@@ -2169,6 +2197,13 @@ object SparkEntry {
       """SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 7 <> 0)
         |     + (SELECT count(*) FROM documents WHERE doc_id % 11 = 0) AS BIGINT) AS n_rows,
         |  TRUE AS count_ok, TRUE AS content_ok""".stripMargin,
+
+    // last-writer-wins certified: touched count data-derived, the two
+    // version-survival booleans pinned.
+    "q_cdc_apply" ->
+      """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_touched,
+        |  TRUE AS lww_ok, TRUE AS no_stale_ok""".stripMargin,
 
     // the TV fraction replayed as pure integer arithmetic over the two
     // modular-scenario histograms.

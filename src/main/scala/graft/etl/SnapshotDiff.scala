@@ -60,6 +60,17 @@ object SnapshotDiff {
       .unionByName(upserts)
   }
 
+  /** Collapse a CDC delta to its LAST WRITER per key: change streams
+    * deliver versioned upserts out of order, and only the max-version
+    * row per id may reach [[applyDelta]]. Runs through TopKPerKey k=1
+    * bounded heaps (a hot id with a million versions ships one row per
+    * map task — never a per-id sort or window). Versions must be unique
+    * per id (a CDC log's LSN/sequence contract); ties would be
+    * nondeterministic and are the upstream's bug to fix.
+    */
+  def collapseCdc(delta: DataFrame, idCol: String, verCol: String): DataFrame =
+    graft.plans.TopKPerKey.topK(delta, Seq(idCol), Seq((verCol, false)), 1)
+
   /** Per-source DISTRIBUTION DRIFT between snapshots — did a re-crawl
     * shift what a source looks like, not just which rows it has? Both
     * snapshots histogram over an integer `bucket` feature (token/char

@@ -65,6 +65,14 @@ class OpsSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("collapseCdc keeps the max version per id regardless of arrival order") {
+    val delta = Seq((1L, 2L, "v2"), (2L, 1L, "only"), (1L, 1L, "v1"),
+      (1L, 3L, "v3")).toDF("id", "ver", "t")
+    val got = SnapshotDiff.collapseCdc(delta, "id", "ver")
+      .select("id", "ver", "t").as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 3L, "v3"), (2L, 1L, "only")))
+  }
+
   test("driftTable: exact TV fractions; a planted shift flips the drift flag") {
     // old: source A uniform over buckets 0/1; new: all mass moved to 1
     val old = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
