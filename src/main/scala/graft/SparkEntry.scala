@@ -25,6 +25,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM scratch dirs for the write-then-read-back queries: ONE dir
+    * per query name, created on first use, recursively deleted on JVM
+    * exit. Repeated invocations (bench rounds, Verify, specs) overwrite
+    * in place instead of leaking a fresh copy of the table per run.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchDir(name: String): String =
+    scratchDirs.computeIfAbsent(name, { n =>
+      val p = java.nio.file.Files.createTempDirectory(n)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(p.toFile)
+      }
+      p.toString
+    })
+
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
     * arrives as a nanos Long. Convert with integer division (`div`) — a
@@ -113,7 +133,7 @@ object SparkEntry {
 
     "q_batch_sink_roundtrip" -> ((s, d) => {
       val houses = Geo.housesUnindexed(s, d)
-      val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val out = scratchDir("graft_sink")
       BatchSink.writeParquetPartitioned(houses, out, Seq("region"))
       val back = s.read.parquet(out)
       back.groupBy("region")
@@ -566,7 +586,7 @@ object SparkEntry {
       // NULL for it — graded on total rows, rows carrying the new
       // column, and its exact integer sum (v2 rows only).
       val ev = events(s, d)
-      val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val out = scratchDir("graft_evo")
       ev.filter(col("event_id") % 2 === 0)
         .select("event_id", "user_id", "event_type")
         .write.mode("overwrite").parquet(s"$out/v=1")
@@ -750,6 +770,46 @@ object SparkEntry {
           (col("n_v1") === 0L).as("no_stale_ok"))
     }),
 
+    "q_cdc_tombstone" -> ((s, d) => {
+      // CDC with tombstone deletes: every 5th doc gets v1+v2 upserts,
+      // every 10th additionally a v3 tombstone (delete wins), every
+      // 15th a v0 tombstone that LOSES to the later v2 upsert — version
+      // order resolves intent per id before the merge. Gates: row count
+      // drops by exactly the tombstoned ids, no tombstoned id survives,
+      // every surviving touched doc carries v2, no stale v1.
+      val docs = t(s, d, "documents")
+      val touched = docs.filter(col("doc_id") % 5 === 0)
+      val up = touched
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("ver", lit(2L)).withColumn("op", lit("u"))
+        .unionByName(touched
+          .withColumn("text", concat(col("text"), lit(" v1")))
+          .withColumn("ver", lit(1L)).withColumn("op", lit("u")))
+      val delta = up
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("ver", lit(3L)).withColumn("op", lit("d")))
+        .unionByName(docs.filter(col("doc_id") % 15 === 0)
+          .withColumn("ver", lit(0L)).withColumn("op", lit("d")))
+      val merged = graft.etl.SnapshotDiff.applyCdc(
+        docs, delta, "doc_id", "ver", "op")
+      merged.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("text").endsWith(" v2"), 1L).otherwise(0L)).as("n_v2"),
+          sum(when(col("text").endsWith(" v1"), 1L).otherwise(0L)).as("n_v1"),
+          sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+            .as("n_dead_present"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0, 1L)
+            .otherwise(0L)).as("n_upserted"),
+          sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+            .as("n_tombstoned"))))
+        .select(col("n_rows"), col("n_upserted"), col("n_tombstoned"),
+          (col("n_rows") === col("n_docs") - col("n_tombstoned"))
+            .as("rowcount_ok"),
+          (col("n_v2") === col("n_upserted")).as("lww_ok"),
+          (col("n_v1") === 0L).as("no_stale_ok"),
+          (col("n_dead_present") === 0L).as("tombstone_ok"))
+    }),
+
     "q_drift" -> ((s, d) => {
       // per-source distribution drift across the re-crawl: char-length
       // histograms old vs new, total-variation distance as an exact
@@ -803,7 +863,7 @@ object SparkEntry {
       // filter must scan ONE partition's files, not all (plan-audited:
       // non-empty partitionFilters on the scan). Roundtrip through the
       // partitioned parquet sink, integer aggregate over the survivors.
-      val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+      val out = scratchDir("graft_prune")
       graft.sources.BatchSink.writeParquetPartitioned(
         events(s, d), out, Seq("event_type"))
       s.read.parquet(out)
@@ -2204,6 +2264,21 @@ object SparkEntry {
       """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_touched,
         |  TRUE AS lww_ok, TRUE AS no_stale_ok""".stripMargin,
+
+    // the tombstone scenario's class counts are pure modular arithmetic
+    // over doc_id; the gate booleans pin the merge semantics.
+    "q_cdc_tombstone" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM documents)
+        |    - (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+        |    AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM documents
+        |        WHERE doc_id % 5 = 0 AND doc_id % 10 <> 0)
+        |    AS BIGINT) AS n_upserted,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+        |    AS BIGINT) AS n_tombstoned,
+        |  TRUE AS rowcount_ok, TRUE AS lww_ok,
+        |  TRUE AS no_stale_ok, TRUE AS tombstone_ok""".stripMargin,
 
     // the TV fraction replayed as pure integer arithmetic over the two
     // modular-scenario histograms.

@@ -36,7 +36,11 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
       .map(_.split(',').map(_.trim).toSet)
     val selected = only match {
-      case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap
+      case Some(keys) =>
+        val unknown = keys -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, "SPARK_GRAFT_ONLY names unknown queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+        SparkEntry.queries.view.filterKeys(keys).toMap
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

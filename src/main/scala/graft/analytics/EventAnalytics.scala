@@ -27,7 +27,7 @@ object EventAnalytics {
     * windowFunnel semantics, unbounded window).
     *
     * One user-keyed shuffle total: per user and per step we collect the
-    * step's event times as a sorted array (conditional `collect_list` —
+    * step's event times as an array (conditional `collect_list` —
     * partial-aggregated, map-side combinable), then fold the funnel
     * left-to-right with `filter`/`array_min` per user row: the earliest
     * step-k time strictly after the chosen step-(k-1) time. The greedy
@@ -47,18 +47,19 @@ object EventAnalytics {
     require(steps.nonEmpty, "funnel needs at least one step")
     val tUs = unix_micros(ts)
     val perStepArrays = steps.zipWithIndex.map { case (st, i) =>
-      sort_array(collect_list(when(eventType === st, tUs))).as(s"ts_$i")
+      collect_list(when(eventType === st, tUs)).as(s"ts_$i")
     }
     val perUser = events.groupBy(user.as("u")).agg(perStepArrays.head,
       perStepArrays.tail: _*)
     // fold: t_0 = min(ts_0); t_k = min over ts_k of values > t_(k-1);
     // null propagates — once a step is unreached, all later steps are.
-    val reached = steps.indices.foldLeft((perUser, lit(null).cast("long"))) {
-      case ((df, prev), i) =>
-        val tk = if (i == 0) array_min(col(s"ts_$i"))
-        else array_min(filter(col(s"ts_$i"), x => x > col(s"t_${i - 1}")))
-        (df.withColumn(s"t_$i", tk), col(s"t_$i"))
-    }._1
+    // array_min / filter are order-independent, so the collected arrays
+    // need no sort.
+    val reached = steps.indices.foldLeft(perUser) { (df, i) =>
+      val tk = if (i == 0) array_min(col(s"ts_$i"))
+      else array_min(filter(col(s"ts_$i"), x => x > col(s"t_${i - 1}")))
+      df.withColumn(s"t_$i", tk)
+    }
     val aggs = steps.indices.map(i => sum(when(col(s"t_$i").isNotNull, 1L)
       .otherwise(0L)).as(s"n_$i"))
     val counts = reached.agg(aggs.head, aggs.tail: _*)

@@ -114,15 +114,9 @@ object MinHashLsh {
     // call at 100 TB: signatures are ~500 bytes/doc, tiny next to the text
     // they summarize). Caller releases via CachePool.releaseAll().
     val sigs = graft.CachePool.persist(sigFrame)
-    val banded = sigs.select(
-      col("mh_id"), col("sig"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
     graft.operators.SkewJoin
-      .boundedSelfPairs(banded, Seq("band", "bucket"), col("mh_id"), col("sig"),
+      .boundedSelfPairs(banded(sigs, bands, rowsPerBand),
+        Seq("band", "bucket"), col("mh_id"), col("sig"),
         hotBucketThreshold)
       // dedup the pair BEFORE scoring: a true near-dup shares many of its
       // 16 bands, and the interpreted estimate would otherwise run once
@@ -132,6 +126,20 @@ object MinHashLsh {
       .select(col("id_a"), col("id_b"),
         estimatedJaccard(col("sig_a"), col("sig_b"), p).as("est_jaccard"))
   }
+
+  /** Explode a (mh_id, sig) frame into one row per LSH band: bucket =
+    * xxhash64 of the band's signature slice, salted by the band index.
+    * The single home of the banding convention — both the self-join and
+    * the cross-snapshot paths route through here.
+    */
+  private def banded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("mh_id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
 
   private def thresholded(pairs: DataFrame, threshold: Double): DataFrame =
     pairs.filter(col("est_jaccard") >= threshold)
@@ -182,22 +190,20 @@ object MinHashLsh {
                                   threshold: Double = 0.5, k: Int = 3,
                                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val p = bands * rowsPerBand
-    def banded(docs: DataFrame, side: String): DataFrame =
-      graft.CachePool.persist(signatures(docs, id, text, k, p))
-        .select(col("mh_id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
-          posexplode(transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
-    banded(newDocs, "new").join(banded(oldDocs, "old"), Seq("band", "bucket"))
+    def side(docs: DataFrame, s: String): DataFrame =
+      banded(graft.CachePool.persist(signatures(docs, id, text, k, p)),
+          bands, rowsPerBand)
+        .select(col("mh_id").as(s"${s}_id"), col("sig").as(s"${s}_sig"),
+          col("band"), col("bucket"))
+    side(newDocs, "new").join(side(oldDocs, "old"), Seq("band", "bucket"))
       // collapse shared bands to one row per (new, old) pair BEFORE the
       // interpreted Jaccard estimate — a true near-dup shares many bands
       .groupBy("new_id", "old_id")
       .agg(first("new_sig").as("sa"), first("old_sig").as("sb"))
-      .filter(estimatedJaccard(col("sa"), col("sb"), p) >= threshold)
-      .select(col("new_id"), col("old_id"),
-        estimatedJaccard(col("sa"), col("sb"), p).as("est_jaccard"))
+      // compute the interpreted p-element fold ONCE per pair, then filter
+      .withColumn("est_jaccard", estimatedJaccard(col("sa"), col("sb"), p))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "old_id", "est_jaccard")
       .orderBy("new_id", "old_id")
   }
 }

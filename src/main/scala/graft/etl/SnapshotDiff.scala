@@ -71,6 +71,31 @@ object SnapshotDiff {
   def collapseCdc(delta: DataFrame, idCol: String, verCol: String): DataFrame =
     graft.plans.TopKPerKey.topK(delta, Seq(idCol), Seq((verCol, false)), 1)
 
+  /** Apply a versioned CDC delta WITH tombstones to a snapshot: collapse
+    * to the last writer per id ([[collapseCdc]]), then route by the op
+    * column — a max-version tombstone drops the id, a max-version upsert
+    * replaces the row, ids the delta never touched carry over unmoved.
+    * Version order resolves conflicting intents BEFORE the merge (an
+    * early delete overwritten by a later upsert keeps the row; a delete
+    * after upserts drops it), which is exactly what makes tombstones
+    * safe to compact. The collapsed delta is persisted once — it feeds
+    * both the upsert and the delete side — and it is diff-sized, never
+    * snapshot-sized, so the [[applyDelta]] anti-join broadcast stays the
+    * common case.
+    *
+    * `delta` must carry the snapshot's columns plus `verCol` and
+    * `opCol` (`opCol == deleteOp` marks a tombstone; its payload
+    * columns are ignored).
+    */
+  def applyCdc(snapshot: DataFrame, delta: DataFrame, idCol: String,
+               verCol: String, opCol: String,
+               deleteOp: String = "d"): DataFrame = {
+    val last = graft.CachePool.persist(collapseCdc(delta, idCol, verCol))
+    val upserts = last.filter(col(opCol) =!= deleteOp).drop(verCol, opCol)
+    val deletes = last.filter(col(opCol) === deleteOp).select(col(idCol))
+    applyDelta(snapshot, upserts, deletes, col(idCol))
+  }
+
   /** Per-source DISTRIBUTION DRIFT between snapshots — did a re-crawl
     * shift what a source looks like, not just which rows it has? Both
     * snapshots histogram over an integer `bucket` feature (token/char

@@ -242,14 +242,23 @@ object EventStreams {
         val reached = state.getOption.getOrElse(Array.fill(steps.length)(0L))
         val out = Seq.newBuilder[FunnelProgress]
         var lastTs = 0L
-        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val t = e.ts.getTime * 1000L
+        // full-microsecond precision: the batch funnel compares
+        // unix_micros, so truncating to getTime's milliseconds here would
+        // collapse sub-ms step progressions and break drain parity
+        def micros(ts: Timestamp): Long = {
+          val i = ts.toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        batch.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+          val t = micros(e.ts)
           lastTs = math.max(lastTs, e.ts.getTime)
           stepIdx.get(e.event_type).foreach { j =>
             val prefixDone = j == 0 || (reached(j - 1) != 0L && t > reached(j - 1))
             if (prefixDone && (reached(j) == 0L || t < reached(j))) {
               reached(j) = t
-              out += FunnelProgress(userId, j + 1, new Timestamp(t / 1000L))
+              out += FunnelProgress(userId, j + 1, Timestamp.from(
+                java.time.Instant.ofEpochSecond(Math.floorDiv(t, 1000000L),
+                  Math.floorMod(t, 1000000L) * 1000L)))
             }
           }
         }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The streaming twin of keyset pagination
+  * ([[graft.text.DocPipeline.pageByQuality]]): a resumable, exactly-once
+  * ordered feed per consumer, with the keyset cursor held as per-group
+  * state instead of round-tripped by the client.
+  *
+  * Each consumer's state is TWO longs — the keyset cursor (highest key
+  * delivered) and the running delivery count — so state is O(consumers),
+  * never O(items). Every micro-batch delivers the batch's items with
+  * key strictly above the cursor, in key order, stamped with a global
+  * per-consumer sequence number and the page it falls in
+  * (`seq / pageSize`); replays and duplicates (key ≤ cursor, or repeated
+  * within the batch) are dropped, which is the exactly-once resume-token
+  * contract a page server owes its clients. Exact page numbering under
+  * the same in-order-delivery contract the streaming funnel documents:
+  * keys arrive nondecreasing ACROSS micro-batches (within one batch any
+  * order works — the batch is sorted); an out-of-order straggler below
+  * the cursor is treated as a replay and dropped rather than renumbering
+  * pages already served.
+  *
+  * State lives as long as the consumer's key does (NoTimeout): the item
+  * stream carries no event time to anchor an event-time TTL on, and a
+  * processing-time TTL would make the query re-trigger continuously to
+  * poll timeouts even with no data. A deployment bounds state by bounding
+  * the live consumer population (it is two longs per consumer — 10M
+  * consumers is ~160 MB of state fleet-wide); wrap the key with an epoch
+  * (consumer_id, day) if consumers must age out.
+  */
+object PageFeed {
+
+  case class FeedItem(consumer_id: Long, item_key: Long)
+  case class FeedDelivery(consumer_id: Long, item_key: Long,
+                          seq: Long, page: Long)
+  case class FeedCursor(cursor: Long, served: Long)
+
+  def keysetFeedStream(items: Dataset[FeedItem],
+                       pageSize: Int): Dataset[FeedDelivery] = {
+    require(pageSize > 0, "pageSize must be positive")
+    import items.sparkSession.implicits._
+
+    def update(cid: Long, batch: Iterator[FeedItem],
+               state: GroupState[FeedCursor]): Iterator[FeedDelivery] = {
+      val st = state.getOption.getOrElse(FeedCursor(Long.MinValue, 0L))
+      var cursor = st.cursor
+      var served = st.served
+      val fresh = batch.map(_.item_key).toArray
+        .distinct.sorted.filter(_ > cursor)
+      val out = fresh.map { k =>
+        cursor = k
+        val d = FeedDelivery(cid, k, served, served / pageSize)
+        served += 1
+        d
+      }
+      state.update(FeedCursor(cursor, served))
+      out.iterator
+    }
+
+    items
+      .groupByKey(_.consumer_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -73,6 +73,19 @@ class OpsSpec extends SparkSpec {
     assert(got === Set((1L, 3L, "v3"), (2L, 1L, "only")))
   }
 
+  test("applyCdc: version order resolves tombstones before the merge") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "t")
+    val delta = Seq(
+      (2L, 1L, "u", "b1"), (2L, 2L, "u", "b2"),   // out-of-order upserts → b2
+      (3L, 2L, "d", "x"),  (3L, 1L, "u", "c1"),   // late delete wins → 3 dropped
+      (4L, 1L, "d", "x"),  (4L, 2L, "u", "d2"),   // early delete loses → d2
+      (5L, 1L, "d", "x")                           // tombstone for absent id: no-op
+    ).toDF("id", "ver", "op", "t")
+    val merged = SnapshotDiff.applyCdc(snap, delta, "id", "ver", "op")
+      .as[(Long, String)].collect().toSet
+    assert(merged === Set((1L, "a"), (2L, "b2"), (4L, "d2")))
+  }
+
   test("driftTable: exact TV fractions; a planted shift flips the drift flag") {
     // old: source A uniform over buckets 0/1; new: all mass moved to 1
     val old = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),

@@ -27,6 +27,42 @@ class StreamingSpec extends SparkSpec {
     Event(5L, ts(20), 2L, "purchase", 5.0)
   )
 
+  test("keyset feed stream: exactly-once ordered delivery with stable page numbers") {
+    import graft.streaming.PageFeed.{FeedDelivery, FeedItem}
+    val input = MemoryStream[FeedItem](spark)
+    val q = PageFeed.keysetFeedStream(input.toDS(), pageSize = 2)
+      .writeStream.format("memory").queryName("feed_out")
+      .outputMode("append").start()
+    try {
+      // consumer 1 receives keys across three batches with an in-batch
+      // duplicate (20) and a cross-batch replay (10); consumer 2 interleaves
+      input.addData(FeedItem(1L, 10L), FeedItem(1L, 20L), FeedItem(1L, 20L),
+        FeedItem(2L, 7L))
+      q.processAllAvailable()
+      input.addData(FeedItem(1L, 10L), FeedItem(1L, 30L), FeedItem(2L, 9L))
+      q.processAllAvailable()
+      input.addData(FeedItem(1L, 40L), FeedItem(1L, 50L))
+      q.processAllAvailable()
+      val got = spark.table("feed_out").as[FeedDelivery].collect()
+      val c1 = got.filter(_.consumer_id == 1L).sortBy(_.seq)
+        .map(d => (d.item_key, d.seq, d.page)).toList
+      // exactly once, key order, page = seq / pageSize across batches
+      assert(c1 === List((10L, 0L, 0L), (20L, 1L, 0L), (30L, 2L, 1L),
+        (40L, 3L, 1L), (50L, 4L, 2L)))
+      val c2 = got.filter(_.consumer_id == 2L).sortBy(_.seq)
+        .map(d => (d.item_key, d.seq, d.page)).toList
+      assert(c2 === List((7L, 0L, 0L), (9L, 1L, 0L)))
+      // parity with the batch keyset ranking: seq is the dense 0-based
+      // rank of the distinct keys per consumer
+      val batch = got.toSeq.toDS().select("consumer_id", "item_key").distinct()
+        .withColumn("seq", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("consumer_id").orderBy("item_key")) - 1)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(batch === got.map(d => (d.consumer_id, d.item_key, d.seq.toInt)).toSet)
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gaps > 30 minutes") {
     val out = EventStreams.sessionize(sample.toDF(), gapSec = 1800L)
       .select("user_id", "session_seq", "n_events").as[(Long, Long, Long)]
