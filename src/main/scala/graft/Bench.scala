@@ -113,7 +113,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is harvested by log-tail capture, which has truncated
+    // mid-JSON before; the file copy makes the artifact self-contained.
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    val parent = outFile.toAbsolutePath.getParent
+    if (parent != null) java.nio.file.Files.createDirectories(parent)
+    java.nio.file.Files.writeString(outFile, line + "\n")
     spark.stop()
   }
 }

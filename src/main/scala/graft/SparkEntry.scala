@@ -875,6 +875,43 @@ object SparkEntry {
           col("sum_user_ids"), col("n_users"))
     }),
 
+    "q_zorder_prune" -> ((s, d) => {
+      // z-order min-max FILE pruning — the second scale lever of a lake
+      // table (q_partition_prune is the first): lay lineitem out along
+      // the (l_partkey, l_suppkey) z-curve vs a single-column sort, then
+      // measure, from per-file min-max stats (the Delta/Iceberg file-skip
+      // decision, via ZOrder.filesIntersectingBox), how many files a
+      // bottom-quarter box predicate in BOTH dims must read. The z-curve
+      // bounds every file in both dims, so it must strictly beat the
+      // one-dim sort (prune_ok, driver-visible); the box aggregate is
+      // replayed by the oracle over the raw table — layout must never
+      // change query results.
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      val mx = li.agg(max("l_partkey"), max("l_suppkey")).head()
+      val (pkHi, skHi) = (mx.getLong(0) / 4.0, mx.getLong(1) / 4.0)
+      val zDir = scratchDir("graft_zorder_prune_z")
+      val rDir = scratchDir("graft_zorder_prune_row")
+      graft.sources.ZOrder.writeZOrdered(li, zDir, "l_partkey", "l_suppkey",
+        numFiles = 64)
+      li.repartitionByRange(64, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(rDir)
+      val zBack = s.read.parquet(zDir)
+      val (_, zHit) = graft.sources.ZOrder.filesIntersectingBox(
+        zBack, "l_partkey", 1.0, pkHi, "l_suppkey", 1.0, skHi)
+      val (_, rHit) = graft.sources.ZOrder.filesIntersectingBox(
+        s.read.parquet(rDir), "l_partkey", 1.0, pkHi, "l_suppkey", 1.0, skHi)
+      zBack
+        .filter(col("l_partkey") * 4 <= mx.getLong(0) &&
+          col("l_suppkey") * 4 <= mx.getLong(1))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("l_orderkey")).as("sum_okey"))
+        .select(col("n_rows"), col("sum_qty"), col("sum_okey"),
+          lit(zHit < rHit).as("prune_ok"))
+    }),
+
     "q_winsorized" -> ((s, d) =>
       // per-group winsorized statistics: values clipped to the group's
       // [p25, p75] before aggregation — robust mean without one float
@@ -2176,6 +2213,18 @@ object SparkEntry {
         |  CAST(sum(user_id) AS BIGINT) AS sum_user_ids,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    // the box aggregate is layout-independent (replayed over the raw
+    // table); the file-skipping contest itself is the pinned boolean —
+    // z-curve layout must strictly beat the one-dim sort on files read.
+    "q_zorder_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  TRUE AS prune_ok
+        |FROM lineitem
+        |WHERE l_partkey * 4 <= (SELECT max(l_partkey) FROM lineitem)
+        |  AND l_suppkey * 4 <= (SELECT max(l_suppkey) FROM lineitem)""".stripMargin,
 
     // quartile cut points are exact dyadic quarters of integral values
     // (quantile_cont = Spark percentile there), so ×4 casts are integral

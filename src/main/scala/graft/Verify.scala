@@ -43,6 +43,7 @@ object Verify {
         SparkEntry.queries.view.filterKeys(keys).toMap
       case None => SparkEntry.queries
     }
+    val statuses = scala.collection.mutable.SortedMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       staleGroups.foreach { g =>
         spark.sparkContext.cancelJobGroup(g)
@@ -66,14 +67,17 @@ object Verify {
       try {
         work.get(timeoutSec, TimeUnit.SECONDS)
         CachePool.releaseGroup(group)
+        statuses(name) = "ok"
       } catch {
         case _: TimeoutException =>
           work.cancel(true)
           spark.sparkContext.cancelJobGroup(group)
           staleGroups += group
+          statuses(name) = s"timeout after ${timeoutSec}s"
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
         case e: Throwable =>
           CachePool.releaseGroup(group)
+          statuses(name) = s"error: ${e.getMessage}"
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         exec.shutdownNow()
@@ -98,6 +102,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query dump status, so a truncated driver log can never hide
+    // which queries wrote their parquet and which died or timed out.
+    // NOT in outDir: the correctness compare treats every outDir entry as
+    // a query result, so the summary lives under target/ instead.
+    val summary = statuses
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val sumPath = Paths.get("target/verify_summary.json")
+    if (sumPath.getParent != null) Files.createDirectories(sumPath.getParent)
+    Files.writeString(sumPath, summary)
     spark.stop()
   }
 }

@@ -46,6 +46,29 @@ object ZOrder {
              b: Column, bMin: Double, bMax: Double, bits: Int = 16): Column =
     interleave(scaleToGrid(a, aMin, aMax, bits), scaleToGrid(b, bMin, bMax, bits), bits)
 
+  /** How many files of a parquet layout a min-max-stats reader must scan
+    * for the box predicate `a ∈ [aLo, aHi] AND b ∈ [bLo, bHi]` — i.e. the
+    * files whose per-file [min, max] extent intersects the box in BOTH
+    * dimensions. This is exactly the file-skipping decision Delta/Iceberg
+    * make from file-level stats (and parquet readers per row group); it is
+    * measured from the data itself (`input_file_name` + per-file min/max,
+    * one two-column scan) so the count is engine-independent and
+    * assertable. Returns (filesTotal, filesSurviving).
+    */
+  def filesIntersectingBox(back: DataFrame, a: String, aLo: Double, aHi: Double,
+                           b: String, bLo: Double, bHi: Double): (Long, Long) = {
+    val stats = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(a).cast("double")).as("a_min"), max(col(a).cast("double")).as("a_max"),
+        min(col(b).cast("double")).as("b_min"), max(col(b).cast("double")).as("b_max"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("a_min") <= aHi && col("a_max") >= aLo &&
+          col("b_min") <= bHi && col("b_max") >= bLo, 1L).otherwise(0L))
+          .as("n_hit"))
+      .head()
+    (stats.getLong(0), stats.getLong(1))
+  }
+
   /** Write `df` as parquet laid out along the z-curve of (colA, colB):
     * one tiny agg job for the two ranges, then range-partition on the
     * z-value (distributed total order — no single-task sort) and sort

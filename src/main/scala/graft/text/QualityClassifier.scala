@@ -27,7 +27,7 @@ import graft.functions.{StringExprs, VecOps}
   * partitioning — so the GRADED surface is count/threshold gates
   * (accuracy, loss improvement), never raw weights; see `trainGate`.
   */
-object QualityClassifier {
+object QualityClassifier extends org.apache.spark.internal.Logging {
 
   /** The trained model: `w(b)` per bucket plus bias. Bounded by
     * construction — it IS the classifier (B doubles).
@@ -77,8 +77,9 @@ object QualityClassifier {
     */
   def fit(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
           buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
-          tokensOf: Column => Column = TextAnalysis.tokens): Model = {
-    require(iters >= 0 && buckets > 0)
+          tokensOf: Column => Column = TextAnalysis.tokens,
+          maxTrainDocs: Long = 1000000L): Model = {
+    require(iters >= 0 && buckets > 0 && maxTrainDocs > 0)
     val spark = pos.sparkSession
     import spark.implicits._
     // a gradient round costs (tasks × scheduling) + (rows × grams); the
@@ -94,8 +95,31 @@ object QualityClassifier {
       .select("barr", "y").as[(Array[Long], Double)].rdd
     val parts = math.max(1, math.min(raw.getNumPartitions,
       spark.sparkContext.defaultParallelism))
-    val data = raw.coalesce(parts)
+    val full = raw.coalesce(parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded-training-set guard (the `Decontaminate.overlaps` pattern):
+    // production quality classifiers train on bounded LABELED sets — fed a
+    // corpus-sized frame by mistake, 30 gradient rounds become 30 corpus
+    // scans over a spilled cache. Count once (cheap: the frame is about to
+    // be cached anyway), and above `maxTrainDocs` keep a deterministic
+    // hash-selected subset: membership is a pure function of the doc's
+    // bucket array (MurmurHash3 of its contents — stable across JVMs,
+    // partitionings, and reruns), never a seeded random sample whose
+    // membership shifts with the partition layout.
+    val nFull = full.count()
+    val data =
+      if (nFull <= maxTrainDocs) full
+      else {
+        logWarning(s"QualityClassifier.fit: training frame has $nFull docs " +
+          s"(> maxTrainDocs=$maxTrainDocs); down-sampling deterministically — " +
+          "is the labeled set really corpus-sized? Pass a bounded labeled " +
+          "frame, or raise maxTrainDocs explicitly.")
+        val keepPerM = math.max(1L, maxTrainDocs * 1000000L / nFull)
+        full.filter { case (barr, _) =>
+          val h = scala.util.hashing.MurmurHash3.arrayHash(barr).toLong
+          (h & Long.MaxValue) % 1000000L < keepPerM
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     try {
       val nDocs = data.count().toDouble
       val w = new Array[Double](buckets)
@@ -142,7 +166,10 @@ object QualityClassifier {
         }
       }
       Model(buckets, bias, w)
-    } finally data.unpersist(blocking = false)
+    } finally {
+      if (data ne full) data.unpersist(blocking = false)
+      full.unpersist(blocking = false)
+    }
   }
 
   /** Stateless per-doc scores under a trained model: (doc_id, keep...,

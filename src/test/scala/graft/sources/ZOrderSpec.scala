@@ -48,4 +48,28 @@ class ZOrderSpec extends SparkSpec {
     // and z-order's second-dim bound is the win over the sorted layout.
     assert(zK < sK / 2)
   }
+
+  test("filesIntersectingBox: z-layout reads strictly fewer files for a 2-dim box") {
+    // uniform 2-d grid so both layouts get clean extents
+    val grid = (0 until 4096).map(i => (i.toLong % 64L, i.toLong / 64L, i.toLong))
+      .toDF("x", "y", "v")
+    val zDir = Files.createTempDirectory("graft_zbox").toString
+    ZOrder.writeZOrdered(grid, zDir, "x", "y", numFiles = 16, bits = 8)
+    val rDir = Files.createTempDirectory("graft_rbox").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(rDir)
+    // bottom quarter in both dims: 1/16 of the data
+    val (zTot, zHit) = ZOrder.filesIntersectingBox(
+      spark.read.parquet(zDir), "x", 0.0, 15.0, "y", 0.0, 15.0)
+    val (rTot, rHit) = ZOrder.filesIntersectingBox(
+      spark.read.parquet(rDir), "x", 0.0, 15.0, "y", 0.0, 15.0)
+    assert(zTot === 16L && rTot === 16L)
+    // x-sorted layout: every x-file spans all y, so ~1/4 of files qualify;
+    // the z-layout tiles both dims, so the box touches strictly fewer.
+    assert(zHit < rHit, s"z-layout hit $zHit of $zTot vs row $rHit of $rTot")
+    // and the box rows themselves are identical whatever the layout
+    val zRows = spark.read.parquet(zDir)
+      .filter(col("x") <= 15 && col("y") <= 15).count()
+    assert(zRows === 256L)
+  }
 }

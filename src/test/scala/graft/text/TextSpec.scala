@@ -250,6 +250,37 @@ class TextSpec extends SparkSpec {
     graft.CachePool.releaseAll()
   }
 
+  test("fit bounds an oversized training frame by deterministic hash sampling") {
+    val pos = (1L to 60L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
+    val neg = (101L to 160L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here " +
+        "zxq wvv zxq wvv junkmarker")).toDF("doc_id", "text")
+    // 120 docs > maxTrainDocs=40 → the guard takes the sampled path; the
+    // subset is a pure function of each doc's bucket array, so two fits
+    // see the SAME subset. Weights are compared at ulp tolerance only —
+    // treeAggregate's IEEE merge order is not bit-stable — but a
+    // DIFFERENT subset would move them by whole percents, not ulps.
+    def fitOnce() = QualityClassifier.fit(pos, neg, col("doc_id"), col("text"),
+      buckets = 512, iters = 40, lr = 2.0, maxTrainDocs = 40L)
+    val m1 = fitOnce()
+    val m2 = fitOnce()
+    assert(math.abs(m1.bias - m2.bias) < 1e-9)
+    m1.w.indices.foreach { i =>
+      assert(math.abs(m1.w(i) - m2.w(i)) < 1e-9,
+        s"weight $i: ${m1.w(i)} vs ${m2.w(i)} — sampled subsets differ")
+    }
+    // the hash-selected subset keeps both classes, so the model still
+    // separates the planted junk marker on unseen rows
+    val fresh = Seq(
+      (900L, "a perfectly clean document number nine hundred with enough ordinary tokens here"),
+      (901L, "zxq wvv zxq wvv junkmarker zxq wvv junkmarker")).toDF("doc_id", "text")
+    val scores = QualityClassifier.score(fresh, col("doc_id"), col("text"), m1)
+      .select("doc_id", "predicted").as[(Long, Boolean)].collect().toMap
+    assert(scores(900L) && !scores(901L), s"got $scores")
+    graft.CachePool.releaseAll()
+  }
+
   test("calibrationGate: junk-heavy bottom bins, clean top bins, monotone rate") {
     val pos = (1L to 30L).map(i =>
       (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
