@@ -118,11 +118,18 @@ object Bench {
     println(line)
     // the stdout line is harvested by log-tail capture, which has truncated
     // mid-JSON before; the file copy makes the artifact self-contained.
-    val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
-    val parent = outFile.toAbsolutePath.getParent
-    if (parent != null) java.nio.file.Files.createDirectories(parent)
-    java.nio.file.Files.writeString(outFile, line + "\n")
+    // best-effort: an unwritable artifact path must not fail a bench run
+    // whose measurements already landed on stdout.
+    try {
+      val outFile = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      val parent = outFile.toAbsolutePath.getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      java.nio.file.Files.writeString(outFile, line + "\n")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write bench artifact: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

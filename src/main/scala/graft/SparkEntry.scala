@@ -886,6 +886,13 @@ object SparkEntry {
       // one-dim sort (prune_ok, driver-visible); the box aggregate is
       // replayed by the oracle over the raw table — layout must never
       // change query results.
+      // prune_ok is a designed LAYOUT invariant, not a data invariant:
+      // with 64 files over a quarter-box it holds whenever both key
+      // domains are dense enough that repartitionByRange actually yields
+      // ~64 distinct extents (empirically any sf >= 0.001 here, i.e.
+      // >= ~6k rows and >= ~200 distinct keys per dim). At degenerate
+      // scale (few distinct keys collapsing range partitions) the
+      // one-dim layout can tie, so don't run this query below sf0.001.
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
       val mx = li.agg(max("l_partkey"), max("l_suppkey")).head()

@@ -66,7 +66,10 @@ object ZOrder {
           col("b_min") <= bHi && col("b_max") >= bLo, 1L).otherwise(0L))
           .as("n_hit"))
       .head()
-    (stats.getLong(0), stats.getLong(1))
+    // zero input files: the global sum aggregate is null — mirror
+    // writeZOrdered's explicit empty-input handling instead of NPEing.
+    if (stats.isNullAt(1)) (0L, 0L)
+    else (stats.getLong(0), stats.getLong(1))
   }
 
   /** Write `df` as parquet laid out along the z-curve of (colA, colB):

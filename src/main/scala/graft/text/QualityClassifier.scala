@@ -92,7 +92,8 @@ object QualityClassifier extends org.apache.spark.internal.Logging {
       .withColumn("y", lit(1.0))
       .unionByName(features(neg, id, text, buckets, tokensOf = tokensOf)
         .withColumn("y", lit(0.0)))
-      .select("barr", "y").as[(Array[Long], Double)].rdd
+      .select(col("doc_id").cast("string"), col("barr"), col("y"))
+      .as[(String, Array[Long], Double)].rdd
     val parts = math.max(1, math.min(raw.getNumPartitions,
       spark.sparkContext.defaultParallelism))
     val full = raw.coalesce(parts)
@@ -102,26 +103,36 @@ object QualityClassifier extends org.apache.spark.internal.Logging {
     // corpus-sized frame by mistake, 30 gradient rounds become 30 corpus
     // scans over a spilled cache. Count once (cheap: the frame is about to
     // be cached anyway), and above `maxTrainDocs` keep a deterministic
-    // hash-selected subset: membership is a pure function of the doc's
-    // bucket array (MurmurHash3 of its contents — stable across JVMs,
-    // partitionings, and reruns), never a seeded random sample whose
-    // membership shifts with the partition layout.
+    // hash-selected subset: membership is a pure function of (doc_id,
+    // bucket array) — MurmurHash3 over both, stable across JVMs,
+    // partitionings, and reruns, never a seeded random sample whose
+    // membership shifts with the partition layout. Mixing the id in
+    // means duplicated TEXTS still sample independently; the bound is
+    // exact in expectation and Binomial-tight around maxTrainDocs
+    // (±O(√maxTrainDocs)), not a hard ceiling.
     val nFull = full.count()
     val data =
-      if (nFull <= maxTrainDocs) full
+      if (nFull <= maxTrainDocs) full.map { case (_, barr, y) => (barr, y) }
       else {
         logWarning(s"QualityClassifier.fit: training frame has $nFull docs " +
           s"(> maxTrainDocs=$maxTrainDocs); down-sampling deterministically — " +
           "is the labeled set really corpus-sized? Pass a bounded labeled " +
           "frame, or raise maxTrainDocs explicitly.")
         val keepPerM = math.max(1L, maxTrainDocs * 1000000L / nFull)
-        full.filter { case (barr, _) =>
-          val h = scala.util.hashing.MurmurHash3.arrayHash(barr).toLong
-          (h & Long.MaxValue) % 1000000L < keepPerM
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        full.filter { case (docId, barr, _) =>
+          val h = scala.util.hashing.MurmurHash3.arrayHash(barr) * 31 +
+            scala.util.hashing.MurmurHash3.stringHash(docId)
+          (h.toLong & Long.MaxValue) % 1000000L < keepPerM
+        }.map { case (_, barr, y) => (barr, y) }
       }
+    val dataCached = data
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nDocs = data.count().toDouble
+      val nDocs = dataCached.count().toDouble
+      // the sampled/projected subset is materialized; the full cache's
+      // lineage obligation is satisfied — release it before the
+      // gradient rounds instead of pinning a corpus-sized cache.
+      full.unpersist(blocking = false)
       val w = new Array[Double](buckets)
       val gsq = new Array[Double](buckets + 1) // index `buckets` = bias slot
       var bias = 0.0
@@ -131,7 +142,7 @@ object QualityClassifier extends org.apache.spark.internal.Logging {
           val wLocal = w.clone()
           val biasLocal = bias
           val zero = new Array[Double](buckets + 1)
-          val grad = data.treeAggregate(zero)(
+          val grad = dataCached.treeAggregate(zero)(
             seqOp = (acc, doc) => {
               val (barr, y) = doc
               val n = barr.length.toDouble
@@ -167,8 +178,8 @@ object QualityClassifier extends org.apache.spark.internal.Logging {
       }
       Model(buckets, bias, w)
     } finally {
-      if (data ne full) data.unpersist(blocking = false)
-      full.unpersist(blocking = false)
+      dataCached.unpersist(blocking = false)
+      full.unpersist(blocking = false) // no-op if already released above
     }
   }
 

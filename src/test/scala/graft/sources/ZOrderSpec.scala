@@ -72,4 +72,10 @@ class ZOrderSpec extends SparkSpec {
       .filter(col("x") <= 15 && col("y") <= 15).count()
     assert(zRows === 256L)
   }
+
+  test("filesIntersectingBox on an empty frame returns (0, 0), not an NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(ZOrder.filesIntersectingBox(empty, "x", 0.0, 1.0, "y", 0.0, 1.0)
+      === ((0L, 0L)))
+  }
 }
