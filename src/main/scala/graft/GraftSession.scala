@@ -41,4 +41,26 @@ object GraftSession {
   /** Table loader: TESTDATA layout is one parquet per table. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Robust events loader: the events table's `ts` has shipped in three
+    * physical parquet encodings across testdata generations, and every
+    * event-time operator expects one logical type. Normalized here, at
+    * the ingestion boundary, to TIMESTAMP (session zone pinned UTC):
+    *   - TIMESTAMP(NANOS) + `nanosAsLong` → nanos Long → integer-`div`
+    *     to micros (double division loses precision above 2^53 ns);
+    *   - timestamp[us] with isAdjustedToUTC=false → TIMESTAMP_NTZ →
+    *     cast (wall-clock reinterpreted in the UTC session zone, so the
+    *     stored micros are unchanged);
+    *   - timestamp[us/ms] adjusted to UTC → already TIMESTAMP.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 }

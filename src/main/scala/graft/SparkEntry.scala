@@ -45,19 +45,12 @@ object SparkEntry {
       p.toString
     })
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
-    * arrives as a nanos Long. Convert with integer division (`div`) — a
-    * double division would lose precision above 2^53 ns (~1970+104 days).
+  /** events.parquet's `ts` physical encoding varies by testdata
+    * generation (nanos Long / TIMESTAMP_NTZ / TIMESTAMP) — normalized to
+    * TIMESTAMP at the ingestion boundary by [[GraftSession.events]].
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    GraftSession.events(s, dir)
 
   /** The re-crawl scenario shared by the snapshot queries
     * (q_snapshot_diff / q_snapshot_dedup / q_drift): drop every 7th doc,
@@ -607,8 +600,8 @@ object SparkEntry {
       // duration emitted as exact integer micros.
       val sess = graft.streaming.EventStreams.sessionize(events(s, d))
       sess.select(col("user_id"), col("session_seq"), col("n_events"),
-          (unix_micros(col("session_end")) - unix_micros(col("session_start")))
-            .as("dur_us"))
+          (Relational.epochMicros(col("session_end")) -
+            Relational.epochMicros(col("session_start"))).as("dur_us"))
         .orderBy(col("n_events").desc, col("user_id"), col("session_seq"))
         .limit(25)
     }),

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * map-side combinable, per-user state is bounded by that user's own
   * activity (the same contract ClickHouse's windowFunnel and every
   * production funnel engine accepts), and no global window exists.
-  * Timestamps are compared as integer epoch MICROSECONDS (`unix_micros`)
-  * so an external oracle replays comparisons bit-for-bit regardless of
-  * the parquet file's nanosecond physical type.
+  * Timestamps are compared as integer epoch MICROSECONDS
+  * ([[Relational.epochMicros]] — NTZ-tolerant) so an external oracle
+  * replays comparisons bit-for-bit regardless of the parquet file's
+  * physical timestamp type.
   */
 object EventAnalytics {
 
@@ -45,7 +46,7 @@ object EventAnalytics {
   def funnel(events: DataFrame, user: Column, ts: Column, eventType: Column,
              steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val tUs = unix_micros(ts)
+    val tUs = Relational.epochMicros(ts)
     val perStepArrays = steps.zipWithIndex.map { case (st, i) =>
       collect_list(when(eventType === st, tUs)).as(s"ts_$i")
     }

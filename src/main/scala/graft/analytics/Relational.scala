@@ -18,6 +18,16 @@ object Relational {
     */
   def micros(c: Column): Column = floor(c * 1e6).cast("long")
 
+  /** Epoch microseconds of an event-time column, tolerant of BOTH
+    * `TIMESTAMP` and `TIMESTAMP_NTZ` inputs: parquet written with
+    * `isAdjustedToUTC=false` surfaces as NTZ, which bare `unix_micros`
+    * rejects at analysis. The cast is a no-op on TIMESTAMP and
+    * reinterprets NTZ wall-clock in the session zone (pinned UTC by every
+    * graft session builder), so both encodings yield the same integers.
+    */
+  def epochMicros(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** TPC-H-q1-style grouped pricing summary over lineitem, exact.
     * Plans as partial agg → 2-key shuffle → final agg; the shipdate filter
     * is pushed to the parquet scan.

@@ -69,7 +69,8 @@ object AsOfJoin {
     val matchTs = col("__m_row").getField("__ts")
     val withinTolerance = toleranceSec match {
       case Some(t) => col("__m_row").isNotNull &&
-        unix_micros(col(tsCol)) - unix_micros(matchTs) <= t * 1000000L
+        graft.analytics.Relational.epochMicros(col(tsCol)) -
+          graft.analytics.Relational.epochMicros(matchTs) <= t * 1000000L
       case None => col("__m_row").isNotNull
     }
 

@@ -62,7 +62,8 @@ object EventStreams {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L, 1L)
+          graft.analytics.Relational.epochMicros(col("ts")) -
+            graft.analytics.Relational.epochMicros(col("prev_ts")) > gapSec * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("is_new")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

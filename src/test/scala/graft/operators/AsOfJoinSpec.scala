@@ -98,8 +98,9 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("asOf equals the brute-force range join on real events data") {
-    val events = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // GraftSession.events normalizes whatever physical ts encoding the
+    // current testdata generation ships (nanos Long / NTZ / TIMESTAMP).
+    val events = graft.GraftSession.events(spark, Sf)
     val left = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("k"), col("ts"), col("event_id"))
     val right = events.filter(col("event_type") === "view")
