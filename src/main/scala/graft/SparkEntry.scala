@@ -547,7 +547,17 @@ object SparkEntry {
         col("doc_id"), col("text"), threshold = 0.5)),
 
     "q_multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeFeatures(Multimodal.asMedia(t(s, d, "documents")))
+      // REAL codec round trip: per-doc PNG payloads encoded on the
+      // executors (dims derived from doc_id), then width/height/channels
+      // decoded back OUT OF THE BYTES with javax.imageio. The oracle
+      // mirrors the dim derivation, so a broken encode or decode
+      // hash-mismatches; n_bytes > 0 pins that a real compressed payload
+      // existed.
+      Multimodal.decodeImageFeatures(
+          Multimodal.imageMedia(t(s, d, "documents")))
+        .select(col("doc_id"), col("mime"),
+          (col("n_bytes") > 0).cast("int").cast("long").as("has_payload"),
+          col("width"), col("height"), col("channels"))
         .orderBy("doc_id")),
 
     "q_frame_sample" -> ((s, d) =>
@@ -1763,11 +1773,13 @@ object SparkEntry {
         |  CAST(floor((length(text) + 3) / 4) AS BIGINT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the PNG byte count is codec-internal (not SQL-replayable), but the
+    // decoded dims/channels must equal the planted derivation exactly
     "q_multimodal_meta" ->
-      """SELECT doc_id, 'text/plain' AS mime,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+      """SELECT doc_id, 'image/png' AS mime, CAST(1 AS BIGINT) AS has_payload,
+        |  CAST(1 + doc_id % 64 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 48 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample" ->

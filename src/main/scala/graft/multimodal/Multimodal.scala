@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * with the decode / feature-extract step running batched inside
   * `mapPartitions`.
   *
-  * The image/audio codecs are NOT in this container, so the decode is a
-  * clearly-marked deterministic STUB — but the Spark-side plumbing is real:
-  * schema (binary + struct metadata), partition-parallel batched execution
-  * (one codec context per batch, like a real decoder would amortize), and
-  * a columnar feature output. Swapping the stub for a real JNI/FFI decoder
-  * changes only `decodeBatch`.
+  * The IMAGE path is a real codec: [[imageMedia]] encodes genuine PNG
+  * payloads and [[decodeImageFeatures]] reads width/height/channels back
+  * out of the bytes with `javax.imageio` (PNG/JPEG/GIF/BMP readers ship
+  * with the JDK). Audio/video codecs are NOT in this container, so frame
+  * sampling and resize remain clearly-marked deterministic STUBS — the
+  * Spark-side plumbing (binary + struct schema, partition-parallel batched
+  * execution, columnar feature output) is identical in both; swapping a
+  * stub for a real JNI/FFI decoder changes only its batch function.
   */
 object Multimodal {
 
@@ -62,6 +64,85 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, FeatureSchema)
+  }
+
+  // ── real image codec (javax.imageio) ──────────────────────────────────
+
+  /** Media frame with REAL PNG payloads: per doc, a genuine
+    * `width × height` RGB image (dims derived from `doc_id`, pixels a
+    * deterministic function of (doc_id, x, y)) encoded through
+    * `ImageIO.write` on the executors. The derivation keys the SQL
+    * oracle: the graded query must recover these dims FROM THE BYTES, so
+    * a broken encode or decode hash-mismatches.
+    */
+  def imageMedia(docs: DataFrame, maxW: Int = 64, maxH: Int = 48): DataFrame = {
+    val spark = docs.sparkSession
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType, nullable = false),
+        StructField("origin", StringType, nullable = true))), nullable = false)))
+    val rdd = docs.select(col("doc_id"), col("source")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 1 + (id % maxW).toInt
+        val h = 1 + (id % maxH).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray, Row("image/png", r.getString(1)))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Feature schema of the real decode: dims/channels are null when the
+    * payload doesn't decode (truncated file, unknown format) — corrupt
+    * inputs yield gradeable nulls, not task failures.
+    */
+  val ImageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true)))
+
+  /** REAL batched decode: each batch drains through `javax.imageio`,
+    * reading width/height/channel-count out of the actual payload bytes.
+    * Same partition-parallel `mapPartitions` topology as the stub path —
+    * no driver involvement, one in-memory decode per row, batch grouping
+    * preserved for codecs that amortize context setup.
+    */
+  def decodeImageFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("meta.mime"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null)
+            Row(r.getLong(0), r.getString(1), payload.length.toLong, null, null, null)
+          else
+            Row(r.getLong(0), r.getString(1), payload.length.toLong,
+              img.getWidth.toLong, img.getHeight.toLong,
+              img.getRaster.getNumBands.toLong)
+        })
+      }
+    spark.createDataFrame(rdd, ImageFeatureSchema)
   }
 
   val ResizedSchema: StructType = StructType(Seq(

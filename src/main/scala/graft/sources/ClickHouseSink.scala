@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ClickHouse-dialect face of [[SqlBatchSink]]: the exact statement shapes
+  * and date normalization of the reference's MergeTree loader
+  * (/root/reference/dags/main.py:381-441 batch-loading logic, :451-456
+  * bare-year repair), re-expressed for executor-parallel loading.
+  *
+  * The reference collects the WHOLE table to the driver, re-parses
+  * date-shaped strings row by row in Python, and loops 2000-row native
+  * inserts from one process. Here the date repair is ONE Catalyst
+  * expression (typed once, declaratively), admin statements (count,
+  * truncate) run once driver-side as O(1) control traffic, and row data
+  * flows only executor→DB through [[SqlBatchSink.loadTable]]'s
+  * per-partition prepared-statement batches — the part that must scale
+  * with data.
+  */
+object ClickHouseSink {
+
+  /** Statement text per target dialect. Row values NEVER ride in the
+    * text — they go through prepared-statement parameters; identifiers
+    * pass [[SqlBatchSink]]'s plain-identifier gate before interpolation.
+    */
+  trait SqlDialect {
+    def countSql(table: String): String
+    def truncateSql(table: String): String
+    /** Statement HEAD of a batched insert — the reference's text ends at
+      * `VALUES`, with row tuples supplied by the client protocol.
+      */
+    def insertSql(table: String, columns: Seq[String]): String
+    /** JDBC-parameterized form of the same insert, for `executeBatch`. */
+    final def insertPreparedSql(table: String, columns: Seq[String]): String =
+      s"${insertSql(table, columns)} (${columns.map(_ => "?").mkString(", ")})"
+  }
+
+  /** Statement-for-statement the reference loader's texts:
+    *   `SELECT count() FROM t`              (main.py:415)
+    *   `ALTER TABLE t DELETE WHERE 1=1`     (main.py:420 — MergeTree has no
+    *                                         in-place DELETE; this is the
+    *                                         mutation idiom)
+    *   `INSERT INTO t (c1, …, cn) VALUES`   (main.py:422)
+    */
+  object ClickHouseDialect extends SqlDialect {
+    def countSql(table: String): String = s"SELECT count() FROM $table"
+    def truncateSql(table: String): String = s"ALTER TABLE $table DELETE WHERE 1=1"
+    def insertSql(table: String, columns: Seq[String]): String =
+      s"INSERT INTO $table (${columns.mkString(", ")}) VALUES"
+  }
+
+  /** ANSI spelling of the same three statements, so the identical load
+    * path round-trips through embedded Derby in the suite — ClickHouse's
+    * zero-arg `count()` and mutation-DELETE are dialect-specific.
+    */
+  object AnsiDialect extends SqlDialect {
+    def countSql(table: String): String = s"SELECT COUNT(*) FROM $table"
+    def truncateSql(table: String): String = s"DELETE FROM $table"
+    def insertSql(table: String, columns: Seq[String]): String =
+      s"INSERT INTO $table (${columns.mkString(", ")}) VALUES"
+  }
+
+  /** The reference's bare-year repair (main.py:451-456) as one
+    * expression: a 4-char value `YYYY` becomes `YYYY-01-01`, then the
+    * column is typed DATE via `to_date(_, 'yyyy-MM-dd')` — unparseable
+    * values go NULL under non-ANSI semantics, exactly as the reference's
+    * PySpark `to_date` does. This also subsumes the loader's per-row
+    * Python re-parse of date-shaped strings (main.py:393-401): columns
+    * are typed once here instead of per row at the driver.
+    */
+  def normalizeYearToDate(df: DataFrame, colName: String): DataFrame =
+    df.withColumn(colName,
+      to_date(
+        when(length(col(colName)) === 4,
+          concat_ws("-", col(colName), lit("01"), lit("01")))
+          .otherwise(col(colName)),
+        "yyyy-MM-dd"))
+
+  /** Truncate-if-nonempty + batched insert — the reference's
+    * `batch_loading_logic` (main.py:381-441, default batch 2000) with the
+    * driver-side collect replaced by per-partition prepared-statement
+    * batches. At-least-once per batch, like the reference; see
+    * [[SqlBatchSink.loadTable]] for the exactly-once recipe.
+    */
+  def load(df: DataFrame, table: String, jdbcUrl: String,
+           dialect: SqlDialect = ClickHouseDialect,
+           batchSize: Int = 2000,
+           truncateIfExists: Boolean = true,
+           connectionProps: Map[String, String] = Map.empty,
+           driverClass: Option[String] = None): Unit = {
+    table.split('.').foreach(SqlBatchSink.checkIdent(_, "table path segment"))
+    if (truncateIfExists) {
+      val p = new java.util.Properties()
+      connectionProps.foreach { case (k, v) => p.setProperty(k, v) }
+      val conn = DriverManager.getConnection(jdbcUrl, p)
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(dialect.countSql(table))
+          rs.next()
+          if (rs.getLong(1) > 0L) st.execute(dialect.truncateSql(table)): Unit
+        } finally st.close()
+      } finally conn.close()
+    }
+    SqlBatchSink.loadTable(df, table, jdbcUrl, batchSize, connectionProps, driverClass)
+  }
+}

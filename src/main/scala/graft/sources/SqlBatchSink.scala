@@ -38,7 +38,7 @@ object SqlBatchSink {
     */
   private val SafeIdent = "[A-Za-z_][A-Za-z0-9_]*".r
 
-  private def checkIdent(name: String, what: String): Unit =
+  private[sources] def checkIdent(name: String, what: String): Unit =
     require(SafeIdent.matches(name),
       s"$what '$name' is not a plain SQL identifier ([A-Za-z_][A-Za-z0-9_]*); " +
         "rename it or pre-quote it in your own DDL-matched sink")

@@ -25,6 +25,39 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() === media.count())
   }
 
+  test("imageMedia plants REAL PNGs: magic bytes present, dims decode back exactly") {
+    val docs = table("documents").limit(50)
+    val m = Multimodal.imageMedia(docs)
+    // PNG signature on every payload
+    val sigs = m.select(col("payload")).collect().map(_.getAs[Array[Byte]](0).take(4))
+    assert(sigs.forall(_.sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))))
+    // decode recovers the planted derivation from the BYTES
+    val feats = Multimodal.decodeImageFeatures(m, batchSize = 16)
+    val bad = feats.filter(
+      col("width") =!= lit(1) + col("doc_id") % 64 ||
+        col("height") =!= lit(1) + col("doc_id") % 48 ||
+        col("channels") =!= 3 || col("n_bytes") <= 0).count()
+    assert(bad === 0L)
+    assert(feats.count() === docs.count())
+  }
+
+  test("decodeImageFeatures round-trips an independently-encoded PNG and nulls corrupt bytes") {
+    // a 7×5 PNG encoded right here, independent of imageMedia's derivation
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val good = out.toByteArray
+    val junk = Array.fill[Byte](32)(42)
+    val media = Seq((1L, good), (2L, junk)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("image/png").as("mime")))
+    val got = Multimodal.decodeImageFeatures(media)
+      .select("doc_id", "width", "height", "channels")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, Some(7L), Some(5L), Some(3L)), (2L, None, None, None)))
+  }
+
   test("resizeStub output payload size tracks the target dimensions") {
     val resized = Multimodal.resizeStub(media, w = 64, h = 64)
     assert(resized.count() === media.count())

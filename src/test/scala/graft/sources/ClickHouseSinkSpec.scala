@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.sql.{Date, DriverManager}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the ClickHouse-dialect loader two ways: the generated statement
+  * TEXT is character-for-character the reference's
+  * (/root/reference/dags/main.py:415,420,422), and the same load path —
+  * bare-year date normalization, truncate-if-exists, 2000-row batches —
+  * round-trips through a real JDBC engine (embedded Derby, ANSI dialect
+  * spelling of the same statements).
+  */
+class ClickHouseSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+
+  private val geoColumns = Seq(
+    "house_id", "latitude", "longitude", "maintenance_year", "square",
+    "population", "region", "locality_name", "address", "full_address",
+    "communal_service_id", "description")
+
+  test("ClickHouse statement text matches the reference loader exactly") {
+    val d = ClickHouseSink.ClickHouseDialect
+    assert(d.countSql("geo_estate_data") === "SELECT count() FROM geo_estate_data")
+    assert(d.truncateSql("geo_estate_data") ===
+      "ALTER TABLE geo_estate_data DELETE WHERE 1=1")
+    assert(d.insertSql("geo_estate_data", geoColumns) ===
+      "INSERT INTO geo_estate_data (house_id, latitude, longitude, " +
+        "maintenance_year, square, population, region, locality_name, " +
+        "address, full_address, communal_service_id, description) VALUES")
+    assert(d.insertPreparedSql("t", Seq("a", "b")) ===
+      "INSERT INTO t (a, b) VALUES (?, ?)")
+  }
+
+  test("normalizeYearToDate repairs bare years and nulls garbage, like the reference") {
+    val got = ClickHouseSink.normalizeYearToDate(
+        Seq(("1985"), ("2001-07-15"), ("19x5"), ("n/a"), (null: String))
+          .toDF("maintenance_year"),
+        "maintenance_year")
+      .as[Option[Date]].collect().toSeq
+    assert(got === Seq(Some(Date.valueOf("1985-01-01")),
+      Some(Date.valueOf("2001-07-15")), None, None, None))
+  }
+
+  test("load round-trips through Derby at batch=2000 with truncate-if-exists") {
+    val db = s"graft_ch_${System.nanoTime()}"
+    val url = s"jdbc:derby:$db;create=true"
+    val setup = DriverManager.getConnection(url)
+    setup.createStatement().execute(
+      "CREATE TABLE geo_t (house_id BIGINT, maintenance_year DATE, square DOUBLE)")
+    setup.close()
+
+    // 4503 rows over 5 partitions: each partition fills zero full 2000-row
+    // batches plus a ragged one, exercising both executeBatch paths.
+    val df = ClickHouseSink.normalizeYearToDate(
+      spark.range(0, 4503)
+        .select(col("id").as("house_id"),
+          concat(lit("19"), lpad((col("id") % 100).cast("string"), 2, "0"))
+            .as("maintenance_year"),
+          (col("id") * 1.5).as("square"))
+        .repartition(5),
+      "maintenance_year")
+
+    def count(): Long = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          ClickHouseSink.AnsiDialect.countSql("geo_t"))
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+
+    // first load: table empty, truncate is a no-op
+    ClickHouseSink.load(df, "geo_t", url, ClickHouseSink.AnsiDialect)
+    assert(count() === 4503L)
+    // re-load with truncate-if-exists: count stays, not doubles
+    ClickHouseSink.load(df, "geo_t", url, ClickHouseSink.AnsiDialect)
+    assert(count() === 4503L)
+    // append mode doubles
+    ClickHouseSink.load(df, "geo_t", url, ClickHouseSink.AnsiDialect,
+      truncateIfExists = false)
+    assert(count() === 9006L)
+
+    // the normalized dates landed as real DATEs: id 7 → year 1907-01-01
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT maintenance_year FROM geo_t WHERE house_id = 7 FETCH FIRST ROW ONLY")
+      rs.next()
+      assert(rs.getDate(1) === Date.valueOf("1907-01-01"))
+    } finally c.close()
+  }
+}
