@@ -64,4 +64,57 @@ object PageFeed {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  // ── ranked feed: the batch pager's composite keyset, streamed ─────────
+
+  case class RankedItem(consumer_id: Long, score: Double, item_id: Long)
+  case class RankedDelivery(consumer_id: Long, score: Double, item_id: Long,
+                            seq: Long, page: Long)
+  case class RankedCursor(score: Double, id: Long, served: Long)
+
+  /** [[keysetFeedStream]] under the EXACT pagination order of the batch
+    * keyset pager ([[graft.text.DocPipeline.pageByQuality]]): score
+    * DESCENDING, item id ASCENDING on ties — so a consumer's streamed
+    * page `p` is row-identical to the batch pager's page `p+1` over the
+    * same items. The cursor state is the batch pager's keyset
+    * (score, id) plus the running count: three fixed-width fields per
+    * consumer, O(consumers) state total.
+    *
+    * Same delivery contract as the plain feed: items must arrive
+    * nondecreasing in pagination order ACROSS micro-batches (any order
+    * within one — the batch is sorted); anything at-or-before the cursor
+    * is a replay and is dropped rather than renumbering served pages.
+    */
+  def rankedFeedStream(items: Dataset[RankedItem],
+                       pageSize: Int): Dataset[RankedDelivery] = {
+    require(pageSize > 0, "pageSize must be positive")
+    import items.sparkSession.implicits._
+
+    // strictly after the cursor in (score desc, id asc) order
+    def after(c: RankedCursor, s: Double, i: Long): Boolean =
+      s < c.score || (s == c.score && i > c.id)
+
+    def update(cid: Long, batch: Iterator[RankedItem],
+               state: GroupState[RankedCursor]): Iterator[RankedDelivery] = {
+      val st = state.getOption.getOrElse(
+        RankedCursor(Double.PositiveInfinity, Long.MinValue, 0L))
+      var cur = st
+      val fresh = batch.map(e => (e.score, e.item_id)).toArray.distinct
+        .sortBy { case (s, i) => (-s, i) }
+      val out = Seq.newBuilder[RankedDelivery]
+      fresh.foreach { case (s, i) =>
+        if (after(cur, s, i)) {
+          out += RankedDelivery(cid, s, i, cur.served, cur.served / pageSize)
+          cur = RankedCursor(s, i, cur.served + 1)
+        }
+      }
+      state.update(cur)
+      out.result().iterator
+    }
+
+    items
+      .groupByKey(_.consumer_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

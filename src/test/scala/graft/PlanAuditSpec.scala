@@ -527,4 +527,50 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(cacheScans.size >= 2,
       s"labeled frame must be cache-reused across argmax and gate:\n$plan")
   }
+
+  test("AQE splits a planted hot fact-fact key into skewed partition sub-reads") {
+    // SURVEY §5's skew claim, made driver-visible: a fact-fact shuffle
+    // join whose hot key dwarfs the median partition must come out of
+    // AQE's OptimizeSkewedJoin as a skew-split join (isSkewJoin=true),
+    // i.e. the hot partition is read as multiple sub-partitions instead
+    // of one straggler task. Thresholds are lowered so sf-test volumes
+    // trip the same code path a 100 TB hot key would.
+    import org.apache.spark.sql.functions.{concat, count, length, lit, max, when}
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 16 map partitions so the hot reduce partition is splittable at
+      // map-output granularity; 5/6 of the left lands on key 0.
+      val hot = spark.range(0, 120000, 1, 16)
+        .select(when(col("id") % 6 =!= 0, lit(0L)).otherwise(col("id") % 500).as("k"),
+          concat(lit("padpadpadpadpadpadpadpad_"), col("id")).as("payload"))
+      val dim = spark.range(0, 500, 1, 4).select(col("id").as("k"), (col("id") * 3).as("rv"))
+      // GLOBAL aggregate downstream: a groupBy on the join key would
+      // reuse the join's hash distribution and AQE would (correctly)
+      // refuse to split the skewed partition; a global agg has no
+      // distribution requirement, so the split is legal. max(length)
+      // keeps the fat payload flowing through the left shuffle.
+      val joined = hot.join(dim, "k")
+        .agg(count(lit(1)).as("n"), max(length(col("payload"))).as("max_len"))
+      val plan = finalPlan(joined)
+      val skewJoins = collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec if j.isSkewJoin => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec if j.isSkewJoin => j
+      }
+      assert(skewJoins.nonEmpty, s"no skew-split join in the adaptive plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -63,6 +63,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ranked feed stream pages row-identically to the batch keyset pager") {
+    import graft.streaming.PageFeed.{RankedDelivery, RankedItem}
+    import graft.text.DocPipeline
+    // the real scored corpus, one source's ranking streamed to consumer 1
+    val scored = DocPipeline.withQuality(
+        table("documents").select(col("doc_id"), col("source"), col("text")),
+        col("text"))
+      .select("doc_id", "source", "quality_score")
+    val src = scored.select("source").orderBy("source").limit(1)
+      .as[String].head()
+    val ranked = scored.filter(col("source") === src)
+      .select("quality_score", "doc_id").as[(Double, Long)]
+      .collect().sortBy { case (s, i) => (-s, i) }.toSeq
+    assert(ranked.size > 12, s"source $src too small to page")
+
+    // batch truth: pages 1 and 2 of the keyset pager for that source
+    def pageIds(p: org.apache.spark.sql.DataFrame): Seq[Long] = p
+      .filter(col("source") === src)
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    val page1 = DocPipeline.pageByQuality(scored, 5)
+    val page2 = DocPipeline.pageByQuality(scored, 5,
+      Some(DocPipeline.pageCursors(page1)))
+
+    // stream the same ranking in two micro-batches (split mid-page,
+    // in order across batches; each batch internally shuffled)
+    val (b1, b2) = ranked.splitAt(7)
+    val input = MemoryStream[RankedItem](spark)
+    val q = PageFeed.rankedFeedStream(input.toDS(), pageSize = 5)
+      .writeStream.format("memory").queryName("ranked_feed_out")
+      .outputMode("append").start()
+    try {
+      input.addData(scala.util.Random.shuffle(b1).map {
+        case (s, i) => RankedItem(1L, s, i) }: _*)
+      q.processAllAvailable()
+      input.addData(scala.util.Random.shuffle(b2).map {
+        case (s, i) => RankedItem(1L, s, i) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("ranked_feed_out").as[RankedDelivery]
+        .collect().sortBy(_.seq)
+      // every item delivered exactly once, in pagination order
+      assert(got.map(d => (d.score, d.item_id)).toSeq === ranked)
+      // streamed page p == batch pager page p+1, row for row
+      assert(got.filter(_.page == 0L).map(_.item_id).toSeq === pageIds(page1))
+      assert(got.filter(_.page == 1L).map(_.item_id).toSeq === pageIds(page2))
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gaps > 30 minutes") {
     val out = EventStreams.sessionize(sample.toDF(), gapSec = 1800L)
       .select("user_id", "session_seq", "n_events").as[(Long, Long, Long)]
