@@ -560,6 +560,20 @@ object SparkEntry {
           col("width"), col("height"), col("channels"))
         .orderBy("doc_id")),
 
+    "q_audio_meta" -> ((s, d) =>
+      // REAL audio codec round trip, the WAV twin of q_multimodal_meta:
+      // per-doc mono 16-bit PCM WAVs written executor-side (frame count
+      // derived from doc_id), then frames/rate/channels/bits parsed back
+      // OUT OF THE CONTAINER BYTES with javax.sound.sampled. The oracle
+      // mirrors the derivation; n_bytes stays codec-internal (RIFF
+      // header size), graded as has_payload.
+      Multimodal.decodeAudioFeatures(
+          Multimodal.audioMedia(t(s, d, "documents")))
+        .select(col("doc_id"), col("mime"),
+          (col("n_bytes") > 0).cast("int").cast("long").as("has_payload"),
+          col("n_frames"), col("sample_rate"), col("channels"), col("bits"))
+        .orderBy("doc_id")),
+
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSampleStub(
           Multimodal.asMedia(t(s, d, "documents")), frameBytes = 64, everyN = 4)
@@ -1780,6 +1794,13 @@ object SparkEntry {
         |  CAST(1 + doc_id % 64 AS BIGINT) AS width,
         |  CAST(1 + doc_id % 48 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_audio_meta" ->
+      """SELECT doc_id, 'audio/wav' AS mime, CAST(1 AS BIGINT) AS has_payload,
+        |  CAST(1 + doc_id % 2048 AS BIGINT) AS n_frames,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample" ->

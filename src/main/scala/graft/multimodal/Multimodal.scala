@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * `mapPartitions`.
   *
   * The IMAGE path is a real codec: [[imageMedia]] encodes genuine PNG
-  * payloads and [[decodeImageFeatures]] reads width/height/channels back
-  * out of the bytes with `javax.imageio` (PNG/JPEG/GIF/BMP readers ship
-  * with the JDK). Audio/video codecs are NOT in this container, so frame
-  * sampling and resize remain clearly-marked deterministic STUBS — the
-  * Spark-side plumbing (binary + struct schema, partition-parallel batched
-  * execution, columnar feature output) is identical in both; swapping a
-  * stub for a real JNI/FFI decoder changes only its batch function.
+  * payloads, [[decodeImageFeatures]] reads width/height/channels back out
+  * of the bytes with `javax.imageio` (PNG/JPEG/GIF/BMP readers ship with
+  * the JDK), and [[resizeImages]] is a real decode → bilinear scale →
+  * re-encode. The AUDIO path is real too: [[audioMedia]] writes genuine
+  * RIFF/WAVE PCM containers and [[decodeAudioFeatures]] parses
+  * frames/rate/channels/bits back out with `javax.sound.sampled`. Only
+  * VIDEO remains a clearly-marked deterministic STUB ([[frameSampleStub]],
+  * [[resizeStub]] for arbitrary blobs) — no video codec ships in the
+  * container — with the identical Spark-side plumbing (binary + struct
+  * schema, partition-parallel batched execution, columnar feature output),
+  * so swapping in a JNI/FFI decoder changes only the batch function.
   */
 object Multimodal {
 
@@ -143,6 +147,132 @@ object Multimodal {
         })
       }
     spark.createDataFrame(rdd, ImageFeatureSchema)
+  }
+
+  /** REAL image resize: decode → `Graphics2D` bilinear scale → PNG
+    * re-encode, all in-JDK, batched per partition like the decode path.
+    * Payloads that don't decode are dropped (count them upstream via
+    * [[decodeImageFeatures]]'s null dims if a dead-letter lane is
+    * needed). Output payloads are genuine PNGs of exactly `w × h`.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    require(w > 0 && h > 0)
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.flatMap { r =>
+          val in =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case _: java.io.IOException => null }
+          if (in == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(in, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bytes = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bytes)
+            Some(Row(r.getLong(0), w.toLong, h.toLong, bytes.toByteArray))
+          }
+        })
+      }
+    spark.createDataFrame(rdd, ResizedSchema)
+  }
+
+  // ── real audio codec (javax.sound.sampled, WAV/PCM) ───────────────────
+
+  /** Media frame with REAL WAV payloads: per doc, a genuine mono 16-bit
+    * PCM RIFF/WAVE file (frame count derived from `doc_id`, samples a
+    * deterministic sine-ish integer function) written through
+    * `AudioSystem.write` on the executors. Like [[imageMedia]], the
+    * derivation keys the SQL oracle: the graded query must recover
+    * frames/rate/channels FROM THE BYTES.
+    */
+  def audioMedia(docs: DataFrame, rateHz: Int = 8000, maxFrames: Int = 2048): DataFrame = {
+    require(rateHz > 0 && maxFrames > 0)
+    val spark = docs.sparkSession
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType, nullable = false),
+        StructField("origin", StringType, nullable = true))), nullable = false)))
+    val rdd = docs.select(col("doc_id"), col("source")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nFrames = 1 + (id % maxFrames).toInt
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          val s = ((id * 131 + i * 17) % 65536 - 32768).toShort
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Row(id, out.toByteArray, Row("audio/wav", r.getString(1)))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Audio feature schema: null acoustics when the payload isn't a
+    * parseable audio container.
+    */
+  val AudioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("bits", LongType, nullable = true)))
+
+  /** REAL batched audio decode: frame count, sample rate, channel count
+    * and sample width read back out of the container header by
+    * `javax.sound.sampled.AudioSystem` — same mapPartitions topology as
+    * the image decode.
+    */
+  def decodeAudioFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("meta.mime"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          val parsed =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.BufferedInputStream(
+                  new java.io.ByteArrayInputStream(payload)))
+              try {
+                val f = ais.getFormat
+                Some((ais.getFrameLength, f.getSampleRate.toLong,
+                  f.getChannels.toLong, f.getSampleSizeInBits.toLong))
+              } finally ais.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+          parsed match {
+            case Some((nf, rate, ch, bits)) =>
+              Row(r.getLong(0), r.getString(1), payload.length.toLong, nf, rate, ch, bits)
+            case None =>
+              Row(r.getLong(0), r.getString(1), payload.length.toLong, null, null, null, null)
+          }
+        })
+      }
+    spark.createDataFrame(rdd, AudioFeatureSchema)
   }
 
   val ResizedSchema: StructType = StructType(Seq(

@@ -58,6 +58,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Seq((1L, Some(7L), Some(5L), Some(3L)), (2L, None, None, None)))
   }
 
+  test("resizeImages re-encodes real PNGs at exactly the target dimensions") {
+    val m = Multimodal.imageMedia(table("documents").limit(30))
+    val resized = Multimodal.resizeImages(m, w = 16, h = 12)
+    assert(resized.count() === 30L)
+    // decode the RESIZED payloads independently: every one is a real
+    // 16×12 PNG (not just a relabeled row)
+    val redecoded = Multimodal.decodeImageFeatures(
+      resized.select(col("doc_id"), col("payload"))
+        .withColumn("meta", struct(lit("image/png").as("mime"))))
+    assert(redecoded.filter(
+      col("width") =!= 16 || col("height") =!= 12 || col("channels") =!= 3)
+      .count() === 0L)
+  }
+
+  test("audioMedia plants REAL WAVs: RIFF magic, header fields decode back exactly") {
+    val docs = table("documents").limit(40)
+    val m = Multimodal.audioMedia(docs)
+    val sigs = m.select(col("payload")).collect().map(_.getAs[Array[Byte]](0).take(4))
+    assert(sigs.forall(_.sameElements("RIFF".getBytes("US-ASCII"))))
+    val feats = Multimodal.decodeAudioFeatures(m, batchSize = 16)
+    val bad = feats.filter(
+      col("n_frames") =!= lit(1) + col("doc_id") % 2048 ||
+        col("sample_rate") =!= 8000 || col("channels") =!= 1 ||
+        col("bits") =!= 16 || col("n_bytes") <= 0).count()
+    assert(bad === 0L)
+    assert(feats.count() === docs.count())
+  }
+
+  test("decodeAudioFeatures nulls non-audio payloads instead of failing the task") {
+    val junk = Seq((1L, Array.fill[Byte](64)(7))).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("audio/wav").as("mime")))
+    val got = Multimodal.decodeAudioFeatures(junk)
+      .select("n_frames", "sample_rate", "channels", "bits")
+      .as[(Option[Long], Option[Long], Option[Long], Option[Long])].head()
+    assert(got === ((None, None, None, None)))
+  }
+
   test("resizeStub output payload size tracks the target dimensions") {
     val resized = Multimodal.resizeStub(media, w = 64, h = 64)
     assert(resized.count() === media.count())
