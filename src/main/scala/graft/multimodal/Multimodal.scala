@@ -88,17 +88,30 @@ object Multimodal {
         StructField("mime", StringType, nullable = false),
         StructField("origin", StringType, nullable = true))), nullable = false)))
     val rdd = docs.select(col("doc_id"), col("source")).rdd.mapPartitions { rows =>
+      // in-memory payloads: ImageIO's default stream cache is a TEMP FILE
+      // per write — a disk round trip per image dominates small-image
+      // encode cost. (JVM-global flag; all graft codec paths want it off.)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         val w = 1 + (id % maxW).toInt
         val h = 1 + (id % maxH).toInt
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        // write straight into the BGR raster: setRGB would run the sRGB
+        // color-model conversion per pixel
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
         var y = 0
+        var p = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) & 0xffffff).toInt)
+            val rgb = ((id * 31 + x * 7 + y * 13) & 0xffffff).toInt
+            data(p) = (rgb & 0xff).toByte
+            data(p + 1) = ((rgb >> 8) & 0xff).toByte
+            data(p + 2) = ((rgb >> 16) & 0xff).toByte
+            p += 3
             x += 1
           }
           y += 1
@@ -133,6 +146,7 @@ object Multimodal {
     val spark = media.sparkSession
     val rdd = media.select(col("doc_id"), col("meta.mime"), col("payload")).rdd
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
         rows.grouped(batchSize).flatMap(_.map { r =>
           val payload = r.getAs[Array[Byte]](2)
           val img =
@@ -160,6 +174,7 @@ object Multimodal {
     val spark = media.sparkSession
     val rdd = media.select(col("doc_id"), col("payload")).rdd
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
         rows.grouped(batchSize).flatMap(_.flatMap { r =>
           val in =
             try javax.imageio.ImageIO.read(

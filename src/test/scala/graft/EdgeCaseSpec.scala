@@ -331,6 +331,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(p1.count() === 1 && p2.count() === 0)
   }
 
+  test("multimodal codec paths on empty input") {
+    import graft.multimodal.Multimodal
+    val m = Multimodal.imageMedia(noDocs)
+    assert(m.count() === 0)
+    assert(Multimodal.decodeImageFeatures(m).count() === 0)
+    assert(Multimodal.resizeImages(m, 8, 8).count() === 0)
+    val a = Multimodal.audioMedia(noDocs)
+    assert(a.count() === 0)
+    assert(Multimodal.decodeAudioFeatures(a).count() === 0)
+  }
+
   test("join operators on empty sides") {
     val pts = Seq.empty[(Long, Double)].toDF("pid", "x")
     val ivs = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")
