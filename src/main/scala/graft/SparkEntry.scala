@@ -574,6 +574,26 @@ object SparkEntry {
           col("n_frames"), col("sample_rate"), col("channels"), col("bits"))
         .orderBy("doc_id")),
 
+    "q_media_probe" -> ((s, d) => {
+      // native header-SNIFF lane (vs #24/q_audio_meta's full decode):
+      // PngInfo/WavInfo Catalyst expressions read dims/rate/frames out of
+      // fixed container offsets — tens of bytes per row, codegen'd,
+      // streaming-legal, no ImageIO/AudioSystem call. Graded against the
+      // same planted derivations the full decoders must recover, so the
+      // two lanes certify each other.
+      val docs = t(s, d, "documents")
+      val img = Multimodal.imageMedia(docs)
+        .select(col("doc_id"), graft.functions.MediaExprs.pngInfo(col("payload")).as("p"))
+      val wav = Multimodal.audioMedia(docs)
+        .select(col("doc_id"), graft.functions.MediaExprs.wavInfo(col("payload")).as("w"))
+      img.join(wav, "doc_id")
+        .select(col("doc_id"), col("p.width").as("width"),
+          col("p.height").as("height"), col("p.channels").as("img_channels"),
+          col("w.sample_rate").as("sample_rate"), col("w.bits").as("bits"),
+          col("w.n_frames").as("n_frames"))
+        .orderBy("doc_id")
+    }),
+
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSampleStub(
           Multimodal.asMedia(t(s, d, "documents")), frameBytes = 64, everyN = 4)
@@ -1801,6 +1821,14 @@ object SparkEntry {
         |  CAST(1 + doc_id % 2048 AS BIGINT) AS n_frames,
         |  CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_probe" ->
+      """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 48 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS img_channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
+        |  CAST(1 + doc_id % 2048 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample" ->
