@@ -44,8 +44,13 @@ case class PngInfo(child: Expression) extends UnaryExpression {
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[Array[Byte]])
+
+  /** Public so the generated Java (an unrelated Janino class, which cannot
+    * see the protected `nullSafeEval`) can call it directly.
+    */
+  def probe(b: Array[Byte]): InternalRow = {
     // 8-byte signature + IHDR length/type (8) + 13-byte IHDR body
     if (b.length < 29) return null
     val sigOk = (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
@@ -68,7 +73,7 @@ case class PngInfo(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pngInfo", this, classOf[PngInfo].getName)
     val code = nullSafeCodeGen(ctx, ev, c =>
-      s"""Object r = $ref.nullSafeEval($c);
+      s"""Object r = $ref.probe($c);
          |if (r == null) { ${ev.isNull} = true; } else {
          |  ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r;
          |}""".stripMargin)
@@ -109,27 +114,35 @@ case class WavInfo(child: Expression) extends UnaryExpression {
     b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
       b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[Array[Byte]])
+
+  /** Public so the generated Java (an unrelated Janino class, which cannot
+    * see the protected `nullSafeEval`) can call it directly. All offset
+    * arithmetic is in Long: a malformed chunk size near Int.MaxValue must
+    * terminate the walk (NULL result), not overflow into a negative index.
+    */
+  def probe(b: Array[Byte]): InternalRow = {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    var off = 12
+    var off = 12L
     var rate = -1L; var ch = -1L; var bits = -1L; var blockAlign = -1L
     var dataSize = -1L
     while (off + 8 <= b.length && (rate < 0 || dataSize < 0)) {
-      val size = le32(b, off + 4)
-      if (size < 0 || size > Int.MaxValue) return null
+      val i = off.toInt
+      val size = le32(b, i + 4)
       val body = off + 8
-      if (tag(b, off, "fmt ")) {
+      if (tag(b, i, "fmt ")) {
         if (body + 16 > b.length) return null
-        ch = le16(b, body + 2)
-        rate = le32(b, body + 4)
-        blockAlign = le16(b, body + 12)
-        bits = le16(b, body + 14)
-      } else if (tag(b, off, "data")) {
+        val bi = body.toInt
+        ch = le16(b, bi + 2)
+        rate = le32(b, bi + 4)
+        blockAlign = le16(b, bi + 12)
+        bits = le16(b, bi + 14)
+      } else if (tag(b, i, "data")) {
         dataSize = size
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      off = body + size.toInt + (size.toInt & 1)
+      off = body + size + (size & 1L)
     }
     if (rate <= 0 || ch <= 0 || bits <= 0 || blockAlign <= 0 || dataSize < 0) null
     else new GenericInternalRow(Array[Any](rate, ch, bits, dataSize / blockAlign))
@@ -138,7 +151,7 @@ case class WavInfo(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("wavInfo", this, classOf[WavInfo].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"""Object r = $ref.nullSafeEval($c);
+      s"""Object r = $ref.probe($c);
          |if (r == null) { ${ev.isNull} = true; } else {
          |  ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r;
          |}""".stripMargin)

@@ -149,9 +149,13 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
         rows.grouped(batchSize).flatMap(_.map { r =>
           val payload = r.getAs[Array[Byte]](2)
+          // NonFatal, not just IOException: ImageIO plugins throw unchecked
+          // exceptions (IllegalArgumentException, NegativeArraySizeException,
+          // CMMException) on some corrupt/truncated headers — those payloads
+          // must yield gradeable null dims, not task failures.
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null)
             Row(r.getLong(0), r.getString(1), payload.length.toLong, null, null, null)
           else
@@ -179,7 +183,7 @@ object Multimodal {
           val in =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null } // plugin unchecked throws too
           if (in == null) None
           else {
             val out = new java.awt.image.BufferedImage(
@@ -275,10 +279,7 @@ object Multimodal {
                 Some((ais.getFrameLength, f.getSampleRate.toLong,
                   f.getChannels.toLong, f.getSampleSizeInBits.toLong))
               } finally ais.close()
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
-            }
+            } catch { case scala.util.control.NonFatal(_) => None } // incl. unchecked parser throws
           parsed match {
             case Some((nf, rate, ch, bits)) =>
               Row(r.getLong(0), r.getString(1), payload.length.toLong, nf, rate, ch, bits)

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.sql.DriverManager
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -94,7 +92,9 @@ object ClickHouseSink {
     if (truncateIfExists) {
       val p = new java.util.Properties()
       connectionProps.foreach { case (k, v) => p.setProperty(k, v) }
-      val conn = DriverManager.getConnection(jdbcUrl, p)
+      // same driverClass-aware connect as the executor-side inserts — a
+      // driver shipped via --jars must work for admin statements too
+      val conn = SqlBatchSink.connect(jdbcUrl, p, driverClass)
       try {
         val st = conn.createStatement()
         try {

@@ -43,6 +43,29 @@ object SqlBatchSink {
       s"$what '$name' is not a plain SQL identifier ([A-Za-z_][A-Za-z0-9_]*); " +
         "rename it or pre-quote it in your own DDL-matched sink")
 
+  /** Open a JDBC connection, honoring `driverClass` when given.
+    * DriverManager only sees drivers on the system classpath; a driver
+    * shipped via --jars lives in Spark's task classloader, which
+    * DriverManager's caller-classloader scan skips. When `driverClass` is
+    * given, instantiate it from the context classloader and connect
+    * directly — the same workaround Spark's own JDBC source uses. Shared
+    * by the executor-side batch inserts AND driver-side admin statements
+    * ([[ClickHouseSink.load]]'s count/truncate), so both faces accept the
+    * same driver set.
+    */
+  private[sources] def connect(jdbcUrl: String, props: java.util.Properties,
+                               driverClass: Option[String]): java.sql.Connection =
+    driverClass match {
+      case Some(cls) =>
+        val d = Class.forName(cls, true, Thread.currentThread.getContextClassLoader)
+          .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
+        val c = d.connect(jdbcUrl, props)
+        if (c == null) throw new java.sql.SQLException(
+          s"driver $cls does not accept url $jdbcUrl")
+        c
+      case None => java.sql.DriverManager.getConnection(jdbcUrl, props)
+    }
+
   def loadTable(df: DataFrame, table: String, jdbcUrl: String,
                 batchSize: Int = 2000,
                 connectionProps: Map[String, String] = Map.empty,
@@ -59,21 +82,7 @@ object SqlBatchSink {
       if (rows.hasNext) { // no connection churn for empty partitions
         val p = new java.util.Properties()
         props.foreach { case (k, v) => p.setProperty(k, v) }
-        // DriverManager only sees drivers on the system classpath; a driver
-        // shipped via --jars lives in Spark's task classloader, which
-        // DriverManager's caller-classloader scan skips. When `driverClass`
-        // is given, instantiate it from the context classloader and connect
-        // directly — the same workaround Spark's own JDBC source uses.
-        val conn = driver match {
-          case Some(cls) =>
-            val d = Class.forName(cls, true, Thread.currentThread.getContextClassLoader)
-              .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
-            val c = d.connect(jdbcUrl, p)
-            if (c == null) throw new java.sql.SQLException(
-              s"driver $cls does not accept url $jdbcUrl")
-            c
-          case None => java.sql.DriverManager.getConnection(jdbcUrl, p)
-        }
+        val conn = connect(jdbcUrl, p, driver)
         try {
           conn.setAutoCommit(false)
           val ps = conn.prepareStatement(insertSql)

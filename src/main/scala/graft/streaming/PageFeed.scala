@@ -84,6 +84,14 @@ object PageFeed {
     * nondecreasing in pagination order ACROSS micro-batches (any order
     * within one — the batch is sorted); anything at-or-before the cursor
     * is a replay and is dropped rather than renumbering served pages.
+    *
+    * NaN scores are EXCLUDED from the feed, explicitly and up front: NaN
+    * has no position in (score desc, id asc) order — every comparison
+    * against it is false — so such an item could neither advance the
+    * cursor nor be numbered consistently. The filter here makes that a
+    * documented delivery-contract exclusion (route NaN rows to a
+    * dead-letter sink upstream if they must be accounted for) rather
+    * than an incidental drop inside the cursor comparison.
     */
   def rankedFeedStream(items: Dataset[RankedItem],
                        pageSize: Int): Dataset[RankedDelivery] = {
@@ -113,6 +121,7 @@ object PageFeed {
     }
 
     items
+      .filter(it => !it.score.isNaN) // contract: NaN is unorderable, excluded
       .groupByKey(_.consumer_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
