@@ -956,6 +956,58 @@ object SparkEntry {
           lit(zHit < rHit).as("prune_ok"))
     }),
 
+    "q_bucket_join" -> ((s, d) => {
+      // bucketed CO-LOCATED join — the zero-exchange layout a recurring
+      // large-large join is written into at 100 TB: both fact tables
+      // persisted bucketed + per-bucket sorted on the join key, so the
+      // join sort-merges bucket-file pairs with NO shuffle on either
+      // side (PlanAuditSpec pins SortMergeJoin + zero ShuffleExchange
+      // below the join with broadcast disabled; at cluster scale the
+      // bucket count rises with the fact size, the plan is identical).
+      // The aggregate is replayed by the oracle over the RAW tables —
+      // layout must never change query results.
+      graft.sources.Bucketing.writeBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        "graft_bjoin_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+      graft.sources.Bucketing.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+          col("l_quantity"), col("l_extendedprice")),
+        "graft_bjoin_lineitem", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+      graft.sources.Bucketing.bucketedJoin(
+          s, "graft_bjoin_orders", "graft_bjoin_lineitem", "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_compaction" -> ((s, d) => {
+      // small-file COMPACTION graded end-to-end — the standing
+      // maintenance task of any lake table (streaming sinks and
+      // fine-grained partitioned writes fragment; a 100 TB table in 4 MB
+      // files pays ~30k× the listing cost and loses vectorized reads).
+      // Write lineitem deliberately fragmented into 200 part-files,
+      // compact to ~64 MB targets, then grade THREE facts at once: the
+      // pre-compaction fragmentation (files_before, pinned at 200), the
+      // collapse (files_collapsed, from real file counts), and — over
+      // the COMPACTED files — the aggregate the oracle replays from the
+      // raw table, so the rewrite provably loses no rows.
+      val out = scratchDir("graft_compaction")
+      t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartition(200).write.mode("overwrite").parquet(out)
+      val before = graft.sources.Compaction.dataFiles(out)
+      graft.sources.Compaction.compact(s, out, targetBytes = 64L * 1024 * 1024)
+      val after = graft.sources.Compaction.dataFiles(out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("l_orderkey")).as("sum_okey"))
+        .select(col("n_rows"), col("sum_qty"), col("sum_okey"),
+          lit(before).as("files_before"),
+          lit(after < before).as("files_collapsed"))
+    }),
+
     "q_winsorized" -> ((s, d) =>
       // per-group winsorized statistics: values clipped to the group's
       // [p25, p75] before aggregation — robust mean without one float
@@ -2286,6 +2338,25 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey * 4 <= (SELECT max(l_partkey) FROM lineitem)
         |  AND l_suppkey * 4 <= (SELECT max(l_suppkey) FROM lineitem)""".stripMargin,
+
+    // the bucketed layout is a physical-plan property; the oracle replays
+    // the identical join-aggregate over the raw parquet tables.
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the file-count facts are physical-layout pins (200 fragments in,
+    // strictly fewer out); the row aggregate over the compacted files is
+    // replayed from the raw table — compaction must lose nothing.
+    "q_compaction" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  200 AS files_before, TRUE AS files_collapsed
+        |FROM lineitem""".stripMargin,
 
     // quartile cut points are exact dyadic quarters of integral values
     // (quantile_cont = Spark percentile there), so ×4 casts are integral

@@ -14,9 +14,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, per-bucket-sorted table. */
+  /** Persist `df` as a bucketed, per-bucket-sorted table.
+    *
+    * Re-runnable across JVMs: with the default in-memory catalog, a
+    * previous process's managed-table FILES survive while its catalog
+    * entry does not, so `mode("overwrite")` alone hits
+    * LOCATION_ALREADY_EXISTS. Drop any current entry and clear the
+    * managed location before writing.
+    */
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
                     numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath, tableName.toLowerCase(java.util.Locale.ROOT))
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(loc)
+    }
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

@@ -573,4 +573,24 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q_bucket_join: the join itself is exchange-free (bucketed co-located scans)") {
+    // broadcast disabled so the shuffle-free join is the BUCKETING
+    // effect, not a broadcast of the small test tables — at fact-fact
+    // scale broadcast is off the table anyway.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(q("q_bucket_join"))
+      val joins = collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, s"expected a sort-merge join:\n$plan")
+      val shufflesBelowJoin = joins.flatMap(j => collect(j: SparkPlan) {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      })
+      assert(shufflesBelowJoin.isEmpty,
+        s"bucketed join must read both sides exchange-free, found: $shufflesBelowJoin\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
