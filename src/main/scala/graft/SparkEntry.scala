@@ -595,9 +595,18 @@ object SparkEntry {
     }),
 
     "q_frame_sample" -> ((s, d) =>
-      Multimodal.frameSampleStub(
-          Multimodal.asMedia(t(s, d, "documents")), frameBytes = 64, everyN = 4)
-        .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+      // REAL multi-frame codec round trip (the video lane's stand-in,
+      // closing the family started by q_multimodal_meta/q_audio_meta):
+      // per-doc animated GIFs written executor-side (frame count and
+      // per-frame dims derived from doc_id), then every 4th frame decoded
+      // back OUT OF THE CONTAINER BYTES with ImageReader.read(i). The
+      // oracle mirrors the derivation — frame count, sampled indices and
+      // each sampled frame's true decoded dimensions must all survive the
+      // encode→decode trip.
+      Multimodal.sampleFrames(
+          Multimodal.videoMedia(t(s, d, "documents")), everyN = 4)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("n_frames"))
         .orderBy("doc_id", "frame_idx")),
 
     // ── §2.3 streaming & general analytics ───────────────────────────────
@@ -1883,12 +1892,16 @@ object SparkEntry {
         |  CAST(1 + doc_id % 2048 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // mirrors videoMedia's planted derivation: n_frames = 1 + doc_id % 12,
+    // frame i is (1 + (doc_id+i) % 16) × (1 + (doc_id·3+i) % 12) — the
+    // graded values must come back OUT OF THE GIF BYTES.
     "q_frame_sample" ->
-      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-        |idx AS (
-        |  SELECT doc_id, n, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS i FROM d)
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 12 AS nf FROM documents),
+        |idx AS (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM d)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-        |  CAST(least(64, n - i * 64) AS INTEGER) AS frame_bytes
+        |  CAST(1 + (doc_id + i) % 16 AS BIGINT) AS width,
+        |  CAST(1 + (doc_id * 3 + i) % 12 AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames
         |FROM idx WHERE i % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 /** ClickHouse-dialect face of [[SqlBatchSink]]: the exact statement shapes
   * and date normalization of the reference's MergeTree loader
@@ -33,6 +34,11 @@ object ClickHouseSink {
     /** JDBC-parameterized form of the same insert, for `executeBatch`. */
     final def insertPreparedSql(table: String, columns: Seq[String]): String =
       s"${insertSql(table, columns)} (${columns.map(_ => "?").mkString(", ")})"
+    /** Predicate-scoped delete — the epoch-wipe of the streaming face.
+      * `predicate` is built internally from checked identifiers and
+      * numeric literals only; never interpolate user data into it.
+      */
+    def deleteWhereSql(table: String, predicate: String): String
   }
 
   /** Statement-for-statement the reference loader's texts:
@@ -47,6 +53,8 @@ object ClickHouseSink {
     def truncateSql(table: String): String = s"ALTER TABLE $table DELETE WHERE 1=1"
     def insertSql(table: String, columns: Seq[String]): String =
       s"INSERT INTO $table (${columns.mkString(", ")}) VALUES"
+    def deleteWhereSql(table: String, predicate: String): String =
+      s"ALTER TABLE $table DELETE WHERE $predicate" // MergeTree mutation idiom
   }
 
   /** ANSI spelling of the same three statements, so the identical load
@@ -58,6 +66,8 @@ object ClickHouseSink {
     def truncateSql(table: String): String = s"DELETE FROM $table"
     def insertSql(table: String, columns: Seq[String]): String =
       s"INSERT INTO $table (${columns.mkString(", ")}) VALUES"
+    def deleteWhereSql(table: String, predicate: String): String =
+      s"DELETE FROM $table WHERE $predicate"
   }
 
   /** The reference's bare-year repair (main.py:451-456) as one
@@ -106,4 +116,56 @@ object ClickHouseSink {
     }
     SqlBatchSink.loadTable(df, table, jdbcUrl, batchSize, connectionProps, driverClass)
   }
+
+  // ── streaming face ─────────────────────────────────────────────────────
+
+  /** Load ONE micro-batch exactly-once: wipe any rows a previous attempt
+    * at this epoch left behind (`deleteWhereSql` on the epoch column —
+    * O(1) driver-side control traffic), then batch-insert the rows
+    * stamped with the epoch through the same executor-parallel path as
+    * the batch loader. Replays of a failed epoch rewrite it in place
+    * instead of duplicating — the idempotence recipe
+    * [[SqlBatchSink.loadTable]]'s contract points at, realized on the
+    * epoch key Structured Streaming already supplies.
+    */
+  def loadEpoch(batch: DataFrame, table: String, jdbcUrl: String, epochId: Long,
+                dialect: SqlDialect = ClickHouseDialect,
+                epochCol: String = "epoch_id",
+                batchSize: Int = 2000,
+                connectionProps: Map[String, String] = Map.empty,
+                driverClass: Option[String] = None): Unit = {
+    table.split('.').foreach(SqlBatchSink.checkIdent(_, "table path segment"))
+    SqlBatchSink.checkIdent(epochCol, "epoch column")
+    val p = new java.util.Properties()
+    connectionProps.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = SqlBatchSink.connect(jdbcUrl, p, driverClass)
+    try {
+      val st = conn.createStatement()
+      // epochId is a Long literal, epochCol a checked identifier — inert
+      try st.execute(dialect.deleteWhereSql(table, s"$epochCol = $epochId")): Unit
+      finally st.close()
+    } finally conn.close()
+    SqlBatchSink.loadTable(batch.withColumn(epochCol, lit(epochId)),
+      table, jdbcUrl, batchSize, connectionProps, driverClass)
+  }
+
+  /** `writeStream` face of the loader: every micro-batch drains through
+    * [[loadEpoch]], so the stream is exactly-once per micro-batch into
+    * the target table — the streaming analogue the reference's
+    * batch-only ClickHouse loader lacks. Call `.start()` (and manage the
+    * checkpoint location) on the returned writer.
+    */
+  def streamLoad(df: DataFrame, table: String, jdbcUrl: String,
+                 dialect: SqlDialect = ClickHouseDialect,
+                 epochCol: String = "epoch_id",
+                 batchSize: Int = 2000,
+                 connectionProps: Map[String, String] = Map.empty,
+                 driverClass: Option[String] = None,
+                 trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    df.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        loadEpoch(batch, table, jdbcUrl, epochId, dialect, epochCol,
+          batchSize, connectionProps, driverClass)
+      }
 }

@@ -111,4 +111,103 @@ class NtzRobustnessSpec extends SparkSpec {
     assert(ev.schema("ts").dataType === TimestampType)
     assert(ev.limit(1).count() === 1L)
   }
+
+  // ── r9: every remaining event-time consumer, both encodings ───────────
+  // The r7 regression class was "a driver testdata flip changes the ts
+  // encoding and a graded query stops analyzing". These runs pin every
+  // graded event-time consumer on both encodings with identical results
+  // (timestamp outputs compared as epoch micros — the two encodings
+  // print differently but must MEAN the same instant).
+
+  private def agree(f: DataFrame => DataFrame): Seq[String] = {
+    def run(df: DataFrame): Seq[String] =
+      f(df).collect().map(_.toString).toSeq
+    val a = run(ntz)
+    assert(a === run(ltz))
+    assert(a.nonEmpty)
+    a
+  }
+
+  test("tumblingAgg (q_window_agg) analyzes and agrees across encodings") {
+    val got = agree(df => EventStreams.tumblingAgg(
+        df.withColumn("value", col("event_id") * 0.25), "1 hour")
+      .select(Relational.epochMicros(col("window_start")).as("ws"),
+        col("n_events"), col("sum_value_mu"), col("n_users")))
+    // minutes 0-59 hold events 1,2,3,4 (u1) + 6,7,8 (u2) + 11,12 (u3)
+    assert(got.head.startsWith("[0,9,"))
+  }
+
+  test("sessionizeNative (q_sessionize_native) analyzes and agrees across encodings") {
+    val got = agree(df => EventStreams.sessionizeNative(df, gapSec = 1800L)
+      .select(col("user_id"),
+        Relational.epochMicros(col("session_start")).as("s"),
+        Relational.epochMicros(col("session_end")).as("e"), col("n_events")))
+    assert(got.size === 5) // same sessions the lag form finds: 2 + 2 + 1
+  }
+
+  test("top sessions composition (q_top_sessions) analyzes and agrees across encodings") {
+    agree { df =>
+      val sess = EventStreams.sessionize(df)
+      sess.select(col("user_id"), col("session_seq"), col("n_events"),
+          (Relational.epochMicros(col("session_end")) -
+            Relational.epochMicros(col("session_start"))).as("dur_us"))
+        .orderBy(col("n_events").desc, col("user_id"), col("session_seq"))
+        .limit(25)
+    }: Unit
+  }
+
+  // calendar-grain consumers get a wider log (several days / weeks);
+  // the same instants in both encodings, as above.
+  private val calRows = Seq( // (event_id, user_id, day, minute-in-day)
+    (1L, 1L, 0L, 10L), (2L, 1L, 1L, 30L), (3L, 1L, 4L, 5L), (4L, 1L, 15L, 0L),
+    (5L, 2L, 7L, 100L), (6L, 2L, 9L, 200L), (7L, 2L, 9L, 201L),
+    (8L, 3L, 21L, 0L))
+  private lazy val calNtz: DataFrame = calRows
+    .map { case (id, u, day, m) => (id, ntzTs(day * 1440L + m), u) }
+    .toDF("event_id", "ts", "user_id")
+  private lazy val calLtz: DataFrame = calRows
+    .map { case (id, u, day, m) => (id, ltzTs(day * 1440L + m), u) }
+    .toDF("event_id", "ts", "user_id")
+
+  private def agreeCal(f: DataFrame => DataFrame): Seq[String] = {
+    def run(df: DataFrame): Seq[String] =
+      f(df).collect().map(_.toString).toSeq
+    val a = run(calNtz)
+    assert(a === run(calLtz))
+    assert(a.nonEmpty)
+    a
+  }
+
+  test("retentionWeekly (q_retention_cohorts) analyzes and agrees across encodings") {
+    val got = agreeCal(df => EventAnalytics.retentionWeekly(
+      df, col("user_id"), col("ts")))
+    // user 1: cohort week 0, active weeks {0, 2} → offsets 0 and 2
+    assert(got.contains("[0,0,1]") && got.contains("[0,2,1]"))
+  }
+
+  test("gapFillDaily (q_gap_fill) analyzes and agrees across encodings") {
+    val got = agreeCal(df => EventAnalytics.gapFillDaily(
+      df, col("user_id"), col("ts")))
+    // user 1 spans days 0..15 → 16-day grid, 4 observed
+    assert(got.head.startsWith("[1,16,4,"))
+  }
+
+  test("movingSum (q_moving_window) analyzes and agrees across shipdate encodings") {
+    // lineitem-shaped fixture: the frame-ordering column in both encodings
+    val li = Seq((1L, 0L, 10L, 1, 5.0), (1L, 60L, 11L, 1, 7.0),
+      (1L, 120L, 12L, 1, 2.0), (2L, 30L, 13L, 1, 4.0), (2L, 90L, 14L, 2, 6.0))
+    val cols = Seq("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+    val nz = li.map { case (sk, m, ok, ln, q) => (sk, ntzTs(m), ok, ln, q) }
+      .toDF(cols: _*)
+    val lz = li.map { case (sk, m, ok, ln, q) => (sk, ltzTs(m), ok, ln, q) }
+      .toDF(cols: _*)
+    assert(nz.schema("l_shipdate").dataType === TimestampNTZType)
+    assert(lz.schema("l_shipdate").dataType === TimestampType)
+    def run(df: DataFrame): Seq[String] =
+      Relational.movingSum(df, frame = 2).collect().map(_.toString).toSeq
+    val a = run(nz)
+    assert(a === run(lz))
+    // supplier 1 trailing window accumulates 5, 12, 14
+    assert(a.take(3).map(_.split(",")(5)) === Seq("5", "12", "14"))
+  }
 }

@@ -103,12 +103,45 @@ class MultimodalSpec extends SparkSpec {
     assert(sizes.forall(s => s > 0 && s <= 700))
   }
 
-  test("frameSampleStub explodes each payload into every 4th fixed-size chunk") {
-    val doc = media.filter(col("doc_id") === 0)
-    val nBytes = doc.select(length(col("payload"))).as[Int].head()
-    val frames = Multimodal.frameSampleStub(doc, frameBytes = 64, everyN = 4)
-    val expected = Range(0, (nBytes + 63) / 64, 4).size
-    assert(frames.count() === expected.toLong)
-    assert(frames.select(min(col("frame_idx"))).as[Long].head() === 0L)
+  test("videoMedia plants REAL animated GIFs: magic bytes, frame count and dims decode back") {
+    val docs = table("documents").limit(30)
+    val m = Multimodal.videoMedia(docs)
+    // GIF89a/GIF87a signature on every payload
+    val sigs = m.select(col("payload")).collect().map(_.getAs[Array[Byte]](0).take(3))
+    assert(sigs.forall(_.sameElements("GIF".getBytes("US-ASCII"))))
+    // sampled frames recover the planted derivation FROM THE BYTES
+    val frames = Multimodal.sampleFrames(m, everyN = 4)
+    val bad = frames.filter(
+      col("n_frames") =!= lit(1) + col("doc_id") % 12 ||
+        col("width") =!= lit(1) + (col("doc_id") + col("frame_idx")) % 16 ||
+        col("height") =!= lit(1) + (col("doc_id") * 3 + col("frame_idx")) % 12 ||
+        col("frame_idx") % 4 =!= 0).count()
+    assert(bad === 0L)
+    // every doc contributes ceil(n_frames / 4) sampled frames
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"),
+        first(col("n_frames")).as("nf"))
+      .filter(col("n") =!= ceil(col("nf") / lit(4.0)).cast("long")).count()
+    assert(perDoc === 0L)
+  }
+
+  test("sampleFrames round-trips an independently-encoded GIF and drops junk payloads") {
+    // a 3-frame GIF encoded right here, independent of videoMedia's derivation
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq((9, 4), (5, 6), (2, 3)).foreach { case (w, h) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val media = Seq((1L, buf.toByteArray), (2L, Array.fill[Byte](48)(13)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.sampleFrames(media, everyN = 1)
+      .select("doc_id", "frame_idx", "width", "height", "n_frames")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq((1L, 0L, 9L, 4L, 3L), (1L, 1L, 5L, 6L, 3L), (1L, 2L, 2L, 3L, 3L)))
   }
 }

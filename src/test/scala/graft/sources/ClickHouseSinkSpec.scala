@@ -94,4 +94,63 @@ class ClickHouseSinkSpec extends SparkSpec {
       assert(rs.getDate(1) === Date.valueOf("1907-01-01"))
     } finally c.close()
   }
+
+  test("ClickHouse deleteWhereSql uses the MergeTree mutation idiom") {
+    assert(ClickHouseSink.ClickHouseDialect.deleteWhereSql("t", "epoch_id = 3") ===
+      "ALTER TABLE t DELETE WHERE epoch_id = 3")
+    assert(ClickHouseSink.AnsiDialect.deleteWhereSql("t", "epoch_id = 3") ===
+      "DELETE FROM t WHERE epoch_id = 3")
+  }
+
+  test("streamLoad round-trips through Derby exactly-once per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val db = s"graft_chs_${System.nanoTime()}"
+    val url = s"jdbc:derby:$db;create=true"
+    val setup = DriverManager.getConnection(url)
+    setup.createStatement().execute(
+      "CREATE TABLE ev_t (event_id BIGINT, val DOUBLE, epoch_id BIGINT)")
+    setup.close()
+
+    def q(sql: String): Long = {
+      val c = DriverManager.getConnection(url)
+      try { val rs = c.createStatement().executeQuery(sql); rs.next(); rs.getLong(1) }
+      finally c.close()
+    }
+
+    // two real micro-batches through the writeStream face
+    val input = MemoryStream[Long](spark)
+    input.addData(1L to 120L: _*)
+    val stream = input.toDF()
+      .select(col("value").as("event_id"), (col("value") * 0.5).as("val"))
+    val query = ClickHouseSink.streamLoad(stream, "ev_t", url,
+      ClickHouseSink.AnsiDialect, batchSize = 50,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      query.processAllAvailable()
+      input.addData(121L to 200L: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(q("SELECT COUNT(*) FROM ev_t") === 200L)
+    assert(q("SELECT COUNT(DISTINCT epoch_id) FROM ev_t") >= 2L) // epochs stamped
+    assert(q("SELECT CAST(SUM(event_id) AS BIGINT) FROM ev_t") === (200L * 201L) / 2)
+
+    // replay of an epoch rewrites it in place — the exactly-once pin
+    val epochs = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT DISTINCT epoch_id FROM ev_t ORDER BY epoch_id")
+        val b = Seq.newBuilder[Long]
+        while (rs.next()) b += rs.getLong(1)
+        b.result()
+      } finally c.close()
+    }
+    val replayEpoch = epochs.head
+    val replayRows = spark.range(1, 121)
+      .select(col("id").as("event_id"), (col("id") * 0.5).as("val"))
+    ClickHouseSink.loadEpoch(replayRows, "ev_t", url, replayEpoch,
+      ClickHouseSink.AnsiDialect, batchSize = 50)
+    assert(q("SELECT COUNT(*) FROM ev_t") === 200L) // no duplication
+    assert(q("SELECT CAST(SUM(event_id) AS BIGINT) FROM ev_t") === (200L * 201L) / 2)
+  }
 }
