@@ -116,6 +116,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // The driver keeps only a tail window of stdout and has truncated the
+    // full per-query JSON mid-object before. This trailing COMPACT line is
+    // small enough to always survive whole in any reasonable tail window,
+    // so the headline numbers stay machine-readable even when the full
+    // line above is clipped.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"bench_headline","total_sec":${r3(total)},""" +
+      s""""n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     // the stdout line is harvested by log-tail capture, which has truncated
     // mid-JSON before; the file copy makes the artifact self-contained.
     // best-effort: an unwritable artifact path must not fail a bench run
