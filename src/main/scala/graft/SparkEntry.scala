@@ -991,6 +991,48 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    "q_url_stats" -> ((s, d) => {
+      // URL/domain analysis — the crawl-curation grain underneath domain
+      // quotas and blocklists: deterministic planted URLs (host derived
+      // from doc_id, every 3rd doc sans subdomain, path depth varying),
+      // parsed with native codegen'd string expressions (no UDFs), rolled
+      // up per registrable domain. The oracle replays the plant AND the
+      // parse, so scheme/host/domain extraction and the path-depth count
+      // are all hash-certified.
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit(""))
+            .otherwise(concat(lit("w"), col("doc_id") % 7, lit("."))),
+          lit("site"), col("doc_id") % 13, lit(".example/a/"),
+          col("doc_id") % 5,
+          when(col("doc_id") % 4 === 0, lit("/deep")).otherwise(lit("")))
+          .as("url"))
+      graft.text.UrlOps.domainStats(planted, col("url"))
+    }),
+
+    "q_stratified_sample" -> ((s, d) =>
+      // EXACT-k per-stratum sampling: rank inside each source by the
+      // Knuth multiplicative hash of doc_id (plain BIGINT arithmetic the
+      // oracle replays verbatim — unlike xxhash64) and keep the 7
+      // smallest. TopKPerKey bounded heaps: map-side partial per source,
+      // k rows per map task from any stratum however large, never a
+      // per-stratum window. Deterministic, so fully hash-checked.
+      graft.etl.Sampling.stratifiedExactK(
+          t(s, d, "documents").select("doc_id", "source"),
+          col("source"), col("doc_id"), k = 7)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")),
+
+    "q_quality_ecdf" -> ((s, d) =>
+      // per-source quality ECDF deciles: percent_rank under the shared
+      // (quality DESC, doc_id ASC) total order, floored into deciles,
+      // each (source, decile) cell certified by integer count + Σ doc_id
+      // — one mis-ranked document anywhere shifts a cell checksum. The
+      // window partitions by source, never globally.
+      graft.text.DocPipeline.qualityEcdfDeciles(
+        t(s, d, "documents"), col("doc_id"), col("text"), col("source"))),
+
     "q_compaction" -> ((s, d) => {
       // small-file COMPACTION graded end-to-end — the standing
       // maintenance task of any lake table (streaming sinks and
@@ -2360,6 +2402,54 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // replant the deterministic URLs, re-parse them with the same regexes,
+    // and re-derive the registrable domain — the whole parse chain is
+    // value-certified, not just the rollup.
+    "q_url_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, concat('https://',
+        |    CASE WHEN doc_id % 3 = 0 THEN ''
+        |         ELSE concat('w', CAST(doc_id % 7 AS VARCHAR), '.') END,
+        |    'site', CAST(doc_id % 13 AS VARCHAR), '.example/a/',
+        |    CAST(doc_id % 5 AS VARCHAR),
+        |    CASE WHEN doc_id % 4 = 0 THEN '/deep' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS path
+        |  FROM u)
+        |SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  count(*) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(max(len(list_filter(string_split(path, '/'), s -> len(s) > 0))) AS BIGINT)
+        |    AS max_depth
+        |FROM p GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // the Knuth multiplicative hash is plain BIGINT arithmetic, so the
+    // oracle replays the EXACT sample membership, not just its size.
+    "q_stratified_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 7
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // percent_rank is the exact (rk-1)/(n-1) IEEE division under the
+    // shared strict total order; decile cells certified by integer facts.
+    "q_quality_ecdf" -> (ScoredCte +
+      """SELECT source, decile, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM (
+        |  SELECT source, doc_id,
+        |    CAST(least(floor(percent_rank() OVER (
+        |      PARTITION BY source ORDER BY q DESC, doc_id) * 10), 9) AS BIGINT)
+        |      AS decile
+        |  FROM scored)
+        |GROUP BY source, decile ORDER BY source, decile""".stripMargin),
 
     // the file-count facts are physical-layout pins (200 fragments in,
     // strictly fewer out); the row aggregate over the compacted files is

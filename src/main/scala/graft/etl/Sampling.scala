@@ -39,6 +39,30 @@ object Sampling {
     df.filter(bucketHash(key, "stratified", salt) < (rateCol * Scale).cast("long"))
   }
 
+  /** EXACT-k per-stratum sample, deterministic and engine-replayable:
+    * rank every row inside its stratum by a Knuth multiplicative hash of
+    * the integer key (`key · 2654435761 mod 2³²` — plain BIGINT
+    * arithmetic any SQL engine reproduces, unlike xxhash64) and keep the
+    * k smallest (key tie-break). Rate-based sampling keeps ~rate·n per
+    * stratum; this keeps EXACTLY min(k, n) — the contract quota-balanced
+    * eval/calibration sets need.
+    *
+    * Runs through [[graft.plans.TopKPerKey]] bounded heaps: map-side
+    * partial per stratum, so a stratum with a billion rows ships k rows
+    * per map task — never a per-stratum window over the corpus.
+    */
+  def stratifiedExactK(df: DataFrame, stratum: Column, key: Column,
+                       k: Int): DataFrame = {
+    require(k > 0)
+    val ranked = df.withColumn("__sk_h",
+      (key.cast("long") * lit(2654435761L)) % lit(4294967296L))
+      .withColumn("__sk_key", key.cast("long"))
+      .withColumn("__sk_stratum", stratum)
+    graft.plans.TopKPerKey.topK(ranked, Seq("__sk_stratum"),
+        Seq(("__sk_h", true), ("__sk_key", true)), k)
+      .drop("__sk_h", "__sk_key", "__sk_stratum")
+  }
+
   /** Deterministic train/validation/test split: one hash decides the
     * bucket, so membership is stable and the splits are disjoint and
     * exhaustive. `weights` need not be normalized.

@@ -57,6 +57,33 @@ object DocPipeline {
       .orderBy("source", "doc_id")
   }
 
+  /** Per-source quality ECDF deciles — the classifier-free twin of the
+    * calibration table: rank every doc inside its source by the quality
+    * total order (quality DESC, doc_id ASC), convert rank to
+    * percent_rank (an exact (rk−1)/(n−1) IEEE division both engines
+    * reproduce bit-for-bit given the same order), floor into deciles,
+    * and certify each (source, decile) cell with integer facts — count
+    * and Σ doc_id — so a single mis-ordered document anywhere shifts a
+    * cell checksum. The window partitions BY SOURCE (bounded state per
+    * key), never globally; at 100 TB the same shape runs per domain.
+    */
+  def qualityEcdfDeciles(docs: DataFrame, id: Column, text: Column,
+                         source: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    withQuality(
+        docs.select(id.as("doc_id"), source.as("source"), text.as("__qe_text")),
+        col("__qe_text"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .withColumn("__qe_pct", percent_rank().over(w))
+      .withColumn("decile",
+        least(floor(col("__qe_pct") * 10), lit(9L)).cast("long"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("source", "decile")
+  }
+
   /** KEYSET-paginated per-source quality ranking — the "page N" shape
     * that OFFSET cannot survive at scale: OFFSET re-ranks (and at 100 TB
     * re-sorts) everything before the requested page on EVERY page, while

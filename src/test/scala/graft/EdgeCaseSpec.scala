@@ -342,6 +342,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Multimodal.decodeAudioFeatures(a).count() === 0)
   }
 
+  test("round-9 operators on empty/degenerate input") {
+    import graft.multimodal.Multimodal
+    // multi-frame codec: empty docs → empty containers; junk payload → dropped
+    val v = Multimodal.videoMedia(noDocs)
+    assert(v.count() === 0)
+    assert(Multimodal.sampleFrames(v).count() === 0)
+    // URL ops: empty frame and null url survive
+    assert(graft.text.UrlOps.domainStats(
+      Seq.empty[(Long, String)].toDF("id", "url"), col("url")).count() === 0)
+    val withNull = graft.text.UrlOps.parseUrls(
+        Seq((1L, null: String)).toDF("id", "url"), col("url"))
+      .select("host").collect()
+    assert(withNull.length === 1) // null propagates, no throw
+    // exact-k stratified sample of nothing is nothing
+    assert(graft.etl.Sampling.stratifiedExactK(
+      noDocs, col("source"), col("doc_id"), 3).count() === 0)
+    // quality ECDF over a single-doc source: one decile-0 row, pct 0
+    val one = Seq((7L, "a few plain words of text here", "solo"))
+      .toDF("doc_id", "text", "source")
+    val cells = graft.text.DocPipeline.qualityEcdfDeciles(
+        one, col("doc_id"), col("text"), col("source"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(cells === Seq(("solo", 0L, 1L, 7L)))
+  }
+
   test("join operators on empty sides") {
     val pts = Seq.empty[(Long, Double)].toDF("pid", "x")
     val ivs = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")

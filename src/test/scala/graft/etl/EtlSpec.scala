@@ -53,6 +53,35 @@ class EtlSpec extends SparkSpec {
     assert(bySrc("src0") === docs.filter(col("source") === "src0").count())
   }
 
+  test("stratifiedExactK keeps exactly min(k, n) per stratum, deterministically") {
+    val docs = table("documents").select("doc_id", "source", "lang")
+    val k = 4
+    val sampled = Sampling.stratifiedExactK(docs, col("source"), col("doc_id"), k)
+    // schema passes through untouched (helper columns dropped)
+    assert(sampled.columns.toSeq === Seq("doc_id", "source", "lang"))
+    val perSrc = sampled.groupBy("source").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perSrc.keySet === full.keySet)
+    perSrc.foreach { case (s, n) => assert(n === math.min(k.toLong, full(s))) }
+    // deterministic: identical membership across runs
+    val a = sampled.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.stratifiedExactK(docs, col("source"), col("doc_id"), k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // membership = the k smallest multiplicative hashes per stratum
+    val h = docs.select(col("source"), col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).as("h"))
+      .as[(String, Long, Long)].collect()
+    val expect = h.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._3, r._2)).take(k).map(_._2).toSeq
+    }.toSet
+    assert(a === expect)
+    // a stratum smaller than k survives whole
+    val tiny = Seq((1L, "only")).toDF("doc_id", "source")
+    assert(Sampling.stratifiedExactK(tiny, col("source"), col("doc_id"), 5)
+      .count() === 1L)
+  }
+
   test("normalizeYearToDate: bare year → jan 1; full date parses; garbage → null") {
     val df = Seq("1985", "2001-07-15", "built", "").toDF("y")
     val got = df.select(Cleaning.normalizeYearToDate(col("y")).cast("string")).as[String]
