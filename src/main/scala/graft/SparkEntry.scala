@@ -1149,6 +1149,13 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       graft.text.TfIdf.topTerms(t(s, d, "documents"), col("doc_id"), col("text"), k = 3)),
 
+    "q_bm25" -> ((s, d) =>
+      // BM25 top terms — tf saturation + doc-length normalization over
+      // the tfidf shape; rational RSJ idf (log-free, monotone) and exact
+      // binary-fraction parameters k1=1.25 / b=0.75 keep the full score
+      // a fixed IEEE tree the oracle replays bit-for-bit.
+      graft.text.TfIdf.bm25TopTerms(t(s, d, "documents"), col("doc_id"), col("text"), k = 3)),
+
     "q_tfidf_incr" -> ((s, d) => {
       // incremental TF-IDF: even-id docs are the maintained snapshot, odd
       // ids the delta batch; df state MERGES (term-keyed count sum — the
@@ -2852,6 +2859,38 @@ object SparkEntry {
         |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term) AS rk
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+
+    // BM25 with rational RSJ idf and exact binary-fraction parameters —
+    // the expression tree mirrors the Spark side parenthesis-for-
+    // parenthesis, so the doubles hash-match bit-for-bit.
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), dls AS (
+        |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+        |), corpus AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |    (SELECT sum(tf) FROM tf) AS total_tokens
+        |)
+        |SELECT doc_id, term, tf, df, CAST(dl AS BIGINT) AS dl, bm25 FROM (
+        |  SELECT doc_id, term, tf, df, dl,
+        |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      ((tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 *
+        |        (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / n_docs))))) AS bm25,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY
+        |      ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |        ((tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 *
+        |          (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / n_docs))))) DESC,
+        |      term) AS rk
+        |  FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id) CROSS JOIN corpus)
+        |WHERE rk <= 3 ORDER BY doc_id, bm25 DESC, term""".stripMargin,
 
     // the incremental path must equal the batch computation bit-for-bit,
     // so its oracle IS the batch TF-IDF SQL — the strongest possible

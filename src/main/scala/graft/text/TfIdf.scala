@@ -106,6 +106,54 @@ object TfIdf {
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
   }
 
+  /** Top `k` terms per document under BM25 term weighting — the ranking
+    * function production retrieval and data-curation keyword scoring
+    * actually use, with its tf saturation and document-length
+    * normalization (which raw TF-IDF lacks):
+    *
+    *   score = idf · (tf·(k1+1)) / (tf + k1·(1−b + b·dl/avgdl))
+    *
+    * Determinism across engines, the same discipline as [[topTerms]]'
+    * log-free scoring: the Robertson–Spärck-Jones idf is used in its
+    * RATIONAL form (N − df + 0.5)/(df + 0.5) — the usual ln() of it is
+    * monotone per term and can be applied at serve time, while libm
+    * `log` differs in the last ulp across engines — and the parameters
+    * are fixed at k1 = 1.25, b = 0.75: both exact binary fractions
+    * (as are k1+1 = 2.25 and 1−b = 0.25), so every factor is an exact
+    * IEEE value and the full score is a fixed tree of +,−,×,÷ any engine
+    * reproduces bit-for-bit.
+    *
+    * Scale shape of [[topTerms]] plus one doc-keyed partial agg for
+    * document lengths; corpus stats (N, total tokens) ride as broadcast
+    * 1-row frames; the per-doc top-k runs through TopKPerKey bounded
+    * heaps — never a corpus-wide sort.
+    */
+  def bm25TopTerms(docs: DataFrame, id: Column, text: Column,
+                   k: Int = 5): DataFrame = {
+    val tf = graft.CachePool.persist(termFrequencies(docs, id, text))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+    val totTok = tf.agg(sum(col("tf")).as("__total_tokens"))
+    val scored = tf.join(dfreq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(totTok))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        // the exact expression tree the oracle replays — keep the
+        // parenthesization in sync with the SQL, IEEE ops are not
+        // associative
+        (((col("__n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.25)) /
+            (col("tf") + lit(1.25) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("__total_tokens").cast("double") / col("__n_docs")))))))
+          .as("bm25"))
+    TopKPerKey.topK(scored, Seq("doc_id"),
+        Seq(("bm25", false), ("term", true)), k)
+      .orderBy(col("doc_id"), col("bm25").desc, col("term"))
+  }
+
   /** Top `k` terms per document by `tf · N / df` (ties broken by term —
     * a total order, since terms are distinct within a document).
     * Output: (doc_id, term, tf, df, tfidf), ordered (doc_id, tfidf desc,

@@ -135,6 +135,33 @@ class TextSpec extends SparkSpec {
     assert(boiler === Seq(100L))
   }
 
+  test("bm25TopTerms: saturation favors rare terms, length normalization penalizes long docs") {
+    // doc 1 short, doc 2 long and repetitive; "rare" appears once in each,
+    // "common" in all three docs.
+    val docs = Seq(
+      (1L, "rare common alpha"),
+      (2L, "common common common common common common common common rare beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val got = TfIdf.bm25TopTerms(docs, col("doc_id"), col("text"), k = 10)
+      .select("doc_id", "term", "tf", "df", "dl", "bm25")
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+    val byKey = got.map(r => (r._1, r._2) -> r).toMap
+    // df/dl bookkeeping is exact
+    assert(byKey((1L, "rare"))._4 === 2L && byKey((1L, "rare"))._5 === 3L)
+    assert(byKey((2L, "common"))._3 === 8L && byKey((2L, "common"))._5 === 10L)
+    // idf: a rarer term outranks a common one at equal tf within a doc
+    assert(byKey((1L, "rare"))._6 > byKey((1L, "common"))._6)
+    // length normalization: the same single "rare" occurrence scores
+    // LOWER inside the long doc than inside the short one
+    assert(byKey((1L, "rare"))._6 > byKey((2L, "rare"))._6)
+    // tf saturation: 8 occurrences score far below 8x a single occurrence
+    assert(byKey((2L, "common"))._6 < 8.0 * byKey((3L, "common"))._6)
+    // per-doc ranking: doc 1's top term is its df=1 exclusive ("alpha"
+    // beats "rare", df=2, at equal tf and dl — idf decides)
+    val top1 = got.filter(_._1 == 1L).maxBy(_._6)._2
+    assert(top1 === "alpha")
+  }
+
   test("Vocab.topTerms counts occurrences and document frequency, ranked with tie-break") {
     val docs = Seq(
       (1L, "the cat and the hat"),
