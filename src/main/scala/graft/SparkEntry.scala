@@ -1033,6 +1033,18 @@ object SparkEntry {
       graft.text.DocPipeline.qualityEcdfDeciles(
         t(s, d, "documents"), col("doc_id"), col("text"), col("source"))),
 
+    "q_chunk_overlap" -> ((s, d) =>
+      // sliding-window chunking (size 32, stride 16 → 16-token overlap)
+      // — the context-window prep of packing and retrieval indexing:
+      // native sequence→explode→slice, no UDFs, output volume IS the
+      // chunk table. Every chunk certified by count, boundary tokens and
+      // an order-weighted length checksum — a token shifted anywhere
+      // moves a checksum.
+      graft.text.Chunker.chunkTokens(
+          t(s, d, "documents"), col("doc_id"), col("text"),
+          size = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
     "q_compaction" -> ((s, d) => {
       // small-file COMPACTION graded end-to-end — the standing
       // maintenance task of any lake table (streaming sinks and
@@ -2457,6 +2469,31 @@ object SparkEntry {
         |      AS decile
         |  FROM scored)
         |GROUP BY source, decile ORDER BY source, decile""".stripMargin),
+
+    // chunk grid replayed with list slicing; the (n-size+stride-1)/stride
+    // last-start is clamped at 0 on both engines (trunc vs floor division
+    // differ only below the clamp), and the position-weighted length
+    // checksum pins every token in every chunk.
+    "q_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+        |), idx AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(range(0, greatest(0, (n - 32 + 15) // 16) + 1)) AS ci
+        |  FROM d
+        |), ch AS (
+        |  SELECT doc_id, ci,
+        |    list_slice(tk, ci * 16 + 1, least(ci * 16 + 32, n)) AS chunk
+        |  FROM idx)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  chunk[1] AS first_token, chunk[-1] AS last_token,
+        |  CAST(list_sum(list_transform(chunk, (t, i) -> i * len(t))) AS BIGINT)
+        |    AS len_checksum
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the file-count facts are physical-layout pins (200 fragments in,
     // strictly fewer out); the row aggregate over the compacted files is

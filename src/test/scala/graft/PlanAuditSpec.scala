@@ -574,6 +574,24 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q_url_stats scan reads ONLY doc_id (planted URLs derive from it, text never loads)") {
+    val formatted = q("q_url_stats").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("doc_id"), formatted)
+    // column pruning: the wide text column must not reach the scan
+    assert(!formatted.contains("ReadSchema: struct<doc_id:bigint,text"), formatted)
+    assert(!formatted.contains("text:string"), formatted)
+  }
+
+  test("q_stratified_sample and q_bm25 plan without Window operators (bounded heaps instead)") {
+    Seq("q_stratified_sample", "q_bm25").foreach { name =>
+      val plan = finalPlan(q(name))
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name must rank via TopKPerKey, not a window:\n$plan")
+    }
+  }
+
   test("q_bucket_join: the join itself is exchange-free (bucketed co-located scans)") {
     // broadcast disabled so the shuffle-free join is the BUCKETING
     // effect, not a broadcast of the small test tables — at fact-fact
