@@ -1011,6 +1011,54 @@ object SparkEntry {
       graft.text.UrlOps.domainStats(planted, col("url"))
     }),
 
+    "q_url_dedup" -> ((s, d) => {
+      // URL canonicalization dedup — the crawl-frontier exact-dedup
+      // grain: four planted alias FORMS of the same logical URL
+      // (http/https, www/WWW/bare, an explicit :443 port, a tracking
+      // query, a trailing slash — chosen by doc_id % 4) collapse to one
+      // canonical per (doc_id % 13, doc_id % 10) cell. The oracle
+      // replants the variants and replays the canonicalization regexes,
+      // so every rule (scheme drop, www/port strip, query drop, slash
+      // trim, case fold) is value-certified through the group counts.
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("https://www.site"), col("doc_id") % 13,
+            lit(".example/p/"), col("doc_id") % 10, lit("/")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://site"), col("doc_id") % 13,
+            lit(".example/p/"), col("doc_id") % 10))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://site"), col("doc_id") % 13,
+            lit(".example:443/p/"), col("doc_id") % 10, lit("?utm=x")))
+        .otherwise(
+          concat(lit("https://WWW.SITE"), col("doc_id") % 13,
+            lit(".EXAMPLE/p/"), col("doc_id") % 10))
+          .as("url"))
+      graft.text.UrlOps.canonicalGroups(planted, col("url"))
+    }),
+
+    "q_blocklist" -> ((s, d) => {
+      // crawl blocklist gate: drop every doc whose registrable domain is
+      // on the (small, broadcast) blocklist — LEFT ANTI equi-join, the
+      // corpus side never shuffles (plan-audited). The blocklist is a
+      // real second TABLE (derived from region keys → even-numbered
+      // sites), so the oracle replays the anti-join, not a filter.
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(lit("https://w"), col("doc_id") % 7, lit(".site"),
+          col("doc_id") % 13, lit(".example/a/"), col("doc_id") % 5)
+          .as("url"))
+      val blocklist = t(s, d, "region").select(
+        concat(lit("site"), col("r_regionkey") * 2, lit(".example"))
+          .as("domain"))
+      graft.text.UrlOps.filterBlocked(planted, col("url"), blocklist)
+        .select(graft.text.UrlOps.registrableDomain(
+          graft.text.UrlOps.host(col("url"))).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
+
     "q_stratified_sample" -> ((s, d) =>
       // EXACT-k per-stratum sampling: rank inside each source by the
       // Knuth multiplicative hash of doc_id (plain BIGINT arithmetic the
@@ -2445,6 +2493,49 @@ object SparkEntry {
         |  CAST(max(len(list_filter(string_split(path, '/'), s -> len(s) > 0))) AS BIGINT)
         |    AS max_depth
         |FROM p GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // replant the four alias forms and replay every canonicalization
+    // rule (scheme drop, case fold, www/port strip, query drop, slash
+    // trim) — group counts certify the whole rule chain.
+    "q_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0 THEN concat('https://www.site', CAST(doc_id % 13 AS VARCHAR), '.example/p/', CAST(doc_id % 10 AS VARCHAR), '/')
+        |    WHEN doc_id % 4 = 1 THEN concat('http://site', CAST(doc_id % 13 AS VARCHAR), '.example/p/', CAST(doc_id % 10 AS VARCHAR))
+        |    WHEN doc_id % 4 = 2 THEN concat('https://site', CAST(doc_id % 13 AS VARCHAR), '.example:443/p/', CAST(doc_id % 10 AS VARCHAR), '?utm=x')
+        |    ELSE concat('https://WWW.SITE', CAST(doc_id % 13 AS VARCHAR), '.EXAMPLE/p/', CAST(doc_id % 10 AS VARCHAR)) END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT concat(
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+        |      '^www\.', ''), ':\d+$', ''),
+        |    regexp_replace(
+        |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1),
+        |      '/+$', '')) AS canonical
+        |  FROM u)
+        |SELECT canonical, count(*) AS n_variants
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    // the blocklist is a second TABLE (region keys → even sites), so the
+    // oracle replays the ANTI JOIN itself, not an equivalent filter.
+    "q_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id, concat('https://w', CAST(doc_id % 7 AS VARCHAR),
+        |    '.site', CAST(doc_id % 13 AS VARCHAR), '.example/a/',
+        |    CAST(doc_id % 5 AS VARCHAR)) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT regexp_extract(
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        |    '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u),
+        |bl AS (
+        |  SELECT concat('site', CAST(r_regionkey * 2 AS VARCHAR), '.example') AS domain
+        |  FROM region)
+        |SELECT domain, count(*) AS n_docs
+        |FROM p ANTI JOIN bl USING (domain)
+        |GROUP BY domain ORDER BY domain""".stripMargin,
 
     // the Knuth multiplicative hash is plain BIGINT arithmetic, so the
     // oracle replays the EXACT sample membership, not just its size.

@@ -61,4 +61,39 @@ object UrlOps {
         countDistinct(col("host")).as("n_hosts"),
         max(col("path_depth")).as("max_depth"))
       .orderBy("domain")
+
+  /** Dedup-grade URL canonicalization: lowercase host with `www.` and
+    * any explicit port stripped, plus the path with trailing slashes
+    * stripped — scheme, query and fragment dropped entirely (the
+    * variants that alias the same fetched document in practice:
+    * http/https, www/bare, tracking query params, trailing slash).
+    * Still one codegen'd projection; a production lane refines the rules
+    * (per-site query whitelists), not the shape.
+    */
+  def canonicalUrl(url: Column): Column =
+    concat(
+      regexp_replace(regexp_replace(lower(host(url)), "^www\\.", ""),
+        ":\\d+$", ""),
+      regexp_replace(path(url), "/+$", ""))
+
+  /** One row per canonical URL with its variant count — the exact-dedup
+    * grouping at the URL grain (canonical-hash shuffle only; document
+    * payloads never move).
+    */
+  def canonicalGroups(df: DataFrame, url: Column): DataFrame =
+    df.select(canonicalUrl(url).as("canonical"))
+      .groupBy("canonical").agg(count(lit(1)).as("n_variants"))
+      .orderBy("canonical")
+
+  /** Drop every row whose registrable domain appears in `blocklist`
+    * (a frame with a `domain` column) — the crawl blocklist gate as a
+    * LEFT ANTI equi-join. Blocklists are small (thousands of domains
+    * against billions of rows), so the join broadcasts and the corpus
+    * side never shuffles; plan-audited in PlanAuditSpec.
+    */
+  def filterBlocked(df: DataFrame, url: Column, blocklist: DataFrame): DataFrame =
+    df.withColumn("__bl_domain", registrableDomain(host(url)))
+      .join(broadcast(blocklist.select(col("domain").as("__bl_domain")).distinct()),
+        Seq("__bl_domain"), "left_anti")
+      .drop("__bl_domain")
 }

@@ -583,6 +583,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!formatted.contains("text:string"), formatted)
   }
 
+  test("q_blocklist gate is a broadcast anti-join: the corpus side never shuffles for it") {
+    val plan = finalPlan(q("q_blocklist"))
+    val antiBroadcast = collect(plan) {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antiBroadcast.nonEmpty, s"expected a broadcast LEFT ANTI join:\n$plan")
+  }
+
   test("q_stratified_sample and q_bm25 plan without Window operators (bounded heaps instead)") {
     Seq("q_stratified_sample", "q_bm25").foreach { name =>
       val plan = finalPlan(q(name))

@@ -45,4 +45,36 @@ class UrlOpsSpec extends SparkSpec {
       .select("host", "path_depth").as[(String, Long)].head()
     assert(got === (("h.example", 1L)))
   }
+
+  test("canonicalUrl folds scheme, case, www, port, query and trailing slash") {
+    val aliases = Seq(
+      "https://www.site.example/p/3/",
+      "http://site.example/p/3",
+      "https://site.example:443/p/3?utm=x",
+      "https://WWW.SITE.EXAMPLE/p/3#frag")
+    val got = aliases.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(UrlOps.canonicalUrl(col("url")).as("c")).as[String]
+      .collect().toSet
+    assert(got === Set("site.example/p/3"))
+    // distinct logical URLs stay distinct
+    val other = Seq((1L, "https://site.example/p/4"), (2L, "https://other.example/p/3"))
+      .toDF("id", "url")
+      .select(UrlOps.canonicalUrl(col("url")).as("c")).as[String].collect().toSet
+    assert(other === Set("site.example/p/4", "other.example/p/3"))
+  }
+
+  test("filterBlocked drops exactly the blocklisted domains via anti-join") {
+    val docs = Seq(
+      (1L, "https://a.bad.example/x"),
+      (2L, "https://good.example/y"),
+      (3L, "https://bad.example/z"),
+      (4L, "https://also.good.example/w")).toDF("id", "url")
+    val bl = Seq("bad.example").toDF("domain")
+    val kept = UrlOps.filterBlocked(docs, col("url"), bl)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+    // helper column does not leak
+    assert(UrlOps.filterBlocked(docs, col("url"), bl).columns.toSeq === Seq("id", "url"))
+  }
 }
