@@ -594,6 +594,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_image_dedup" -> ((s, d) => {
+      // PERCEPTUAL image dedup end-to-end over the real codec: planted
+      // block-pattern PNGs (content keys off doc_id), their 2× bilinear
+      // re-encodes as re-keyed copies, dHash64 over the DECODED pixels,
+      // and the SimHash banded self-join over the 64-bit signatures —
+      // payload bytes never cross a shuffle, 8-byte hashes do. The gate:
+      // ≥90% of (original, scaled copy) pairs must land within Hamming 3
+      // — the scale-invariance contract a perceptual hash exists for.
+      val docs = t(s, d, "documents")
+      val off = 30000000L
+      val orig = Multimodal.blockPatternMedia(docs)
+      val copies = Multimodal.resizeImages(orig, 64, 48)
+        .select((col("doc_id") + off).as("doc_id"), col("payload"))
+      val media = orig.select("doc_id", "payload").unionByName(copies)
+      val pairs = Multimodal.imageNearDuplicates(media, maxDist = 3)
+      val matched = pairs
+        .filter(col("id_a") < off && col("id_b") - col("id_a") === off)
+        .agg(count(lit(1)).as("rec"))
+      val n = docs.agg(count(lit(1)).as("n_p"))
+      matched.crossJoin(n).select(
+        lit("image_dhash").as("algo"),
+        col("n_p").as("n_planted"),
+        (col("rec") >= col("n_p") * 0.9).as("recall_ok"))
+    }),
+
     "q_frame_sample" -> ((s, d) =>
       // REAL multi-frame codec round trip (the video lane's stand-in,
       // closing the family started by q_multimodal_meta/q_audio_meta):
@@ -2000,6 +2025,13 @@ object SparkEntry {
         |  CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
         |  CAST(1 + doc_id % 2048 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the dHash pipeline is perceptual (rows-only by nature), but its
+    // RECALL on the planted scaled copies is a data-derived boolean the
+    // oracle pins, like q_dedup_recall / q_knn_recall.
+    "q_image_dedup" ->
+      """SELECT 'image_dhash' AS algo, count(*) AS n_planted, TRUE AS recall_ok
+        |FROM documents""".stripMargin,
 
     // mirrors videoMedia's planted derivation: n_frames = 1 + doc_id % 12,
     // frame i is (1 + (doc_id+i) % 16) × (1 + (doc_id·3+i) % 12) — the

@@ -33,11 +33,24 @@ object SimHash {
     */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column, maxDist: Int = 3,
                      hotBandThreshold: Int = 4096): DataFrame = {
-    require(maxDist <= 3, "4 bands of 16 bits are only lossless up to Hamming distance 3")
     // Materialization boundary: boundedSelfPairs scans the banded frame
     // five times — persist so the O(tokens × 64) signature runs once per
     // document (see MinHashLsh.candidatePairs).
     val sigs = graft.CachePool.persist(signatures(docs, id, text))
+    pairsFromSignatures(sigs, maxDist, hotBandThreshold)
+  }
+
+  /** Signature-agnostic half of [[nearDuplicates]]: exact pairs within
+    * Hamming distance `maxDist` over ANY (sh_id, simhash) 64-bit
+    * signature frame — text SimHash here, perceptual image dHash in
+    * [[graft.multimodal.Multimodal.imageNearDuplicates]], any other
+    * 64-bit sketch the same way. 4 × 16-bit bands: by pigeonhole any
+    * pair within distance 3 shares an exact band, so the equi-join is
+    * lossless up to 3 and the `bit_count(xor)` filter makes it exact.
+    */
+  def pairsFromSignatures(sigs: DataFrame, maxDist: Int = 3,
+                          hotBandThreshold: Int = 4096): DataFrame = {
+    require(maxDist <= 3, "4 bands of 16 bits are only lossless up to Hamming distance 3")
     val banded = sigs.select(
       col("sh_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>

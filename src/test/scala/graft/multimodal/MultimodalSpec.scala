@@ -103,6 +103,50 @@ class MultimodalSpec extends SparkSpec {
     assert(sizes.forall(s => s > 0 && s <= 700))
   }
 
+  test("dHash64 is scale-invariant on block patterns and discriminates distinct ids") {
+    val docs = table("documents").limit(50)
+    val orig = Multimodal.blockPatternMedia(docs)
+    // exact byte copies hash identically (decode determinism)
+    val h1 = Multimodal.dHash64(orig).as[(Long, Long)].collect().toMap
+    val h2 = Multimodal.dHash64(orig).as[(Long, Long)].collect().toMap
+    assert(h1 === h2)
+    assert(h1.size === 50)
+    // 2x bilinear re-encodes: every copy within Hamming 3 of its original
+    val copies = Multimodal.resizeImages(orig, 64, 48)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("payload"))
+    val hc = Multimodal.dHash64(copies).as[(Long, Long)].collect().toMap
+    val dists = h1.map { case (id, h) =>
+      java.lang.Long.bitCount(h ^ hc(id + 1000L))
+    }
+    assert(dists.count(_ <= 3) === 50, s"distances: ${dists.toSeq.sorted.reverse.take(5)}")
+    // discrimination, scoped to what a HORIZONTAL-gradient hash promises:
+    // ids 0..49 differ in a handful of low blocks, and changes that only
+    // alter vertical structure are invisible to dHash by construction —
+    // so patterns cluster, but substantially and with the bulk of
+    // cross-id pairs well outside the match radius
+    assert(h1.values.toSet.size >= 15,
+      s"expected substantial hash diversity, got ${h1.values.toSet.size}")
+    val ids = h1.keys.toSeq.sorted
+    val cross = for { i <- ids; j <- ids if i < j }
+      yield java.lang.Long.bitCount(h1(i) ^ h1(j))
+    assert(cross.count(_ <= 3) <= cross.size / 5,
+      s"over 20% of cross-id pairs within radius: ${cross.count(_ <= 3)}/${cross.size}")
+    val sorted = cross.sorted
+    assert(sorted(sorted.size / 2) > 3, "median cross-id distance must exceed the radius")
+  }
+
+  test("imageNearDuplicates finds every planted scaled copy through the banded join") {
+    val docs = table("documents").limit(40)
+    val orig = Multimodal.blockPatternMedia(docs)
+    val copies = Multimodal.resizeImages(orig, 64, 48)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("payload"))
+    val pairs = Multimodal.imageNearDuplicates(
+        orig.select("doc_id", "payload").unionByName(copies), maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+    val planted = pairs.count { case (a, b, _) => a < 5000L && b - a == 5000L }
+    assert(planted === 40)
+  }
+
   test("videoMedia plants REAL animated GIFs: magic bytes, frame count and dims decode back") {
     val docs = table("documents").limit(30)
     val m = Multimodal.videoMedia(docs)
