@@ -619,6 +619,31 @@ object SparkEntry {
         (col("rec") >= col("n_p") * 0.9).as("recall_ok"))
     }),
 
+    "q_audio_dedup" -> ((s, d) => {
+      // PERCEPTUAL audio dedup — the WAV twin of q_image_dedup: planted
+      // block-amplitude tones (energy envelope keys off doc_id), their
+      // 2× linear-resampled re-encodes as re-keyed copies, a 64-bit
+      // energy-envelope fingerprint over the REAL decoded PCM, and the
+      // same banded signature join. Gate: ≥90% of (original, resampled
+      // copy) pairs within Hamming 3 — duration/rate invariance, the
+      // contract an audio fingerprint exists for.
+      val docs = t(s, d, "documents")
+      val off = 40000000L
+      val orig = Multimodal.blockToneMedia(docs)
+      val copies = Multimodal.resampleAudio(orig, factor = 2)
+        .select((col("doc_id") + off).as("doc_id"), col("payload"))
+      val media = orig.unionByName(copies)
+      val pairs = Multimodal.audioNearDuplicates(media, maxDist = 3)
+      val matched = pairs
+        .filter(col("id_a") < off && col("id_b") - col("id_a") === off)
+        .agg(count(lit(1)).as("rec"))
+      val n = docs.agg(count(lit(1)).as("n_p"))
+      matched.crossJoin(n).select(
+        lit("audio_envelope").as("algo"),
+        col("n_p").as("n_planted"),
+        (col("rec") >= col("n_p") * 0.9).as("recall_ok"))
+    }),
+
     "q_frame_sample" -> ((s, d) =>
       // REAL multi-frame codec round trip (the video lane's stand-in,
       // closing the family started by q_multimodal_meta/q_audio_meta):
@@ -2031,6 +2056,11 @@ object SparkEntry {
     // oracle pins, like q_dedup_recall / q_knn_recall.
     "q_image_dedup" ->
       """SELECT 'image_dhash' AS algo, count(*) AS n_planted, TRUE AS recall_ok
+        |FROM documents""".stripMargin,
+
+    // same recall-gate shape for the audio fingerprint.
+    "q_audio_dedup" ->
+      """SELECT 'audio_envelope' AS algo, count(*) AS n_planted, TRUE AS recall_ok
         |FROM documents""".stripMargin,
 
     // mirrors videoMedia's planted derivation: n_frames = 1 + doc_id % 12,

@@ -294,6 +294,184 @@ object Multimodal {
     spark.createDataFrame(rdd, AudioFeatureSchema)
   }
 
+  // ── perceptual audio fingerprinting (energy-envelope hash, real WAV) ──
+
+  /** WAV media carrying a duration-robust identity pattern — the audio
+    * twin of [[blockPatternMedia]]: 16 constant-amplitude blocks with
+    * `A(b) = 300 + 150·(b ⊕ nib) + 4000·bit_b(id)` (nib = id & 15), so
+    * the ENERGY ENVELOPE encodes 20 bits of `doc_id` with inter-block
+    * energy gaps far above any resampling interpolation error, and
+    * within-block windows tie EXACTLY (constant samples stay constant
+    * under linear interpolation — no rounding can flip a tie).
+    */
+  def blockToneMedia(docs: DataFrame, nFrames: Int = 2080,
+                     rateHz: Int = 8000): DataFrame = {
+    require(nFrames >= 16 && rateHz > 0)
+    val spark = docs.sparkSession
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          val b = i * 16 / nFrames
+          val a = 300 + 150 * (b ^ (id & 15L).toInt) +
+            4000 * ((id >>> b) & 1L).toInt
+          pcm(2 * i) = (a & 0xff).toByte
+          pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Row(id, out.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL audio resample: decode the WAV, linear-interpolate the PCM to
+    * `factor`× the frame count, re-encode — the duration-changing
+    * transform a fingerprint must survive. Payloads that do not decode
+    * are dropped.
+    */
+  def resampleAudio(media: DataFrame, factor: Int = 2,
+                    batchSize: Int = 64): DataFrame = {
+    require(factor >= 2)
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.flatMap { r =>
+          decodePcm(r.getAs[Array[Byte]](1)) match {
+            case None => None
+            case Some((samples, rate)) =>
+              val n = samples.length
+              val out = new Array[Int](n * factor)
+              var i = 0
+              while (i < n * factor) {
+                val pos = i.toDouble / factor
+                val lo = pos.toInt
+                val hi = math.min(lo + 1, n - 1)
+                val frac = pos - lo
+                out(i) = math.round(samples(lo) * (1.0 - frac) + samples(hi) * frac).toInt
+                i += 1
+              }
+              Some(Row(r.getLong(0), encodePcm(out, rate)))
+          }
+        })
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** 64-bit energy-envelope fingerprint over REAL decoded PCM: split the
+    * clip into 65 equal windows, take each window's MEAN-square energy
+    * (mean, not sum — window-length roundoff must not create false
+    * gradients), bit w = (E(w+1) > E(w)) — the audio analogue of
+    * [[dHash64]]: invariant to uniform amplitude scaling and to
+    * duration/rate changes, because the window grid is relative to the
+    * clip length. Payloads that do not decode are dropped.
+    */
+  def audioFingerprint64(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = false)))
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.flatMap { r =>
+          decodePcm(r.getAs[Array[Byte]](1)) match {
+            case None => None
+            case Some((samples, _)) if samples.length >= 65 =>
+              val n = samples.length
+              val e = new Array[Double](65)
+              var w = 0
+              while (w < 65) {
+                val from = (w.toLong * n / 65).toInt
+                val to = ((w + 1).toLong * n / 65).toInt
+                var s = 0.0
+                var i = from
+                while (i < to) { s += samples(i).toDouble * samples(i); i += 1 }
+                e(w) = if (to > from) s / (to - from) else 0.0
+                w += 1
+              }
+              var bits = 0L
+              var k = 0
+              while (k < 64) {
+                if (e(k + 1) > e(k)) bits |= 1L << k
+                k += 1
+              }
+              Some(Row(r.getLong(0), bits))
+            case _ => None
+          }
+        })
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Near-duplicate AUDIO pairs within Hamming `maxDist` of their
+    * envelope fingerprints — the same banded signature join as
+    * [[imageNearDuplicates]]; container bytes never cross a shuffle.
+    */
+  def audioNearDuplicates(media: DataFrame, maxDist: Int = 3,
+                          hotBandThreshold: Int = 4096): DataFrame =
+    graft.dedup.SimHash.pairsFromSignatures(
+      graft.CachePool.persist(
+        audioFingerprint64(media)
+          .select(col("doc_id").as("sh_id"), col("afp").as("simhash"))),
+      maxDist, hotBandThreshold)
+
+  /** Decode a WAV payload to (16-bit signed samples of channel 0, rate);
+    * None when the payload is not parseable audio.
+    */
+  private def decodePcm(payload: Array[Byte]): Option[(Array[Int], Float)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian) None
+        else {
+          val raw = ais.readAllBytes()
+          val step = f.getFrameSize
+          val n = raw.length / step
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = ((raw(i * step + 1) << 8) | (raw(i * step) & 0xff))
+            i += 1
+          }
+          Some((out, f.getSampleRate))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Encode 16-bit samples as a mono PCM WAV at `rateHz`. */
+  private def encodePcm(samples: Array[Int], rateHz: Float): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   val ResizedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", LongType, nullable = false),

@@ -147,6 +147,35 @@ class MultimodalSpec extends SparkSpec {
     assert(planted === 40)
   }
 
+  test("audioFingerprint64 survives 2x linear resampling; junk and too-short clips drop") {
+    val docs = table("documents").limit(40)
+    val orig = Multimodal.blockToneMedia(docs)
+    val h1 = Multimodal.audioFingerprint64(orig).as[(Long, Long)].collect().toMap
+    assert(h1.size === 40)
+    // deterministic
+    assert(h1 === Multimodal.audioFingerprint64(orig).as[(Long, Long)].collect().toMap)
+    // resampled copies stay within the match radius
+    val copies = Multimodal.resampleAudio(orig, factor = 2)
+      .select((col("doc_id") + 900L).as("doc_id"), col("payload"))
+    val hc = Multimodal.audioFingerprint64(copies).as[(Long, Long)].collect().toMap
+    val dists = h1.map { case (id, h) => java.lang.Long.bitCount(h ^ hc(id + 900L)) }
+    assert(dists.count(_ <= 3) === 40, s"worst: ${dists.toSeq.sorted.reverse.take(5)}")
+    // junk payloads and sub-65-frame clips are dropped, not failed
+    val junk = Seq((1L, Array.fill[Byte](64)(9))).toDF("doc_id", "payload")
+    assert(Multimodal.audioFingerprint64(junk).count() === 0)
+  }
+
+  test("audioNearDuplicates finds every planted resampled copy through the banded join") {
+    val docs = table("documents").limit(30)
+    val orig = Multimodal.blockToneMedia(docs)
+    val copies = Multimodal.resampleAudio(orig, factor = 2)
+      .select((col("doc_id") + 7000L).as("doc_id"), col("payload"))
+    val pairs = Multimodal.audioNearDuplicates(orig.unionByName(copies), maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+    val planted = pairs.count { case (a, b, _) => a < 7000L && b - a == 7000L }
+    assert(planted === 30)
+  }
+
   test("videoMedia plants REAL animated GIFs: magic bytes, frame count and dims decode back") {
     val docs = table("documents").limit(30)
     val m = Multimodal.videoMedia(docs)
