@@ -2605,7 +2605,7 @@ object SparkEntry {
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |      ORDER BY ((doc_id & 2147483647) * 2654435761) % 4294967296, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 7
         |ORDER BY source, doc_id""".stripMargin,

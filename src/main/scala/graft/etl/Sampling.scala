@@ -41,11 +41,15 @@ object Sampling {
 
   /** EXACT-k per-stratum sample, deterministic and engine-replayable:
     * rank every row inside its stratum by a Knuth multiplicative hash of
-    * the integer key (`key · 2654435761 mod 2³²` — plain BIGINT
-    * arithmetic any SQL engine reproduces, unlike xxhash64) and keep the
-    * k smallest (key tie-break). Rate-based sampling keeps ~rate·n per
-    * stratum; this keeps EXACTLY min(k, n) — the contract quota-balanced
-    * eval/calibration sets need.
+    * the integer key (`(key & 0x7fffffff) · 2654435761 mod 2³²` — plain
+    * BIGINT arithmetic any SQL engine reproduces, unlike xxhash64) and
+    * keep the k smallest (key tie-break). The 31-bit mask keeps the
+    * product under 2⁶³ for ANY 64-bit key (snowflake-style ids would
+    * otherwise overflow — wrapping silently in non-ANSI Spark and
+    * throwing in ANSI SQL engines), at the cost of hashing only the low
+    * 31 bits; the key tie-break keeps the order total regardless.
+    * Rate-based sampling keeps ~rate·n per stratum; this keeps EXACTLY
+    * min(k, n) — the contract quota-balanced eval/calibration sets need.
     *
     * Runs through [[graft.plans.TopKPerKey]] bounded heaps: map-side
     * partial per stratum, so a stratum with a billion rows ships k rows
@@ -55,7 +59,8 @@ object Sampling {
                        k: Int): DataFrame = {
     require(k > 0)
     val ranked = df.withColumn("__sk_h",
-      (key.cast("long") * lit(2654435761L)) % lit(4294967296L))
+      (key.cast("long").bitwiseAND(lit(2147483647L)) * lit(2654435761L))
+        % lit(4294967296L))
       .withColumn("__sk_key", key.cast("long"))
       .withColumn("__sk_stratum", stratum)
     graft.plans.TopKPerKey.topK(ranked, Seq("__sk_stratum"),

@@ -314,23 +314,15 @@ object Multimodal {
     val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val pcm = new Array[Byte](nFrames * 2)
+        val samples = new Array[Int](nFrames)
         var i = 0
         while (i < nFrames) {
           val b = i * 16 / nFrames
-          val a = 300 + 150 * (b ^ (id & 15L).toInt) +
+          samples(i) = 300 + 150 * (b ^ (id & 15L).toInt) +
             4000 * ((id >>> b) & 1L).toInt
-          pcm(2 * i) = (a & 0xff).toByte
-          pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-        val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-        Row(id, out.toByteArray)
+        Row(id, encodePcm(samples, rateHz.toFloat))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
@@ -637,7 +629,12 @@ object Multimodal {
     val rdd = docs.select(col("doc_id"), col("source")).rdd.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      val out = rows.map { r =>
+      // dispose at task completion, not iterator exhaustion: a downstream
+      // limit()/take() stops draining mid-partition and a lazily-appended
+      // cleanup would never run
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
+      rows.map { r =>
         val id = r.getLong(0)
         val nFrames = 1 + (id % maxFrames).toInt
         val buf = new java.io.ByteArrayOutputStream()
@@ -665,8 +662,7 @@ object Multimodal {
           writer.endWriteSequence()
         } finally ios.close()
         Row(id, buf.toByteArray, Row("image/gif", r.getString(1)))
-      } ++ { writer.dispose(); Iterator.empty } // dispose after the partition drains
-      out
+      }
     }
     spark.createDataFrame(rdd, mediaSchema)
   }
@@ -698,6 +694,8 @@ object Multimodal {
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
         rows.grouped(batchSize).flatMap(_.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)

@@ -53,8 +53,12 @@ object ClickHouseSink {
     def truncateSql(table: String): String = s"ALTER TABLE $table DELETE WHERE 1=1"
     def insertSql(table: String, columns: Seq[String]): String =
       s"INSERT INTO $table (${columns.mkString(", ")}) VALUES"
+    // MergeTree mutation idiom; mutations are ASYNC by default, and the
+    // epoch-wipe must be visible before the replacement insert or a
+    // reader between the two sees both copies — mutations_sync=1 blocks
+    // until the mutation lands on the replica the statement ran on.
     def deleteWhereSql(table: String, predicate: String): String =
-      s"ALTER TABLE $table DELETE WHERE $predicate" // MergeTree mutation idiom
+      s"ALTER TABLE $table DELETE WHERE $predicate SETTINGS mutations_sync = 1"
   }
 
   /** ANSI spelling of the same three statements, so the identical load
@@ -119,14 +123,24 @@ object ClickHouseSink {
 
   // ── streaming face ─────────────────────────────────────────────────────
 
-  /** Load ONE micro-batch exactly-once: wipe any rows a previous attempt
-    * at this epoch left behind (`deleteWhereSql` on the epoch column —
-    * O(1) driver-side control traffic), then batch-insert the rows
-    * stamped with the epoch through the same executor-parallel path as
-    * the batch loader. Replays of a failed epoch rewrite it in place
-    * instead of duplicating — the idempotence recipe
-    * [[SqlBatchSink.loadTable]]'s contract points at, realized on the
-    * epoch key Structured Streaming already supplies.
+  /** Load ONE micro-batch with epoch-replay idempotence: wipe any rows a
+    * previous attempt at this epoch left behind (`deleteWhereSql` on the
+    * epoch column — O(1) driver-side control traffic), then batch-insert
+    * the rows stamped with the epoch through the same executor-parallel
+    * path as the batch loader. A FAILED epoch that replays (the common
+    * recovery path — driver restart, foreachBatch exception) rewrites
+    * its rows in place instead of duplicating.
+    *
+    * Scope of the guarantee, precisely: the wipe repairs whole-EPOCH
+    * replays. WITHIN a successfully-completing epoch,
+    * [[SqlBatchSink.loadTable]]'s per-batch commits keep their
+    * at-least-once caveat — a task retry after its first commit (or a
+    * speculative duplicate attempt) re-inserts rows and the epoch still
+    * completes, so the wipe never runs. Deployments needing airtight
+    * exactly-once disable speculation for the writer stage and make the
+    * insert idempotent (e.g. ReplacingMergeTree keyed on a row id, or a
+    * primary key + ON CONFLICT), exactly as loadTable's contract
+    * documents.
     */
   def loadEpoch(batch: DataFrame, table: String, jdbcUrl: String, epochId: Long,
                 dialect: SqlDialect = ClickHouseDialect,
@@ -150,10 +164,11 @@ object ClickHouseSink {
   }
 
   /** `writeStream` face of the loader: every micro-batch drains through
-    * [[loadEpoch]], so the stream is exactly-once per micro-batch into
-    * the target table — the streaming analogue the reference's
-    * batch-only ClickHouse loader lacks. Call `.start()` (and manage the
-    * checkpoint location) on the returned writer.
+    * [[loadEpoch]], so epoch replays rewrite in place instead of
+    * duplicating (see loadEpoch for the precise guarantee scope) — the
+    * streaming analogue the reference's batch-only ClickHouse loader
+    * lacks. Call `.start()` (and manage the checkpoint location) on the
+    * returned writer.
     */
   def streamLoad(df: DataFrame, table: String, jdbcUrl: String,
                  dialect: SqlDialect = ClickHouseDialect,

@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  private val HostRe = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
-  private val SchemeRe = "^([a-z][a-z0-9+.-]*)://"
-  private val PathRe = "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+  // RFC 3986 schemes are case-insensitive ("HTTP://" is as valid as
+  // "http://"); without (?i) an uppercase-scheme URL would parse to an
+  // empty host — collapsing unrelated documents into one canonical ""
+  // group and slipping past the blocklist gate.
+  private val HostRe = "(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)"
+  private val SchemeRe = "(?i)^([a-z][a-z0-9+.-]*)://"
+  private val PathRe = "(?i)^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
 
   /** Scheme of `url`, empty string when the value is not URL-shaped. */
   def scheme(url: Column): Column = regexp_extract(url, SchemeRe, 1)

@@ -70,7 +70,7 @@ class EtlSpec extends SparkSpec {
     assert(a === b)
     // membership = the k smallest multiplicative hashes per stratum
     val h = docs.select(col("source"), col("doc_id"),
-        ((col("doc_id") * 2654435761L) % 4294967296L).as("h"))
+        ((col("doc_id").bitwiseAND(lit(2147483647L)) * 2654435761L) % 4294967296L).as("h"))
       .as[(String, Long, Long)].collect()
     val expect = h.groupBy(_._1).values.flatMap { rows =>
       rows.sortBy(r => (r._3, r._2)).take(k).map(_._2).toSeq

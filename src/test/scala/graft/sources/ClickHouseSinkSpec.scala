@@ -95,9 +95,11 @@ class ClickHouseSinkSpec extends SparkSpec {
     } finally c.close()
   }
 
-  test("ClickHouse deleteWhereSql uses the MergeTree mutation idiom") {
+  test("ClickHouse deleteWhereSql uses the MergeTree mutation idiom, synchronously") {
+    // mutations_sync = 1: the epoch wipe must be visible before the
+    // replacement insert, or a reader between the two sees both copies
     assert(ClickHouseSink.ClickHouseDialect.deleteWhereSql("t", "epoch_id = 3") ===
-      "ALTER TABLE t DELETE WHERE epoch_id = 3")
+      "ALTER TABLE t DELETE WHERE epoch_id = 3 SETTINGS mutations_sync = 1")
     assert(ClickHouseSink.AnsiDialect.deleteWhereSql("t", "epoch_id = 3") ===
       "DELETE FROM t WHERE epoch_id = 3")
   }
