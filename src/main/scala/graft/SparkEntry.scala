@@ -228,6 +228,22 @@ object SparkEntry {
       Knn.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
     }),
 
+    "q_hybrid_search" -> ((s, d) => {
+      // HYBRID retrieval: exact cosine top-20 shortlists for 5 query
+      // vectors, fused with the per-document QUALITY PRIOR (vec_id
+      // aligns with doc_id) via Reciprocal Rank Fusion — the standard
+      // "vector relevance × document prior" production ranking. Ranks
+      // are integers and rrf is a fixed IEEE tree, so the oracle replays
+      // the fused order exactly; the rank windows run over 20-row
+      // shortlists, never the corpus.
+      val vecs = t(s, d, "embeddings")
+      val shortlist = Knn.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5), k = 20)
+      val prior = graft.text.DocPipeline.withQuality(
+          t(s, d, "documents").select(col("doc_id"), col("text")), col("text"))
+        .select(col("doc_id").as("id"), col("quality_score").as("prior_score"))
+      graft.similarity.HybridSearch.rrfFuse(shortlist, prior, k = 10)
+    }),
+
     "q_knn_lsh" -> ((s, d) => {
       val vecs = t(s, d, "embeddings")
       LshKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
@@ -1965,6 +1981,34 @@ object SparkEntry {
         |  TRUE AS planted_resolved_ok,
         |  TRUE AS originals_survive_ok,
         |  TRUE AS no_dup_survivors_ok""".stripMargin,
+
+    // RRF fusion over integer ranks: the cosine shortlist replays like
+    // q_knn_bruteforce, the prior rank comes from the shared quality
+    // CTE, and 1/(60+r) sums are the identical IEEE tree on both engines
+    // (1.0e0 keeps the DuckDB literal a DOUBLE, not a DECIMAL).
+    "q_hybrid_search" -> (ScoredCte +
+      """, qv AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT qv.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(qv.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id),
+        |shortl AS (
+        |  SELECT query_id, neighbor_id, rnk FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |    FROM sc) WHERE rnk <= 20),
+        |pr AS (
+        |  SELECT s.query_id, s.neighbor_id, s.rnk,
+        |    row_number() OVER (PARTITION BY s.query_id ORDER BY d.q DESC, s.neighbor_id) AS prior_rank
+        |  FROM shortl s JOIN scored d ON d.doc_id = s.neighbor_id),
+        |fused AS (
+        |  SELECT query_id, neighbor_id, rnk, prior_rank,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      (1.0e0 / (60 + rnk) + 1.0e0 / (60 + prior_rank)) DESC, neighbor_id) AS fused_rank
+        |  FROM pr)
+        |SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank, neighbor_id,
+        |  CAST(rnk AS BIGINT) AS retriever_rank, CAST(prior_rank AS BIGINT) AS prior_rank
+        |FROM fused WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin),
 
     "q_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
