@@ -365,6 +365,20 @@ class EdgeCaseSpec extends SparkSpec {
         one, col("doc_id"), col("text"), col("source"))
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(cells === Seq(("solo", 0L, 1L, 7L)))
+    // perceptual lanes on empty input
+    import graft.multimodal.Multimodal
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+    assert(Multimodal.dHash64(noMedia).count() === 0)
+    assert(Multimodal.audioFingerprint64(noMedia).count() === 0)
+    assert(Multimodal.resampleAudio(noMedia).count() === 0)
+    assert(Multimodal.imageNearDuplicates(noMedia).count() === 0)
+    // chunker on an empty frame
+    assert(graft.text.Chunker.chunkTokens(
+      noDocs, col("doc_id"), col("text"), 32, 16).count() === 0)
+    // RRF with an empty shortlist
+    assert(graft.similarity.HybridSearch.rrfFuse(
+      Seq.empty[(Long, Int, Long)].toDF("query_id", "rnk", "neighbor_id"),
+      Seq((1L, 0.5)).toDF("id", "prior_score"), k = 5).count() === 0)
   }
 
   test("join operators on empty sides") {
