@@ -1057,6 +1057,26 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      // gzipped-JSONL round trip — the corpus interchange format every
+      // training pipeline ingests and emits (*.jsonl.gz shards): write
+      // the documents table as compressed JSONL, read it back under an
+      // EXPLICIT schema (inference at 100 TB is an extra corpus pass and
+      // a type hazard), and certify nothing changed — row count, id sum,
+      // exact BYTE length of every text (JSON escaping must round-trip),
+      // and the source/lang cardinalities. Oracle replays the aggregate
+      // over the original parquet.
+      val out = scratchDir("graft_jsonl")
+      val docs = t(s, d, "documents")
+      graft.sources.Jsonl.write(docs, out)
+      graft.sources.Jsonl.read(s, out, docs.schema)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(octet_length(col("text"))).as("sum_text_bytes"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     "q_url_stats" -> ((s, d) => {
       // URL/domain analysis — the crawl-curation grain underneath domain
       // quotas and blocklists: deterministic planted URLs (host derived
@@ -2575,6 +2595,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the round trip must be lossless: the oracle replays the aggregate
+    // over the ORIGINAL parquet, so any JSON escaping/typing drift in
+    // write-or-read hash-mismatches.
+    "q_jsonl_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_text_bytes,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
 
     // replant the deterministic URLs, re-parse them with the same regexes,
     // and re-derive the registrable domain — the whole parse chain is

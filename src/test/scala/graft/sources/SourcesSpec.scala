@@ -11,6 +11,33 @@ import graft.SparkSpec
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Jsonl round-trips gzipped shards losslessly under an explicit schema") {
+    val dir = Files.createTempDirectory("graft_jsonl_spec").toString
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "escapes: \"quotes\" \\ backslash \n newline \t tab", "en"),
+      (3L, "unicode: é中文", "zh")).toDF("doc_id", "text", "lang")
+    Jsonl.write(docs, dir)
+    // shards really are gzip members
+    val shards = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter { p =>
+        val name = Paths.get(p).getFileName.toString
+        name.startsWith("part-") // data shards only, not .crc sidecars
+      }
+    assert(shards.nonEmpty && shards.forall(_.endsWith(".json.gz")), shards.toSeq)
+    val back = Jsonl.read(spark, dir, docs.schema)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(back === docs.as[(Long, String, String)].collect().sortBy(_._1).toSeq)
+    // corrupt shard surfaces as nulls under PERMISSIVE, throws under FAILFAST
+    Files.writeString(Paths.get(dir, "part-junk.json"), "{not json}\n")
+    val permissive = Jsonl.read(spark, dir, docs.schema)
+    assert(permissive.count() === 4L)
+    assert(permissive.filter(col("doc_id").isNull).count() === 1L)
+    intercept[org.apache.spark.SparkException] {
+      Jsonl.read(spark, dir, docs.schema, mode = "FAILFAST").count()
+    }: Unit
+  }
+
   test("CsvSource reads UTF-16, quoted multi-line, escaped CSV (the reference's input shape)") {
     val csv =
       "house_id,address,square\n" +
