@@ -1057,6 +1057,29 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    "q_html_extract" -> ((s, d) => {
+      // HTML → text extraction — the first transform of every web-crawl
+      // corpus (trafilatura's deterministic core): drop script/style
+      // subtrees, strip tags, decode entities, collapse whitespace, all
+      // as one codegen'd regexp_replace chain. Each doc's text is
+      // wrapped in deterministic boilerplate (script + style + heading +
+      // entity-bearing footer); the oracle replays the IDENTICAL chain
+      // over the same planted HTML, so every rule and their ORDER is
+      // byte-certified.
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(
+          lit("<html><head><script type=\"text/javascript\">var x = "),
+          col("doc_id"),
+          lit(";</script><style>.c{color:red}</style></head><body><h1>Doc "),
+          col("doc_id"), lit("</h1><p class=\"main\">"), col("text"),
+          lit("</p><div>&amp; footer &lt;tag&gt;&nbsp;</div></body></html>"))
+          .as("html"))
+      planted.select(col("doc_id"),
+          graft.text.HtmlExtract.extractText(col("html")).as("text_clean"))
+        .orderBy("doc_id")
+    }),
+
     "q_jsonl_roundtrip" -> ((s, d) => {
       // gzipped-JSONL round trip — the corpus interchange format every
       // training pipeline ingests and emits (*.jsonl.gz shards): write
@@ -2595,6 +2618,31 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the IDENTICAL regex chain (RE2-compatible subset — no
+    // backreferences), same order, 'g' flag everywhere since DuckDB
+    // replaces first-match-only by default.
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id, concat(
+        |    '<html><head><script type="text/javascript">var x = ',
+        |    CAST(doc_id AS VARCHAR),
+        |    ';</script><style>.c{color:red}</style></head><body><h1>Doc ',
+        |    CAST(doc_id AS VARCHAR), '</h1><p class="main">', text,
+        |    '</p><div>&amp; footer &lt;tag&gt;&nbsp;</div></body></html>') AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(html,
+        |        '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
+        |        ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g'),
+        |    '&nbsp;', ' ', 'g'),
+        |  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |  '&amp;', '&', 'g'),
+        |  '\s+', ' ', 'g')) AS text_clean
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // the round trip must be lossless: the oracle replays the aggregate
     // over the ORIGINAL parquet, so any JSON escaping/typing drift in
