@@ -2619,9 +2619,11 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
-    // the IDENTICAL regex chain (RE2-compatible subset — no
-    // backreferences), same order, 'g' flag everywhere since DuckDB
-    // replaces first-match-only by default.
+    // the IDENTICAL regex chain in the Java/RE2 SEMANTIC intersection
+    // (no backreferences, explicit [ \t\n\r\f\x0B] instead of \s — RE2's
+    // \s skips vertical tab — and explicit letter classes instead of
+    // (?i) — RE2 case-folds Unicode), same order, 'g' flag everywhere
+    // since DuckDB replaces first-match-only by default.
     "q_html_extract" ->
       """WITH h AS (
         |  SELECT doc_id, concat(
@@ -2635,13 +2637,13 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(
         |      regexp_replace(html,
-        |        '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
+        |        '(?s)<[sS][cC][rR][iI][pP][tT]\b[^>]*>.*?</[sS][cC][rR][iI][pP][tT][ \t\n\r\f\x0B]*>|<[sS][tT][yY][lL][eE]\b[^>]*>.*?</[sS][tT][yY][lL][eE][ \t\n\r\f\x0B]*>',
         |        ' ', 'g'),
         |      '(?s)<[^>]*>', ' ', 'g'),
         |    '&nbsp;', ' ', 'g'),
         |  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
         |  '&amp;', '&', 'g'),
-        |  '\s+', ' ', 'g')) AS text_clean
+        |  '[ \t\n\r\f\x0B]+', ' ', 'g')) AS text_clean
         |FROM h ORDER BY doc_id""".stripMargin,
 
     // the round trip must be lossless: the oracle replays the aggregate

@@ -23,11 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object HtmlExtract {
 
-  // two explicit alternation branches, NOT a backreferenced `</\1>`:
-  // the oracle replays this chain in DuckDB, whose RE2 engine has no
-  // backreferences — the pattern must stay in the common regex subset.
+  // The oracle replays this chain in DuckDB, whose regex engine is RE2 —
+  // so the patterns must stay in the subset where Java regex and RE2
+  // AGREE SEMANTICALLY, not just syntactically:
+  //   - no backreferences (RE2 has none) → explicit script|style branches;
+  //   - no `\s` (Java's matches vertical tab \x0B, RE2's does not) →
+  //     the explicit class [ \t\n\r\f\x0B], identical in both;
+  //   - no `(?i)` (RE2 case-folds Unicode — U+017F ſ, U+212A K — where
+  //     Java folds ASCII only) → explicit [sS][cC]... letter classes.
+  private val Ws = "[ \\t\\n\\r\\f\\x0B]"
   private val ScriptStyleRe =
-    "(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>"
+    "(?s)<[sS][cC][rR][iI][pP][tT]\\b[^>]*>.*?</[sS][cC][rR][iI][pP][tT]" + Ws + "*>" +
+      "|<[sS][tT][yY][lL][eE]\\b[^>]*>.*?</[sS][tT][yY][lL][eE]" + Ws + "*>"
   private val TagRe = "(?s)<[^>]*>"
 
   /** Clean text out of an HTML column. */
@@ -44,6 +51,6 @@ object HtmlExtract {
             "&gt;", ">"),
           "&quot;", "\""),
         "&amp;", "&") // last: &amp;lt; must decode to &lt;, not <
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, Ws + "+", " "))
   }
 }

@@ -365,8 +365,7 @@ class EdgeCaseSpec extends SparkSpec {
         one, col("doc_id"), col("text"), col("source"))
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(cells === Seq(("solo", 0L, 1L, 7L)))
-    // perceptual lanes on empty input
-    import graft.multimodal.Multimodal
+    // perceptual lanes on empty input (Multimodal imported at block top)
     val noMedia = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
     assert(Multimodal.dHash64(noMedia).count() === 0)
     assert(Multimodal.audioFingerprint64(noMedia).count() === 0)
