@@ -47,6 +47,37 @@ class ChunkerSpec extends SparkSpec {
     assert(got === 16L)
   }
 
+  test("grid coverage invariants hold across token counts and (size, stride) shapes") {
+    // docs of every length 0..70 in ONE frame; tokens are "p<idx>" so
+    // boundary tokens identify their positions exactly
+    val docs = (0 to 70).map(n => (n.toLong, (0 until n).map(i => s"p$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((size, stride) <- Seq((32, 16), (16, 8), (8, 8), (5, 2))) {
+      val got = Chunker.chunkTokens(docs, col("doc_id"), col("text"), size, stride)
+        .select("doc_id", "chunk_idx", "n_tokens", "first_token", "last_token")
+        .as[(Long, Long, Long, String, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      for (n <- 0 to 70) {
+        val chunks = got.getOrElse(n.toLong, Array.empty)
+        if (n == 0) assert(chunks.isEmpty, s"empty doc must yield no chunks (n=$n)")
+        else {
+          val expectChunks = 1 + math.max(0, math.ceil((n - size).toDouble / stride).toInt)
+          assert(chunks.length === expectChunks, s"n=$n size=$size stride=$stride")
+          chunks.foreach { case (_, ci, nt, first, last) =>
+            val start = ci.toInt * stride
+            val end = math.min(start + size, n)
+            assert(nt === (end - start).toLong, s"n=$n ci=$ci")
+            assert(first === s"p$start" && last === s"p${end - 1}", s"n=$n ci=$ci")
+          }
+          // the tail chunk reaches the last token: full coverage, no gap
+          val (_, lastCi, _, _, lastTok) = chunks.last
+          assert(lastTok === s"p${n - 1}", s"n=$n")
+          assert(lastCi.toInt * stride < n, s"tail chunk must start in range (n=$n)")
+        }
+      }
+    }
+  }
+
   test("stride must be positive and no larger than size") {
     intercept[IllegalArgumentException] {
       Chunker.chunkTokens(Seq((1L, "a")).toDF("doc_id", "text"),
