@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Relational, Stats}
@@ -51,6 +51,36 @@ object SparkEntry {
     */
   private def events(s: SparkSession, dir: String): DataFrame =
     GraftSession.events(s, dir)
+
+  /** Shared planted-recall corpus/queries for the per-variant ANN gates
+    * (q_knn_lsh / q_knn_ivf / q_knn_pq / q_knn_opq / q_knn_recall): the
+    * corpus carries scaled copies of every 5th vector; the 20 copies of
+    * originals 0..99 are the queries, so each query's correct neighbor
+    * is KNOWN (its original) and recall thresholds are oracle-pinnable
+    * booleans at every scale.
+    */
+  private def annCorpus(s: SparkSession, d: String): DataFrame =
+    DedupData.withPlantedVecDups(t(s, d, "embeddings"))
+  private def annQueries(s: SparkSession, d: String): DataFrame =
+    annCorpus(s, d).filter(col("vec_id") >= DedupData.ExactIdOffset &&
+      col("vec_id") < DedupData.ExactIdOffset + 100)
+
+  /** (algo, k, n_queries, full_ok, recall_ok) gate row over an ANN
+    * shortlist: recovered = results whose neighbor is the query's
+    * original; `fullOk` pins the structural result-count contract.
+    */
+  // Measured recovery (AnnMeasure, r10): 20/20 for EVERY variant at
+  // sf0.001/0.01/0.1; LSH n_results 67/63/100 (bucket population grows
+  // with scale), all others exactly 100. Gates at >= 18 keep margin.
+  private def annGate(algo: String, shortlist: DataFrame, minRecovered: Long,
+                      fullOk: Column => Column): DataFrame =
+    shortlist.agg(
+        count(lit(1)).as("n_results"),
+        sum(when(col("neighbor_id") === col("query_id") - DedupData.ExactIdOffset, 1L)
+          .otherwise(0L)).as("recovered"))
+      .select(lit(algo).as("algo"), lit(5L).as("k"), lit(20L).as("n_queries"),
+        fullOk(col("n_results")).as("full_ok"),
+        (col("recovered") >= minRecovered).as("recall_ok"))
 
   /** The re-crawl scenario shared by the snapshot queries
     * (q_snapshot_diff / q_snapshot_dedup / q_drift): drop every 7th doc,
@@ -244,33 +274,53 @@ object SparkEntry {
       graft.similarity.HybridSearch.rrfFuse(shortlist, prior, k = 10)
     }),
 
+    // Per-variant ANN agreement gates (q_knn_recall's planted-query idiom,
+    // one per index family): the scaled planted copies are the queries,
+    // their KNOWN correct neighbor is the original, and the driver-visible
+    // row is (algo, k, n_queries, full_ok, recall_ok) — pinned booleans the
+    // oracle replays as literals. The raw shortlist dumps stay in the
+    // library (Knn/IvfKnn/PqKnn/OpqKnn specs carry their per-variant
+    // structural and recall-improvement invariants).
+
     "q_knn_lsh" -> ((s, d) => {
-      val vecs = t(s, d, "embeddings")
-      LshKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
+      // the scaled copy's hyperplane signs are EXACTLY its original's
+      // (float ×0.5 is sign-exact), so co-bucketing is deterministic and
+      // recovery rides only on in-bucket exact-cosine ranking. Bucket
+      // population varies with scale, so full_ok pins the bounds
+      // (every query finds ≥ its original; never more than k each).
+      annGate("lsh", LshKnn.approxTopK(annCorpus(s, d), annQueries(s, d), k = 5),
+        minRecovered = 18L, fullOk = c => c.between(20L, 100L))
     }),
 
     "q_knn_ivf" -> ((s, d) => {
-      val vecs = t(s, d, "embeddings")
       // sample-trained coarse quantizer (~128 pts/cell, 5 iters over a
       // cached sample) — the query path itself is assignment + cell join.
-      graft.similarity.IvfKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10),
-        k = 5, nlist = 8, nprobe = 4)
+      // The scaled copy assigns to its original's cell deterministically
+      // (argmax of cosines is scale-invariant), so nprobe≥1 recovers it.
+      annGate("ivf", graft.similarity.IvfKnn.approxTopK(
+          annCorpus(s, d), annQueries(s, d), k = 5, nlist = 8, nprobe = 4),
+        minRecovered = 18L, fullOk = c => c === 100L)
     }),
 
     "q_knn_pq" -> ((s, d) => {
-      val vecs = t(s, d, "embeddings")
       // product-quantized ADC search: 32× smaller corpus representation,
-      // scoring = m table lookups per pair instead of a d-dim dot.
-      graft.similarity.PqKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
+      // scoring = m table lookups per pair instead of a d-dim dot. ADC
+      // scans the whole corpus, so every query returns a full top-5;
+      // recovery is bounded only by quantization error on near-identical
+      // directions.
+      annGate("pq", graft.similarity.PqKnn.approxTopK(
+          annCorpus(s, d), annQueries(s, d), k = 5),
+        minRecovered = 18L, fullOk = c => c === 100L)
     }),
 
     "q_knn_opq" -> ((s, d) => {
-      val vecs = t(s, d, "embeddings")
       // OPQ: sample-trained orthogonal rotation (PCA + eigenvalue
       // allocation) before the subspace split — same ADC search, better
-      // codes on correlated dims. Rows-only; PqKnnSpec carries the
-      // recall-improvement and orthogonality gates.
-      graft.similarity.OpqKnn.approxTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
+      // codes on correlated dims (PqKnnSpec pins the recall-improvement
+      // and orthogonality invariants).
+      annGate("opq", graft.similarity.OpqKnn.approxTopK(
+          annCorpus(s, d), annQueries(s, d), k = 5),
+        minRecovered = 18L, fullOk = c => c === 100L)
     }),
 
     "q_knn_ivfpq" -> ((s, d) => {
@@ -969,6 +1019,41 @@ object SparkEntry {
         .orderBy("cell_y", "cell_x")
     }),
 
+    "q_geo_join" -> ((s, d) =>
+      // within-radius distance JOIN over the reference's house coordinates
+      // (main.py:66-67): grid-cell blocking (constant-physical-width ring
+      // grid, ≤9 covering cells per point) + exact haversine refine —
+      // an equi-join on (band, cell), never a cartesian product
+      // (plan-audited). The oracle replays the full cell derivation AND
+      // the refine, so the candidate set and the pair set are both
+      // value-certified.
+      graft.analytics.GeoDistanceJoin.withinRadiusPairs(
+        Geo.housesUnindexed(s, d), col("src_id"),
+        col("latitude"), col("longitude"), radiusKm = 100.0)),
+
+    "q_dpp_prune" -> ((s, d) => {
+      // DYNAMIC partition pruning — the second scan lever of a
+      // partitioned lake table (q_partition_prune is the static one):
+      // the fact side is partitioned by `region`, the filter lives on
+      // the DIMENSION (n_regionkey), so only the join can prune — Spark
+      // inserts a dynamicpruningexpression subquery on the fact scan
+      // (plan-audited), reusing the broadcasted dim. At 100 TB this is
+      // the difference between scanning 5/25 region partitions and all
+      // of them, decided at runtime. The reference echo: the per-region
+      // house aggregate (main.py:343) consuming a region-sliced fact.
+      val out = scratchDir("graft_dpp")
+      graft.sources.BatchSink.writeParquetPartitioned(
+        Geo.housesUnindexed(s, d), out, Seq("region"))
+      val fact = s.read.parquet(out)
+      val dim = t(s, d, "nation").filter(col("n_regionkey") === 1)
+      fact.join(dim, fact("region") === dim("n_name"))
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_houses"),
+          sum(Relational.micros(col("square"))).as("sum_square_mu"),
+          max(col("population")).as("max_pop"))
+        .orderBy("region")
+    }),
+
     "q_partition_prune" -> ((s, d) => {
       // partition PRUNING — the first scale lever a 100 TB lake table
       // has: a value-partitioned write read back with a partition-key
@@ -1533,6 +1618,54 @@ object SparkEntry {
       graft.streaming.AdmissionQuota.admitFirstK(docs, k = 20)
         .toDF()
         .orderBy("source", "doc_id")
+    }),
+
+    "q_curate_stream" -> ((s, d) => {
+      // The FULL incremental curation loop (quality gate → decontamination
+      // probe → watermark-bounded exact dedup) driven END-TO-END through
+      // Structured Streaming INSIDE the graded query: the planted corpus
+      // arrives as two MemoryStream micro-batches — originals first, then
+      // the planted re-crawl copies one event-minute later — drains
+      // through DocPipeline.curateStreamWatermarked (real watermark, real
+      // dropDuplicatesWithinWatermark state), and the drained survivors
+      // are graded with the BATCH oracle: every rule (gate thresholds,
+      // 8-gram contamination, keep-first dedup) replayed in SQL. The
+      // driver-side corpus collect is graded-harness plumbing only — the
+      // production source is a Kafka/file stream; the query under test is
+      // identical.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val evalGrams = graft.text.Decontaminate.evalGramHashes(
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"))
+      val planted = DedupData.withPlantedDups(docs)
+      val originals = planted.filter(col("doc_id") < DedupData.ExactIdOffset)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      val copies = planted.filter(col("doc_id") >= DedupData.ExactIdOffset)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](s)
+      val curated = graft.text.DocPipeline.curateStreamWatermarked(
+        input.toDS().toDF("doc_id", "text", "ts_s")
+          .withColumn("ts", timestamp_seconds(col("ts_s"))),
+        col("doc_id"), col("text"), col("ts"), delay = "30 days", evalGrams)
+      val sink = s"curate_stream_${System.nanoTime()}"
+      val q = curated.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val t0 = 1704067200L // 2024-01-01T00:00:00Z
+        input.addData(originals.map { case (i, tx) => (i, tx, t0) }: _*)
+        q.processAllAvailable()
+        input.addData(copies.map { case (i, tx) => (i, tx, t0 + 60L) }: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).agg(
+          count(lit(1)).as("n_survivors"),
+          sum(when(col("doc_id") >= DedupData.NearIdOffset, 1L).otherwise(0L))
+            .as("n_near_admits"),
+          sum(when(col("doc_id") >= DedupData.ExactIdOffset &&
+            col("doc_id") < DedupData.NearIdOffset, 1L).otherwise(0L))
+            .as("n_exact_admits"),
+          sum(floor(col("quality_score") * 1e6).cast("long")).as("sum_quality_mu"))
     }),
 
     "q_quota_topk" -> ((s, d) => {
@@ -2326,6 +2459,22 @@ object SparkEntry {
     // thresholded recall boolean; the oracle pins them as constants, so a
     // recall regression flips the hash red (see the query's comment for
     // the measured per-scale recovery this threshold sits under).
+    // per-variant ANN agreement gates: all booleans pinned TRUE (planted
+    // recovery measured 20/20 at sf0.001/0.01/0.1 for every variant; the
+    // gates sit at >= 18 with the LSH count bounded, not pinned).
+    "q_knn_lsh" ->
+      """SELECT 'lsh' AS algo, CAST(5 AS BIGINT) AS k,
+        |  CAST(20 AS BIGINT) AS n_queries, TRUE AS full_ok, TRUE AS recall_ok""".stripMargin,
+    "q_knn_ivf" ->
+      """SELECT 'ivf' AS algo, CAST(5 AS BIGINT) AS k,
+        |  CAST(20 AS BIGINT) AS n_queries, TRUE AS full_ok, TRUE AS recall_ok""".stripMargin,
+    "q_knn_pq" ->
+      """SELECT 'pq' AS algo, CAST(5 AS BIGINT) AS k,
+        |  CAST(20 AS BIGINT) AS n_queries, TRUE AS full_ok, TRUE AS recall_ok""".stripMargin,
+    "q_knn_opq" ->
+      """SELECT 'opq' AS algo, CAST(5 AS BIGINT) AS k,
+        |  CAST(20 AS BIGINT) AS n_queries, TRUE AS full_ok, TRUE AS recall_ok""".stripMargin,
+
     "q_knn_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_queries,
         |  CAST(100 AS BIGINT) AS n_results, TRUE AS recall_ok""".stripMargin,
@@ -2598,6 +2747,71 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
+    // dynamic pruning is a physical-plan property (the dim filter reaches
+    // the fact scan at runtime); the oracle replays the identical
+    // join-aggregate over the raw derived table — pruning must never
+    // change results.
+    "q_dpp_prune" -> (HousesCte +
+      """SELECT region, count(*) AS n_houses,
+        |  CAST(sum(CAST(floor(square * 1e6) AS BIGINT)) AS BIGINT) AS sum_square_mu,
+        |  max(population) AS max_pop
+        |FROM houses JOIN nation ON region = n_name
+        |WHERE n_regionkey = 1
+        |GROUP BY region ORDER BY region""".stripMargin),
+
+    // the oracle replays the ENTIRE blocking scheme — band clamp, per-band
+    // ring width, modular neighbor cells, covering-vs-home equi-join —
+    // and the haversine refine as the same IEEE tree (deg→rad as one
+    // multiply by the shared double constant), so both the candidate set
+    // and the refined pair set are value-certified, not just pair counts.
+    "q_geo_join" -> (HousesCte +
+      """, pts AS (
+        |  SELECT src_id AS pid, latitude AS plat, longitude AS plon FROM houses
+        |), cov0 AS (
+        |  SELECT pid, plat, plon,
+        |    unnest(list_distinct([
+        |      greatest(least(least(CAST(floor((plat + 90.0) / 1.0) AS BIGINT), 179) - 1, 179), 0),
+        |      greatest(least(least(CAST(floor((plat + 90.0) / 1.0) AS BIGINT), 179) + 0, 179), 0),
+        |      greatest(least(least(CAST(floor((plat + 90.0) / 1.0) AS BIGINT), 179) + 1, 179), 0)])) AS band
+        |  FROM pts
+        |), covw AS (
+        |  SELECT pid, plat, plon, band,
+        |    2.0 / cos(((band + 0.5) * 1.0 - 90.0) * 0.017453292519943295) AS w
+        |  FROM cov0
+        |), covn AS (
+        |  SELECT pid, plat, plon, band, w,
+        |    CAST(ceil(360.0 / w) AS BIGINT) AS n
+        |  FROM covw
+        |), cov AS (
+        |  SELECT pid AS id_a, plat AS lat_a, plon AS lon_a, band,
+        |    unnest(list_distinct([
+        |      ((CAST(floor((plon + 180.0) / w) AS BIGINT) - 1) % n + n) % n,
+        |      ((CAST(floor((plon + 180.0) / w) AS BIGINT) + 0) % n + n) % n,
+        |      ((CAST(floor((plon + 180.0) / w) AS BIGINT) + 1) % n + n) % n])) AS cell
+        |  FROM covn
+        |), home AS (
+        |  SELECT pid AS id_b, plat AS lat_b, plon AS lon_b,
+        |    least(CAST(floor((plat + 90.0) / 1.0) AS BIGINT), 179) AS band,
+        |    CAST(floor((plon + 180.0) /
+        |      (2.0 / cos(((least(CAST(floor((plat + 90.0) / 1.0) AS BIGINT), 179) + 0.5) * 1.0 - 90.0) * 0.017453292519943295))) AS BIGINT) AS cell
+        |  FROM pts
+        |), cand AS (
+        |  SELECT id_a, id_b, lat_a, lon_a, lat_b, lon_b
+        |  FROM cov JOIN home USING (band, cell)
+        |  WHERE id_a < id_b
+        |), ref AS (
+        |  SELECT id_a, id_b,
+        |    asin(sqrt(
+        |      sin(((lat_b - lat_a) * 0.017453292519943295) / 2.0) *
+        |      sin(((lat_b - lat_a) * 0.017453292519943295) / 2.0) +
+        |      cos(lat_a * 0.017453292519943295) * cos(lat_b * 0.017453292519943295) *
+        |        (sin(((lon_b - lon_a) * 0.017453292519943295) / 2.0) *
+        |         sin(((lon_b - lon_a) * 0.017453292519943295) / 2.0)))) * 2.0 * 6371.0 AS dist_km
+        |  FROM cand)
+        |SELECT id_a, id_b, CAST(floor(dist_km * 1000.0) AS BIGINT) AS dist_m
+        |FROM ref WHERE dist_km <= 100.0
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // the box aggregate is layout-independent (replayed over the raw
     // table); the file-skipping contest itself is the pinned boolean —
     // z-curve layout must strictly beat the one-dim sort on files read.
@@ -2671,8 +2885,8 @@ object SparkEntry {
         |  FROM documents),
         |p AS (
         |  SELECT doc_id,
-        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
-        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS path
+        |    regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+        |    regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS path
         |  FROM u)
         |SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
         |  count(*) AS n_docs,
@@ -2695,10 +2909,10 @@ object SparkEntry {
         |c AS (
         |  SELECT concat(
         |    regexp_replace(regexp_replace(
-        |      lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+        |      lower(regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
         |      '^www\.', ''), ':\d+$', ''),
         |    regexp_replace(
-        |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1),
+        |      regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1),
         |      '/+$', '')) AS canonical
         |  FROM u)
         |SELECT canonical, count(*) AS n_variants
@@ -2714,7 +2928,7 @@ object SparkEntry {
         |  FROM documents),
         |p AS (
         |  SELECT regexp_extract(
-        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        |    regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
         |    '([^.]+\.[^.]+)$', 1) AS domain
         |  FROM u),
         |bl AS (
@@ -3196,12 +3410,12 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, CAST(dl AS BIGINT) AS dl, bm25 FROM (
         |  SELECT doc_id, term, tf, df, dl,
-        |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |      ((tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 *
+        |    ((CAST(n_docs AS DOUBLE) - df + 0.5e0) / (df + 0.5e0)) *
+        |      ((tf * 2.25e0) / (tf + 1.25e0 * (0.25e0 + 0.75e0 *
         |        (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / n_docs))))) AS bm25,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY
-        |      ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |        ((tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 *
+        |      ((CAST(n_docs AS DOUBLE) - df + 0.5e0) / (df + 0.5e0)) *
+        |        ((tf * 2.25e0) / (tf + 1.25e0 * (0.25e0 + 0.75e0 *
         |          (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / n_docs))))) DESC,
         |      term) AS rk
         |  FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id) CROSS JOIN corpus)
@@ -3453,6 +3667,60 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin,
+
+    // the streaming drain's batch replay: gate thresholds, the 8-gram
+    // contamination probe (gram-string equality = hash equality modulo
+    // 2^-64 collisions) and keep-FIRST-arrival dedup (originals feed in
+    // micro-batch 1, copies in batch 2, so the survivor of every
+    // normalized-key group is its min-doc_id clean member; natural dup
+    // groups are raw-identical so the survivor quality is order-free).
+    "q_curate_stream" -> (DedupData.DocsCte +
+      """, feats AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM docs
+        |), gated AS (
+        |  SELECT doc_id, text,
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 2.0 +
+        |      CAST(n_alpha AS DOUBLE) / n_chars_c -
+        |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
+        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS q
+        |  FROM feats
+        |  WHERE n_tokens BETWEEN 5 AND 5000
+        |    AND CAST(n_punct AS DOUBLE) / n_chars_c <= 0.2
+        |), eg AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' '))) END) AS g
+        |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+        |        FROM documents WHERE doc_id % 10 = 0)
+        |), cg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                i -> array_to_string(tk[i:i+7], ' '))) END) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk FROM gated)
+        |), contaminated AS (
+        |  SELECT DISTINCT doc_id FROM cg JOIN eg USING (g)
+        |), clean AS (
+        |  SELECT doc_id, q, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+        |  FROM gated ANTI JOIN contaminated USING (doc_id)
+        |), surv AS (
+        |  SELECT k, min(doc_id) AS sid FROM clean GROUP BY k
+        |), skept AS (
+        |  SELECT c.doc_id, c.q FROM surv s2 JOIN clean c ON c.doc_id = s2.sid
+        |)
+        |SELECT count(*) AS n_survivors,
+        |  CAST(sum(CASE WHEN doc_id >= 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_admits,
+        |  CAST(sum(CASE WHEN doc_id >= 1000000 AND doc_id < 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_admits,
+        |  CAST(sum(CAST(floor(q * 1e6) AS BIGINT)) AS BIGINT) AS sum_quality_mu
+        |FROM skept""".stripMargin),
 
     // the online top-k-by-quality changelog, replayed: admitted = fewer
     // than k PREDECESSORS (smaller doc_id, same source) with quality ≥

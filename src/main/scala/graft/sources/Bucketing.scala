@@ -26,15 +26,14 @@ object Bucketing {
                     numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-        .getPath, tableName.toLowerCase(java.util.Locale.ROOT))
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(loc)
-    }
+    // Resolve and delete through the Hadoop FileSystem API so the cleanup
+    // works for ANY warehouse scheme (file://, hdfs://, s3a://) and for
+    // local paths with characters java.net.URI would reject.
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      tableName.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

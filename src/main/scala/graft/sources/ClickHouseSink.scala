@@ -39,6 +39,37 @@ object ClickHouseSink {
       * numeric literals only; never interpolate user data into it.
       */
     def deleteWhereSql(table: String, predicate: String): String
+
+    // ── admin DDL face (reference main.py:95-137) — one-time O(1)
+    //    driver-side provisioning traffic, never data-path ─────────────
+
+    /** SQL type of one Spark field in this dialect. */
+    def columnType(dt: org.apache.spark.sql.types.DataType, nullable: Boolean): String
+
+    /** `CREATE TABLE` text derived from a Spark schema — the reference's
+      * hand-written geo_estate_data DDL (main.py:113-130), generated from
+      * the DataFrame about to be loaded so the two can never drift.
+      * `orderBy` is the MergeTree sort key (ignored by dialects without
+      * one).
+      */
+    def createTableSql(table: String, schema: org.apache.spark.sql.types.StructType,
+                       orderBy: Seq[String]): String
+
+    /** Schema introspection statement (main.py:134). Dialects without a
+      * DESCRIBE verb return a zero-row probe; [[ClickHouseSink
+      * .describeTable]] falls back to JDBC result-set metadata then.
+      */
+    def describeSql(table: String): String
+
+    /** One-time user provisioning (main.py:100) — `user` must pass the
+      * plain-identifier gate before interpolation.
+      */
+    def createUserSql(user: String): String
+
+    /** Privilege grant (main.py:106). `privileges` are fixed keyword
+      * tokens, `scope` a checked identifier path (or `db.*`).
+      */
+    def grantSql(user: String, privileges: Seq[String], scope: String): String
   }
 
   /** Statement-for-statement the reference loader's texts:
@@ -59,6 +90,52 @@ object ClickHouseSink {
     // until the mutation lands on the replica the statement ran on.
     def deleteWhereSql(table: String, predicate: String): String =
       s"ALTER TABLE $table DELETE WHERE $predicate SETTINGS mutations_sync = 1"
+
+    /** Spark → ClickHouse type map covering the reference table's types
+      * (Int32/Float64/Date/String, main.py:114-126) plus the common rest;
+      * nullable fields wrap `Nullable(T)` (the reference declares all
+      * columns non-null, so its text pins with nullable=false fields).
+      */
+    def columnType(dt: org.apache.spark.sql.types.DataType, nullable: Boolean): String = {
+      import org.apache.spark.sql.types._
+      val base = dt match {
+        case ByteType => "Int8"
+        case ShortType => "Int16"
+        case IntegerType => "Int32"
+        case LongType => "Int64"
+        case FloatType => "Float32"
+        case DoubleType => "Float64"
+        case StringType => "String"
+        case DateType => "Date"
+        case BooleanType => "Bool"
+        case _: TimestampType => "DateTime64(6)"
+        case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+        case other => throw new IllegalArgumentException(
+          s"no ClickHouse mapping for Spark type $other")
+      }
+      if (nullable) s"Nullable($base)" else base
+    }
+
+    /** main.py:113-130's DDL shape, whitespace-normalized: column list
+      * from the Spark schema, `ENGINE = MergeTree() ORDER BY <key>`.
+      */
+    def createTableSql(table: String, schema: org.apache.spark.sql.types.StructType,
+                       orderBy: Seq[String]): String = {
+      require(orderBy.nonEmpty, "MergeTree requires an ORDER BY key")
+      val cols = schema.fields
+        .map(f => s"${f.name} ${columnType(f.dataType, f.nullable)}")
+        .mkString(", ")
+      s"CREATE TABLE IF NOT EXISTS $table ($cols) " +
+        s"ENGINE = MergeTree() ORDER BY ${orderBy.mkString(", ")}"
+    }
+
+    def describeSql(table: String): String = s"DESCRIBE TABLE $table" // main.py:134
+
+    def createUserSql(user: String): String = // main.py:100
+      s"CREATE USER IF NOT EXISTS $user IDENTIFIED WITH no_password"
+
+    def grantSql(user: String, privileges: Seq[String], scope: String): String = // main.py:106
+      s"GRANT ${privileges.mkString(", ")} ON $scope TO $user"
   }
 
   /** ANSI spelling of the same three statements, so the identical load
@@ -72,6 +149,46 @@ object ClickHouseSink {
       s"INSERT INTO $table (${columns.mkString(", ")}) VALUES"
     def deleteWhereSql(table: String, predicate: String): String =
       s"DELETE FROM $table WHERE $predicate"
+
+    /** ANSI types Derby accepts, so the DDL face round-trips in the
+      * suite; NOT NULL spelled per column, no engine clause.
+      */
+    def columnType(dt: org.apache.spark.sql.types.DataType, nullable: Boolean): String = {
+      import org.apache.spark.sql.types._
+      val base = dt match {
+        case ByteType | ShortType => "SMALLINT"
+        case IntegerType => "INTEGER"
+        case LongType => "BIGINT"
+        case FloatType => "REAL"
+        case DoubleType => "DOUBLE"
+        case StringType => "VARCHAR(4096)"
+        case DateType => "DATE"
+        case BooleanType => "BOOLEAN"
+        case _: TimestampType => "TIMESTAMP"
+        case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+        case other => throw new IllegalArgumentException(
+          s"no ANSI mapping for Spark type $other")
+      }
+      if (nullable) base else s"$base NOT NULL"
+    }
+
+    def createTableSql(table: String, schema: org.apache.spark.sql.types.StructType,
+                       orderBy: Seq[String]): String = {
+      val cols = schema.fields
+        .map(f => s"${f.name} ${columnType(f.dataType, f.nullable)}")
+        .mkString(", ")
+      s"CREATE TABLE $table ($cols)" // ANSI/Derby: no IF NOT EXISTS, no sort key
+    }
+
+    /** Zero-row probe; [[ClickHouseSink.describeTable]] reads the
+      * ResultSetMetaData instead of rows for this dialect.
+      */
+    def describeSql(table: String): String = s"SELECT * FROM $table WHERE 1=0"
+
+    def createUserSql(user: String): String = s"CREATE USER $user"
+
+    def grantSql(user: String, privileges: Seq[String], scope: String): String =
+      s"GRANT ${privileges.mkString(", ")} ON $scope TO $user"
   }
 
   /** The reference's bare-year repair (main.py:451-456) as one
@@ -89,6 +206,69 @@ object ClickHouseSink {
           concat_ws("-", col(colName), lit("01"), lit("01")))
           .otherwise(col(colName)),
         "yyyy-MM-dd"))
+
+  // ── admin DDL execution (reference main.py:95-137) ───────────────────
+
+  /** Create the target table from the DataFrame schema (one O(1) admin
+    * statement, the reference's `create_user_and_table_clickhouse` table
+    * step), then return the described schema as (name, type) pairs — the
+    * reference logs exactly that (main.py:134-137). All identifiers pass
+    * the plain-identifier gate before interpolation.
+    */
+  def provisionTable(jdbcUrl: String, table: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     orderBy: Seq[String],
+                     dialect: SqlDialect = ClickHouseDialect,
+                     connectionProps: Map[String, String] = Map.empty,
+                     driverClass: Option[String] = None): Seq[(String, String)] = {
+    table.split('.').foreach(SqlBatchSink.checkIdent(_, "table path segment"))
+    schema.fieldNames.foreach(SqlBatchSink.checkIdent(_, "column"))
+    orderBy.foreach(SqlBatchSink.checkIdent(_, "order-by column"))
+    require(orderBy.forall(schema.fieldNames.contains),
+      s"order-by columns ${orderBy.filterNot(schema.fieldNames.contains)} not in schema")
+    val p = new java.util.Properties()
+    connectionProps.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = SqlBatchSink.connect(jdbcUrl, p, driverClass)
+    try {
+      val st = conn.createStatement()
+      try st.execute(dialect.createTableSql(table, schema, orderBy)): Unit
+      finally st.close()
+      describeWith(conn, dialect, table)
+    } finally conn.close()
+  }
+
+  /** Schema of an existing table as (name, type) pairs, via the dialect's
+    * describe statement. ClickHouse's DESCRIBE returns (name, type, …)
+    * ROWS; ANSI dialects return a zero-row probe whose ResultSetMetaData
+    * carries the same facts — both shapes normalize here.
+    */
+  def describeTable(jdbcUrl: String, table: String,
+                    dialect: SqlDialect = ClickHouseDialect,
+                    connectionProps: Map[String, String] = Map.empty,
+                    driverClass: Option[String] = None): Seq[(String, String)] = {
+    table.split('.').foreach(SqlBatchSink.checkIdent(_, "table path segment"))
+    val p = new java.util.Properties()
+    connectionProps.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = SqlBatchSink.connect(jdbcUrl, p, driverClass)
+    try describeWith(conn, dialect, table)
+    finally conn.close()
+  }
+
+  private def describeWith(conn: java.sql.Connection, dialect: SqlDialect,
+                           table: String): Seq[(String, String)] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(dialect.describeSql(table))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (rs.next()) out += ((rs.getString(1), rs.getString(2)))
+      if (out.nonEmpty) out.toSeq
+      else {
+        val md = rs.getMetaData
+        (1 to md.getColumnCount)
+          .map(i => (md.getColumnName(i), md.getColumnTypeName(i)))
+      }
+    } finally st.close()
+  }
 
   /** Truncate-if-nonempty + batched insert — the reference's
     * `batch_loading_logic` (main.py:381-441, default batch 2000) with the

@@ -601,6 +601,31 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q_dpp_prune: the dim filter reaches the fact scan as a dynamic pruning subquery") {
+    val df = q("q_dpp_prune")
+    df.collect()
+    val scans = collect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // the region-partitioned fact scan must carry a dynamicpruning
+    // partition filter — a static plan would read all 25 region
+    // partitions and filter after the join
+    val fact = scans.filter(_.relation.partitionSchema.fieldNames.contains("region"))
+    assert(fact.nonEmpty, s"no partitioned fact scan:\n${df.queryExecution.executedPlan}")
+    assert(fact.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase(java.util.Locale.ROOT).contains("dynamicpruning"))),
+      s"fact scan has no dynamic pruning filter:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q_geo_join: cell blocking keeps the distance join an equi-join") {
+    val plan = finalPlan(q("q_geo_join"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"distance join degenerated to a cartesian product:\n$plan")
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"distance join is a nested-loop join:\n$plan")
+  }
+
   test("q_bucket_join: the join itself is exchange-free (bucketed co-located scans)") {
     // broadcast disabled so the shuffle-free join is the BUCKETING
     // effect, not a broadcast of the small test tables — at fact-fact

@@ -12,9 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntryContractSpec extends AnyFunSuite {
 
+  // r10: the ANN variants became SQL-gated planted-recovery rows; only
+  // the raw pair/shortlist dumps stay rows-only.
   private val RowsOnly = Set(
-    "q_dedup_minhash", "q_dedup_minhash_w", "q_dedup_simhash",
-    "q_knn_lsh", "q_knn_ivf", "q_knn_pq", "q_knn_opq", "q_knn_ivfpq")
+    "q_dedup_minhash", "q_dedup_minhash_w", "q_dedup_simhash", "q_knn_ivfpq")
 
   test("every oracle names an implemented query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -35,7 +36,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   test("surface size and naming are pinned") {
-    assert(SparkEntry.queries.size === 134,
+    assert(SparkEntry.queries.size === 137,
       "query count changed — update this pin AND SURVEY.md/EXPLAIN.md together")
     val badNames = SparkEntry.queries.keySet.filterNot(_.matches("q_[a-z0-9_]+"))
     assert(badNames.isEmpty, s"non-conforming query names: $badNames")

@@ -155,4 +155,87 @@ class ClickHouseSinkSpec extends SparkSpec {
     assert(q("SELECT COUNT(*) FROM ev_t") === 200L) // no duplication
     assert(q("SELECT CAST(SUM(event_id) AS BIGINT) FROM ev_t") === (200L * 201L) / 2)
   }
+
+  // the reference geo_estate_data schema (main.py:114-126), declared
+  // non-null exactly as its DDL does
+  private def geoSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("house_id", IntegerType, nullable = false),
+      StructField("latitude", DoubleType, nullable = false),
+      StructField("longitude", DoubleType, nullable = false),
+      StructField("maintenance_year", DateType, nullable = false),
+      StructField("square", DoubleType, nullable = false),
+      StructField("population", IntegerType, nullable = false),
+      StructField("region", StringType, nullable = false),
+      StructField("locality_name", StringType, nullable = false),
+      StructField("address", StringType, nullable = false),
+      StructField("full_address", StringType, nullable = false),
+      StructField("communal_service_id", IntegerType, nullable = false),
+      StructField("description", StringType, nullable = false)))
+  }
+
+  test("admin DDL text matches the reference provisioning task (main.py:95-137)") {
+    val d = ClickHouseSink.ClickHouseDialect
+    // main.py:113-130, whitespace-normalized: same identifiers, same
+    // ClickHouse types in the same order, same engine + sort key
+    assert(d.createTableSql("geo_estate_data", geoSchema, Seq("house_id")) ===
+      "CREATE TABLE IF NOT EXISTS geo_estate_data (house_id Int32, " +
+        "latitude Float64, longitude Float64, maintenance_year Date, " +
+        "square Float64, population Int32, region String, " +
+        "locality_name String, address String, full_address String, " +
+        "communal_service_id Int32, description String) " +
+        "ENGINE = MergeTree() ORDER BY house_id")
+    assert(d.describeSql("geo_estate_data") === "DESCRIBE TABLE geo_estate_data")
+    assert(d.createUserSql("airflow_user") ===
+      "CREATE USER IF NOT EXISTS airflow_user IDENTIFIED WITH no_password")
+    assert(d.grantSql("airflow_user",
+        Seq("SELECT", "INSERT", "CREATE", "ALTER", "DROP"), "default.*") ===
+      "GRANT SELECT, INSERT, CREATE, ALTER, DROP ON default.* TO airflow_user")
+    // nullable fields wrap Nullable(T); unmappable types are rejected
+    import org.apache.spark.sql.types._
+    assert(d.columnType(LongType, nullable = true) === "Nullable(Int64)")
+    intercept[IllegalArgumentException] {
+      d.columnType(ArrayType(IntegerType), nullable = false)
+    }
+  }
+
+  test("provisionTable creates from the Spark schema and describes, Derby round trip") {
+    val db = s"graft_ddl_${System.nanoTime()}"
+    val url = s"jdbc:derby:$db;create=true"
+    val described = ClickHouseSink.provisionTable(url, "prov_t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("house_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("square",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("region",
+          org.apache.spark.sql.types.StringType, nullable = true))),
+      orderBy = Seq("house_id"), dialect = ClickHouseSink.AnsiDialect)
+    // the zero-row ANSI probe surfaces the created schema via metadata
+    assert(described.map(_._1.toLowerCase) === Seq("house_id", "square", "region"))
+    assert(described.map(_._2.toUpperCase) === Seq("BIGINT", "DOUBLE", "VARCHAR"))
+
+    // the provisioned table accepts the full load path immediately
+    val df = spark.range(0, 250)
+      .select(col("id").as("house_id"), (col("id") * 1.5).as("square"),
+        concat(lit("r"), (col("id") % 5).cast("string")).as("region"))
+      .repartition(3)
+    ClickHouseSink.load(df, "prov_t", url, ClickHouseSink.AnsiDialect, batchSize = 100)
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM prov_t")
+      rs.next(); assert(rs.getLong(1) === 250L)
+    } finally c.close()
+
+    // describeTable on the existing table agrees with the provision-time view
+    assert(ClickHouseSink.describeTable(url, "prov_t",
+      ClickHouseSink.AnsiDialect) === described)
+
+    // injection-shaped identifiers never reach the connection
+    intercept[IllegalArgumentException] {
+      ClickHouseSink.describeTable(url, "prov_t; DROP TABLE prov_t",
+        ClickHouseSink.AnsiDialect)
+    }
+  }
 }
