@@ -65,15 +65,17 @@ object GeoDistanceJoin {
   private def lonWidth(band: Column, cellLatDeg: Double): Column =
     lit(2.0 * cellLatDeg) / cos(deg2rad((band + 0.5) * cellLatDeg - 90.0))
 
-  /** All unordered point pairs within `radiusKm`, as
-    * (id_a, id_b, dist_m) with id_a < id_b, dist_m = floor(km·1000).
+  /** All ORDERED candidate pairs within `radiusKm` (both orientations,
+    * self excluded): (id_a, id_b, dist_m, dist_km). The blocking +
+    * refine core shared by [[withinRadiusPairs]] (which keeps one
+    * orientation) and [[nearestNeighbors]] (which argmins per point).
     *
     * `radiusKm` must be ≤ 0.9·111.195·cellLatDeg (≈100 km at the default
     * 1° band) — the single-neighborhood coverage bound; a larger radius
     * needs a proportionally coarser grid, same plan.
     */
-  def withinRadiusPairs(points: DataFrame, id: Column, lat: Column, lon: Column,
-                        radiusKm: Double, cellLatDeg: Double = 1.0): DataFrame = {
+  def candidatePairs(points: DataFrame, id: Column, lat: Column, lon: Column,
+                     radiusKm: Double, cellLatDeg: Double = 1.0): DataFrame = {
     require(cellLatDeg > 0 && 180.0 % cellLatDeg == 0.0, s"bad cell $cellLatDeg")
     require(radiusKm > 0 && radiusKm <= 0.9 * 111.195 * cellLatDeg,
       s"radius $radiusKm km exceeds the 1-neighborhood coverage bound of " +
@@ -104,12 +106,45 @@ object GeoDistanceJoin {
         col("plon").as("lon_b"), col("band"), col("cell"))
 
     covering.join(home, Seq("band", "cell"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .withColumn("dist_km", haversineKm(col("lat_a"), col("lon_a"),
         col("lat_b"), col("lon_b")))
       .filter(col("dist_km") <= radiusKm)
       .select(col("id_a"), col("id_b"),
         floor(col("dist_km") * 1000.0).cast("long").as("dist_m"))
+  }
+
+  /** All unordered point pairs within `radiusKm`, as
+    * (id_a, id_b, dist_m) with id_a < id_b, dist_m = floor(km·1000).
+    */
+  def withinRadiusPairs(points: DataFrame, id: Column, lat: Column, lon: Column,
+                        radiusKm: Double, cellLatDeg: Double = 1.0): DataFrame =
+    candidatePairs(points, id, lat, lon, radiusKm, cellLatDeg)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "dist_m")
       .orderBy("id_a", "id_b")
+
+  /** Per-point k nearest neighbors WITHIN `radiusKm` — the geo kNN join:
+    * (src_id, neighbor_id, dist_m), the k closest partners of every
+    * point that has any, ranked by (dist_m ASC, neighbor_id ASC). The
+    * argmin runs through [[graft.plans.TopKPerKey]] bounded heaps — a
+    * point inside a million-listing city block ships k rows per map
+    * task, never a per-point window over the candidate set. Ranking on
+    * the metre-floored integer distance (id tie-break) keeps the rank
+    * replayable by an external engine. Points with no partner within the
+    * radius emit nothing (inner-join semantics; left-join the originals
+    * back for "isolated point" analyses).
+    */
+  def nearestNeighbors(points: DataFrame, id: Column, lat: Column, lon: Column,
+                       radiusKm: Double, k: Int = 1,
+                       cellLatDeg: Double = 1.0): DataFrame = {
+    require(k > 0, s"bad k $k")
+    graft.plans.TopKPerKey.topK(
+        candidatePairs(points, id, lat, lon, radiusKm, cellLatDeg)
+          .select(col("id_a").as("src_id"), col("id_b").as("neighbor_id"),
+            col("dist_m")),
+        Seq("src_id"), Seq(("dist_m", true), ("neighbor_id", true)), k)
+      .select("src_id", "neighbor_id", "dist_m")
+      .orderBy("src_id", "neighbor_id")
   }
 }

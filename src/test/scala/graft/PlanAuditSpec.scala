@@ -626,6 +626,37 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"distance join is a nested-loop join:\n$plan")
   }
 
+  test("q_runtime_filter: the dim filter reaches the fact side as a bloom probe") {
+    val df = q("q_runtime_filter")
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // InjectRuntimeFilter folded the dim's selective filter into a bloom
+    // filter probed on the fact side below its shuffle
+    assert(formatted.toLowerCase(java.util.Locale.ROOT).contains("bloomfilter"),
+      s"no runtime bloom filter injected:\n$formatted")
+    // and the injection stayed inside the query's isolated session: a
+    // plain join built on the SHARED session must not carry one
+    val plain = table("lineitem").join(
+      table("orders").filter(col("o_orderpriority") === "1-URGENT"),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(!plain.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .toLowerCase(java.util.Locale.ROOT).contains("bloomfilter"))
+  }
+
+  test("q_geo_knn ranks via TopKPerKey bounded heaps, not a per-point window") {
+    val plan = finalPlan(q("q_geo_knn"))
+    assert(plan.toString.contains("TopKPerKey"), s"$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // the only windows allowed are inside the houses derivation's reindex;
+    // the kNN ranking itself must be heap-based. housesUnindexed has no
+    // reindex, so NO window may appear at all.
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_geo_knn must rank via TopKPerKey, not a window:\n$plan")
+  }
+
   test("q_bucket_join: the join itself is exchange-free (bucketed co-located scans)") {
     // broadcast disabled so the shuffle-free join is the BUCKETING
     // effect, not a broadcast of the small test tables — at fact-fact

@@ -68,6 +68,35 @@ class GeoDistanceJoinSpec extends SparkSpec {
     assert(ps.sorted.sameElements(ps))
   }
 
+  test("nearestNeighbors agrees with brute-force per-point ranking") {
+    val pts = (0L until 150L).map { i =>
+      (i, ((i * 41) % 20).toDouble + 40.0 + (i % 13) * 0.037,
+        ((i * 59) % 30).toDouble + 5.0 + (i % 17) * 0.041)
+    }
+    val df = pts.toDF("id", "lat", "lon")
+    val a = df.select(col("id").as("src_id"), col("lat").as("la"), col("lon").as("qa"))
+    val b = df.select(col("id").as("neighbor_id"), col("lat").as("lb"), col("lon").as("qb"))
+    val brute = a.join(b, col("src_id") =!= col("neighbor_id"))
+      .withColumn("dist_m", floor(GeoDistanceJoin.haversineKm(
+        col("la"), col("qa"), col("lb"), col("qb")) * 1000.0).cast("long"))
+      .filter(GeoDistanceJoin.haversineKm(col("la"), col("qa"), col("lb"), col("qb")) <= 100.0)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src_id")
+          .orderBy(col("dist_m"), col("neighbor_id"))))
+      .filter(col("rk") <= 3)
+      .select("src_id", "neighbor_id", "dist_m")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = GeoDistanceJoin.nearestNeighbors(df, col("id"), col("lat"), col("lon"),
+        radiusKm = 100.0, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute,
+      s"missed: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
+    assert(brute.nonEmpty)
+    // every point emits at most k rows
+    val perPoint = got.toSeq.groupBy(_._1).values.map(_.size)
+    assert(perPoint.forall(_ <= 3))
+  }
+
   test("radius beyond the 1-neighborhood coverage bound is rejected") {
     intercept[IllegalArgumentException] {
       pairs(Seq((1L, 0.0, 0.0)), r = 150.0).collect()
