@@ -1064,6 +1064,28 @@ object SparkEntry {
         .orderBy("region")
     }),
 
+    "q_geo_clusters" -> ((s, d) => {
+      // spatial CLUSTER labeling — the DBSCAN(minPts=2)-shaped
+      // composition out of two existing primitives: the q_geo_join
+      // radius pairs feed the dedup connected-components closure,
+      // clusters labeled by min member id, integer per-cluster stats.
+      // Star contraction DIRECTLY (not componentsAuto): a radius graph
+      // percolates into one continent-spanning giant component whose
+      // ~100-hop diameter is exactly star contraction's target class —
+      // A/B at sf0.1: 8.0s direct vs 15.1s via the auto-escalation's
+      // burned propagation budget. Same closure engine as
+      // q_dedup_clusters; only the edge generator differs — geometry
+      // instead of text similarity.
+      val pairs = graft.analytics.GeoDistanceJoin.withinRadiusPairs(
+        Geo.housesUnindexed(s, d), col("src_id"),
+        col("latitude"), col("longitude"), radiusKm = 100.0)
+      graft.dedup.DedupClusters.componentsStarContraction(pairs.select("id_a", "id_b"))
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_points"), sum(col("id")).as("sum_ids"),
+          max(col("id")).as("max_id"))
+        .orderBy("comp")
+    }),
+
     "q_runtime_filter" -> ((s, d) => {
       // runtime BLOOM-FILTER join pruning — the row-level twin of
       // q_dpp_prune for NON-partition join keys: the dim's selective
@@ -2877,6 +2899,26 @@ object SparkEntry {
       """SELECT id_a, id_b, CAST(floor(dist_km * 1000.0) AS BIGINT) AS dist_m
         |FROM ref WHERE dist_km <= 100.0 AND id_a < id_b
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // the closure replay (q_dedup_clusters' recursive-reach idiom) over
+    // the geo candidate edges: min reachable id per vertex, then
+    // integer per-cluster stats.
+    "q_geo_clusters" -> (GeoCandCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, gpairs AS (
+        |  SELECT id_a, id_b FROM ref WHERE dist_km <= 100.0 AND id_a < id_b
+        |), gedges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM gpairs
+        |  UNION SELECT id_b, id_a FROM gpairs
+        |), reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM gedges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN gedges e ON e.src = r.id
+        |), compmap AS (
+        |  SELECT id, min(comp) AS comp FROM reach GROUP BY id
+        |)
+        |SELECT CAST(comp AS BIGINT) AS comp, count(*) AS n_points,
+        |  CAST(sum(id) AS BIGINT) AS sum_ids, CAST(max(id) AS BIGINT) AS max_id
+        |FROM compmap GROUP BY comp ORDER BY comp""".stripMargin),
 
     // same candidate replay, ranked per point on the metre-floored
     // distance (id tie-break) — row_number in the oracle, TopKPerKey
