@@ -48,7 +48,11 @@ def load_queries(doc):
                 return json.loads(m.group(0))["queries"]
             except (ValueError, KeyError):
                 pass
-    return {}
+        # last resort for a tail that clipped the full line mid-map
+        # (the pre-r10 artifact shape): scavenge every "q_x":sec pair
+        for m in re.finditer(r'"(q_[a-z0-9_]+)":([0-9.]+)', tail):
+            qs[m.group(1)] = float(m.group(2))
+    return qs
 
 
 def main() -> int:
