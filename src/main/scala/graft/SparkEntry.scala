@@ -1662,6 +1662,19 @@ object SparkEntry {
         t(s, d, "documents"), col("doc_id"),
         size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64)),
 
+    "q_shard_manifest" -> ((s, d) =>
+      // the LAST MILE of packing: per-shard manifest with exclusive
+      // global token offsets (the seek index a training data loader
+      // reads) over the q_seq_pack assignment. The offset prefix sum
+      // runs in the reindexScalable shape — range-partition by bin,
+      // per-partition running sums, one #partitions-row window — never
+      // a global window over the (at 100 TB, billions-row) bin frame.
+      graft.text.SeqPack.shardManifest(
+        graft.text.SeqPack.packGreedy(
+          t(s, d, "documents"), col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64),
+        sepTokens = 1)),
+
     "q_source_quota" -> ((s, d) =>
       graft.text.DocPipeline.sourceQuota(
         t(s, d, "documents"), col("doc_id"), col("text"), col("source"), k = 15)),
@@ -2188,6 +2201,39 @@ object SparkEntry {
       |  FROM expl a JOIN expl b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id
       |)
+      |""".stripMargin
+
+  /** The q_seq_pack greedy-packing replay up through dense global bin
+    * ids (`pack` + `offs` CTEs) — shared by the q_seq_pack assignment
+    * dump and the q_shard_manifest offsets tail.
+    */
+  private val SeqPackCte: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, doc_id // 64 AS grp,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
+      |  FROM documents
+      |), numbered AS (
+      |  SELECT doc_id, grp, n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS BIGINT) AS rn
+      |  FROM toks
+      |), pack AS (
+      |  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+      |    CAST(n_tokens AS BIGINT) AS fill
+      |  FROM numbered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.grp, n.rn, n.doc_id, n.n_tokens,
+      |    -- fill > 0 guard matches packGreedy: a bin opened by a
+      |    -- zero-token doc still accepts the next doc whatever its size
+      |    CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512 THEN CAST(n.n_tokens AS BIGINT)
+      |         ELSE p.fill + n.n_tokens END
+      |  FROM pack p JOIN numbered n ON n.grp = p.grp AND n.rn = p.rn + 1
+      |), bins AS (
+      |  SELECT grp, max(bin) + 1 AS nb FROM pack GROUP BY grp
+      |), offs AS (
+      |  SELECT grp, CAST(coalesce(sum(nb) OVER (ORDER BY grp
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_off
+      |  FROM bins)
       |""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
@@ -3686,36 +3732,30 @@ object SparkEntry {
 
     // the same greedy scan as a recursive CTE per id-range group; global
     // bin ids via the same exclusive prefix sum over per-group bin counts.
-    "q_seq_pack" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, doc_id // 64 AS grp,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
-        |  FROM documents
-        |), numbered AS (
-        |  SELECT doc_id, grp, n_tokens,
-        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS BIGINT) AS rn
-        |  FROM toks
-        |), pack AS (
-        |  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
-        |    CAST(n_tokens AS BIGINT) AS fill
-        |  FROM numbered WHERE rn = 1
-        |  UNION ALL
-        |  SELECT n.grp, n.rn, n.doc_id, n.n_tokens,
-        |    -- fill > 0 guard matches packGreedy: a bin opened by a
-        |    -- zero-token doc still accepts the next doc whatever its size
-        |    CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
-        |    CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512 THEN CAST(n.n_tokens AS BIGINT)
-        |         ELSE p.fill + n.n_tokens END
-        |  FROM pack p JOIN numbered n ON n.grp = p.grp AND n.rn = p.rn + 1
-        |), bins AS (
-        |  SELECT grp, max(bin) + 1 AS nb FROM pack GROUP BY grp
-        |), offs AS (
-        |  SELECT grp, CAST(coalesce(sum(nb) OVER (ORDER BY grp
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_off
-        |  FROM bins)
-        |SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
+    "q_seq_pack" -> (SeqPackCte +
+      """SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
         |FROM pack p JOIN offs o USING (grp)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+
+    // the manifest tail over the same packing replay: bin-grain integer
+    // aggregates and the exclusive global token offset via one ordered
+    // window over the bin frame (test-scale replay of the engine's
+    // partitioned prefix sum).
+    "q_shard_manifest" -> (SeqPackCte +
+      """, packed AS (
+        |  SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
+        |  FROM pack p JOIN offs o USING (grp)
+        |), binagg AS (
+        |  SELECT bin_id, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |    CAST(sum(n_tokens) + 1 * count(*) AS BIGINT) AS shard_len
+        |  FROM packed GROUP BY bin_id)
+        |SELECT bin_id, n_docs, sum_tokens, shard_len,
+        |  CAST(coalesce(sum(shard_len) OVER (ORDER BY bin_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+        |  sum_ids
+        |FROM binagg ORDER BY bin_id""".stripMargin),
 
     // the FFD replay: rows ranked (n_tokens DESC, doc_id) per group, the
     // open-bin fill list carried through the recursive CTE, first fit =

@@ -100,6 +100,45 @@ object SeqPack {
     globalBinIds(perDoc)
   }
 
+  /** Per-SHARD manifest of a packed corpus — the last mile between bin
+    * assignment and training-shard files: for every bin, document count,
+    * token count, shard length (tokens + `sepTokens` EOD separator per
+    * document) and the EXCLUSIVE global token offset where the shard
+    * starts in the concatenated stream — the index a data loader seeks
+    * by. `assignments` is [[packGreedy]]/[[packFfd]] output
+    * (doc_id, n_tokens, bin_id).
+    *
+    * Scale shape: the offset is a prefix sum over the BIN-grain frame,
+    * which at 100 TB is itself billions of rows — so it uses the same
+    * range-partition + per-partition running sums + #partitions-row
+    * global window as [[globalBinIds]], never a global window over bins.
+    */
+  def shardManifest(assignments: DataFrame, sepTokens: Int = 1): DataFrame = {
+    require(sepTokens >= 0, s"bad sepTokens $sepTokens")
+    val bins = assignments.groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_ids"))
+      .withColumn("shard_len",
+        col("sum_tokens") + lit(sepTokens.toLong) * col("n_docs"))
+    val cum = graft.CachePool.persist(
+      bins.repartitionByRange(col("bin_id"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__cum",
+          sum("shard_len").over(Window.partitionBy("__pid").orderBy("bin_id"))))
+    val pidOffsets = cum.groupBy("__pid").agg(sum("shard_len").as("__tot"))
+      .withColumn("__poff",
+        coalesce(sum("__tot").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__poff")
+    cum.join(broadcast(pidOffsets), "__pid")
+      .select(col("bin_id"), col("n_docs"), col("sum_tokens"), col("shard_len"),
+        (col("__cum") - col("shard_len") + col("__poff")).as("start_offset"),
+        col("sum_ids"))
+      .orderBy("bin_id")
+  }
+
   /** Globally dense bin ids from (grp, doc_id, n_tokens, local_bin):
     * exclusive prefix sum of per-group bin counts — range partition on
     * grp, per-partition running totals, ONE tiny global window over the

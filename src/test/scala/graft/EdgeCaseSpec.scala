@@ -380,6 +380,34 @@ class EdgeCaseSpec extends SparkSpec {
       Seq((1L, 0.5)).toDF("id", "prior_score"), k = 5).count() === 0)
   }
 
+  test("round-10 operators on empty/degenerate input") {
+    import graft.analytics.GeoDistanceJoin
+    val noPts = Seq.empty[(Long, Double, Double)].toDF("id", "lat", "lon")
+    // geo join family: empty input, single point, null coordinates —
+    // all empty results, never a throw
+    assert(GeoDistanceJoin.withinRadiusPairs(
+      noPts, col("id"), col("lat"), col("lon"), 100.0).count() === 0)
+    assert(GeoDistanceJoin.nearestNeighbors(
+      noPts, col("id"), col("lat"), col("lon"), 100.0, k = 2).count() === 0)
+    val single = Seq((1L, 10.0, 20.0)).toDF("id", "lat", "lon")
+    assert(GeoDistanceJoin.withinRadiusPairs(
+      single, col("id"), col("lat"), col("lon"), 100.0).count() === 0)
+    val withNull = Seq((1L, Some(10.0), Some(20.0)), (2L, None, Some(20.0)),
+        (3L, Some(10.1), Some(20.1)))
+      .toDF("id", "lat", "lon")
+    val pairs = GeoDistanceJoin.withinRadiusPairs(
+      withNull, col("id"), col("lat"), col("lon"), 100.0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 3L))) // null row drops out
+    // shard manifest of an empty packing is empty; sepTokens=0 legal
+    val noPack = Seq.empty[(Long, Int, Long)].toDF("doc_id", "n_tokens", "bin_id")
+    assert(graft.text.SeqPack.shardManifest(noPack).count() === 0)
+    assert(graft.text.SeqPack.shardManifest(
+      Seq((1L, 5, 0L)).toDF("doc_id", "n_tokens", "bin_id"), sepTokens = 0)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList ===
+      List((0L, 1L, 5L, 5L, 0L, 1L)))
+  }
+
   test("join operators on empty sides") {
     val pts = Seq.empty[(Long, Double)].toDF("pid", "x")
     val ivs = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")

@@ -209,6 +209,40 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got === List((0L, 0L), (1L, 0L), (2L, 1L)))
   }
 
+  test("shardManifest: hand-checked offsets, then invariants on a random packing") {
+    // assignments from the first packGreedy example (budget 10, grp 4):
+    // bin0={0,1}(8t) bin1={2}(4t) bin2={3}(9t) bin3={4}(11t) bin4={5}(1t)
+    // bin5={6}(10t) bin6={7}(2t); shard_len = tokens + 1/doc
+    val packed = SeqPack.packGreedy(
+      Seq((0L, 4), (1L, 4), (2L, 4), (3L, 9), (4L, 11), (5L, 1), (6L, 10), (7L, 2))
+        .toDF("doc_id", "n"),
+      col("doc_id"), col("n"), budget = 10, groupSize = 4)
+    val got = SeqPack.shardManifest(packed, sepTokens = 1)
+      .select("bin_id", "n_docs", "sum_tokens", "shard_len", "start_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List(
+      (0L, 2L, 8L, 10L, 0L), (1L, 1L, 4L, 5L, 10L), (2L, 1L, 9L, 10L, 15L),
+      (3L, 1L, 11L, 12L, 25L), (4L, 1L, 1L, 2L, 37L), (5L, 1L, 10L, 11L, 39L),
+      (6L, 1L, 2L, 3L, 50L)))
+
+    // random packing: offsets are the exclusive running sum of shard_len,
+    // starting at 0, and totals reconcile with the input
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 300L).map(i => (i, rng.nextInt(120))).toDF("doc_id", "n")
+    val m = SeqPack.shardManifest(
+        SeqPack.packGreedy(docs, col("doc_id"), col("n"), budget = 256, groupSize = 32),
+        sepTokens = 1)
+      .select("bin_id", "n_docs", "sum_tokens", "shard_len", "start_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(m.map(_._1) === m.map(_._1).sorted)
+    var expect = 0L
+    m.foreach { case (_, _, _, len, off) =>
+      assert(off === expect); expect += len
+    }
+    assert(m.map(_._2).sum === 300L)
+    assert(m.map(_._3).sum === docs.as[(Long, Int)].collect().map(_._2.toLong).sum)
+  }
+
   test("packGreedy matches a local reference fold on random sparse-id inputs") {
     val rng = new scala.util.Random(42)
     for (round <- 0 until 3) {
