@@ -157,18 +157,25 @@ object DedupClusters extends Logging {
     }
 
     var edges = initial
+    var edgeCount = edges.count()
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
       val next = truncate(smallStar(largeStar(edges)), checkpointDir)
-      // fixpoint ⇔ identical edge sets (both are distinct): one
-      // symmetric-difference probe via full outer join — a row missing
-      // on either side means the sets differ.
-      changed = next.withColumn("__n", lit(1))
-        .join(edges.withColumn("__e", lit(1)), Seq("u", "v"), "full_outer")
-        .filter(col("__n").isNull || col("__e").isNull)
-        .head(1).nonEmpty
+      // fixpoint ⇔ identical edge sets (both are distinct). A differing
+      // COUNT already proves the sets differ — and the edge set shrinks
+      // on almost every contraction round — so the expensive
+      // symmetric-difference probe (full outer join) only runs on the
+      // final same-count rounds; every other round pays one cheap count
+      // of an already-persisted frame.
+      val nextCount = next.count()
+      changed = nextCount != edgeCount ||
+        next.withColumn("__n", lit(1))
+          .join(edges.withColumn("__e", lit(1)), Seq("u", "v"), "full_outer")
+          .filter(col("__n").isNull || col("__e").isNull)
+          .head(1).nonEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (changed) throw new IllegalStateException(
