@@ -490,6 +490,47 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "q_cluster_split" -> ((s, d) => {
+      // leakage-FREE split: q_split_gate hashes raw doc ids, which puts
+      // ~2·w·(1−w) of every near-dup pair across a split boundary — eval
+      // leakage. Here the split decision hashes the dedup-cluster
+      // REPRESENTATIVE (the q_dedup_clusters containment closure), so a
+      // cluster lands whole in one split. Gates Spark-side: no cluster
+      // straddles splits, every row got a split, sizes sit in a binomial
+      // band whose variance unit is the CLUSTER (Σ size² replaces n) with
+      // max-cluster-size slack. The oracle replays the closure to
+      // re-derive n_clusters — the data-carrying column — and pins the
+      // booleans.
+      val planted = DedupData.withPlantedDups(t(s, d, "documents"))
+      val pairs = NGramJaccard.containmentPairs(
+        planted, col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)
+      val comp = graft.dedup.DedupClusters.componentsAuto(pairs.select("id_a", "id_b"))
+      val w = Seq(0.8, 0.1, 0.1)
+      val splitDf = graft.etl.Sampling.splitByCluster(
+        planted, col("doc_id"), comp, w)
+      val labeled = graft.CachePool.persist(splitDf
+        .join(comp.select(col("id"), col("comp")), col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("comp"), col("doc_id")).as("rep")))
+      val straddle = labeled.groupBy("rep")
+        .agg(countDistinct("split").as("ns"), count(lit(1)).as("csize"))
+        .agg(max("ns").as("max_ns"), sum(col("csize") * col("csize")).as("s2"),
+          max("csize").as("max_csize"), count(lit(1)).as("n_clusters"))
+      val counts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
+      val totals = labeled.agg(count(lit(1)).as("n_docs"),
+        count(col("split")).as("n_assigned"))
+      val wCol = when(col("split") === 0, lit(0.8)).otherwise(lit(0.1))
+      counts.crossJoin(broadcast(straddle)).crossJoin(broadcast(totals))
+        .select(col("split").cast("long").as("split"),
+          col("n_docs"), col("n_clusters"),
+          (abs(col("n") - wCol * col("n_docs")) <=
+            lit(4.0) * sqrt(wCol * (lit(1.0) - wCol) * col("s2")) + col("max_csize"))
+            .as("frac_ok"),
+          (col("max_ns") === 1).as("no_straddle_ok"),
+          (col("n_assigned") === col("n_docs")).as("complete_ok"))
+        .orderBy("split")
+    }),
+
     "q_cluster_survivors" -> ((s, d) => {
       // canonical-document selection: close the (string-oracled)
       // containment pair graph, then keep the BEST-QUALITY member of each
@@ -1086,6 +1127,26 @@ object SparkEntry {
         .orderBy("comp")
     }),
 
+    "q_pagerank" -> ((s, d) => {
+      // link-graph host centrality — the crawl-side quality signal
+      // (Common Crawl ships exactly this host ranking) beside the
+      // content-side classifiers: a deterministic planted host graph
+      // (host = doc_id mod 256; three affine out-links per doc, whose
+      // mod patterns give genuine in-degree skew), ranked by INTEGER
+      // fixed-point PageRank (scale 10⁻⁶, d = 85/100, 5 rounds) — every
+      // cell exact, so the oracle replays all five rounds as unrolled
+      // CTEs with floor division. Top-20 hosts by (rank desc, host asc).
+      val docs = t(s, d, "documents")
+      val links = docs.select((col("doc_id") % 256).as("src"),
+        explode(array((col("doc_id") * 31 + 7) % 256,
+          (col("doc_id") * 17 + 3) % 256,
+          (col("doc_id") * 13 + 11) % 256)).as("dst"))
+      graft.analytics.LinkGraph.pageRankInt(links, iters = 5)
+        .orderBy(col("rank").desc, col("id"))
+        .limit(20)
+        .select(col("id").as("host"), col("rank"))
+    }),
+
     "q_runtime_filter" -> ((s, d) => {
       // runtime BLOOM-FILTER join pruning — the row-level twin of
       // q_dpp_prune for NON-partition join keys: the dim's selective
@@ -1646,6 +1707,32 @@ object SparkEntry {
       val corpus = DedupData.withPlantedDups(docs)
         .filter(!(col("doc_id") < DedupData.ExactIdOffset && col("doc_id") % 10 === 0))
       graft.text.Decontaminate.overlaps(corpus, evalDocs, col("doc_id"), col("text"), n = 8)
+    }),
+
+    "q_minhash_decontam" -> ((s, d) => {
+      // FUZZY decontamination (the near-dup complement of
+      // q_decontaminate's exact 8-gram probe): the "benchmark" is a
+      // planted near-paraphrase of every 5th corpus doc (the DedupData
+      // near perturbation — appended tokens), and the MinHash banded
+      // cross join must hand back the training-side drop list. The
+      // corpus never self-pairs (two-sided join), so flags are genuine
+      // corpus-vs-eval matches. Gate: ≥ 90% of planted contaminations
+      // recovered (the q_dedup_recall threshold); the planted count is
+      // data-derived so the oracle re-computes it.
+      val docs = t(s, d, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + DedupData.NearIdOffset).as("doc_id"),
+          concat(col("text"), lit(DedupData.NearSuffix)).as("text"))
+      val flags = graft.text.Decontaminate.overlapsNearDup(
+        docs, evalDocs, col("doc_id"), col("text"))
+      val rec = flags
+        .filter(col("eval_id") === col("doc_id") + DedupData.NearIdOffset)
+        .agg(count(lit(1)).as("rec"))
+      val nPlanted = docs.filter(col("doc_id") % 5 === 0)
+        .agg(count(lit(1)).as("n_planted"))
+      rec.crossJoin(broadcast(nPlanted))
+        .select(lit("minhash_decontam").as("probe"), col("n_planted"),
+          (col("rec") >= col("n_planted") * 0.9).as("recall_ok"))
     }),
 
     "q_seq_pack" -> ((s, d) =>
@@ -2542,6 +2629,33 @@ object SparkEntry {
         |  TRUE AS frac_ok, TRUE AS disjoint_ok, TRUE AS complete_ok
         |FROM (VALUES (0), (1), (2)) q(s) ORDER BY split""".stripMargin,
 
+    // leakage-free split: booleans pinned (split membership is
+    // hash-keyed, deliberately not replayed); n_clusters is DATA-DERIVED
+    // through the same recursive closure as q_dedup_clusters, so the
+    // component map feeding the split is value-certified.
+    "q_cluster_split" -> (DedupData.DocsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + GramPairsCte +
+      """, cpairs AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
+        |), cedges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM cpairs
+        |  UNION SELECT id_b, id_a FROM cpairs
+        |), reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM cedges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN cedges e ON e.src = r.id
+        |), compmap AS (
+        |  SELECT id, min(comp) AS comp FROM reach GROUP BY id
+        |), reps AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep
+        |  FROM docs d LEFT JOIN compmap c ON c.id = d.doc_id
+        |)
+        |SELECT CAST(q.s AS BIGINT) AS split,
+        |  (SELECT count(*) FROM docs) AS n_docs,
+        |  (SELECT count(DISTINCT rep) FROM reps) AS n_clusters,
+        |  TRUE AS frac_ok, TRUE AS no_straddle_ok, TRUE AS complete_ok
+        |FROM (VALUES (0), (1), (2)) q(s) ORDER BY split""".stripMargin),
+
     // survivor selection: the q_dedup_clusters closure composed with the
     // q_source_quota quality replay — per cluster, the argmax-quality
     // member (doc_id tie-break); unclustered docs survive as themselves.
@@ -2923,6 +3037,37 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    // integer fixed-point PageRank: floor division makes every round
+    // exact, so the oracle replays all five power-iteration rounds as
+    // unrolled CTEs (DuckDB `//` and Spark `div` agree on non-negative
+    // integers) — ranks are value-certified cell for cell, not gated.
+    "q_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        s""", c$i AS (
+           |  SELECT e.dst AS id, sum((r.rank // o.ow) * e.w) AS c
+           |  FROM wedges e JOIN r${i - 1} r ON r.id = e.src JOIN outw o ON o.src = e.src
+           |  GROUP BY e.dst
+           |), r$i AS (
+           |  SELECT v.id, CAST(150000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS rank
+           |  FROM verts v LEFT JOIN c$i c ON c.id = v.id
+           |)""".stripMargin
+      }.mkString
+      """WITH links AS (
+        |  SELECT doc_id % 256 AS src, (doc_id * 31 + 7) % 256 AS dst FROM documents
+        |  UNION ALL SELECT doc_id % 256, (doc_id * 17 + 3) % 256 FROM documents
+        |  UNION ALL SELECT doc_id % 256, (doc_id * 13 + 11) % 256 FROM documents
+        |), wedges AS (
+        |  SELECT src, dst, count(*) AS w FROM links GROUP BY src, dst
+        |), verts AS (
+        |  SELECT DISTINCT src AS id FROM links UNION SELECT DISTINCT dst FROM links
+        |), outw AS (
+        |  SELECT src, sum(w) AS ow FROM wedges GROUP BY src
+        |), r0 AS (
+        |  SELECT id, CAST(1000000 AS BIGINT) AS rank FROM verts
+        |)""".stripMargin + rounds +
+      "\nSELECT id AS host, rank FROM r5 ORDER BY rank DESC, host LIMIT 20"
+    },
 
     // dynamic pruning is a physical-plan property (the dim filter reaches
     // the fact scan at runtime); the oracle replays the identical
@@ -3729,6 +3874,15 @@ object SparkEntry {
         |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
         |FROM cg c JOIN eg e ON c.g = e.g
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin),
+
+    // fuzzy decontamination gate: the recall boolean is pinned (the
+    // MinHash signature path is not SQL-expressible); the planted
+    // contamination count is data-derived so the eval-set construction
+    // is still value-checked.
+    "q_minhash_decontam" ->
+      """SELECT 'minhash_decontam' AS probe,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS n_planted,
+        |  TRUE AS recall_ok""".stripMargin,
 
     // the same greedy scan as a recursive CTE per id-range group; global
     // bin ids via the same exclusive prefix sum over per-group bin counts.

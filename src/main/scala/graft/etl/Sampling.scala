@@ -87,6 +87,47 @@ object Sampling {
     }.toSeq
   }
 
+  /** Leakage-FREE split: assign every row the split of its near-duplicate
+    * CLUSTER representative, not of itself. Hashing raw doc ids puts the
+    * two halves of a near-dup pair in different splits with probability
+    * 2·w·(1−w) — test-set leakage that inflates every evaluation run on
+    * the resulting splits (the model has memorized the training-side
+    * twin). The unit of randomization must therefore be the dedup
+    * cluster: `comp` is a component map (columns `id`, `comp`) from
+    * [[graft.dedup.DedupClusters]], rows absent from it are singleton
+    * clusters represented by their own key, and the split decision hashes
+    * the REPRESENTATIVE — so a cluster lands whole in exactly one split,
+    * and singleton rows land exactly where [[split]] would have put them
+    * (same hash tag, so adding clustering perturbs only clustered rows).
+    *
+    * Scale shape: one left equi-join against the component map (itself
+    * the output of the bounded-pair + CC pipeline) and a pure-map hash —
+    * no window, no skew hazard beyond a giant cluster's representative
+    * key, which AQE splits like any hot join key.
+    *
+    * Returns `df` plus an integer `split` column indexing `weights`.
+    */
+  def splitByCluster(df: DataFrame, key: Column, comp: DataFrame,
+                     weights: Seq[Double], salt: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0))
+    val total = weights.sum
+    val bounds = weights.scanLeft(0.0)(_ + _)
+      .map(w => (w / total * Scale).toLong)
+      .init :+ Scale
+    val compR = comp.select(col("id").as("__cs_id"), col("comp").as("__cs_comp"))
+    val h = bucketHash(coalesce(col("__cs_comp"), key), "split", salt)
+    // split i covers [bounds(i), bounds(i+1)); h < Scale always, so the
+    // innermost branch (the last split) is the h < Scale case itself.
+    val uppers = bounds.tail
+    val splitIdx = uppers.init.zipWithIndex.reverse
+      .foldLeft(lit(uppers.size - 1)) { case (acc, (hi, i)) =>
+        when(h < lit(hi), lit(i)).otherwise(acc)
+      }
+    df.join(compR, key === col("__cs_id"), "left")
+      .withColumn("split", splitIdx)
+      .drop("__cs_id", "__cs_comp")
+  }
+
   /** Fixed-point scale for the temperature weights: √n in integer
     * 2⁻²⁰-ths. Everything after the (IEEE-exact) sqrt is integer
     * arithmetic, so the allocation is bit-identical on any engine.

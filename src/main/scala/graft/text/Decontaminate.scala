@@ -90,6 +90,32 @@ object Decontaminate extends Logging {
     }
   }
 
+  /** FUZZY decontamination — the near-duplicate form of [[overlaps]]:
+    * an exact n-gram probe misses lightly edited eval copies
+    * (reformatted whitespace, trailing additions, paraphrase-like
+    * noise), so production pipelines also flag training docs whose
+    * MinHash-estimated Jaccard similarity to ANY eval document crosses a
+    * threshold — the near-match decontamination step published for
+    * GPT-3/Llama-style corpus preparation. Delegates to the two-sided
+    * banded signature join of
+    * [[graft.dedup.MinHashLsh.crossSnapshotNearDuplicates]] with the
+    * corpus on the probe side: the corpus NEVER self-pairs, eval
+    * signatures are computed once (the eval set is benchmark-sized), and
+    * only band-bucket collisions ever meet — the same bounded-candidate
+    * contract as incremental dedup, never corpus × eval.
+    *
+    * Output: (doc_id, eval_id, est_jaccard ≥ threshold) — the
+    * training-side DROP list with its eval-doc provenance, the
+    * complement of [[leakReport]]'s eval-side view.
+    */
+  def overlapsNearDup(corpus: DataFrame, evalDocs: DataFrame,
+                      id: Column, text: Column,
+                      threshold: Double = 0.5): DataFrame =
+    graft.dedup.MinHashLsh
+      .crossSnapshotNearDuplicates(corpus, evalDocs, id, text, threshold)
+      .select(col("new_id").as("doc_id"), col("old_id").as("eval_id"),
+        col("est_jaccard"))
+
   /** The eval set's distinct gram hashes, collected to the driver — the
     * benchmark suite is bounded by definition (thousands of docs, not
     * corpus-scale), the same justified-collect shape as the ANN index

@@ -408,6 +408,34 @@ class EdgeCaseSpec extends SparkSpec {
       List((0L, 1L, 5L, 5L, 0L, 1L)))
   }
 
+  test("round-10 second-session operators on empty/degenerate input") {
+    // PageRank: empty graph → empty ranks; self-loop-only graph is a
+    // fixpoint (one vertex, all mass recycled)
+    val noLinks = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.analytics.LinkGraph.pageRankInt(noLinks, iters = 2).count() === 0)
+    assert(graft.analytics.LinkGraph.pageRankInt(
+        Seq((7L, 7L)).toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toList === List((7L, 1000000L)))
+    // zero iterations: everyone at the initial rank
+    assert(graft.analytics.LinkGraph.pageRankInt(
+        Seq((1L, 2L)).toDF("src", "dst"), iters = 0)
+      .as[(Long, Long)].collect().toMap === Map(1L -> 1000000L, 2L -> 1000000L))
+    // splitByCluster with an EMPTY component map degrades to split()
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val emptyComp = Seq.empty[(Long, Long)].toDF("id", "comp")
+    val viaCluster = graft.etl.Sampling
+      .splitByCluster(docs, col("doc_id"), emptyComp, Seq(0.5, 0.5))
+      .select("doc_id", "split").as[(Long, Int)].collect().toMap
+    val viaPlain = graft.etl.Sampling.split(docs, col("doc_id"), Seq(0.5, 0.5))
+      .zipWithIndex.flatMap { case (df, i) =>
+        df.select("doc_id").as[Long].collect().map(_ -> i)
+      }.toMap
+    assert(viaCluster === viaPlain)
+    // fuzzy decontamination against an empty eval set flags nothing
+    assert(graft.text.Decontaminate.overlapsNearDup(
+      docs, docs.limit(0), col("doc_id"), col("text")).count() === 0)
+  }
+
   test("join operators on empty sides") {
     val pts = Seq.empty[(Long, Double)].toDF("pid", "x")
     val ivs = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")

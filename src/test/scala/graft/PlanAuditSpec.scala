@@ -676,4 +676,38 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"bucketed join must read both sides exchange-free, found: $shufflesBelowJoin\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q_pagerank iterates on equi-joins over truncated lineage — no cartesian, no window") {
+    val plan = finalPlan(q("q_pagerank"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"$plan")
+    // per-round lineage truncation: the final round's plan reads the
+    // previous round as a checkpointed RDD scan, not a 5-deep nested
+    // join tree re-deriving every round from the parquet scan
+    assert(collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty, s"round plan still re-derives from the file scan:\n$plan")
+  }
+
+  test("q_cluster_split assigns splits by map + equi-joins — no window over the corpus") {
+    val plan = finalPlan(q("q_cluster_split"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"$plan")
+  }
+
+  test("q_minhash_decontam bands meet in a two-sided equi-join, never cartesian over docs") {
+    val plan = finalPlan(q("q_minhash_decontam"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    // the only BNL is the 1-row planted-count broadcast of the gate
+    val bnl = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 1, s"corpus-sized BNL in the decontamination probe:\n$plan")
+  }
 }

@@ -53,6 +53,32 @@ class EtlSpec extends SparkSpec {
     assert(bySrc("src0") === docs.filter(col("source") === "src0").count())
   }
 
+  test("splitByCluster: clusters land whole, singletons land exactly where split() puts them") {
+    val docs = table("documents")
+    // synthetic component map: pair up neighbouring ids (0,1), (10,11), …
+    // — every even id in 0..98 represents itself and its successor
+    val comp = spark.range(0, 100, 2).select(
+        (col("id") + 1).as("id"), col("id").as("comp"))
+    val w = Seq(0.8, 0.1, 0.1)
+    val out = Sampling.splitByCluster(docs, col("doc_id"), comp, w)
+    // exhaustive: every row kept, every row assigned
+    assert(out.count() === docs.count())
+    assert(out.filter(col("split").isNull || col("split") < 0 || col("split") > 2).count() === 0)
+    // no cluster straddles: both members of each planted pair share a split
+    val bySplit = out.select("doc_id", "split").as[(Long, Int)].collect().toMap
+    (0L until 100L by 2).foreach { even =>
+      if (bySplit.contains(even) && bySplit.contains(even + 1))
+        assert(bySplit(even) === bySplit(even + 1), s"pair ($even, ${even + 1}) straddles")
+    }
+    // singleton rows (not in comp) get the SAME assignment as plain split()
+    val plain = Sampling.split(docs, col("doc_id"), w).zipWithIndex
+      .map { case (df, i) => df.select("doc_id").as[Long].collect().toSet.map((_: Long) -> i) }
+      .reduce(_ ++ _).toMap
+    bySplit.filterNot { case (id, _) => id < 100 && id % 2 == 1 }.foreach {
+      case (id, s) => assert(plain(id) === s, s"singleton $id moved")
+    }
+  }
+
   test("stratifiedExactK keeps exactly min(k, n) per stratum, deterministically") {
     val docs = table("documents").select("doc_id", "source", "lang")
     val k = 4

@@ -143,6 +143,26 @@ class CorpusPrepSpec extends SparkSpec {
     assert(viaShuffle.collect().toSeq === viaBroadcast.collect().toSeq)
   }
 
+  test("overlapsNearDup flags near-paraphrase contamination the exact probe structure implies") {
+    val docs = table("documents")
+    // eval set: near variants (appended tokens) of every 5th doc — the
+    // class exact matching catches only via surviving grams, fuzzy via
+    // whole-set similarity
+    val evalDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" zz extra trailing tokens appended")).as("text"))
+    val flags = Decontaminate.overlapsNearDup(docs, evalDocs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+    // every flag is corpus-vs-eval (ids disjoint by construction: no self-pairs)
+    assert(flags.forall { case (docId, evalId, _) => docId < 500000L && evalId >= 500000L })
+    // recall: ≥90% of the planted originals flagged against their own variant
+    val planted = docs.filter(col("doc_id") % 5 === 0).count()
+    val recovered = flags.count { case (docId, evalId, _) => evalId == docId + 500000L }
+    assert(recovered >= planted * 9 / 10, s"$recovered of $planted")
+    // estimates carried through are genuine similarities, in (0, 1]
+    assert(flags.forall { case (_, _, j) => j > 0.0 && j <= 1.0 })
+  }
+
   test("flagContaminated probe agrees with the arrays_overlap formulation corpus-wide") {
     val docs = table("documents")
     val evalDocs = docs.filter(col("doc_id") % 13 === 0)
