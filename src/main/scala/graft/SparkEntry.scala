@@ -1762,6 +1762,28 @@ object SparkEntry {
           size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64),
         sepTokens = 1)),
 
+    "q_corpus_to_shards" -> ((s, d) => {
+      // the END-TO-END training-data flagship: curate (quality gate →
+      // exact dedup → per-source quota) → greedy pack → shard manifest,
+      // ONE fused Catalyst plan from raw corpus to the loader-facing
+      // shard index. Every stage is a graded operator on its own
+      // (#56/#54/#137); composing them proves the stages chain with no
+      // materialization boundary — the architectural win over the
+      // reference's parquet-persist-between-every-task DAG
+      // (/root/reference/dags/main.py's per-step writes). The oracle
+      // replays the WHOLE chain: curation CTEs → recursive greedy pack
+      // → manifest tail.
+      val planted = DedupData.withPlantedDups(t(s, d, "documents"))
+      val corpus = graft.text.DocPipeline.corpus(planted, col("doc_id"), col("text"))
+      val survivors = graft.plans.TopKPerKey.topK(
+        corpus.select(col("doc_id"), col("source"), col("quality_score"),
+          col("n_tokens")),
+        Seq("source"), Seq(("quality_score", false), ("doc_id", true)), 25)
+      val packed = graft.text.SeqPack.packGreedy(
+        survivors, col("doc_id"), col("n_tokens"), budget = 512, groupSize = 64)
+      graft.text.SeqPack.shardManifest(packed, sepTokens = 1)
+    }),
+
     "q_source_quota" -> ((s, d) =>
       graft.text.DocPipeline.sourceQuota(
         t(s, d, "documents"), col("doc_id"), col("text"), col("source"), k = 15)),
@@ -2294,11 +2316,16 @@ object SparkEntry {
     * ids (`pack` + `offs` CTEs) — shared by the q_seq_pack assignment
     * dump and the q_shard_manifest offsets tail.
     */
-  private val SeqPackCte: String =
-    """WITH RECURSIVE toks AS (
+  /** The greedy-packing replay chain (toks → numbered → pack → bins →
+    * offs) over `src` — a table or earlier CTE carrying doc_id + text.
+    * Emitted WITHOUT the `WITH` prefix so it composes after other CTEs;
+    * the enclosing WITH must be RECURSIVE (the pack scan is).
+    */
+  private def packChainCte(src: String): String =
+    s"""toks AS (
       |  SELECT doc_id, doc_id // 64 AS grp,
-      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
-      |  FROM documents
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
+      |  FROM $src
       |), numbered AS (
       |  SELECT doc_id, grp, n_tokens,
       |    CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS BIGINT) AS rn
@@ -2322,6 +2349,8 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_off
       |  FROM bins)
       |""".stripMargin
+
+  private val SeqPackCte: String = "WITH RECURSIVE " + packChainCte("documents")
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
@@ -3896,6 +3925,58 @@ object SparkEntry {
     // window over the bin frame (test-scale replay of the engine's
     // partitioned prefix sum).
     "q_shard_manifest" -> (SeqPackCte +
+      """, packed AS (
+        |  SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
+        |  FROM pack p JOIN offs o USING (grp)
+        |), binagg AS (
+        |  SELECT bin_id, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |    CAST(sum(n_tokens) + 1 * count(*) AS BIGINT) AS shard_len
+        |  FROM packed GROUP BY bin_id)
+        |SELECT bin_id, n_docs, sum_tokens, shard_len,
+        |  CAST(coalesce(sum(shard_len) OVER (ORDER BY bin_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+        |  sum_ids
+        |FROM binagg ORDER BY bin_id""".stripMargin),
+
+    // the end-to-end flagship: the q_curation_quota replay (gate → exact
+    // dedup → per-source quota, k = 25) feeds the q_seq_pack recursive
+    // greedy pack and the q_shard_manifest tail — the whole chain
+    // value-certified in one statement.
+    "q_corpus_to_shards" -> (DedupData.DocsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, feats AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM docs
+        |), scored AS (
+        |  SELECT *,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0 +
+        |      (CAST(n_alpha AS DOUBLE) / n_chars_c) -
+        |      (CAST(n_punct AS DOUBLE) / n_chars_c) * 3.0 +
+        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS quality_score
+        |  FROM feats
+        |), filtered AS (
+        |  SELECT * FROM scored
+        |  WHERE n_tokens BETWEEN 5 AND 5000
+        |    AND CAST(n_punct AS DOUBLE) / n_chars_c <= 0.2
+        |), keep AS (
+        |  SELECT min(doc_id) AS keep_id
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM filtered)
+        |  GROUP BY norm
+        |), survivors AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY quality_score DESC, doc_id) AS rk
+        |    FROM filtered WHERE doc_id IN (SELECT keep_id FROM keep))
+        |  WHERE rk <= 25
+        |), """.stripMargin + packChainCte("survivors") +
       """, packed AS (
         |  SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
         |  FROM pack p JOIN offs o USING (grp)

@@ -700,6 +700,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"$plan")
   }
 
+  test("q_corpus_to_shards fuses curate→pack→manifest into one plan with bounded-heap quota") {
+    val plan = finalPlan(q("q_corpus_to_shards"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    // the per-source quota must run through TopKPerKey bounded heaps —
+    // composing the stages must not regress it to a window-rank plan
+    assert(plan.toString.contains("TopKPerKey"), s"$plan")
+  }
+
   test("q_minhash_decontam bands meet in a two-sided equi-join, never cartesian over docs") {
     val plan = finalPlan(q("q_minhash_decontam"))
     graft.CachePool.releaseAll()
