@@ -648,6 +648,29 @@ object SparkEntry {
         .groupBy("run_df").agg(count(lit(1)).as("n_runs"))
         .orderBy("run_df")),
 
+    "q_span_dedup" -> ((s, d) =>
+      // exact duplicated-SPAN excision (the Lee-et-al span rule): maximal
+      // merged extents of 8-token windows whose run occurs EARLIER
+      // anywhere in the corpus (global (doc_id, pos)-min keeps the one
+      // canonical occurrence). Linear — no pair graph, no df cutoff: a
+      // run's state is its single first occurrence, however hot. The
+      // planted exact copies surface as one whole-document span; near
+      // copies as a prefix span ending where the appended suffix begins.
+      // Hash-equality = run-string-equality (the q_shared_runs trick), so
+      // the oracle replays runs as strings end-to-end.
+      graft.text.SpanDedup.duplicateSpans(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"))),
+
+    "q_span_stats" -> ((s, d) =>
+      // the excision ledger over the same rule: per doc, total tokens,
+      // tokens under duplicated spans, spans, and surviving tokens —
+      // zero-dup docs ride along with dup_tokens = 0 (left join), so the
+      // frame is the complete corpus-shrinkage report.
+      graft.text.SpanDedup.spanStats(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"))),
+
     "q_dedup_minhash_w" -> ((s, d) =>
       MinHashLsh.nearDuplicatesWeighted(
         DedupData.withPlantedDups(t(s, d, "documents")),
@@ -2312,6 +2335,50 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** The span-excision replay chain over the planted `docs` CTE — shared
+    * by the q_span_dedup span dump and the q_span_stats ledger. Positions
+    * are 0-based (DuckDB's generate_series is 1-based, hence `i - 1`);
+    * the `n <= 8` branch mirrors `Fingerprint.windowHashes`' single
+    * whole-stream run for short documents; `ranked`'s (doc_id, pos)
+    * row_number is the global-first rule; `isl`/`grp` is the running-max
+    * interval merge.
+    */
+  private val SpanChainCte: String =
+    """, toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM docs
+      |), nz AS (
+      |  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+      |), occ AS (
+      |  SELECT doc_id, n, tk,
+      |    unnest(generate_series(1, CASE WHEN n <= 8 THEN 1 ELSE n - 7 END)) AS i
+      |  FROM nz
+      |), runs AS (
+      |  SELECT doc_id, n, i - 1 AS pos,
+      |    CASE WHEN n <= 8 THEN array_to_string(tk, ' ')
+      |         ELSE array_to_string(tk[i:i+7], ' ') END AS fp
+      |  FROM occ
+      |), ranked AS (
+      |  SELECT doc_id, n, pos, fp,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+      |  FROM runs
+      |), dup AS (
+      |  SELECT doc_id, pos, least(pos + 8, n) AS cov_end FROM ranked WHERE rk > 1
+      |), isl AS (
+      |  SELECT doc_id, pos, cov_end,
+      |    CASE WHEN max(cov_end) OVER w IS NULL OR pos > max(cov_end) OVER w
+      |         THEN 1 ELSE 0 END AS new_isl
+      |  FROM dup
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), grp AS (
+      |  SELECT doc_id, pos, cov_end,
+      |    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+      |                       ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM isl)
+      |""".stripMargin
+
   /** The q_seq_pack greedy-packing replay up through dense global bin
     * ids (`pack` + `offs` CTEs) — shared by the q_seq_pack assignment
     * dump and the q_shard_manifest offsets tail.
@@ -2848,6 +2915,29 @@ object SparkEntry {
         |  SELECT fp, count(*) AS run_df FROM expl GROUP BY fp HAVING count(*) > 64)
         |SELECT CAST(run_df AS BIGINT) AS run_df, CAST(count(*) AS BIGINT) AS n_runs
         |FROM boiler GROUP BY run_df ORDER BY run_df""".stripMargin),
+
+    // span excision replay: windows as strings with POSITIONS, global
+    // first occurrence by (doc_id, pos) via row_number, duplicate-window
+    // extents merged per doc with the running-max gaps-and-islands idiom
+    // — the same rules SpanDedup.duplicateSpans states, clause for clause.
+    "q_span_dedup" -> (DedupData.DocsCte + SpanChainCte +
+      """SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(cov_end) AS BIGINT) AS span_end,
+        |  CAST(max(cov_end) - min(pos) AS BIGINT) AS span_tokens
+        |FROM grp GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin),
+
+    "q_span_stats" -> (DedupData.DocsCte + SpanChainCte +
+      """, spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(cov_end) AS e
+        |  FROM grp GROUP BY doc_id, isl
+        |), agg AS (
+        |  SELECT doc_id, sum(e - s) AS dup_tokens, count(*) AS n_spans
+        |  FROM spans GROUP BY doc_id)
+        |SELECT nz.doc_id, CAST(nz.n AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(nz.n - coalesce(agg.dup_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM nz LEFT JOIN agg USING (doc_id) ORDER BY nz.doc_id""".stripMargin),
 
     // ── §2.3 streaming & general analytics ───────────────────────────────
     "q_window_agg" ->
