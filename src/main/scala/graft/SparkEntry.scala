@@ -1881,6 +1881,95 @@ object SparkEntry {
           sum(floor(col("quality_score") * 1e6).cast("long")).as("sum_quality_mu"))
     }),
 
+    "q_stream_window" -> ((s, d) => {
+      // the watermarked tumbling-window aggregate driven END-TO-END through
+      // Structured Streaming inside the graded query: real events arrive
+      // as two time-ordered MemoryStream micro-batches split at
+      // min_ts + 15 days (windows straddling the split accumulate ACROSS
+      // batches in the state store), plus a planted re-send of the
+      // earliest event in batch 2 — 13+ days behind the then-current
+      // watermark (max(batch-1 ts) - 2h), so the engine provably DROPS it
+      // — then two far-future sentinel ticks advance the watermark past
+      // every real window so append mode finalizes them all. The oracle
+      // replays the batch aggregate AND the drop decision (the planted
+      // row joins the result only if its window end beats the replayed
+      // watermark — false here, pinned by data, not by fiat).
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      import s2.implicits._
+      val rows = t(s2, d, "events")
+        .select(col("ts"), col("value"))
+        .as[(java.sql.Timestamp, Double)].collect()
+      val minTs = rows.map(_._1).min(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos)))
+      val maxTs = rows.map(_._1).max(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos)))
+      // split at full microsecond precision: ms + 15 days, nanos carried
+      val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
+      split.setNanos(minTs.getNanos)
+      val (b1, b2) = rows.partition(_._1.compareTo(split) < 0)
+      val late = rows.filter(_._1.compareTo(minTs) == 0)
+      def tick(offsetSec: Long) = {
+        val t0 = new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000)
+        (t0, 0.0)
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Double)](s2)
+      val agg = graft.streaming.EventStreams.tumblingCountsStream(
+        input.toDS().toDF("ts", "value"))
+      val sink = s"stream_window_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2 ++ late: _*); q.processAllAvailable()
+        input.addData(tick(30L * 86400)); q.processAllAvailable()
+        input.addData(tick(30L * 86400 + 3600)); q.processAllAvailable()
+      } finally q.stop()
+      s2.table(sink)
+        .filter(col("window_start") <= lit(maxTs)) // sentinel windows never finalize; belt and braces
+        .orderBy("window_start")
+    }),
+
+    "q_stream_sessionize" -> ((s, d) => {
+      // gap sessionization in its NATIVE streaming form, graded against
+      // the same batch oracle as q_sessionize_native: the session_window
+      // aggregate behind a 2h watermark, fed the real events as two
+      // time-ordered micro-batches (sessions straddling the split MERGE in
+      // the state store — lateness > gap guarantees no session finalizes
+      // before its continuation arrives), flushed by two sentinel ticks
+      // from a reserved user. Every real session emits exactly once in
+      // append mode; drained output = the batch sessionization, row for
+      // row.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      import s2.implicits._
+      val rows = t(s2, d, "events")
+        .select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)].collect()
+      val minTs = rows.map(_._1).min(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos)))
+      val maxTs = rows.map(_._1).max(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos)))
+      val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
+      split.setNanos(minTs.getNanos)
+      val (b1, b2) = rows.partition(_._1.compareTo(split) < 0)
+      def tick(offsetSec: Long) =
+        (new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000), -1L)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)](s2)
+      val sessions = graft.streaming.EventStreams.sessionizeNativeStream(
+        input.toDS().toDF("ts", "user_id"))
+      val sink = s"stream_sessionize_${System.nanoTime()}"
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+        input.addData(tick(30L * 86400)); q.processAllAvailable()
+        input.addData(tick(30L * 86400 + 3600)); q.processAllAvailable()
+      } finally q.stop()
+      s2.table(sink)
+        .filter(col("user_id") >= 0) // sentinel user; its session never finalizes anyway
+        .orderBy("user_id", "session_start")
+    }),
+
     "q_quota_topk" -> ((s, d) => {
       // the online top-k-BY-QUALITY quota (admission WITH eviction): the
       // changelog of each source's current best-10 set as documents
@@ -2966,6 +3055,49 @@ object SparkEntry {
     // (spec-pinned), identical to q_sessionize's convention — the same
     // gap test, grouped without the seq column.
     "q_sessionize_native" ->
+      """WITH lagd AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagd
+        |), seqs AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flags)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM seqs GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // streaming tumbling windows, drained: the batch aggregate over the
+    // real events PLUS the replayed drop decision for the planted re-send
+    // of the earliest event — it survives only if its window end beats
+    // the watermark Spark held when batch 2 ran (max batch-1 ts - 2h;
+    // 13+ days of margin makes ms-vs-us watermark rounding irrelevant).
+    "q_stream_window" ->
+      """WITH b1 AS (
+        |  SELECT ts, value FROM events
+        |  WHERE ts < (SELECT min(ts) + INTERVAL 15 DAY FROM events)
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 2 HOUR AS w FROM b1
+        |), inp AS (
+        |  SELECT ts, value FROM events
+        |  UNION ALL
+        |  SELECT ts, value FROM events
+        |  WHERE ts = (SELECT min(ts) FROM events)
+        |    AND date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm)
+        |)
+        |SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_mu
+        |FROM inp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streaming session windows, drained — append-mode output equals the
+    // batch sessionization exactly (no drops planted: the graded point is
+    // cross-batch session MERGE plus exactly-once finalization), so this
+    // is q_sessionize_native's oracle verbatim.
+    "q_stream_sessionize" ->
       """WITH lagd AS (
         |  SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -179,6 +179,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumblingCountsStream: cross-batch window accumulation, watermark drop, exact finalize") {
+    val input = MemoryStream[(Timestamp, Double)](spark)
+    val q = EventStreams.tumblingCountsStream(
+        input.toDS().toDF("ts", "value"), lateness = "2 hours")
+      .writeStream.format("memory").queryName("tumbling_counts")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in hour H, one in H+1 → watermark = H+70min - 2h
+      input.addData((ts(0), 1.0), (ts(10), 2.0), (ts(70), 4.0))
+      q.processAllAvailable()
+      // batch 2: H gets a THIRD event (window accumulates across batches)
+      // plus a 3h-late event (before watermark+window: dropped)
+      input.addData((ts(50), 8.0), (new Timestamp(ts(0).getTime - 3L * 3600 * 1000), 100.0))
+      q.processAllAvailable()
+      // sentinels finalize H and H+1
+      input.addData((ts(60 * 24), 0.0)); q.processAllAvailable()
+      input.addData((ts(60 * 25), 0.0)); q.processAllAvailable()
+      val got = spark.table("tumbling_counts")
+        .filter(col("window_start") <= lit(ts(70)))
+        .as[(Timestamp, Long, Long)].collect()
+        .map(r => (r._1.getTime / 60000 - Base, r._2, r._3)).toSet
+      // hour H: 3 events (1+2+8 → 11e6 micros), hour H+1: 1 event; the
+      // late row's 100.0 appears nowhere
+      assert(got === Set((0L, 3L, 11000000L), (60L, 1L, 4000000L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeNativeStream: sessions merge across batches and equal the batch form") {
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val q = EventStreams.sessionizeNativeStream(
+        input.toDS().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("native_stream_sessions")
+      .outputMode("append").start()
+    try {
+      // user 7's session STRADDLES the batch boundary: 20-minute gap
+      input.addData((ts(0), 7L), (ts(10), 7L), (ts(5), 8L))
+      q.processAllAvailable()
+      input.addData((ts(30), 7L), (ts(90), 8L))
+      q.processAllAvailable()
+      input.addData((ts(60 * 24), -1L)); q.processAllAvailable()
+      input.addData((ts(60 * 25), -1L)); q.processAllAvailable()
+      val got = spark.table("native_stream_sessions")
+        .filter(col("user_id") >= 0)
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map(r => (r._1, r._2.getTime / 60000 - Base, r._3.getTime / 60000 - Base, r._4))
+        .toSet
+      // one merged 3-event session for user 7; user 8 splits on the 85-min gap
+      assert(got === Set((7L, 0L, 30L, 3L), (8L, 5L, 5L, 1L), (8L, 90L, 90L, 1L)))
+      // and the drained rows equal the batch native form on the same events
+      val batch = EventStreams.sessionizeNative(
+        Seq((ts(0), 7L), (ts(10), 7L), (ts(5), 8L), (ts(30), 7L), (ts(90), 8L))
+          .toDF("ts", "user_id"))
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map(r => (r._1, r._2.getTime / 60000 - Base, r._3.getTime / 60000 - Base, r._4))
+        .toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming drift monitor converges to the batch driftTable row per source") {
     import graft.etl.SnapshotDiff
     val oldSnap = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
