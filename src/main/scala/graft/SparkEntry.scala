@@ -774,6 +774,32 @@ object SparkEntry {
         (col("rec") >= col("n_p") * 0.9).as("recall_ok"))
     }),
 
+    "q_video_dedup" -> ((s, d) => {
+      // PERCEPTUAL video dedup — the multi-frame member of the
+      // image/audio/video triple: planted block-pattern animated GIFs
+      // (per-(doc, frame) pattern keys), their 2× bilinear re-encodes as
+      // re-keyed copies (real decode → resize → re-encode of every
+      // frame), per-FRAME dHash over the decoded pixels, frame matches
+      // via the banded signature join, video pairs kept when ≥90% of the
+      // lower video's frames match — the majority-of-frames rule. Gate:
+      // ≥90% of (original, rescaled copy) video pairs recovered.
+      val docs = t(s, d, "documents")
+      val off = 40000000L
+      val orig = Multimodal.videoPatternMedia(docs)
+      val copies = Multimodal.resizeVideoFrames(orig, factor = 2)
+        .select((col("doc_id") + off).as("doc_id"), col("payload"))
+      val media = orig.unionByName(copies)
+      val dups = Multimodal.videoNearDuplicates(media, maxDist = 3, minFrac = 0.9)
+      val matched = dups
+        .filter(col("vid_a") < off && col("vid_b") - col("vid_a") === off)
+        .agg(count(lit(1)).as("rec"))
+      val n = docs.agg(count(lit(1)).as("n_p"))
+      matched.crossJoin(n).select(
+        lit("video_dhash").as("algo"),
+        col("n_p").as("n_planted"),
+        (col("rec") >= col("n_p") * 0.9).as("recall_ok"))
+    }),
+
     "q_frame_sample" -> ((s, d) =>
       // REAL multi-frame codec round trip (the video lane's stand-in,
       // closing the family started by q_multimodal_meta/q_audio_meta):
@@ -2719,6 +2745,11 @@ object SparkEntry {
     // same recall-gate shape for the audio fingerprint.
     "q_audio_dedup" ->
       """SELECT 'audio_envelope' AS algo, count(*) AS n_planted, TRUE AS recall_ok
+        |FROM documents""".stripMargin,
+
+    // and for the per-frame video dHash lane.
+    "q_video_dedup" ->
+      """SELECT 'video_dhash' AS algo, count(*) AS n_planted, TRUE AS recall_ok
         |FROM documents""".stripMargin,
 
     // mirrors videoMedia's planted derivation: n_frames = 1 + doc_id % 12,

@@ -560,34 +560,40 @@ object Multimodal {
               new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
             catch { case scala.util.control.NonFatal(_) => null }
           if (in == null) None
-          else {
-            val small = new java.awt.image.BufferedImage(
-              9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val g = small.createGraphics()
-            try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(in, 0, 0, 9, 8, null)
-            } finally g.dispose()
-            val px = small.getRaster.getDataBuffer
-              .asInstanceOf[java.awt.image.DataBufferByte].getData
-            var bits = 0L
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                if ((px(y * 9 + x + 1) & 0xff) > (px(y * 9 + x) & 0xff))
-                  bits |= 1L << (y * 8 + x)
-                x += 1
-              }
-              y += 1
-            }
-            Some(Row(r.getLong(0), bits))
-          }
+          else Some(Row(r.getLong(0), dhashOf(in)))
         })
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** The dHash core shared by [[dHash64]] (whole images) and
+    * [[frameDHash64]] (every frame of a container): bilinear 9×8 gray
+    * resample, then 64 horizontal-gradient bits.
+    */
+  private def dhashOf(in: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(in, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    val px = small.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((px(y * 9 + x + 1) & 0xff) > (px(y * 9 + x) & 0xff))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
   }
 
   /** Near-duplicate IMAGE pairs within Hamming distance `maxDist` of
@@ -717,5 +723,200 @@ object Multimodal {
         })
       }
     spark.createDataFrame(rdd, FrameSchema)
+  }
+
+  // ── perceptual VIDEO dedup over the real multi-frame codec ────────────
+
+  /** Animated GIFs whose frames carry the [[blockPatternMedia]] 4×4-block
+    * pattern with a per-(doc, frame) key — each frame is dHash-distinctive
+    * AND survives resizing, which is what a perceptual video-dedup gate
+    * needs to plant. `n_frames = 1 + doc_id % maxFrames`, frame `f`'s
+    * pattern key is `doc_id + 31·f`. GIF palettes are lossless for ≤256
+    * gray levels, so decoded pixels equal the pattern exactly.
+    */
+  def videoPatternMedia(docs: DataFrame, maxFrames: Int = 6,
+                        w: Int = 32, h: Int = 24): DataFrame = {
+    require(maxFrames > 0 && w >= 8 && h >= 8)
+    val spark = docs.sparkSession
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nFrames = 1 + (id % maxFrames).toInt
+        val buf = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+        try {
+          writer.reset()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val key = id + 31L * f
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val data = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val b = (y * 4 / h) * 4 + (x * 4 / w)
+                val v = 8 * (b ^ (key & 15L).toInt) + (((key >>> b) & 1L) << 7).toInt
+                data(y * w + x) = v.toByte
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally ios.close()
+        Row(id, buf.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Re-encode every frame of a multi-frame container at `factor×` size
+    * (bilinear) — the "same video, different resolution" transform a
+    * perceptual pipeline must see through. Real decode → real resize →
+    * real re-encode, one reader+writer pair per partition.
+    */
+  def resizeVideoFrames(media: DataFrame, factor: Int = 2,
+                        batchSize: Int = 16): DataFrame = {
+    require(factor > 0)
+    val spark = media.sparkSession
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            reader.dispose(); writer.dispose()
+          })
+        rows.grouped(batchSize).flatMap(_.flatMap { r =>
+          val id = r.getLong(0)
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            try {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              val buf = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+              try {
+                writer.reset()
+                writer.setOutput(ios)
+                writer.prepareWriteSequence(null)
+                var i = 0
+                while (i < n) {
+                  val in = reader.read(i)
+                  val out = new java.awt.image.BufferedImage(
+                    in.getWidth * factor, in.getHeight * factor,
+                    java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                  val g = out.createGraphics()
+                  try {
+                    g.setRenderingHint(
+                      java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    g.drawImage(in, 0, 0, out.getWidth, out.getHeight, null)
+                  } finally g.dispose()
+                  writer.writeToSequence(new javax.imageio.IIOImage(out, null, null), null)
+                  i += 1
+                }
+                writer.endWriteSequence()
+              } finally ios.close()
+              Some(Row(id, buf.toByteArray))
+            } finally iis.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          }
+        })
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Per-FRAME perceptual signatures: every frame of every container
+    * decoded and dHashed — (doc_id, frame_idx, dhash). The frame grain is
+    * what video near-dup matching joins on; payload bytes stay inside the
+    * partition, only 8-byte hashes leave.
+    */
+  def frameDHash64(media: DataFrame, batchSize: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+        rows.grouped(batchSize).flatMap(_.flatMap { r =>
+          val id = r.getLong(0)
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            try {
+              reader.setInput(iis, false, true)
+              (0 until reader.getNumImages(true)).map(i =>
+                Row(id, i.toLong, dhashOf(reader.read(i))))
+            } finally iis.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => Nil
+          }
+        })
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Near-duplicate VIDEO pairs: frame-level dHash signatures through the
+    * SimHash banded self-join (frame identity packed into the signature
+    * key as `doc_id · 1024 + frame_idx`), matched frame pairs rolled up
+    * per video pair, and a video pair kept when ≥ `minFrac` of the
+    * LOWER-id video's frames match some frame of the other — the
+    * majority-of-frames rule that tolerates trims and title cards.
+    * Candidate volume is bounded exactly like every other perceptual
+    * lane: hot 16-bit bands tile through SkewJoin, 8-byte keys shuffle,
+    * payloads never do.
+    */
+  def videoNearDuplicates(media: DataFrame, maxDist: Int = 3,
+                          minFrac: Double = 0.9,
+                          hotBandThreshold: Int = 4096): DataFrame = {
+    val fp = graft.CachePool.persist(frameDHash64(media))
+    val sigs = fp.select(
+      (col("doc_id") * 1024L + col("frame_idx")).as("sh_id"),
+      col("dhash").as("simhash"))
+    val pairs = graft.dedup.SimHash.pairsFromSignatures(
+      graft.CachePool.persist(sigs), maxDist, hotBandThreshold)
+    val va = expr("id_a div 1024"); val fa = pmod(col("id_a"), lit(1024L))
+    val vb = expr("id_b div 1024"); val fb = pmod(col("id_b"), lit(1024L))
+    val norm = pairs
+      .select(va.as("va"), fa.as("fa"), vb.as("vb"), fb.as("fb"))
+      .filter(col("va") =!= col("vb"))
+      .select(
+        least(col("va"), col("vb")).as("vid_a"),
+        greatest(col("va"), col("vb")).as("vid_b"),
+        when(col("va") < col("vb"), col("fa")).otherwise(col("fb")).as("frame_lo"))
+    val counts = norm.groupBy("vid_a", "vid_b")
+      .agg(countDistinct(col("frame_lo")).as("n_matched"))
+    val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    counts
+      .join(nf.withColumnRenamed("doc_id", "vid_a"), "vid_a")
+      .filter(col("n_matched") >= col("n_frames") * minFrac)
+      .select("vid_a", "vid_b", "n_matched", "n_frames")
+      .orderBy("vid_a", "vid_b")
   }
 }

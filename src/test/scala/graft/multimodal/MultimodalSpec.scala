@@ -217,4 +217,44 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(got === Seq((1L, 0L, 9L, 4L, 3L), (1L, 1L, 5L, 6L, 3L), (1L, 2L, 2L, 3L, 3L)))
   }
+
+  test("videoPatternMedia frames carry distinct per-frame dHashes; resize preserves them") {
+    val docs = table("documents").limit(40)
+    val orig = Multimodal.videoPatternMedia(docs)
+    val fp = Multimodal.frameDHash64(orig)
+    // frame counts follow the derivation
+    val badN = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= lit(1L) + pmod(col("doc_id"), lit(6L))).count()
+    assert(badN === 0L)
+    // per-video frames are dHash-distinctive (pattern key varies per frame):
+    // most multi-frame videos carry >1 distinct frame hash
+    val multi = fp.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("dhash")).as("d"))
+      .filter(col("n") > 1)
+    assert(multi.filter(col("d") > 1).count() >= multi.count() * 8 / 10)
+    // 2x bilinear re-encode: per-frame hashes within Hamming 3 of the original
+    val resized = Multimodal.resizeVideoFrames(orig, factor = 2)
+    val fp2 = Multimodal.frameDHash64(resized)
+      .withColumnRenamed("dhash", "dhash2")
+    val joined = fp.join(fp2, Seq("doc_id", "frame_idx"))
+    assert(joined.count() === fp.count())
+    val far = joined.filter(
+      bit_count(col("dhash").bitwiseXOR(col("dhash2"))) > 3).count()
+    assert(far <= fp.count() / 10, s"$far of ${fp.count()} frames moved > 3 bits")
+  }
+
+  test("videoNearDuplicates recovers planted rescaled copies, majority-of-frames rule") {
+    val docs = table("documents").limit(60)
+    val off = 1000000L
+    val orig = Multimodal.videoPatternMedia(docs)
+    val copies = Multimodal.resizeVideoFrames(orig, factor = 2)
+      .select((col("doc_id") + off).as("doc_id"), col("payload"))
+    val dups = Multimodal.videoNearDuplicates(
+      orig.unionByName(copies), maxDist = 3, minFrac = 0.9)
+    val n = docs.count()
+    val planted = dups.filter(col("vid_a") < off && col("vid_b") === col("vid_a") + off)
+    assert(planted.count() >= n * 9 / 10, s"recovered ${planted.count()} of $n")
+    // matched-frame counts never exceed the lower video's frame total
+    assert(dups.filter(col("n_matched") > col("n_frames")).count() === 0L)
+  }
 }
