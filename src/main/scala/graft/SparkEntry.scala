@@ -1495,6 +1495,15 @@ object SparkEntry {
       Stats.winsorizedStats(t(s, d, "lineitem"), col("l_returnflag"),
         col("l_quantity"))),
 
+    "q_outlier_mad" -> ((s, d) =>
+      // robust per-source outlier flags on document length: median/MAD
+      // with the k=3 fence, all-integer surface (med2 = 2·median,
+      // mad4 = 2·median(|2x − med2|), flag 2·dev2 > 3·mad4) so the
+      // grouped medians hash-check against DuckDB exactly. Group stats
+      // broadcast back onto rows — two grouped passes, no per-row window.
+      Stats.robustOutliers(t(s, d, "documents"), col("source"), col("n_chars"))
+        .withColumnRenamed("grp", "source")),
+
     "q_pricing_summary" -> ((s, d) =>
       Relational.pricingSummary(t(s, d, "lineitem"))),
 
@@ -3609,6 +3618,26 @@ object SparkEntry {
         |  CAST(sum(CAST(least(greatest(l_quantity, lo), hi) * 4 AS BIGINT)) AS BIGINT) AS wins_sum_q4
         |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.k
         |GROUP BY k ORDER BY k""".stripMargin,
+
+    // median/MAD replay: medians of integral values are dyadic halves, so
+    // med2/mad4 are exact integers on both engines and the k=3 fence is
+    // the integer comparison 2·dev2 > 3·mad4.
+    "q_outlier_mad" ->
+      """WITH base AS (
+        |  SELECT source AS grp, n_chars AS x FROM documents
+        |), med AS (
+        |  SELECT grp, CAST(median(x) * 2 AS BIGINT) AS med2 FROM base GROUP BY grp
+        |), dev AS (
+        |  SELECT b.grp, m.med2, abs(b.x * 2 - m.med2) AS dev2
+        |  FROM base b JOIN med m USING (grp)
+        |), mad AS (
+        |  SELECT grp, CAST(median(dev2) * 2 AS BIGINT) AS mad4 FROM dev GROUP BY grp
+        |)
+        |SELECT d.grp AS source, CAST(count(*) AS BIGINT) AS n,
+        |  min(d.med2) AS med2, CAST(min(m.mad4) AS BIGINT) AS mad4,
+        |  CAST(sum(CASE WHEN d.dev2 * 2 > m.mad4 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (grp)
+        |GROUP BY d.grp ORDER BY source""".stripMargin,
 
     // keyset page 2 ≡ the rank-window slice 6..10 under the same strict
     // total order (quality DESC, doc_id ASC) — the defining equivalence

@@ -145,6 +145,40 @@ object Stats {
       .orderBy("k")
   }
 
+  /** Per-group ROBUST outlier detection (median/MAD — the data-cleaning
+    * rule that survives the very outliers it hunts, unlike mean/stddev
+    * z-scores): flag x where |x − median| > k · MAD, with
+    * MAD = median(|x − median|). Integer-exact surface over integral
+    * values so it hash-checks across engines: `med2 = 2·median` and
+    * `mad4 = 2·median(dev2)` are integral (dyadic halves × 2, see
+    * [[groupQuantiles]]'s contract), the flag is the integer comparison
+    * `2·dev2 > k·mad4` ⟺ |x − med| > k·MAD.
+    *
+    * Shape: two grouped passes (median, then MAD of deviations), each
+    * producing a one-row-per-group frame BROADCAST back onto the rows —
+    * never a per-row window. Exact percentile sorts per group (the
+    * oracle-parity form); at 100 TB swap both passes for
+    * [[quantileSketchAgg]] cut points, flag unchanged.
+    */
+  def robustOutliers(df: DataFrame, key: Column, value: Column, k: Int = 3): DataFrame = {
+    require(k > 0)
+    val base = df.select(key.as("grp"), value.cast("long").as("x"))
+    val med = base.groupBy("grp")
+      .agg((expr("percentile(x, 0.5D)") * 2).cast("long").as("med2"))
+    val dev = base.join(broadcast(med), "grp")
+      .withColumn("dev2", abs(col("x") * 2 - col("med2")))
+    val mad = dev.groupBy("grp")
+      .agg((expr("percentile(dev2, 0.5D)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        min(col("med2")).as("med2"),
+        min(col("mad4")).as("mad4"),
+        sum(when(col("dev2") * 2 > col("mad4") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("grp")
+  }
+
   /** The sketch aggregation itself — ONE streaming-legal groupBy, so the
     * same plan runs batch or as an update/complete-mode STREAMING
     * aggregation: Spark keeps each group's mergeable quantile sketch as

@@ -153,6 +153,18 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(sumQ4.toDouble / (4 * n) === 4.5)
   }
 
+  test("robustOutliers flags the MAD fence exactly, including the degenerate MAD=0 group") {
+    // group a: [10,10,10,10,100] → med2=20, dev2=[0,0,0,0,180], mad4=0 —
+    // the classic MAD degeneracy: any value off the median is an outlier
+    // group b: 1..9 → med2=10, dev2 sorted [0,2,2,4,4,6,6,8,8] → mad4=8;
+    // fence 2·dev2 > 24 flags nothing
+    val df = (Seq.fill(4)(10L) ++ Seq(100L)).map(("a", _))
+      .++((1L to 9L).map(("b", _))).toDF("k", "v")
+    val got = Stats.robustOutliers(df, col("k"), col("v"), k = 3)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 5L, 20L, 0L, 1L), ("b", 9L, 10L, 8L, 0L)))
+  }
+
   test("integrityAudit counts planted referential violations per check") {
     val orders = Seq((10L, 1L), (11L, 2L), (12L, 99L)).toDF("o_orderkey", "o_custkey")
     val lineitem = Seq((10L, 100L), (10L, 101L), (77L, 100L))
