@@ -331,6 +331,42 @@ object SparkEntry {
         k = 5, nlist = 8, nprobe = 4)
     }),
 
+    "q_knn_append" -> ((s, d) => {
+      // INDEX LIFECYCLE gate: fit the IVF quantizer ONCE on the base
+      // corpus, append the later crawl batch (the planted scaled copies)
+      // by PURE ASSIGNMENT — no refit, no shuffle — then search the
+      // merged postings from the copies' originals. cells_ok pins that
+      // every appended copy lands in its original's cell (cosine argmax
+      // is scale-invariant, so this is deterministic, not probabilistic);
+      // the recall gate pins that the merged index serves both epochs.
+      // This is the immutable-quantizer discipline a 100 TB index runs
+      // on: nightly batches append as assignment, refit is an upstream
+      // drift policy.
+      val vecs = t(s, d, "embeddings")
+      val idx = graft.similarity.IvfKnn.fit(vecs, nlist = 8)
+      val base = graft.similarity.IvfKnn.assignCells(idx, vecs)
+      val batch = annCorpus(s, d).filter(col("vec_id") >= DedupData.ExactIdOffset)
+      val appended = graft.similarity.IvfKnn.assignCells(idx, batch)
+      val cells = appended
+        .select((col("vec_id") - DedupData.ExactIdOffset).as("vec_id"),
+          col("cell").as("new_cell"))
+        .join(base, "vec_id")
+        .agg(count(lit(1)).as("n_appended"),
+          sum(when(col("cell") === col("new_cell"), 0L).otherwise(1L)).as("n_moved"))
+      val merged = vecs.unionByName(batch.select("vec_id", "embedding", "label"))
+      val queries = vecs.filter(col("vec_id") < 100 && col("vec_id") % 5 === 0)
+      val rec = graft.similarity.IvfKnn.search(idx, merged, queries, k = 1, nprobe = 4)
+        .agg(count(lit(1)).as("n_results"),
+          sum(when(col("neighbor_id") === col("query_id") + DedupData.ExactIdOffset, 1L)
+            .otherwise(0L)).as("recovered"))
+      cells.crossJoin(rec).select(
+        lit("ivf_append").as("algo"),
+        col("n_appended"),
+        (col("n_moved") === 0L).as("cells_ok"),
+        col("n_results"),
+        (col("recovered") >= 18L).as("recall_ok"))
+    }),
+
     "q_knn_recall" -> ((s, d) => {
       // Driver-visible ANN quality gate: IVF-PQ must recover planted
       // near-duplicates through the full fit -> encode -> probe -> ADC
@@ -2983,6 +3019,16 @@ object SparkEntry {
     "q_knn_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_queries,
         |  CAST(100 AS BIGINT) AS n_results, TRUE AS recall_ok""".stripMargin,
+
+    // append-path lifecycle gate: n_appended is the planted-batch size
+    // (every 5th vector), cell stability and merged-epoch recall are
+    // data-derived booleans (deterministic: cosine argmax is
+    // scale-invariant), n_results = one row per query at k = 1.
+    "q_knn_append" ->
+      """SELECT 'ivf_append' AS algo,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_appended,
+        |  TRUE AS cells_ok, CAST(20 AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok""".stripMargin,
 
     // fingerprint oracle: doc_fp classes rebuilt from the normalized token
     // stream as a STRING (hash equality = string equality modulo 2^-64

@@ -63,6 +63,19 @@ object IvfKnn {
     transform(slice(reverse(array_sort(scored)), 1, n), s => s.getField("i"))
   }
 
+  /** The APPEND path of index maintenance: assign a new batch to the
+    * EXISTING centroids — (vec_id, cell), one codegen'd argmax per row, no
+    * refit, no shuffle. This is what keeps the 100 TB index serviceable
+    * between (re)trainings: the quantizer is immutable data, nightly crawl
+    * batches append as pure assignment, and [[search]] over the merged
+    * postings sees both epochs. Re-fit on drift is a policy decision
+    * upstream (compare [[fit]] on a fresh sample against this index's
+    * cell-population histogram), not an operational requirement.
+    */
+  def assignCells(index: IvfIndex, vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      nearestCells(col("embedding"), index, 1).getItem(0).as("cell"))
+
   /** Search a pre-built index: probe `nprobe` cells per query, exact cosine
     * inside. Output (query_id, rnk, neighbor_id) like the other KNNs. The
     * query path is pure assignment + equi-join — no training jobs.

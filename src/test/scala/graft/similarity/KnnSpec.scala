@@ -49,6 +49,30 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("assignCells: append path puts every scaled copy in its original's cell, no refit") {
+    val idx = IvfKnn.fit(vecs, nlist = 8)
+    val base = IvfKnn.assignCells(idx, vecs)
+      .withColumnRenamed("cell", "base_cell")
+    val batch = DedupData.withPlantedVecDups(vecs)
+      .filter(col("vec_id") >= DedupData.ExactIdOffset)
+    val appended = IvfKnn.assignCells(idx, batch)
+      .select((col("vec_id") - DedupData.ExactIdOffset).as("vec_id"), col("cell"))
+    val joined = appended.join(base, "vec_id")
+    assert(joined.count() === batch.count())
+    assert(joined.filter(col("cell") =!= col("base_cell")).count() === 0L,
+      "cosine argmax is scale-invariant: a 0.5x copy must assign to its original's cell")
+    // and a merged-epoch search from an original finds its appended copy
+    val merged = vecs.unionByName(batch.select("vec_id", "embedding", "label"))
+    val q = vecs.filter(col("vec_id") % 5 === 0).limit(10)
+    val top1 = IvfKnn.search(idx, merged, q, k = 1, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty)
+    top1.foreach { case (qid, nid) =>
+      assert(nid === qid + DedupData.ExactIdOffset,
+        s"merged-index top-1 of $qid should be its appended copy")
+    }
+  }
+
   test("recall bound at the threshold: near-threshold pairs are missed at the analytic rate") {
     // The graded q_dedup_embedding LSH path is verified against the EXACT
     // all-pairs oracle. That parity is safe only because the graded corpus's
