@@ -1646,6 +1646,15 @@ object SparkEntry {
       graft.text.Vocab.topTerms(
         t(s, d, "documents"), col("doc_id"), col("text"), k = 1000)),
 
+    "q_pmi" -> ((s, d) =>
+      // collocation mining: top-50 adjacent-token pairs by PMI lift
+      // (n_ab·N / n_a·n_b — log-free, rank-identical, and a fixed IEEE
+      // tree over exactly-cast counts so the score is bit-reproducible).
+      // Counts are vocab-bounded hash aggs, the count joins equi-joins
+      // on the word, the cap a TakeOrderedAndProject.
+      graft.text.Collocations.pmiBigrams(
+        t(s, d, "documents"), col("text"), minCount = 10L, k = 50)),
+
     "q_bpe_pairs" -> ((s, d) =>
       // first BPE merge-rule statistic: adjacent char-pair counts over
       // the top-500 vocabulary, weighted by word occurrences — the
@@ -3933,6 +3942,36 @@ object SparkEntry {
         |          t -> len(t) > 0)) AS term
         |      FROM documents)
         |GROUP BY term ORDER BY n_occ DESC, term LIMIT 1000""".stripMargin,
+
+    // PMI replay: parallel unnest of the two shifted token lists zips
+    // adjacent pairs; lift is the SAME fixed IEEE tree as the Spark plan
+    // ((n_ab·N) / (n_a·n_b), every operand an exactly-cast count), so
+    // scores are bit-identical and the top-50 order replays exactly.
+    "q_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), ucnt AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(tk) AS w FROM toks WHERE len(tk) >= 1)
+        |  GROUP BY w
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM ucnt
+        |), bcnt AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM (SELECT unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b
+        |        FROM toks WHERE len(tk) >= 2)
+        |  GROUP BY a, b HAVING count(*) >= 10
+        |)
+        |SELECT p.a, p.b, p.n_ab, ua.n AS n_a, ub.n AS n_b,
+        |  (CAST(p.n_ab AS DOUBLE) * CAST(t.n_tot AS DOUBLE)) /
+        |    (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS lift
+        |FROM bcnt p
+        |JOIN ucnt ua ON p.a = ua.w
+        |JOIN ucnt ub ON p.b = ub.w
+        |CROSS JOIN tot t
+        |ORDER BY lift DESC, p.a, p.b LIMIT 50""".stripMargin,
 
     // same vocab CTE capped to the top 500, then every adjacent char pair
     // of each word weighted by the word's occurrence count.

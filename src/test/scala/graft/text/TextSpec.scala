@@ -457,4 +457,26 @@ class TextSpec extends SparkSpec {
     assert(both.size <= nearIds.size / 10,
       s"${both.size} of ${nearIds.size} planted pairs kept BOTH members")
   }
+
+  test("pmiBigrams ranks the exclusive pair above the promiscuous one") {
+    // "alpha beta" always co-occur and appear nowhere else (lift = N/n_ab
+    // maximal); "the end" co-occurs as often, but "the" is everywhere, so
+    // its lift divides away. 12 docs of 4 tokens each: N = 48.
+    val docs = (1 to 12).map(i => s"alpha beta the w$i").toDF("text")
+    val got = graft.text.Collocations.pmiBigrams(docs, col("text"),
+        minCount = 2L, k = 10)
+      .select("a", "b", "n_ab", "n_a", "n_b", "lift")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val ab = got.find(r => r._1 == "alpha" && r._2 == "beta").get
+    assert(ab._3 === 12L && ab._4 === 12L && ab._5 === 12L)
+    assert(ab._6 === 48.0 * 12 / (12.0 * 12)) // n_ab·N / (n_a·n_b) = 4
+    val bt = got.find(r => r._1 == "beta" && r._2 == "the").get
+    assert(bt._6 === 48.0 * 12 / (12.0 * 12)) // "the" df=12 here too
+    // a genuinely promiscuous token dilutes: pair ("the", w_i) misses
+    // minCount (each w_i appears once), so no sub-threshold rows leak
+    assert(got.forall(_._3 >= 2L))
+    // deterministic order: lift desc, then (a, b)
+    val lifts = got.map(_._6).toSeq
+    assert(lifts === lifts.sorted(Ordering[Double].reverse))
+  }
 }
