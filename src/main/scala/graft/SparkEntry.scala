@@ -59,6 +59,13 @@ object SparkEntry {
     * is KNOWN (its original) and recall thresholds are oracle-pinnable
     * booleans at every scale.
     */
+  /** Decomposed-combining-mark prefix planted by q_normalize_text —
+    * spelled with explicit escapes (e + U+0301 etc.) so NFC composition
+    * and mark stripping have real work; shared verbatim by the oracle.
+    */
+  private val FoldPrefix =
+    "Cafe\u0301 NAI\u0308VE E\u0301cole re\u0301sume\u0301 "
+
   private def annCorpus(s: SparkSession, d: String): DataFrame =
     DedupData.withPlantedVecDups(t(s, d, "embeddings"))
   private def annQueries(s: SparkSession, d: String): DataFrame =
@@ -615,6 +622,32 @@ object SparkEntry {
         col("n_p").as("n_planted"),
         (col("n_both") <= col("n_p") * 0.1).as("dedup_ok"),
         col("argmax_ok"))
+    }),
+
+    "q_normalize_text" -> ((s, d) => {
+      // Unicode text folding through the NATIVE UnicodeNormalize
+      // expression (Spark has no built-in NFC; a UDF would break codegen):
+      // NFC-normalize -> strip diacritics (NFD + drop \p{M}) -> lower ->
+      // collapse whitespace. Every 4th doc gets a planted DECOMPOSED
+      // prefix (e + U+0301 etc.), so composition, mark stripping and
+      // unicode lowering all do real work; the oracle replays the chain
+      // with DuckDB's nfc_normalize/strip_accents/lower and the folded
+      // TEXT hash-checks byte for byte.
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(FoldPrefix),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .withColumn("norm_text",
+          regexp_replace(
+            lower(graft.functions.StringExprs.stripAccents(
+              graft.functions.StringExprs.unicodeNormalize(col("text"), "NFC"))),
+            "\\s+", " "))
+        .select(col("doc_id"), col("norm_text"),
+          (col("norm_text") =!= col("text")).as("changed"))
+        .orderBy("doc_id")
     }),
 
     "q_pii_redact" -> ((s, d) => {
@@ -2837,6 +2870,24 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // unicode fold replay: DuckDB's nfc_normalize + strip_accents + lower
+    // against the native UnicodeNormalize chain; the planted prefix
+    // interpolates the SAME decomposed constant the Spark plan plants, so
+    // composition and mark-stripping are byte-certified, not assumed.
+    "q_normalize_text" ->
+      (s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN concat('$FoldPrefix', text)
+         |         ELSE text END AS text
+         |  FROM documents)
+         |""".stripMargin +
+        """SELECT doc_id,
+          |  regexp_replace(lower(strip_accents(nfc_normalize(text))),
+          |    '\s+', ' ', 'g') AS norm_text,
+          |  (regexp_replace(lower(strip_accents(nfc_normalize(text))),
+          |    '\s+', ' ', 'g') <> text) AS changed
+          |FROM planted ORDER BY doc_id""".stripMargin),
 
     // the same sequential regex chain as Redact.Stages — patterns sit in
     // the Java-regex/RE2 agreement subset, so text and counts match
