@@ -1265,6 +1265,28 @@ object SparkEntry {
         .select(col("id").as("host"), col("rank"))
     }),
 
+    "q_triangles" -> ((s, d) => {
+      // triangle census of the same planted host graph q_pagerank ranks:
+      // per-host triangle participation via DEGREE-ORDERED orientation —
+      // each triangle appears as exactly one a→b→c path closed by a→c,
+      // and hub wedge fan-out is bounded by orientation out-degree, the
+      // trick that keeps distributed triangle counting linear-ish. The
+      // oracle replays orientation, path join and closure clause for
+      // clause. Top-20 hosts by (triangles desc, host).
+      val docs = t(s, d, "documents")
+      // the affine families alone are triangle-FREE (each is a bijection
+      // of the host ring), so two ring-chord families are added: edges
+      // h→h+1 and h→h+2 close a triangle {h, h+1, h+2} at every host,
+      // and the affine edges overlay extra closures the census must find.
+      val links = docs.select((col("doc_id") % 256).as("src"),
+        explode(array((col("doc_id") * 31 + 7) % 256,
+          (col("doc_id") * 17 + 3) % 256,
+          (col("doc_id") * 13 + 11) % 256,
+          (col("doc_id") + 1) % 256,
+          (col("doc_id") + 2) % 256)).as("dst"))
+      graft.analytics.LinkGraph.triangleCounts(links).limit(20)
+    }),
+
     "q_runtime_filter" -> ((s, d) => {
       // runtime BLOOM-FILTER join pruning — the row-level twin of
       // q_dpp_prune for NON-partition join keys: the dim's selective
@@ -3465,6 +3487,39 @@ object SparkEntry {
         |)""".stripMargin + rounds +
       "\nSELECT id AS host, rank FROM r5 ORDER BY rank DESC, host LIMIT 20"
     },
+
+    // triangle replay: same planted link CTE, then the degree-ordered
+    // orientation, the a→b→c path join and the a→c closure — clause for
+    // clause the Spark plan's shape, so per-host counts value-certify.
+    "q_triangles" ->
+      """WITH links AS (
+        |  SELECT doc_id % 256 AS src, (doc_id * 31 + 7) % 256 AS dst FROM documents
+        |  UNION ALL SELECT doc_id % 256, (doc_id * 17 + 3) % 256 FROM documents
+        |  UNION ALL SELECT doc_id % 256, (doc_id * 13 + 11) % 256 FROM documents
+        |  UNION ALL SELECT doc_id % 256, (doc_id + 1) % 256 FROM documents
+        |  UNION ALL SELECT doc_id % 256, (doc_id + 2) % 256 FROM documents
+        |), und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM links WHERE src <> dst
+        |), deg AS (
+        |  SELECT n, count(*) AS dg
+        |  FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY n
+        |), e AS (
+        |  SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND und.u < und.v)
+        |              THEN und.u ELSE und.v END AS a,
+        |         CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND und.u < und.v)
+        |              THEN und.v ELSE und.u END AS b
+        |  FROM und JOIN deg d1 ON und.u = d1.n JOIN deg d2 ON und.v = d2.n
+        |), tri AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS host FROM tri)
+        |GROUP BY host ORDER BY n_triangles DESC, host LIMIT 20""".stripMargin,
 
     // dynamic pruning is a physical-plan property (the dim filter reaches
     // the fact scan at runtime); the oracle replays the identical

@@ -54,4 +54,17 @@ class LinkGraphSpec extends SparkSpec {
     // floor division only LOSES mass: total never exceeds |V| · scale
     assert(a.values.sum <= a.size.toLong * 1000000L)
   }
+
+  test("triangleCounts: K4 gives 3 per vertex; stars and direction/duplicates don't count") {
+    // K4 on 1..4 (each vertex in C(3,2) = 3 triangles), a star hub 10
+    // with leaves 11..14 (no triangles), duplicate and reversed edges,
+    // and a self-loop — none of which may change the census.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val noise = Seq((2L, 1L), (1L, 2L), (3L, 3L)) ++ (11L to 14L).map((10L, _))
+    val links = (k4 ++ noise).toDF("src", "dst")
+    val got = LinkGraph.triangleCounts(links).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // global count: each triangle contributes 3 participations
+    assert(got.values.sum === 4L * 3L)
+  }
 }
