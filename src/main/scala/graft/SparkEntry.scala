@@ -1091,6 +1091,26 @@ object SparkEntry {
           (col("n_v1") === 0L).as("no_stale_ok"))
     }),
 
+    "q_scd2_build" -> ((s, d) => {
+      // SCD TYPE-2 history build — the validity-interval complement of
+      // q_cdc_apply's current-state merge: every 5th doc emits three
+      // versions at deterministic day-spaced effective times (listed out
+      // of order: v3, v1, v2 — the build must order, not trust arrival),
+      // and the history assigns valid_from/valid_to half-open intervals
+      // with exactly one current row per key. One lead window per key —
+      // a shuffle on doc_id, state bounded by versions per key.
+      val docs = t(s, d, "documents")
+      val t0 = 1704067200L // 2024-01-01T00:00:00Z
+      val events = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), explode(array(lit(3L), lit(1L), lit(2L))).as("ver"))
+        .withColumn("eff_ts",
+          timestamp_seconds(lit(t0) + col("doc_id") % 97 + col("ver") * 86400L))
+      graft.etl.SnapshotDiff.scd2History(events, "doc_id", "eff_ts", "ver")
+        .select(col("doc_id"), col("ver"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy("doc_id", "ver")
+    }),
+
     "q_cdc_tombstone" -> ((s, d) => {
       // CDC with tombstone deletes: every 5th doc gets v1+v2 upserts,
       // every 10th additionally a v3 tombstone (delete wins), every
@@ -3520,6 +3540,24 @@ object SparkEntry {
         |SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM (SELECT unnest([a, b, c]) AS host FROM tri)
         |GROUP BY host ORDER BY n_triangles DESC, host LIMIT 20""".stripMargin,
+
+    // SCD2 replay: same out-of-order version plant, same lead window per
+    // key ordered by (eff_ts, ver) — intervals and the one-current-row
+    // invariant value-certify.
+    "q_scd2_build" ->
+      """WITH events AS (
+        |  SELECT doc_id, ver,
+        |    make_timestamp(CAST(1704067200 + doc_id % 97 + ver * 86400 AS BIGINT)
+        |      * 1000000) AS eff_ts
+        |  FROM documents CROSS JOIN (SELECT unnest([3, 1, 2]) AS ver)
+        |  WHERE doc_id % 5 = 0
+        |)
+        |SELECT doc_id, CAST(ver AS BIGINT) AS ver, eff_ts AS valid_from,
+        |  lead(eff_ts) OVER w AS valid_to,
+        |  (lead(eff_ts) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY doc_id ORDER BY eff_ts, ver)
+        |ORDER BY doc_id, ver""".stripMargin,
 
     // dynamic pruning is a physical-plan property (the dim filter reaches
     // the fact scan at runtime); the oracle replays the identical

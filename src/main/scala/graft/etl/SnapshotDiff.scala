@@ -96,6 +96,28 @@ object SnapshotDiff {
     applyDelta(snapshot, upserts, deletes, col(idCol))
   }
 
+  /** Build the SCD TYPE-2 validity history from versioned change events:
+    * per key ordered by effective time, each version's row carries
+    * `valid_from` = its effective timestamp, `valid_to` = the NEXT
+    * version's effective timestamp (null while current), and an
+    * `is_current` flag — the effective-dated dimension a point-in-time
+    * join (`q_asof_join`'s consumer side) reads.
+    *
+    * Shape: one `lead` window per key ordered by the event time — one
+    * shuffle on the key, per-key state bounded by that key's version
+    * count, never a global window. Ties on (ts) break by `verCol` so
+    * the history is total-ordered and deterministic.
+    */
+  def scd2History(events: DataFrame, idCol: String, tsCol: String,
+                  verCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col(tsCol), col(verCol))
+    events
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Per-source DISTRIBUTION DRIFT between snapshots — did a re-crawl
     * shift what a source looks like, not just which rows it has? Both
     * snapshots histogram over an integer `bucket` feature (token/char

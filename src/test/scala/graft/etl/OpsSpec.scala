@@ -86,6 +86,25 @@ class OpsSpec extends SparkSpec {
     assert(merged === Set((1L, "a"), (2L, "b2"), (4L, "d2")))
   }
 
+  test("scd2History: half-open validity chain, one current row, arrival-order-proof") {
+    import java.sql.Timestamp
+    def ts(d: Int) = new Timestamp(d * 86400000L)
+    // key 1: three versions listed out of order; key 2: a single version
+    val events = Seq((1L, 3L, ts(3)), (1L, 1L, ts(1)), (2L, 1L, ts(5)),
+      (1L, 2L, ts(2))).toDF("id", "ver", "eff_ts")
+    val got = SnapshotDiff.scd2History(events, "id", "eff_ts", "ver")
+      .select("id", "ver", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Timestamp, Option[Timestamp], Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, 1L, ts(1), Some(ts(2)), false),
+      (1L, 2L, ts(2), Some(ts(3)), false),
+      (1L, 3L, ts(3), None, true),
+      (2L, 1L, ts(5), None, true)))
+    // exactly one current row per key; intervals chain with no gaps
+    assert(got.filter(_._5).map(_._1).toSet === Set(1L, 2L))
+  }
+
   test("driftTable: exact TV fractions; a planted shift flips the drift flag") {
     // old: source A uniform over buckets 0/1; new: all mass moved to 1
     val old = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
