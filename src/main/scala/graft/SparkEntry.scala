@@ -1091,6 +1091,22 @@ object SparkEntry {
           (col("n_v1") === 0L).as("no_stale_ok"))
     }),
 
+    "q_profile" -> ((s, d) => {
+      // catalog-grade column profile in ONE scan: row/null/exact-distinct
+      // counters for every events column from a single wide aggregate,
+      // unpivoted to one row per column. Planted nulls (every 7th props,
+      // every 11th value) give the null counters real work; exact NDV is
+      // the oracle-parity form — at 100 TB the same unpivot rides on
+      // approx_count_distinct (q_ndv_sketch's certified path).
+      val ev = t(s, d, "events")
+        .withColumn("props",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("props")))
+        .withColumn("value",
+          when(col("event_id") % 11 === 0, lit(null)).otherwise(col("value")))
+      graft.etl.Observability.profile(ev,
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+    }),
+
     "q_scd2_build" -> ((s, d) => {
       // SCD TYPE-2 history build — the validity-interval complement of
       // q_cdc_apply's current-state merge: every 5th doc emits three
@@ -3540,6 +3556,24 @@ object SparkEntry {
         |SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM (SELECT unnest([a, b, c]) AS host FROM tri)
         |GROUP BY host ORDER BY n_triangles DESC, host LIMIT 20""".stripMargin,
+
+    // profile replay: same null plant, one SELECT per column unioned —
+    // count(DISTINCT) excludes NULLs identically on both engines.
+    "q_profile" -> {
+      val ev =
+        """WITH ev AS (
+          |  SELECT event_id, user_id, event_type,
+          |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value,
+          |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props
+          |  FROM events)
+          |""".stripMargin
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      ev + cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct FROM ev""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // SCD2 replay: same out-of-order version plant, same lead window per
     // key ordered by (eff_ts, ver) — intervals and the one-current-row

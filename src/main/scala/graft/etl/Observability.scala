@@ -26,4 +26,27 @@ object Observability {
     val metrics = count(lit(1)).as("n_rows") +: (nullMetrics ++ violationMetrics)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Column PROFILE — the data-quality summary a lake catalog publishes
+    * per table: one row per column with row/null/exact-distinct counts.
+    * ONE wide aggregate computes every column's counters in a single
+    * pass (count + conditional sums partial-aggregate map-side;
+    * count(DISTINCT col) expands once per column but stays one job), and
+    * the per-column rows are unpivoted from that single result — the
+    * scan happens once however many columns are profiled.
+    */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty)
+    val aggs = columns.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val pairs = columns.map(c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__ndv_$c").as("n_distinct")))
+    wide.select(explode(array(pairs: _*)).as("p"))
+      .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct")
+      .orderBy("col_name")
+  }
 }

@@ -86,6 +86,14 @@ class OpsSpec extends SparkSpec {
     assert(merged === Set((1L, "a"), (2L, "b2"), (4L, "d2")))
   }
 
+  test("profile: one-scan column counters with nulls excluded from NDV") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, Some("b")))
+      .toDF("id", "s")
+    val got = graft.etl.Observability.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("id", 4L, 0L, 4L), ("s", 4L, 1L, 2L)))
+  }
+
   test("scd2History: half-open validity chain, one current row, arrival-order-proof") {
     import java.sql.Timestamp
     def ts(d: Int) = new Timestamp(d * 86400000L)
