@@ -740,6 +740,16 @@ object SparkEntry {
         DedupData.withPlantedDups(t(s, d, "documents")),
         col("doc_id"), col("text"))),
 
+    "q_span_excise" -> ((s, d) =>
+      // the cut itself: the cleaned corpus with every duplicated span
+      // removed, rebuilt as text — nested higher-order filter/exists over
+      // the per-doc span array, no token explode, no shuffle beyond the
+      // span derivation. Planted exact copies come back EMPTY (fully
+      // duplicated); near copies keep exactly their appended suffix.
+      graft.text.SpanDedup.exciseSpans(
+        DedupData.withPlantedDups(t(s, d, "documents")),
+        col("doc_id"), col("text"))),
+
     "q_dedup_minhash_w" -> ((s, d) =>
       MinHashLsh.nearDuplicatesWeighted(
         DedupData.withPlantedDups(t(s, d, "documents")),
@@ -3218,6 +3228,31 @@ object SparkEntry {
         |  CAST(max(cov_end) AS BIGINT) AS span_end,
         |  CAST(max(cov_end) - min(pos) AS BIGINT) AS span_tokens
         |FROM grp GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin),
+
+    // excision replay: positions anti-joined against the merged spans
+    // (DuckDB's i is 1-based, spans 0-based, hence i - 1), kept tokens
+    // re-joined in order — clean_text certifies byte for byte.
+    "q_span_excise" -> (DedupData.DocsCte + SpanChainCte +
+      """, merged AS (
+        |  SELECT doc_id, min(pos) AS s, max(cov_end) AS e
+        |  FROM grp GROUP BY doc_id, isl
+        |), pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk
+        |  FROM nz
+        |), kept AS (
+        |  SELECT p.doc_id, p.i, p.tk[p.i] AS tok
+        |  FROM pos p LEFT JOIN merged m
+        |    ON p.doc_id = m.doc_id AND p.i - 1 >= m.s AND p.i - 1 < m.e
+        |  WHERE m.doc_id IS NULL
+        |)
+        |SELECT n.doc_id,
+        |  coalesce(k.clean_text, '') AS clean_text,
+        |  coalesce(k.n_kept, 0) AS n_kept
+        |FROM nz n LEFT JOIN (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin),
 
     "q_span_stats" -> (DedupData.DocsCte + SpanChainCte +
       """, spans AS (

@@ -83,6 +83,35 @@ object SpanDedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The excision itself: each document's normalized token stream with
+    * every duplicated span CUT OUT, rebuilt as text — the cleaned corpus
+    * a downstream tokenizer consumes. Spans ride back onto the doc row
+    * as a bounded per-doc array (collect_list of that doc's merged
+    * intervals), and the cut is one nested higher-order expression —
+    * `filter` with the position index testing `exists` over the span
+    * array — so no token-level explode and no extra shuffle beyond
+    * [[duplicateSpans]]' own.
+    */
+  def exciseSpans(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
+    val toks = MinHashLsh.tokens(ExactDedup.normalize(text))
+    val base = docs.select(id.as("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+    val spans = duplicateSpans(docs, id, text, w)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("sps"))
+    val noSpans = array().cast("array<struct<s:bigint,e:bigint>>")
+    base.join(spans, Seq("doc_id"), "left")
+      .withColumn("sps", coalesce(col("sps"), noSpans))
+      .withColumn("kept", filter(col("tk"), (t, i) =>
+        !exists(col("sps"), sp =>
+          i.cast("long") >= sp.getField("s") && i.cast("long") < sp.getField("e"))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document excision accounting over [[duplicateSpans]]: total
     * tokens, duplicated tokens (union of spans), surviving tokens — the
     * corpus-shrinkage report a curation run publishes. Documents with no

@@ -75,6 +75,24 @@ class SpanDedupSpec extends SparkSpec {
     assert(stats.map(_.getLong(0)).distinct.length == stats.length)
   }
 
+  test("exciseSpans cuts exactly the spanned tokens; exact copies come back empty") {
+    import spark.implicits._
+    val excised = SpanDedup.exciseSpans(corpus, col("doc_id"), col("text"))
+      .as[(Long, String, Long)].collect()
+    val statsByDoc = stats.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    excised.foreach { case (id, clean, nKept) =>
+      val (nTokens, keptLedger) = statsByDoc(id)
+      assert(nKept === keptLedger, s"doc $id: excision and ledger disagree")
+      val words = if (clean.isEmpty) 0L else clean.split(" ").length.toLong
+      assert(words === nKept, s"doc $id: clean_text token count mismatch")
+      assert(nKept <= nTokens)
+    }
+    // planted exact copies are fully duplicated → empty after excision
+    val exactIds = excised.filter(r =>
+      r._1 >= DedupData.ExactIdOffset && r._1 < DedupData.NearIdOffset)
+    assert(exactIds.nonEmpty && exactIds.forall(_._2.isEmpty))
+  }
+
   test("first occurrence survives: originals of exact pairs keep uncovered text") {
     // an original whose only duplication is its planted copy must NOT be
     // fully covered (the copy is, the original keeps its canonical text) —
