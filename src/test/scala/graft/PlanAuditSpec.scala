@@ -709,6 +709,53 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.toString.contains("TopKPerKey"), s"$plan")
   }
 
+  test("q_normalize_text is a pure map: no joins, only the output-order shuffle") {
+    val plan = finalPlan(q("q_normalize_text"))
+    val shuffles = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, s"fold should shuffle only for the final sort:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"unicode fold must not join:\n$plan")
+  }
+
+  test("q_pmi caps with TakeOrderedAndProject; count joins stay equi") {
+    val plan = finalPlan(q("q_pmi"))
+    graft.CachePool.releaseAll()
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // the single 1-row total broadcast is the only nested-loop join
+    val bnl = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 1, s"vocab-sized BNL in the pmi joins:\n$plan")
+  }
+
+  test("q_triangles closes wedges through equi-joins, never a cartesian") {
+    val plan = finalPlan(q("q_triangles"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+  }
+
+  test("q_span_dedup meets first-occurrences in an equi-join on the run hash") {
+    val plan = finalPlan(q("q_span_dedup"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"span probe must be an equi-join:\n$plan")
+  }
+
+  test("q_profile reads the events table exactly once for all columns") {
+    val plan = finalPlan(q("q_profile"))
+    val scans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1, s"profile must be one scan:\n$plan")
+  }
+
   test("q_minhash_decontam bands meet in a two-sided equi-join, never cartesian over docs") {
     val plan = finalPlan(q("q_minhash_decontam"))
     graft.CachePool.releaseAll()
