@@ -864,7 +864,11 @@ object SparkEntry {
       // ≥90% of (original, rescaled copy) video pairs recovered.
       val docs = t(s, d, "documents")
       val off = 40000000L
-      val orig = Multimodal.videoPatternMedia(docs)
+      // persist the generated payloads: the originals feed BOTH the union
+      // and the resize chain, and GIF sequence encode is the dominant
+      // cost — without the persist the codec pass runs three times
+      val orig = graft.CachePool.persist(
+        Multimodal.videoPatternMedia(docs, maxFrames = 4))
       val copies = Multimodal.resizeVideoFrames(orig, factor = 2)
         .select((col("doc_id") + off).as("doc_id"), col("payload"))
       val media = orig.unionByName(copies)
@@ -2149,6 +2153,51 @@ object SparkEntry {
       s2.table(sink)
         .filter(col("user_id") >= 0) // sentinel user; its session never finalizes anyway
         .orderBy("user_id", "session_start")
+    }),
+
+    "q_stream_drift" -> ((s, d) => {
+      // INCREMENTAL drift monitoring drained end-to-end: the baseline
+      // histogram (sources × buckets, bounded) rides inside the stateful
+      // operator, the RE-CRAWL arrives as two micro-batches, and every
+      // trigger re-emits each touched source's current total-variation
+      // row (update mode). The drained gauge — last emission per source,
+      // selected as the max-t_new row (t_new strictly increases per
+      // emission) — must equal the BATCH driftTable bit for bit, so the
+      // oracle is q_drift's replay verbatim. Every source survives the
+      // re-crawl at every sf, so the update-mode gauge covers all rows
+      // the batch full-outer join produces.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      import s2.implicits._
+      val docs = t(s2, d, "documents")
+      val bucket = expr("length(text) div 200").cast("long")
+      val base = docs.groupBy(col("source"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, Long, Long)].collect()
+        .map { case (src, b, c) => (src, b) -> c }.toMap
+      val newRows = recrawl(docs)
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .as[(Long, String, Long)].collect()
+      val (b1, b2) = newRows.partition(_._1 % 2 == 0)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)](s2)
+      val gauge = graft.streaming.DriftMonitor.driftStream(
+        input.toDS(), base)
+      val sink = s"stream_drift_${System.nanoTime()}"
+      val q = gauge.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try {
+        input.addData(b1.map(r => (r._2, r._3)): _*); q.processAllAvailable()
+        input.addData(b2.map(r => (r._2, r._3)): _*); q.processAllAvailable()
+      } finally q.stop()
+      s2.table(sink)
+        .groupBy("source")
+        .agg(max_by(struct(col("t_old"), col("t_new"), col("tv_num"),
+          col("tv_den"), col("drift")), col("t_new")).as("r"))
+        .select(col("source"), col("r.t_old").as("t_old"),
+          col("r.t_new").as("t_new"), col("r.tv_num").as("tv_num"),
+          col("r.tv_den").as("tv_den"), col("r.drift").as("drift"))
+        .orderBy("source")
     }),
 
     "q_quota_topk" -> ((s, d) => {
@@ -3995,6 +4044,39 @@ object SparkEntry {
     // the TV fraction replayed as pure integer arithmetic over the two
     // modular-scenario histograms.
     "q_drift" ->
+      """WITH oldh AS (
+        |  SELECT source, CAST(length(text) // 200 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_old
+        |  FROM documents GROUP BY source, bucket
+        |), newh AS (
+        |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_new FROM (
+        |    SELECT source, CAST(CASE WHEN doc_id % 5 = 0 THEN (length(text) + 5) // 200
+        |      ELSE length(text) // 200 END AS BIGINT) AS bucket
+        |    FROM documents WHERE doc_id % 7 <> 0
+        |    UNION ALL
+        |    SELECT source, CAST(length(text) // 200 AS BIGINT) FROM documents
+        |    WHERE doc_id % 11 = 0)
+        |  GROUP BY source, bucket
+        |), cells AS (
+        |  SELECT coalesce(o.source, n.source) AS source,
+        |    coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new
+        |  FROM oldh o FULL JOIN newh n ON o.source = n.source AND o.bucket = n.bucket
+        |), tot AS (
+        |  SELECT source, CAST(sum(n_old) AS BIGINT) AS t_old,
+        |    CAST(sum(n_new) AS BIGINT) AS t_new
+        |  FROM cells GROUP BY source
+        |)
+        |SELECT c.source, min(t.t_old) AS t_old, min(t.t_new) AS t_new,
+        |  CAST(sum(abs(c.n_new * t.t_old - c.n_old * t.t_new)) AS BIGINT) AS tv_num,
+        |  CAST(min(t.t_old * t.t_new * 2) AS BIGINT) AS tv_den,
+        |  (CAST(sum(abs(c.n_new * t.t_old - c.n_old * t.t_new)) AS BIGINT) * 20
+        |    > min(t.t_old) * min(t.t_new) * 2) AS drift
+        |FROM cells c JOIN tot t ON c.source = t.source
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
+
+    // the drained streaming gauge must equal the batch drift table bit
+    // for bit — same oracle.
+    "q_stream_drift" ->
       """WITH oldh AS (
         |  SELECT source, CAST(length(text) // 200 AS BIGINT) AS bucket,
         |    CAST(count(*) AS BIGINT) AS n_old

@@ -727,12 +727,17 @@ object Multimodal {
 
   // ── perceptual VIDEO dedup over the real multi-frame codec ────────────
 
-  /** Animated GIFs whose frames carry the [[blockPatternMedia]] 4×4-block
-    * pattern with a per-(doc, frame) key — each frame is dHash-distinctive
-    * AND survives resizing, which is what a perceptual video-dedup gate
-    * needs to plant. `n_frames = 1 + doc_id % maxFrames`, frame `f`'s
-    * pattern key is `doc_id + 31·f`. GIF palettes are lossless for ≤256
-    * gray levels, so decoded pixels equal the pattern exactly.
+  /** Animated GIFs whose frames carry an 8×8 grid of pseudo-random gray
+    * cells keyed by a mixed per-(doc, frame, cell) hash. The 8×8 grid
+    * aligns with dHash's 9×8 resample, so ALL 64 gradient comparisons
+    * carry entropy and frame hashes are fully diverse — a lower-entropy
+    * pattern family (e.g. 4×4 blocks, where only the 3 block boundaries
+    * per row contribute signs) yields ~12 effective dHash bits and
+    * collapses the banded signature join into quadratic hot buckets.
+    * Cells are ≥3 px at the 32×24 default, which is what survives
+    * bilinear resizing. `n_frames = 1 + doc_id % maxFrames`. GIF
+    * palettes are lossless for ≤256 gray levels, so decoded pixels equal
+    * the pattern exactly.
     */
   def videoPatternMedia(docs: DataFrame, maxFrames: Int = 6,
                         w: Int = 32, h: Int = 24): DataFrame = {
@@ -757,7 +762,9 @@ object Multimodal {
           writer.prepareWriteSequence(null)
           var f = 0
           while (f < nFrames) {
-            val key = id + 31L * f
+            // splitmix-style mix per (id, f); re-mixed per cell below
+            var key = id * -7046029254386353131L + f * -4417276706812531889L
+            key ^= key >>> 31; key *= -7723592293110705685L; key ^= key >>> 33
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
             val data = img.getRaster.getDataBuffer
@@ -766,9 +773,10 @@ object Multimodal {
             while (y < h) {
               var x = 0
               while (x < w) {
-                val b = (y * 4 / h) * 4 + (x * 4 / w)
-                val v = 8 * (b ^ (key & 15L).toInt) + (((key >>> b) & 1L) << 7).toInt
-                data(y * w + x) = v.toByte
+                val b = (y * 8 / h) * 8 + (x * 8 / w)
+                var kb = key + b * -4417276706812531889L
+                kb ^= kb >>> 31; kb *= -7723592293110705685L; kb ^= kb >>> 33
+                data(y * w + x) = (kb & 0xffL).toByte
                 x += 1
               }
               y += 1
