@@ -977,6 +977,17 @@ object SparkEntry {
       graft.analytics.EventAnalytics.gapFillDaily(
         events(s, d), col("user_id"), col("ts"))),
 
+    "q_ewma" -> ((s, d) =>
+      // integer fixed-point EWMA (α = 1/4, scale 10⁻⁶) over per-type
+      // daily counts — floor division per step keeps the sequential
+      // recurrence exact, the q_pagerank discipline applied to a
+      // time-series fold; each type's day series folds inside ONE row
+      // (bounded by the window's day count), raw log reduced to daily
+      // counts first.
+      graft.analytics.EventAnalytics.ewmaDaily(
+          t(s, d, "events"), col("event_type"), col("ts"))
+        .withColumnRenamed("k", "event_type")),
+
     "q_moving_window" -> ((s, d) =>
       // per-supplier sliding-frame aggregate (ROWS BETWEEN 6 PRECEDING):
       // trailing-7-row quantity sum + lag along each supplier's shipment
@@ -3499,6 +3510,29 @@ object SparkEntry {
         |  CAST(count(n_events) AS BIGINT) AS n_days_observed,
         |  CAST(sum((date_diff('day', d0, day) + 1) * filled_n) AS BIGINT) AS fill_checksum
         |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // EWMA replay: daily counts, then the floor-division recurrence
+    // unrolled as a data-length recursive CTE over the per-key row number
+    // — every smoothed cell value-certifies.
+    "q_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), numbered AS (
+        |  SELECT k, day, c, row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+        |  FROM daily
+        |), rec AS (
+        |  SELECT k, day, c, rn, CAST(c * 1000000 AS BIGINT) AS s
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.k, n.day, n.c, n.rn,
+        |    CAST((n.c * 1000000 * 1 + 3 * r.s) // 4 AS BIGINT)
+        |  FROM rec r JOIN numbered n ON n.k = r.k AND n.rn = r.rn + 1
+        |)
+        |SELECT k AS event_type, CAST(day AS TIMESTAMP) AS day,
+        |  c AS n_events, s AS ewma_mu
+        |FROM rec ORDER BY event_type, day""".stripMargin,
 
     "q_moving_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -141,4 +141,41 @@ object EventAnalytics {
           .as("fill_checksum"))
       .orderBy("user_id")
   }
+
+  /** INTEGER fixed-point EWMA smoothing of per-key daily counts —
+    * the time-series gauge (traffic trend, anomaly baseline) beside the
+    * snapshot drift monitors: `s_0 = c_0·scale`,
+    * `s_t = (c_t·scale + (den − num)·s_{t−1}) div den` with
+    * α = num/den. Floor division every step keeps the recurrence exact
+    * and replayable on any engine (the q_pagerank discipline applied to
+    * a sequential per-key fold).
+    *
+    * Shape: the raw log reduces to per-(key, day) counts first (the only
+    * pass over the data); the sequential dependency then folds INSIDE a
+    * row — each key's day series rides as one sorted array, bounded by
+    * the reporting window's day count, never the stream — via a native
+    * `aggregate` lambda, and unpivots back to (key, day, n, ewma) rows.
+    */
+  def ewmaDaily(events: DataFrame, key: Column, ts: Column,
+                num: Int = 1, den: Int = 4, scale: Long = 1000000L): DataFrame = {
+    require(num > 0 && den > num && scale > 0)
+    val daily = events.groupBy(key.as("k"), to_date(ts).as("day"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("xs"))
+      .select(col("k"), explode(expr(
+        s"""aggregate(xs,
+           |  CAST(array() AS array<struct<day:date, c:bigint, s:bigint>>),
+           |  (acc, x) -> array_append(acc, named_struct(
+           |    'day', x.day, 'c', x.c,
+           |    's', CASE WHEN size(acc) = 0 THEN x.c * ${scale}L
+           |              ELSE (x.c * ${scale}L * ${num}L +
+           |                    ${den - num}L * element_at(acc, -1).s) div ${den}L
+           |         END)))""".stripMargin)).as("r"))
+      // day projects as midnight TIMESTAMP: engines and dataframe readers
+      // disagree on DATE object types, timestamps compare bit-stably
+      .select(col("k"), col("r.day").cast("timestamp").as("day"),
+        col("r.c").as("n_events"), col("r.s").as("ewma_mu"))
+      .orderBy("k", "day")
+  }
 }

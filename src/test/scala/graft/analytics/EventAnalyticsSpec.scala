@@ -88,4 +88,19 @@ class EventAnalyticsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       s"unpartitioned window in gap fill:\n$windows")
   }
+
+  test("ewmaDaily: exact floor-division recurrence per key") {
+    // key a: daily counts 4, 8, 4 → s = 4e6, (8e6+3·4e6)//4 = 5e6,
+    // (4e6+3·5e6)//4 = 4_750_000; key b: single day, s = c·scale
+    val day = 86400L
+    val rows =
+      Seq.fill(4)((1L, 0L * day, "a")) ++ Seq.fill(8)((1L, 1L * day, "a")) ++
+        Seq.fill(4)((2L, 2L * day, "a")) ++ Seq((3L, 0L * day, "b"))
+    val got = EventAnalytics.ewmaDaily(ev(rows), col("event_type"), col("ts"))
+      .select(col("k"), col("n_events"), col("ewma_mu"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 4L, 4000000L), ("a", 8L, 5000000L), ("a", 4L, 4750000L),
+      ("b", 1L, 1000000L)))
+  }
 }
