@@ -1509,6 +1509,25 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    "q_orc_roundtrip" -> ((s, d) => {
+      // ORC round trip — the columnar interchange sibling of
+      // q_jsonl_roundtrip for Hive/Trino-era lakes: write the documents
+      // table as zlib ORC, read it back under the explicit schema, and
+      // certify the same invariants (row count, id sum, exact text BYTE
+      // lengths, source/lang cardinalities). Oracle replays the
+      // aggregate over the original parquet — a lossy round trip
+      // hash-mismatches.
+      val out = scratchDir("graft_orc")
+      val docs = t(s, d, "documents")
+      graft.sources.OrcInterchange.write(docs, out)
+      graft.sources.OrcInterchange.read(s, out, docs.schema)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(octet_length(col("text"))).as("sum_text_bytes"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     "q_url_stats" -> ((s, d) => {
       // URL/domain analysis — the crawl-curation grain underneath domain
       // quotas and blocklists: deterministic planted URLs (host derived
@@ -3819,6 +3838,15 @@ object SparkEntry {
     // over the ORIGINAL parquet, so any JSON escaping/typing drift in
     // write-or-read hash-mismatches.
     "q_jsonl_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_text_bytes,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
+
+    // same certification for the ORC lane.
+    "q_orc_roundtrip" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_text_bytes,

@@ -38,6 +38,23 @@ class SourcesSpec extends SparkSpec {
     }: Unit
   }
 
+  test("OrcInterchange round-trips losslessly and pushes filters to the ORC scan") {
+    val dir = Files.createTempDirectory("graft_orc_spec").toString
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "unicode: é中文 \n newline", "zh"),
+      (3L, "third", "en")).toDF("doc_id", "text", "lang")
+    OrcInterchange.write(docs, dir)
+    val back = OrcInterchange.read(spark, dir, docs.schema)
+    assert(back.as[(Long, String, String)].collect().sortBy(_._1).toSeq ===
+      docs.as[(Long, String, String)].collect().sortBy(_._1).toSeq)
+    // predicate pushdown reaches the ORC scan like on parquet
+    val formatted = back.filter(col("doc_id") > 1L).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [") &&
+      formatted.contains("GreaterThan(doc_id"), formatted)
+  }
+
   test("CsvSource reads UTF-16, quoted multi-line, escaped CSV (the reference's input shape)") {
     val csv =
       "house_id,address,square\n" +
