@@ -988,6 +988,27 @@ object SparkEntry {
           t(s, d, "events"), col("event_type"), col("ts"))
         .withColumnRenamed("k", "event_type")),
 
+    "q_anomaly" -> ((s, d) => {
+      // burst/drop anomaly flags over the EWMA baseline: a planted burst
+      // (clicks of Jan 11 tripled) and a planted drop (views of Jan 21
+      // cut to every 10th event — nonzero, so the day still exists at
+      // the day grain) must fire the integer fences
+      // c·scale·den > num·s_prev / c·scale·num < den·s_prev; all other
+      // flags ride on the real data and replay exactly.
+      val ev = t(s, d, "events")
+      val isBurst = to_date(col("ts")) === lit("2024-01-11") &&
+        col("event_type") === "click"
+      val isDropDay = to_date(col("ts")) === lit("2024-01-21") &&
+        col("event_type") === "view"
+      val planted = ev
+        .filter(!isDropDay || col("event_id") % 10 === 0)
+        .unionByName(ev.filter(isBurst)).unionByName(ev.filter(isBurst))
+      graft.analytics.EventAnalytics.ewmaAnomalies(
+          planted, col("event_type"), col("ts"))
+        .withColumnRenamed("k", "event_type")
+        .drop("prev_s")
+    }),
+
     "q_moving_window" -> ((s, d) =>
       // per-supplier sliding-frame aggregate (ROWS BETWEEN 6 PRECEDING):
       // trailing-7-row quantity sum + lag along each supplier's shipment
@@ -3529,6 +3550,44 @@ object SparkEntry {
         |  CAST(count(n_events) AS BIGINT) AS n_days_observed,
         |  CAST(sum((date_diff('day', d0, day) + 1) * filled_n) AS BIGINT) AS fill_checksum
         |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // anomaly replay: the planted burst/drop days, the same EWMA chain,
+    // one lag, and the integer fences — flags value-certify cell for
+    // cell, planted and natural alike.
+    "q_anomaly" ->
+      """WITH RECURSIVE planted AS (
+        |  SELECT * FROM events
+        |  WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-21'
+        |             AND event_type = 'view' AND event_id % 10 <> 0)
+        |  UNION ALL
+        |  SELECT * FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-11' AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT * FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-11' AND event_type = 'click'
+        |), daily AS (
+        |  SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM planted GROUP BY 1, 2
+        |), numbered AS (
+        |  SELECT k, day, c, row_number() OVER (PARTITION BY k ORDER BY day) AS rn
+        |  FROM daily
+        |), rec AS (
+        |  SELECT k, day, c, rn, CAST(c * 1000000 AS BIGINT) AS s
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.k, n.day, n.c, n.rn,
+        |    CAST((n.c * 1000000 * 1 + 3 * r.s) // 4 AS BIGINT)
+        |  FROM rec r JOIN numbered n ON n.k = r.k AND n.rn = r.rn + 1
+        |), lagd AS (
+        |  SELECT k, day, c, s, lag(s) OVER (PARTITION BY k ORDER BY day) AS prev_s
+        |  FROM rec
+        |)
+        |SELECT k AS event_type, CAST(day AS TIMESTAMP) AS day, c AS n_events,
+        |  s AS ewma_mu,
+        |  (prev_s IS NOT NULL AND c * 1000000 * 1 > prev_s * 2) AS is_burst,
+        |  (prev_s IS NOT NULL AND c * 1000000 * 2 < prev_s * 1) AS is_drop
+        |FROM lagd ORDER BY event_type, day""".stripMargin,
 
     // EWMA replay: daily counts, then the floor-division recurrence
     // unrolled as a data-length recursive CTE over the per-key row number

@@ -178,4 +178,26 @@ object EventAnalytics {
         col("r.c").as("n_events"), col("r.s").as("ewma_mu"))
       .orderBy("k", "day")
   }
+
+  /** Burst-anomaly flags over the [[ewmaDaily]] baseline: a day is a
+    * BURST when its count exceeds `num/den` times the trend as of the
+    * PREVIOUS day (`c_t·scale·den > num·s_{t−1}` — all integers, so the
+    * fence replays exactly), and a DROP when it falls below the inverse
+    * fence. Day one has no baseline and flags neither. One extra lag
+    * window per key over the day-grain frame — the stream never sees a
+    * window.
+    */
+  def ewmaAnomalies(events: DataFrame, key: Column, ts: Column,
+                    num: Int = 2, den: Int = 1,
+                    scale: Long = 1000000L): DataFrame = {
+    require(num > 0 && den > 0)
+    val w = Window.partitionBy("k").orderBy("day")
+    ewmaDaily(events, key, ts, scale = scale)
+      .withColumn("prev_s", lag(col("ewma_mu"), 1).over(w))
+      .withColumn("is_burst", col("prev_s").isNotNull &&
+        col("n_events") * scale * den > col("prev_s") * num)
+      .withColumn("is_drop", col("prev_s").isNotNull &&
+        col("n_events") * scale * num < col("prev_s") * den)
+      .orderBy("k", "day")
+  }
 }

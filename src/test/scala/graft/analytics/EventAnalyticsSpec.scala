@@ -103,4 +103,19 @@ class EventAnalyticsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       ("a", 4L, 4000000L), ("a", 8L, 5000000L), ("a", 4L, 4750000L),
       ("b", 1L, 1000000L)))
   }
+
+  test("ewmaAnomalies: burst and drop fences fire on the right days only") {
+    val day = 86400L
+    // counts 4, 4, 12 (burst: 12 > 2·4), then 1 (drop: 2·1 < 6 trend)
+    val rows = Seq.fill(4)((1L, 0L * day, "a")) ++ Seq.fill(4)((1L, 1L * day, "a")) ++
+      Seq.fill(12)((1L, 2L * day, "a")) ++ Seq((1L, 3L * day, "a"))
+    val got = EventAnalytics.ewmaAnomalies(ev(rows), col("event_type"), col("ts"))
+      .select(col("n_events"), col("is_burst"), col("is_drop"))
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (4L, false, false),  // day 1: no baseline
+      (4L, false, false),  // steady
+      (12L, true, false),  // 12e6 > 2·4e6
+      (1L, false, true)))  // trend (4e6·1+3·4e6)//4→4e6 → (12e6+3·4e6)//4=6e6; 2·1e6 < 6e6
+  }
 }
