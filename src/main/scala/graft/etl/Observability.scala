@@ -42,9 +42,12 @@ object Observability {
         countDistinct(col(c)).as(s"__ndv_$c"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // sum over zero rows is NULL, not 0 — an empty table must still
+    // profile as all-zero counters
     val pairs = columns.map(c =>
       struct(lit(c).as("col_name"), col("__n").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"), col(s"__ndv_$c").as("n_distinct")))
+        coalesce(col(s"__nulls_$c"), lit(0L)).as("n_nulls"),
+        col(s"__ndv_$c").as("n_distinct")))
     wide.select(explode(array(pairs: _*)).as("p"))
       .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct")
       .orderBy("col_name")

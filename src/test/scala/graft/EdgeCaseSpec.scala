@@ -436,6 +436,50 @@ class EdgeCaseSpec extends SparkSpec {
       docs, docs.limit(0), col("doc_id"), col("text")).count() === 0)
   }
 
+  test("round-10 third-session operators on empty/degenerate input") {
+    // span excision: empty corpus → empty everything; a single doc has
+    // no earlier occurrence anywhere, so nothing is excised
+    assert(graft.text.SpanDedup.duplicateSpans(
+      noDocs, col("doc_id"), col("text")).count() === 0)
+    val one = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    assert(graft.text.SpanDedup.duplicateSpans(one, col("doc_id"), col("text"))
+      .count() === 0)
+    assert(graft.text.SpanDedup.exciseSpans(one, col("doc_id"), col("text"))
+      .select("clean_text").as[String].head() === "a b c d e f g h i j")
+    // collocations: empty corpus and an all-unique corpus both emit none
+    assert(graft.text.Collocations.pmiBigrams(noDocs, col("text")).count() === 0)
+    assert(graft.text.Collocations.pmiBigrams(one, col("text"),
+      minCount = 2L).count() === 0)
+    // outliers: empty input → empty; constant group → MAD 0, no outliers
+    assert(Stats.robustOutliers(noDocs, col("source"),
+      length(col("text"))).count() === 0)
+    val const = Seq.fill(5)(("g", 7L)).toDF("k", "v")
+    assert(Stats.robustOutliers(const, col("k"), col("v"))
+      .as[(String, Long, Long, Long, Long)].head() === (("g", 5L, 14L, 0L, 0L)))
+    // triangles: empty and triangle-free graphs count nothing
+    assert(graft.analytics.LinkGraph.triangleCounts(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() === 0)
+    assert(graft.analytics.LinkGraph.triangleCounts(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")).count() === 0)
+    // EWMA: empty events → empty; anomalies on a 1-day series flag nothing
+    assert(graft.analytics.EventAnalytics.ewmaDaily(
+      noEvents, col("event_type"), col("ts")).count() === 0)
+    val oneDay = Seq((1L, 0L, "a")).toDF("user_id", "t", "event_type")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val an = graft.analytics.EventAnalytics.ewmaAnomalies(
+        oneDay, col("event_type"), col("ts"))
+      .select("is_burst", "is_drop").as[(Boolean, Boolean)].collect().toSeq
+    assert(an === Seq((false, false)))
+    // SCD2 on empty events → empty history
+    assert(graft.etl.SnapshotDiff.scd2History(
+      Seq.empty[(Long, Long, java.sql.Timestamp)].toDF("id", "ver", "eff_ts"),
+      "id", "eff_ts", "ver").count() === 0)
+    // profile on an empty frame: counters all zero, one row per column
+    val prof = graft.etl.Observability.profile(noDocs, Seq("doc_id", "text"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(prof === Seq(("doc_id", 0L, 0L, 0L), ("text", 0L, 0L, 0L)))
+  }
+
   test("join operators on empty sides") {
     val pts = Seq.empty[(Long, Double)].toDF("pid", "x")
     val ivs = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")
