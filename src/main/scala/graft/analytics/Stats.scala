@@ -165,8 +165,10 @@ object Stats {
     val base = df.select(key.as("grp"), value.cast("long").as("x"))
     val med = base.groupBy("grp")
       .agg((expr("percentile(x, 0.5D)") * 2).cast("long").as("med2"))
-    val dev = base.join(broadcast(med), "grp")
-      .withColumn("dev2", abs(col("x") * 2 - col("med2")))
+    // persisted: the deviation frame feeds the MAD aggregate AND the
+    // final flag pass — otherwise the source scans three times
+    val dev = graft.CachePool.persist(base.join(broadcast(med), "grp")
+      .withColumn("dev2", abs(col("x") * 2 - col("med2"))))
     val mad = dev.groupBy("grp")
       .agg((expr("percentile(dev2, 0.5D)") * 2).cast("long").as("mad4"))
     dev.join(broadcast(mad), "grp")

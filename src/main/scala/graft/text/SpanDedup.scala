@@ -53,9 +53,13 @@ object SpanDedup {
         Fingerprint.windowHashes(text, w).as("whs"),
         size(toks).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    // one row per window occurrence; pos is the 0-based start token
-    val occ = base.select(col("doc_id"), col("n_tokens"),
-      posexplode(col("whs")).as(Seq("pos", "fp")))
+    // one row per window occurrence; pos is the 0-based start token.
+    // Persisted: the frame feeds BOTH the first-occurrence aggregate and
+    // the probe side of the join — without it the O(tokens) rolling-hash
+    // pass runs twice per document (the sharedRunPairs discipline).
+    val occ = graft.CachePool.persist(
+      base.select(col("doc_id"), col("n_tokens"),
+        posexplode(col("whs")).as(Seq("pos", "fp"))))
     // global first occurrence per run: ONE row of state per distinct run
     // (partial-aggregated map-side), however hot the run is
     val first = occ.groupBy("fp")
