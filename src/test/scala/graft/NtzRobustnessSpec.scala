@@ -192,6 +192,41 @@ class NtzRobustnessSpec extends SparkSpec {
     assert(got.head.startsWith("[1,16,4,"))
   }
 
+  // ── r10 third session: the new event-time consumers ───────────────────
+
+  test("ewmaDaily / ewmaAnomalies (q_ewma, q_anomaly) analyze and agree across encodings") {
+    val e = agreeCal(df => EventAnalytics.ewmaDaily(
+        df, col("user_id"), col("ts"))
+      .select(col("k"), Relational.epochMicros(col("day")).as("d"),
+        col("n_events"), col("ewma_mu")))
+    // user 2's day 9 has two events: s = (2e6·1 + 3·1e6) div 4
+    assert(e.contains(s"[2,${9L * 86400000000L},2,1250000]"))
+    agreeCal(df => EventAnalytics.ewmaAnomalies(df, col("user_id"), col("ts"))
+      .select(col("k"), col("n_events"), col("is_burst"), col("is_drop"))): Unit
+  }
+
+  test("tumblingCountsStream's aggregate (q_stream_window) analyzes and agrees across encodings") {
+    // the watermarked streaming aggregate executes as a batch plan here
+    // (withWatermark is a no-op on batch) — the point is ANALYSIS: a bare
+    // unix_micros or a ts-type assumption in the window/sum tree throws
+    // on one encoding
+    val got = agree(df => EventStreams.tumblingCountsStream(
+        df.withColumn("value", col("event_id") * 0.25))
+      .select(Relational.epochMicros(col("window_start")).as("ws"),
+        col("n_events"), col("sum_value_mu"))
+      .orderBy("ws"))
+    assert(got.head.startsWith("[0,9,"))
+  }
+
+  test("sessionizeNativeStream's aggregate (q_stream_sessionize) analyzes and agrees across encodings") {
+    val got = agree(df => EventStreams.sessionizeNativeStream(df)
+      .select(col("user_id"),
+        Relational.epochMicros(col("session_start")).as("s"),
+        Relational.epochMicros(col("session_end")).as("e"), col("n_events"))
+      .orderBy("user_id", "s"))
+    assert(got.size === 5) // identical sessions to the batch native form
+  }
+
   test("movingSum (q_moving_window) analyzes and agrees across shipdate encodings") {
     // lineitem-shaped fixture: the frame-ordering column in both encodings
     val li = Seq((1L, 0L, 10L, 1, 5.0), (1L, 60L, 11L, 1, 7.0),
