@@ -903,7 +903,13 @@ object Multimodal {
   def videoNearDuplicates(media: DataFrame, maxDist: Int = 3,
                           minFrac: Double = 0.9,
                           hotBandThreshold: Int = 4096): DataFrame = {
-    val fp = graft.CachePool.persist(frameDHash64(media))
+    // frame identity packs as doc_id·1024 + frame_idx below, which is
+    // only injective for non-negative ids and <1024 frames — containers
+    // beyond frame 1023 (and malformed negative ids) are excluded HERE,
+    // before the signature frame, so n_frames and the match rollup stay
+    // consistent: matching considers each video's first 1024 frames.
+    val fp = graft.CachePool.persist(frameDHash64(media)
+      .filter(col("doc_id") >= 0 && col("frame_idx") < 1024))
     val sigs = fp.select(
       (col("doc_id") * 1024L + col("frame_idx")).as("sh_id"),
       col("dhash").as("simhash"))

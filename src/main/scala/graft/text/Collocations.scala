@@ -31,7 +31,11 @@ object Collocations {
                  k: Int = 50): DataFrame = {
     require(minCount >= 1 && k >= 1)
     val tk = MinHashLsh.tokens(ExactDedup.normalize(text))
-    val toks = docs.select(tk.as("tk")).filter(size(col("tk")) >= 1)
+    // persisted: the tokenized frame feeds both the unigram aggregate and
+    // the bigram pair derivation — without it the corpus-wide
+    // normalize+tokenize pass runs twice
+    val toks = graft.CachePool.persist(
+      docs.select(tk.as("tk")).filter(size(col("tk")) >= 1))
     val uni = graft.CachePool.persist(
       toks.select(explode(col("tk")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n")))

@@ -47,11 +47,10 @@ object SpanDedup {
     */
   def duplicateSpans(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
     require(w > 0)
-    val toks = transform(MinHashLsh.tokens(ExactDedup.normalize(text)), t => xxhash64(t))
     val base = docs.select(
         id.as("doc_id"),
         Fingerprint.windowHashes(text, w).as("whs"),
-        size(toks).cast("long").as("n_tokens"))
+        size(MinHashLsh.tokens(ExactDedup.normalize(text))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
     // one row per window occurrence; pos is the 0-based start token.
     // Persisted: the frame feeds BOTH the first-occurrence aggregate and
@@ -123,8 +122,8 @@ object SpanDedup {
     * frame is a complete before/after ledger.
     */
   def spanStats(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
-    val toks = transform(MinHashLsh.tokens(ExactDedup.normalize(text)), t => xxhash64(t))
-    val base = docs.select(id.as("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val base = docs.select(id.as("doc_id"),
+      size(MinHashLsh.tokens(ExactDedup.normalize(text))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
     val spans = duplicateSpans(docs, id, text, w)
       .groupBy("doc_id")
