@@ -374,6 +374,19 @@ object SparkEntry {
         (col("recovered") >= 18L).as("recall_ok"))
     }),
 
+    "q_rank_metrics" -> ((s, d) => {
+      // retrieval EVALUATION as a first-class operator: exact-integer
+      // MRR and hit rate of the known-gold answers (each planted copy's
+      // original) inside the brute-force top-5 — reciprocal ranks sum as
+      // k!/rank so the metric row is order-free and fully SQL-replayed
+      // (shortlist AND metric), not a pinned boolean. The same operator
+      // measures any shortlist (IVF/PQ/hybrid) against any gold frame.
+      val shortlist = Knn.bruteForceTopK(annCorpus(s, d), annQueries(s, d), k = 5)
+      val gold = annQueries(s, d).select(col("vec_id").as("query_id"),
+        (col("vec_id") - DedupData.ExactIdOffset).as("gold_id"))
+      graft.similarity.RankMetrics.mrrAtK(shortlist, gold, k = 5)
+    }),
+
     "q_knn_recall" -> ((s, d) => {
       // Driver-visible ANN quality gate: IVF-PQ must recover planted
       // near-duplicates through the full fit -> encode -> probe -> ADC
@@ -3247,6 +3260,39 @@ object SparkEntry {
     "q_knn_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_queries,
         |  CAST(100 AS BIGINT) AS n_results, TRUE AS recall_ok""".stripMargin,
+
+    // rank-metrics replay: the planted-query brute-force shortlist
+    // (list_cosine_similarity over DOUBLE casts = Spark's exact tree),
+    // then gold ranks and the k!/rank fraction — every integer
+    // data-derived, nothing pinned.
+    "q_rank_metrics" -> (DedupData.VecsCte +
+      """, q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM vecs
+        |  WHERE vec_id >= 1000000 AND vec_id < 1000100
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q JOIN vecs e ON e.vec_id <> q.query_id
+        |), top AS (
+        |  SELECT query_id, neighbor_id, rnk FROM (
+        |    SELECT query_id, neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 5
+        |), gr AS (
+        |  SELECT q.query_id,
+        |    min(CASE WHEN t.neighbor_id = q.query_id - 1000000 THEN t.rnk END)
+        |      AS gold_rank
+        |  FROM q LEFT JOIN top t ON t.query_id = q.query_id
+        |  GROUP BY q.query_id
+        |)
+        |SELECT CAST(5 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN gold_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(coalesce(120 // gold_rank, 0)) AS BIGINT) AS mrr_num,
+        |  CAST(count(*) * 120 AS BIGINT) AS mrr_den
+        |FROM gr""".stripMargin),
 
     // append-path lifecycle gate: n_appended is the planted-batch size
     // (every 5th vector), cell stability and merged-epoch recall are

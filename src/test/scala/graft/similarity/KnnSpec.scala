@@ -73,6 +73,20 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("mrrAtK: exact k!/rank fractions; absent gold and missing shortlists count as misses") {
+    // gold at rank 1, rank 3, absent from shortlist, and a query with NO
+    // shortlist rows at all → hits 2, mrr = (120/1 + 120/3) / (4·120)
+    val shortlist = Seq(
+      (10L, 1, 100L), (10L, 2, 101L),
+      (11L, 1, 200L), (11L, 2, 201L), (11L, 3, 111L),
+      (12L, 1, 300L), (12L, 2, 301L)).toDF("query_id", "rnk", "neighbor_id")
+    val gold = Seq((10L, 100L), (11L, 111L), (12L, 999L), (13L, 888L))
+      .toDF("query_id", "gold_id")
+    val got = RankMetrics.mrrAtK(shortlist, gold, k = 5)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === ((5L, 4L, 2L, 160L, 480L)))
+  }
+
   test("recall bound at the threshold: near-threshold pairs are missed at the analytic rate") {
     // The graded q_dedup_embedding LSH path is verified against the EXACT
     // all-pairs oracle. That parity is safe only because the graded corpus's
