@@ -12,10 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntryContractSpec extends AnyFunSuite {
 
-  // r10: the ANN variants became SQL-gated planted-recovery rows; only
-  // the raw pair/shortlist dumps stay rows-only.
-  private val RowsOnly = Set(
-    "q_dedup_minhash", "q_dedup_minhash_w", "q_dedup_simhash", "q_knn_ivfpq")
+  // r11: the last four rows-only entries (minhash/minhash_w/simhash pair
+  // dumps, ivfpq shortlist) became SQL-gated planted-recovery rows; the
+  // allowlist is EMPTY — every query is oracle-graded. Raw dumps live in
+  // MinHashSpec/SimHashSpec/IvfPqKnnSpec.
+  private val RowsOnly = Set.empty[String]
 
   test("every oracle names an implemented query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
