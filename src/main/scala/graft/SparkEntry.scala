@@ -66,6 +66,32 @@ object SparkEntry {
   private val FoldPrefix =
     "Cafe\u0301 NAI\u0308VE E\u0301cole re\u0301sume\u0301 "
 
+  /** Planted Gopher rule-breakers (q_gopher_filters), one mod-17 class
+    * per rule so every flag's FALSE branch is exercised on real rows:
+    * the plant REPLACES the text (full control over every list-derived
+    * statistic), and the same literals are interpolated into the oracle's
+    * CASE, so each flag is value-certified on breakers and clean docs
+    * alike. No quotes in the literals (they embed in SQL unescaped).
+    */
+  private val GopherPlants: Seq[(Int, String)] = Seq(
+    1 -> "too few words here .",
+    2 -> Seq.fill(60)("pneumonoultramicroscopicsilico").mkString(" "),
+    3 -> Seq.fill(120)("a").mkString(" "),
+    4 -> Seq.fill(60)("# tagged").mkString(" "),
+    5 -> (0 until 20).map(i => s"- bullet item number $i").mkString("\n"),
+    6 -> (0 until 10).map(i => s"line number $i trails off...").mkString("\n"),
+    7 -> (0 until 60).map(i => (1000 + i).toString).mkString(" "),
+    8 -> Seq.fill(20)("alpha beta gamma").mkString(" "),
+    9 -> Seq.fill(20)("this line repeats verbatim").mkString("\n"),
+    10 -> Seq.fill(10)("first paragraph line\nsecond paragraph line").mkString("\n\n"),
+    // class 11 PASSES every rule (the corpus's synthetic vocabulary never
+    // carries two distinct Gopher stop words, so without this plant
+    // f_stop_words — and therefore keep — would have no TRUE branch):
+    // 100 words, mean length 5.0, stop words {the, and, with}, all
+    // alphabetic, one line, no symbols.
+    11 -> (0 until 10).map(i =>
+      s"the committee and the board discussed item$i with care today").mkString(" "))
+
   private def annCorpus(s: SparkSession, d: String): DataFrame =
     DedupData.withPlantedVecDups(t(s, d, "embeddings"))
   private def annQueries(s: SparkSession, d: String): DataFrame =
@@ -2010,6 +2036,22 @@ object SparkEntry {
           when(col("doc_id") % 13 === 0,
             concat(lit(" "), lpad(lit("x"), 60, "x"))).otherwise(lit(""))).as("text"))
       graft.text.C4Filters.flags(planted, col("doc_id"), col("text"))
+    }),
+
+    "q_gopher_filters" -> ((s, d) => {
+      // the full published Gopher rule set (Rae et al. 2021, Table A1)
+      // beside q_c4_filters: one stateless projection, every flag an
+      // integer-exact predicate the oracle replays list-for-list. The
+      // mod-17 plants put a real FALSE on every flag (word count, mean
+      // word length high AND low, symbol ratio, bullet/ellipsis lines,
+      // alphabetic words, stop words, duplicate lines/paragraphs and
+      // their char-fraction forms).
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        GopherPlants.foldRight(col("text")) { case ((m, p), acc) =>
+          when(col("doc_id") % 17 === m, lit(p)).otherwise(acc)
+        }.as("text"))
+      graft.text.GopherFilters.flags(planted, col("doc_id"), col("text"))
     }),
 
     "q_leak_report" -> ((s, d) => {
@@ -4757,6 +4799,71 @@ object SparkEntry {
         |  f_min_words AND f_terminal_punct AND f_no_brace AND f_no_lorem
         |    AND f_no_script AND f_word_len AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // full Gopher rule replay: the plant CASE shares q_gopher_filters'
+    // literals verbatim, then every flag recomputed with list functions
+    // in the same integer cross-multiplied form — no float division on
+    // either engine, so each boolean is exact, not threshold-fuzzy.
+    "q_gopher_filters" -> {
+      val plantCase = GopherPlants
+        .map { case (m, p) => s"      WHEN ${m} THEN '${p}'" }
+        .mkString("\n")
+      s"""WITH gdocs AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 17
+         |${plantCase}
+         |      ELSE text END AS text
+         |  FROM documents
+         |), feat AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk,
+         |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS ln,
+         |    list_filter(string_split(text, chr(10) || chr(10)), p -> len(p) > 0) AS pp
+         |  FROM gdocs
+         |), agg AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(len(ln) AS BIGINT) AS n_lines,
+         |    CAST(coalesce(list_sum(list_transform(tk, t -> strlen(t))), 0) AS BIGINT) AS chars,
+         |    CAST(strlen(text) - strlen(replace(text, '#', ''))
+         |      + (strlen(text) - strlen(replace(text, '...', ''))) // 3 AS BIGINT) AS sym,
+         |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      s -> list_contains(tk, s))) AS BIGINT) AS stops,
+         |    CAST(len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullet,
+         |    CAST(len(list_filter(ln, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS ellip,
+         |    CAST(len(list_distinct(ln)) AS BIGINT) AS dln,
+         |    CAST(len(pp) AS BIGINT) AS np,
+         |    CAST(len(list_distinct(pp)) AS BIGINT) AS dpp,
+         |    CAST(coalesce(list_sum(list_transform(list_distinct(ln),
+         |      d -> (len(list_filter(ln, x -> x = d)) - 1) * strlen(d))), 0) AS BIGINT) AS dlc,
+         |    CAST(coalesce(list_sum(list_transform(ln, x -> strlen(x))), 0) AS BIGINT) AS tlc,
+         |    CAST(coalesce(list_sum(list_transform(list_distinct(pp),
+         |      d -> (len(list_filter(pp, x -> x = d)) - 1) * strlen(d))), 0) AS BIGINT) AS dpc,
+         |    CAST(coalesce(list_sum(list_transform(pp, x -> strlen(x))), 0) AS BIGINT) AS tpc
+         |  FROM feat
+         |), f AS (
+         |  SELECT doc_id, n_words,
+         |    n_words >= 50 AND n_words <= 100000 AS f_word_count,
+         |    3 * n_words <= chars AND chars <= 10 * n_words AS f_mean_word_len,
+         |    10 * sym <= n_words AS f_symbol_ratio,
+         |    10 * bullet <= 9 * n_lines AS f_bullet_lines,
+         |    10 * ellip <= 3 * n_lines AS f_ellipsis_lines,
+         |    5 * alpha >= 4 * n_words AS f_alpha_words,
+         |    stops >= 2 AS f_stop_words,
+         |    10 * (n_lines - dln) <= 3 * n_lines AS f_dup_lines,
+         |    10 * (np - dpp) <= 3 * np AS f_dup_paras,
+         |    5 * dlc <= tlc AS f_dup_line_chars,
+         |    5 * dpc <= tpc AS f_dup_para_chars
+         |  FROM agg)
+         |SELECT doc_id, n_words, f_word_count, f_mean_word_len, f_symbol_ratio,
+         |  f_bullet_lines, f_ellipsis_lines, f_alpha_words, f_stop_words,
+         |  f_dup_lines, f_dup_paras, f_dup_line_chars, f_dup_para_chars,
+         |  f_word_count AND f_mean_word_len AND f_symbol_ratio AND f_bullet_lines
+         |    AND f_ellipsis_lines AND f_alpha_words AND f_stop_words AND f_dup_lines
+         |    AND f_dup_paras AND f_dup_line_chars AND f_dup_para_chars AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     // the q_decontaminate gram CTEs with the aggregation flipped to the
     // eval side, zero-filled over all eval docs.
