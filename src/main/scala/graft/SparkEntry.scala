@@ -66,6 +66,14 @@ object SparkEntry {
   private val FoldPrefix =
     "Cafe\u0301 NAI\u0308VE E\u0301cole re\u0301sume\u0301 "
 
+  /** The CLEAN text q_fix_mojibake's planted corruption starts from and
+    * must restore byte-exactly: precomposed accents (2-byte UTF-8) plus
+    * an em dash (3-byte), so the repair inverts both sequence lengths.
+    * Shared verbatim with the oracle literal; no quote characters.
+    */
+  private val MojibakeCleanPrefix =
+    "Caf\u00e9 r\u00e9sum\u00e9 na\u00efve \u2014 d\u00e9j\u00e0 vu "
+
   /** Planted Gopher rule-breakers (q_gopher_filters), one mod-17 class
     * per rule so every flag's FALSE branch is exercised on real rows:
     * the plant REPLACES the text (full control over every list-derived
@@ -735,6 +743,35 @@ object SparkEntry {
             "\\s+", " "))
         .select(col("doc_id"), col("norm_text"),
           (col("norm_text") =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fix_mojibake" -> ((s, d) => {
+      // encoding repair (the ftfy-class fix) through the native
+      // FixMojibake expression: every 9th-mod-3 doc gets a PLANTED
+      // UTF-8-read-as-Latin-1 prefix and every 9th-mod-6 doc the DOUBLY
+      // encoded form (two misconfigured hops), both computed here by the
+      // actual forward corruption (getBytes(UTF_8) read as ISO-8859-1) —
+      // the operator must invert one resp. two layers exactly. The
+      // oracle states only the EXPECTED clean text (the same literal
+      // prefix, or the untouched ASCII body), so the repaired corpus is
+      // byte-certified: a missed fix, an over-eager fix on clean rows,
+      // or a lossy trip all hash-mismatch.
+      val docs = t(s, d, "documents")
+      val moji1 = new String(
+        MojibakeCleanPrefix.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val moji2 = new String(
+        moji1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 9 === 3, concat(lit(moji1), col("text")))
+          .when(col("doc_id") % 9 === 6, concat(lit(moji2), col("text")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .withColumn("__fixed", graft.functions.StringExprs.fixMojibake(col("text")))
+        .select(col("doc_id"), col("__fixed").as("text"),
+          (col("__fixed") =!= col("text")).as("changed"))
         .orderBy("doc_id")
     }),
 
@@ -3166,6 +3203,18 @@ object SparkEntry {
           |  (regexp_replace(lower(strip_accents(nfc_normalize(text))),
           |    '\s+', ' ', 'g') <> text) AS changed
           |FROM planted ORDER BY doc_id""".stripMargin),
+
+    // the oracle states only the EXPECTED clean text — the same literal
+    // prefix the corruption started from, or the untouched body — so the
+    // repair is byte-certified end-to-end without the oracle reimplementing
+    // the charset trip (DuckDB could not: it has no strict-decode probe).
+    "q_fix_mojibake" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 9 IN (3, 6)
+         |       THEN concat('$MojibakeCleanPrefix', text)
+         |       ELSE text END AS text,
+         |  doc_id % 9 IN (3, 6) AS changed
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the same sequential regex chain as Redact.Stages — patterns sit in
     // the Java-regex/RE2 agreement subset, so text and counts match

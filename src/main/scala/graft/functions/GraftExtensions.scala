@@ -59,6 +59,9 @@ object GraftExtensions {
     ("bag_instance_hashes", info("bag_instance_hashes",
       "per-occurrence instance hashes of a bag of feature hashes (weighted MinHash input)"),
       (args: Seq[Expression]) => BagInstanceHashes(args(0))),
+    ("fix_mojibake", info("fix_mojibake",
+      "repair UTF-8-read-as-Latin-1/cp1252 mojibake (lossless round trips only)"),
+      (args: Seq[Expression]) => FixMojibake(args(0))),
     ("unicode_normalize", info("unicode_normalize", "Unicode-normalize a string (NFC/NFD/NFKC/NFKD)"),
       (args: Seq[Expression]) => UnicodeNormalize(args(0), args(1) match {
         case Literal(f, _) => f.toString

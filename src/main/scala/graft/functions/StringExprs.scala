@@ -47,6 +47,115 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** Encoding repair for the ftfy-class web-crawl defect: UTF-8 bytes that
+  * were READ as Latin-1 (or windows-1252), turning every multi-byte
+  * sequence into 2-3 garbage chars ("Café" -> "CafÃ©"). The fix is the
+  * inverse trip — re-encode through the 8-bit charset and strictly
+  * decode as UTF-8 — applied ONLY when it round-trips losslessly:
+  *
+  *  - all chars <= 0xFF -> encode as Latin-1 (bijective on that range);
+  *    otherwise try a STRICT windows-1252 encode (catches mojibake made
+  *    by a cp1252 read, where 0x80-0x9F bytes became €, ", — etc.);
+  *    if neither applies the string cannot be 8-bit mojibake — unchanged.
+  *  - the bytes must decode as STRICT UTF-8 (any malformed sequence
+  *    aborts the fix). Genuine Latin-1 text ("Café" with a real é) is
+  *    untouchable by construction: lone 0xE9 is invalid UTF-8.
+  *  - iterate to a fixpoint (bounded): doubly-encoded text — mojibake of
+  *    mojibake, common when two misconfigured hops stack — unwinds one
+  *    layer per pass. ASCII strings hit the fixpoint immediately.
+  *
+  * Deterministic, JDK-only, and conservative: a fix is applied only when
+  * the inverse trip is exact, so clean corpora pass through byte-equal.
+  */
+object MojibakeRepair {
+  private val MaxPasses = 4
+
+  def fix(s: String): String = {
+    var cur = s
+    var pass = 0
+    while (pass < MaxPasses) {
+      val bytes = encode8Bit(cur)
+      if (bytes == null) return cur
+      val dec = strictUtf8(bytes)
+      if (dec == null || dec == cur) return cur
+      cur = dec
+      pass += 1
+    }
+    cur
+  }
+
+  /** The string's 8-bit reading, or null if it has none: direct char
+    * values when all <= 0xFF (the Latin-1 inverse), else a strict
+    * windows-1252 encode.
+    */
+  private def encode8Bit(s: String): Array[Byte] = {
+    var all8 = true
+    var hasHigh = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xFF) all8 = false
+      if (c >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return null // pure ASCII: nothing to fix
+    if (all8) {
+      val out = new Array[Byte](s.length)
+      i = 0
+      while (i < s.length) { out(i) = s.charAt(i).toByte; i += 1 }
+      out
+    } else {
+      try {
+        val enc = java.nio.charset.Charset.forName("windows-1252").newEncoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+        val out = new Array[Byte](bb.remaining())
+        bb.get(out)
+        out
+      } catch { case _: java.nio.charset.CharacterCodingException => null }
+    }
+  }
+
+  private def strictUtf8(bytes: Array[Byte]): String =
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+}
+
+/** [[MojibakeRepair.fix]] as a native expression (beside
+  * [[UnicodeNormalize]] — same rationale: a UDF would break codegen).
+  */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"fix_mojibake expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val fixed = MojibakeRepair.fix(s)
+    if (fixed eq s) input else UTF8String.fromString(fixed)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[FixMojibake].getName
+    val ref = ctx.addReferenceObj("fixMoji", this, cls)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
 /** Engine-PORTABLE feature-space bucketing for each string in an array:
   * the classic base-31 polynomial over the string's UTF-16 units, reduced
   * mod a prime each step (stays exact in 64-bit), then mod `buckets` —
@@ -186,6 +295,10 @@ object StringExprs {
   /** Normalize to the given Unicode form ("NFC", "NFD", "NFKC", "NFKD"). */
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), form))
+
+  /** Repair UTF-8-read-as-Latin-1/cp1252 mojibake (lossless trips only). */
+  def fixMojibake(c: Column): Column =
+    ColumnBridge.column(FixMojibake(ColumnBridge.expression(c)))
 
   /** Strip diacritics: NFD-decompose, then drop combining marks. */
   def stripAccents(c: Column): Column =

@@ -92,6 +92,31 @@ class FunctionsSpec extends SparkSpec {
     assert(ctrl === "abc\td")
   }
 
+  test("MojibakeRepair inverts Latin-1 and cp1252 trips, leaves clean text alone") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val clean = "Café résumé — naïve"
+    val moji1 = new String(clean.getBytes(UTF_8), ISO_8859_1)
+    val moji2 = new String(moji1.getBytes(UTF_8), ISO_8859_1)
+    assert((moji1 != clean) && (moji2 != moji1))
+    assert(MojibakeRepair.fix(moji1) === clean, "one Latin-1 layer")
+    assert(MojibakeRepair.fix(moji2) === clean, "two stacked layers")
+    // cp1252 reading: UTF-8 of the euro sign through windows-1252
+    val euro = "price € 30"
+    val mojiCp = new String(euro.getBytes(UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+    assert(mojiCp.contains('‚'), "cp1252 maps 0x82 to a curly quote")
+    assert(MojibakeRepair.fix(mojiCp) === euro, "cp1252 layer")
+    // untouchables: ASCII, genuine Latin-1 accents (invalid UTF-8 when
+    // re-encoded), and text outside any 8-bit charset
+    assert(MojibakeRepair.fix("plain ascii text") === "plain ascii text")
+    assert(MojibakeRepair.fix(clean) === clean, "real accents stay")
+    assert(MojibakeRepair.fix("日本語") === "日本語")
+    // and the expression surface: registered function + Column wrapper agree
+    val viaExpr = Seq(moji2).toDF("s")
+      .select(StringExprs.fixMojibake(col("s"))).as[String].head()
+    assert(viaExpr === clean)
+  }
+
   test("containment flags a near-superset pair that Jaccard misses") {
     import graft.dedup.NGramJaccard
     val small = "one two three four five six seven eight"
