@@ -1761,6 +1761,19 @@ object SparkEntry {
         .select("source", "doc_id")
         .orderBy("source", "doc_id")),
 
+    "q_shuffle_order" -> ((s, d) =>
+      // deterministic global training-order shuffle — the data-loader
+      // handoff after q_shard_manifest: dense 1-based positions in the
+      // (knuthHash(doc_id), doc_id) pseudo-random order, materialized by
+      // reindexScalable's range-sort (never a single-partition window).
+      // The Knuth hash is plain BIGINT arithmetic, so the oracle replays
+      // the ENTIRE permutation position for position.
+      graft.etl.Sampling.shuffleOrder(
+          t(s, d, "documents").select("doc_id", "source"),
+          col("doc_id"), "train_pos")
+        .select("doc_id", "source", "train_pos")
+        .orderBy("doc_id")),
+
     "q_quality_ecdf" -> ((s, d) =>
       // per-source quality ECDF deciles: percent_rank under the shared
       // (quality DESC, doc_id ASC) total order, floored into deciles,
@@ -4199,6 +4212,16 @@ object SparkEntry {
         |SELECT domain, count(*) AS n_docs
         |FROM p ANTI JOIN bl USING (domain)
         |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // the full training-order permutation replayed with one window: the
+    // oracle's row_number over the same (knuthHash, key) order equals
+    // reindexScalable's range-sorted positions exactly.
+    "q_shuffle_order" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (
+        |    ORDER BY ((doc_id & 2147483647) * 2654435761) % 4294967296, doc_id)
+        |    AS BIGINT) AS train_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the Knuth multiplicative hash is plain BIGINT arithmetic, so the
     // oracle replays the EXACT sample membership, not just its size.

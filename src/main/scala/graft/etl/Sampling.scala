@@ -39,6 +39,35 @@ object Sampling {
     df.filter(bucketHash(key, "stratified", salt) < (rateCol * Scale).cast("long"))
   }
 
+  /** The Knuth multiplicative hash shared by [[stratifiedExactK]] and
+    * [[shuffleOrder]]: `(key & 0x7fffffff) · 2654435761 mod 2³²` — plain
+    * BIGINT arithmetic any SQL engine replays (unlike xxhash64). The
+    * 31-bit mask keeps the product under 2⁶³ for any 64-bit key; the
+    * multiplier is odd, so the map is a BIJECTION on the masked range —
+    * distinct sub-2³¹ keys never collide.
+    */
+  def knuthHash(key: Column): Column =
+    (key.cast("long").bitwiseAND(lit(2147483647L)) * lit(2654435761L)) %
+      lit(4294967296L)
+
+  /** Deterministic GLOBAL training-order shuffle — the data-loader
+    * handoff after sharding: every row gets a dense 1-based position in
+    * the pseudo-random order `(knuthHash(key), key)`. The hash is the
+    * permutation (reproducible across engines and runs — no
+    * `rand(seed)`, whose sequence is engine-private and partitioning-
+    * dependent); the key tie-break keeps the order total for any 64-bit
+    * key. Positions come from [[graft.etl.Cleaning.reindexScalable]]:
+    * range-partition on the hash, number within partitions, add
+    * broadcast per-partition offsets — never a single-partition global
+    * window, so the shuffle order of a 100 TB corpus materializes at
+    * full parallelism.
+    */
+  def shuffleOrder(df: DataFrame, key: Column, as: String): DataFrame =
+    graft.etl.Cleaning.reindexScalable(
+        df.withColumn("__so_h", knuthHash(key)).withColumn("__so_k", key.cast("long")),
+        struct(col("__so_h"), col("__so_k")), as)
+      .drop("__so_h", "__so_k")
+
   /** EXACT-k per-stratum sample, deterministic and engine-replayable:
     * rank every row inside its stratum by a Knuth multiplicative hash of
     * the integer key (`(key & 0x7fffffff) · 2654435761 mod 2³²` — plain
@@ -58,9 +87,7 @@ object Sampling {
   def stratifiedExactK(df: DataFrame, stratum: Column, key: Column,
                        k: Int): DataFrame = {
     require(k > 0)
-    val ranked = df.withColumn("__sk_h",
-      (key.cast("long").bitwiseAND(lit(2147483647L)) * lit(2654435761L))
-        % lit(4294967296L))
+    val ranked = df.withColumn("__sk_h", knuthHash(key))
       .withColumn("__sk_key", key.cast("long"))
       .withColumn("__sk_stratum", stratum)
     graft.plans.TopKPerKey.topK(ranked, Seq("__sk_stratum"),

@@ -349,6 +349,21 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_shuffle_order ranks via the range-sort shape, not a corpus-wide window") {
+    val plan = finalPlan(q("q_shuffle_order"))
+    graft.CachePool.releaseAll()
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // reindexScalable: the within-partition numbering windows on __pid;
+    // the only permissible unpartitioned window is the #partitions-row
+    // offsets frame — never the corpus itself
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      s"only the offsets window may be global:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("q_event_funnel: one user-keyed exchange, no per-step event-log re-join") {
     val plan = finalPlan(q("q_event_funnel"))
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
