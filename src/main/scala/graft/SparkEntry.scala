@@ -1530,6 +1530,81 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("n_orders"))
     }),
 
+    "q_cbo_broadcast" -> ((s, d) => {
+      // COST-BASED OPTIMIZER round trip, graded: ANALYZE TABLE stats
+      // must FLIP a join from sort-merge to broadcast. Without column
+      // stats Spark cannot shrink a Filter's size estimate (the filtered
+      // dim still "weighs" its full file size), so the join plans as a
+      // shuffle; with rowCount + ndv(o_orderpriority) the 1/ndv
+      // selectivity drops the estimate below the threshold and the dim
+      // broadcasts — the decision that turns a 100 TB fact shuffle into
+      // a map-side join. The threshold sits BETWEEN the two estimates
+      // (2/5 of the dim's bytes: no-stats ≈ 1x, with-stats ≈ 1/5x), so
+      // the flip is the stats' doing at any sf. Isolated session: CBO
+      // on, AQE off (the gate pins the STATIC planning decision CBO
+      // makes before runtime refinement — at scale the wrong static
+      // plan has already shuffled terabytes by the time AQE reacts).
+      // Both plan shapes surface as driver-visible booleans the oracle
+      // pins TRUE; the aggregate itself is data-replayed — stats must
+      // never change results.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      // plan-stats visitors read SQLConf.get = the ACTIVE session's conf,
+      // which newSession() does not switch; activate s2 while BUILDING
+      // the plans (restored below — execution re-activates per-action).
+      val prevActive = org.apache.spark.sql.classic.SparkSession.getActiveSession
+      org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        s2.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      try {
+      s2.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+      s2.sql("DROP TABLE IF EXISTS graft_cbo_lineitem")
+      s2.catalog.createTable("graft_cbo_orders", s"$d/orders.parquet", "parquet")
+      s2.catalog.createTable("graft_cbo_lineitem", s"$d/lineitem.parquet", "parquet")
+      def ordSide(): DataFrame = s2.table("graft_cbo_orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      def joinAgg(): DataFrame = {
+        val li = s2.table("graft_cbo_lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        val ord = ordSide()
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            sum(Relational.micros(col("l_extendedprice"))).as("sum_price_mu"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+      }
+      // capture the no-stats frames FIRST (analysis snapshots the
+      // relation's catalog stats), then self-calibrate: the broadcast
+      // threshold goes at the MIDPOINT of the dim side's no-stats and
+      // with-stats size estimates, so the flip is the statistics' doing
+      // at any sf — not a lucky constant. Physical planning reads the
+      // threshold lazily, so both joins plan under the same midpoint.
+      val before = joinAgg()
+      val e0 = ordSide().queryExecution.optimizedPlan.stats.sizeInBytes
+      s2.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS")
+      s2.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderpriority, o_orderkey")
+      s2.sql("ANALYZE TABLE graft_cbo_lineitem COMPUTE STATISTICS")
+      val after = joinAgg()
+      val e1 = ordSide().queryExecution.optimizedPlan.stats.sizeInBytes
+      val mid = ((e0 + e1) / 2).min(BigInt(Long.MaxValue / 4))
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", mid.toString)
+      val beforePlan = before.queryExecution.executedPlan.toString
+      val afterPlan = after.queryExecution.executedPlan.toString
+      after.select(
+        lit(e1 < e0).as("stats_shrink_estimate"),
+        lit(beforePlan.contains("SortMergeJoin")).as("smj_without_stats"),
+        lit(afterPlan.contains("BroadcastHashJoin")).as("bhj_with_stats"),
+        col("n_items"), col("sum_qty"), col("sum_price_mu"), col("n_orders"))
+      } finally {
+        prevActive match {
+          case Some(p) => org.apache.spark.sql.classic.SparkSession.setActiveSession(p)
+          case None => org.apache.spark.sql.classic.SparkSession.clearActiveSession()
+        }
+      }
+    }),
+
     "q_partition_prune" -> ((s, d) => {
       // partition PRUNING — the first scale lever a 100 TB lake table
       // has: a value-partitioned write read back with a partition-key
@@ -3914,6 +3989,19 @@ object SparkEntry {
     // the bloom filter is a physical-plan property (a runtime row filter
     // below the fact shuffle); the oracle replays the plain
     // join-aggregate — pruning must never change results.
+    // the CBO gate: plan-shape booleans pinned TRUE (derived from the
+    // actual physical plans at runtime, driver-visible), aggregate
+    // data-replayed — statistics must never change results.
+    "q_cbo_broadcast" ->
+      """SELECT TRUE AS stats_shrink_estimate,
+        |  TRUE AS smj_without_stats, TRUE AS bhj_with_stats,
+        |  count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_price_mu,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
     "q_runtime_filter" ->
       """SELECT count(*) AS n_items,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -349,6 +349,20 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_cbo_broadcast: ANALYZE stats flip the join strategy (both shapes pinned)") {
+    // the gate row derives its booleans from the two physical plans at
+    // runtime; this audit pins them TRUE at spec scale so a regression
+    // in stats propagation (or the self-calibrating threshold) fails CI
+    // before the driver grades it
+    val row = q("q_cbo_broadcast").collect().head
+    assert(row.getBoolean(row.fieldIndex("stats_shrink_estimate")),
+      "ANALYZE stats must shrink the filtered-dim size estimate")
+    assert(row.getBoolean(row.fieldIndex("smj_without_stats")),
+      "without stats the join must plan as sort-merge")
+    assert(row.getBoolean(row.fieldIndex("bhj_with_stats")),
+      "with stats the join must plan as broadcast")
+  }
+
   test("q_shuffle_order ranks via the range-sort shape, not a corpus-wide window") {
     val plan = finalPlan(q("q_shuffle_order"))
     graft.CachePool.releaseAll()
