@@ -45,6 +45,56 @@ object SparkEntry {
       p.toString
     })
 
+  /** File-fed micro-batch sequencing for the graded streaming drains
+    * (r11 — replaces the MemoryStream harness, whose driver-resident
+    * batches were the one corpus-sized driver read left in the graded
+    * surface): every batch is a parquet write FROM THE DISTRIBUTED
+    * frame, and the stream reads the directory back through
+    * FileStreamSource, so the graded query never materializes the
+    * corpus driver-side at any scale. Batch 1 overwrites the source dir
+    * (clearing a prior invocation's files — bench repeats reuse the
+    * scratch path); later batches append; each write is followed by
+    * processAllAvailable, which reproduces the MemoryStream batch
+    * boundary exactly (the file source ingests all files present per
+    * trigger). Append-mode drains land in a parquet FILE sink (output
+    * never transits the driver either); update-mode drains (the drift
+    * gauge) use the memory sink — bounded at sources × triggers rows —
+    * because the file sink cannot take update mode. Checkpoint and
+    * output dirs are wiped per invocation so every drain is fresh.
+    */
+  private def drainFileStream(s2: SparkSession, name: String,
+                              outputMode: String, batches: Seq[DataFrame])(
+                              build: DataFrame => DataFrame): DataFrame = {
+    val root = scratchDir(s"graft_stream_$name")
+    val src = s"$root/src"
+    val cp = s"$root/cp"
+    val out = s"$root/out"
+    val hconf = s2.sparkContext.hadoopConfiguration
+    Seq(cp, out).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true): Unit
+    }
+    batches.head.write.mode("overwrite").parquet(src)
+    val input = s2.readStream.schema(s2.read.parquet(src).schema).parquet(src)
+    val result = build(input)
+    val sink = s"${name}_${System.nanoTime()}"
+    val q =
+      if (outputMode == "update")
+        result.writeStream.format("memory").queryName(sink)
+          .outputMode(outputMode).start()
+      else
+        result.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", cp).outputMode(outputMode).start()
+    try {
+      q.processAllAvailable()
+      batches.tail.foreach { b =>
+        b.write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    if (outputMode == "update") s2.table(sink) else s2.read.parquet(out)
+  }
+
   /** events.parquet's `ts` physical encoding varies by testdata
     * generation (nanos Long / TIMESTAMP_NTZ / TIMESTAMP) — normalized to
     * TIMESTAMP at the ingestion boundary by [[GraftSession.events]].
@@ -2314,35 +2364,25 @@ object SparkEntry {
       // isolated session: the stateful stream's shuffle/state partition
       // count is a latency knob (state store init per partition per
       // micro-batch), not a correctness one — 4 partitions here without
-      // touching any other query's parallelism.
+      // touching any other query's parallelism. Batches arrive through
+      // the drainFileStream parquet harness — originals first, planted
+      // copies one event-minute later — written from the DISTRIBUTED
+      // planted frame: no corpus collect anywhere in this query.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      import s2.implicits._
       val docs = t(s2, d, "documents")
       val evalGrams = graft.text.Decontaminate.evalGramHashes(
         docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"))
       val planted = DedupData.withPlantedDups(docs)
-      val originals = planted.filter(col("doc_id") < DedupData.ExactIdOffset)
-        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
-      val copies = planted.filter(col("doc_id") >= DedupData.ExactIdOffset)
-        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
-      val input =
-        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](s2)
-      val curated = graft.text.DocPipeline.curateStreamWatermarked(
-        input.toDS().toDF("doc_id", "text", "ts_s")
-          .withColumn("ts", timestamp_seconds(col("ts_s"))),
-        col("doc_id"), col("text"), col("ts"), delay = "30 days", evalGrams)
-      val sink = s"curate_stream_${System.nanoTime()}"
-      val q = curated.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        val t0 = 1704067200L // 2024-01-01T00:00:00Z
-        input.addData(originals.map { case (i, tx) => (i, tx, t0) }: _*)
-        q.processAllAvailable()
-        input.addData(copies.map { case (i, tx) => (i, tx, t0 + 60L) }: _*)
-        q.processAllAvailable()
-      } finally q.stop()
-      s2.table(sink).agg(
+      val t0 = 1704067200L // 2024-01-01T00:00:00Z
+      val b1 = planted.filter(col("doc_id") < DedupData.ExactIdOffset)
+        .select(col("doc_id"), col("text"), timestamp_seconds(lit(t0)).as("ts"))
+      val b2 = planted.filter(col("doc_id") >= DedupData.ExactIdOffset)
+        .select(col("doc_id"), col("text"), timestamp_seconds(lit(t0 + 60L)).as("ts"))
+      drainFileStream(s2, "curate_stream", "append", Seq(b1, b2)) { in =>
+        graft.text.DocPipeline.curateStreamWatermarked(
+          in, col("doc_id"), col("text"), col("ts"), delay = "30 days", evalGrams)
+      }.agg(
           count(lit(1)).as("n_survivors"),
           sum(when(col("doc_id") >= DedupData.NearIdOffset, 1L).otherwise(0L))
             .as("n_near_admits"),
@@ -2367,35 +2407,27 @@ object SparkEntry {
       // watermark — false here, pinned by data, not by fiat).
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      import s2.implicits._
-      val rows = t(s2, d, "events")
-        .select(col("ts"), col("value"))
-        .as[(java.sql.Timestamp, Double)].collect()
-      val minTs = rows.map(_._1).min(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos)))
-      val maxTs = rows.map(_._1).max(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos)))
+      val ev = events(s2, d).select(col("ts"), col("value"))
+      // only the two BOUNDS transit the driver (a 1-row aggregate — the
+      // ANN-fit collect contract); the event batches themselves are
+      // distributed writes through the drainFileStream harness.
+      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+      val minTs = bounds.getTimestamp(0)
+      val maxTs = bounds.getTimestamp(1)
       // split at full microsecond precision: ms + 15 days, nanos carried
       val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
       split.setNanos(minTs.getNanos)
-      val (b1, b2) = rows.partition(_._1.compareTo(split) < 0)
-      val late = rows.filter(_._1.compareTo(minTs) == 0)
-      def tick(offsetSec: Long) = {
+      val b1 = ev.filter(col("ts") < lit(split))
+      val b2 = ev.filter(col("ts") >= lit(split))
+        .unionByName(ev.filter(col("ts") === lit(minTs))) // the planted late re-send
+      def tick(offsetSec: Long): DataFrame = {
         val t0 = new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000)
-        (t0, 0.0)
+        s2.range(1).select(lit(t0).as("ts"), lit(0.0).as("value"))
       }
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Double)](s2)
-      val agg = graft.streaming.EventStreams.tumblingCountsStream(
-        input.toDS().toDF("ts", "value"))
-      val sink = s"stream_window_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        input.addData(b1: _*); q.processAllAvailable()
-        input.addData(b2 ++ late: _*); q.processAllAvailable()
-        input.addData(tick(30L * 86400)); q.processAllAvailable()
-        input.addData(tick(30L * 86400 + 3600)); q.processAllAvailable()
-      } finally q.stop()
-      s2.table(sink)
+      drainFileStream(s2, "stream_window", "append",
+          Seq(b1, b2, tick(30L * 86400), tick(30L * 86400 + 3600))) { in =>
+        graft.streaming.EventStreams.tumblingCountsStream(in)
+      }
         .filter(col("window_start") <= lit(maxTs)) // sentinel windows never finalize; belt and braces
         .orderBy("window_start")
     }),
@@ -2412,31 +2444,22 @@ object SparkEntry {
       // row.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      import s2.implicits._
-      val rows = t(s2, d, "events")
-        .select(col("ts"), col("user_id"))
-        .as[(java.sql.Timestamp, Long)].collect()
-      val minTs = rows.map(_._1).min(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos)))
-      val maxTs = rows.map(_._1).max(Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos)))
+      val ev = events(s2, d).select(col("ts"), col("user_id"))
+      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+      val minTs = bounds.getTimestamp(0)
+      val maxTs = bounds.getTimestamp(1)
       val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
       split.setNanos(minTs.getNanos)
-      val (b1, b2) = rows.partition(_._1.compareTo(split) < 0)
-      def tick(offsetSec: Long) =
-        (new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000), -1L)
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Long)](s2)
-      val sessions = graft.streaming.EventStreams.sessionizeNativeStream(
-        input.toDS().toDF("ts", "user_id"))
-      val sink = s"stream_sessionize_${System.nanoTime()}"
-      val q = sessions.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        input.addData(b1: _*); q.processAllAvailable()
-        input.addData(b2: _*); q.processAllAvailable()
-        input.addData(tick(30L * 86400)); q.processAllAvailable()
-        input.addData(tick(30L * 86400 + 3600)); q.processAllAvailable()
-      } finally q.stop()
-      s2.table(sink)
+      val b1 = ev.filter(col("ts") < lit(split))
+      val b2 = ev.filter(col("ts") >= lit(split))
+      def tick(offsetSec: Long): DataFrame = {
+        val t0 = new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000)
+        s2.range(1).select(lit(t0).as("ts"), lit(-1L).as("user_id"))
+      }
+      drainFileStream(s2, "stream_sessionize", "append",
+          Seq(b1, b2, tick(30L * 86400), tick(30L * 86400 + 3600))) { in =>
+        graft.streaming.EventStreams.sessionizeNativeStream(in)
+      }
         .filter(col("user_id") >= 0) // sentinel user; its session never finalizes anyway
         .orderBy("user_id", "session_start")
     }),
@@ -2457,26 +2480,23 @@ object SparkEntry {
       import s2.implicits._
       val docs = t(s2, d, "documents")
       val bucket = expr("length(text) div 200").cast("long")
+      // the baseline histogram is the operator's PARAMETER — a bounded
+      // (sources × buckets)-row collect, the ANN-fit contract, not a
+      // corpus read. The re-crawl itself streams through the
+      // drainFileStream harness from distributed writes.
       val base = docs.groupBy(col("source"), bucket.as("bucket"))
         .agg(count(lit(1)).as("n"))
         .as[(String, Long, Long)].collect()
         .map { case (src, b, c) => (src, b) -> c }.toMap
       val newRows = recrawl(docs)
         .select(col("doc_id"), col("source"), bucket.as("bucket"))
-        .as[(Long, String, Long)].collect()
-      val (b1, b2) = newRows.partition(_._1 % 2 == 0)
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long)](s2)
-      val gauge = graft.streaming.DriftMonitor.driftStream(
-        input.toDS(), base)
-      val sink = s"stream_drift_${System.nanoTime()}"
-      val q = gauge.toDF().writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
-      try {
-        input.addData(b1.map(r => (r._2, r._3)): _*); q.processAllAvailable()
-        input.addData(b2.map(r => (r._2, r._3)): _*); q.processAllAvailable()
-      } finally q.stop()
-      s2.table(sink)
+      val b1 = newRows.filter(col("doc_id") % 2 === 0).select("source", "bucket")
+      val b2 = newRows.filter(col("doc_id") % 2 =!= 0).select("source", "bucket")
+      drainFileStream(s2, "stream_drift", "update", Seq(b1, b2)) { in =>
+        graft.streaming.DriftMonitor.driftStream(
+          in.select(col("source").as("_1"), col("bucket").as("_2"))
+            .as[(String, Long)], base).toDF()
+      }
         .groupBy("source")
         .agg(max_by(struct(col("t_old"), col("t_new"), col("tv_num"),
           col("tv_den"), col("drift")), col("t_new")).as("r"))
