@@ -476,9 +476,18 @@ object SparkEntry {
       // corpus, append the later crawl batch (the planted scaled copies)
       // by PURE ASSIGNMENT — no refit, no shuffle — then search the
       // merged postings from the copies' originals. cells_ok pins that
-      // every appended copy lands in its original's cell (cosine argmax
-      // is scale-invariant, so this is deterministic, not probabilistic);
-      // the recall gate pins that the merged index serves both epochs.
+      // every appended copy lands in its original's cell — deterministic
+      // BECAUSE the planted scale is the power of two 0.5f (ADVICE r10):
+      // float x*0.5f is EXACT (exponent decrement), so every dot product
+      // scales by exactly 0.5 and the argmax cannot move even on
+      // near-tie centroids. In pure real arithmetic any positive scale
+      // would do; in floats a non-dyadic factor (say 0.3f) rounds each
+      // product differently and a near-tie could flip. If
+      // DedupData.withPlantedVecDups ever changes its 0.5f factor to a
+      // non-power-of-two, demote cells_ok from an equality to a
+      // tolerance band — AnnSpec pins the 0.5f contract so that change
+      // cannot land silently. The recall gate pins that the merged
+      // index serves both epochs.
       // This is the immutable-quantizer discipline a 100 TB index runs
       // on: nightly batches append as assignment, refit is an upstream
       // drift policy.

@@ -104,6 +104,19 @@ class EventAnalyticsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       ("b", 1L, 1000000L)))
   }
 
+  test("ewmaDaily range bound restricts the fold to the reporting window") {
+    val day = 86400L
+    // three days of data; range pins days 0-1 (1970-01-01/02), so day 2
+    // never enters the per-key array and the recurrence restarts nowhere
+    val rows = Seq.fill(4)((1L, 0L * day, "a")) ++ Seq.fill(8)((1L, 1L * day, "a")) ++
+      Seq.fill(4)((2L, 2L * day, "a"))
+    val got = EventAnalytics.ewmaDaily(ev(rows), col("event_type"), col("ts"),
+        range = Some(("1970-01-01", "1970-01-02")))
+      .select(col("n_events"), col("ewma_mu"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((4L, 4000000L), (8L, 5000000L)))
+  }
+
   test("ewmaAnomalies: burst and drop fences fire on the right days only") {
     val day = 86400L
     // counts 4, 4, 12 (burst: 12 > 2·4), then 1 (drop: 2·1 < 6 trend)

@@ -339,6 +339,27 @@ class DedupSpec extends SparkSpec {
     graft.CachePool.releaseAll()
   }
 
+  test("withPlantedVecDups scales by a POWER OF TWO (the determinism contract)") {
+    // Several oracle-pinned gates (q_knn_append cells_ok, q_semdedup
+    // co-clustering, the LSH sign-pattern guarantee) are exact ONLY
+    // because the planted scale is dyadic: float x*0.5f is an exponent
+    // decrement, so dot products scale exactly and argmax/sign never
+    // move. A non-dyadic factor would make those equalities flaky on
+    // near-ties — this pin forces whoever changes the factor to revisit
+    // every gate that leans on it (see q_knn_append's comment).
+    val orig = table("embeddings").filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val copies = DedupData.withPlantedVecDups(table("embeddings"))
+      .filter(col("vec_id") >= DedupData.ExactIdOffset)
+      .select((col("vec_id") - DedupData.ExactIdOffset).as("vec_id"),
+        col("embedding").as("copy_emb"))
+    val mismatch = orig.join(copies, "vec_id")
+      .filter(!forall(zip_with(col("embedding"), col("copy_emb"),
+        (a, b) => b === a * lit(0.5f)), x => x))
+      .count()
+    assert(mismatch === 0L, "every planted copy must be exactly 0.5f x its original")
+  }
+
   test("EmbeddingDedup finds every planted scaled copy and nothing else") {
     val vecs = DedupData.withPlantedVecDups(table("embeddings"))
     val pairs = EmbeddingDedup.nearDuplicatePairs(vecs, threshold = 0.9)
