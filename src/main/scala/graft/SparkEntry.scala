@@ -150,6 +150,17 @@ object SparkEntry {
     11 -> (0 until 10).map(i =>
       s"the committee and the board discussed item$i with care today").mkString(" "))
 
+  /** q_gopher_ngrams plants (no quotes — embedded in SQL unescaped). */
+  private val GopherNgramPlant1 = Seq.fill(30)("ja ja").mkString(" ")
+  private val GopherNgramPlant2 = {
+    val sentence = "the quick brown fox jumps over the lazy dog near the river"
+    val filler = (0 until 40).map(i => s"w$i")
+    sentence + " " + filler.take(20).mkString(" ") + " " + sentence + " " +
+      filler.drop(20).mkString(" ")
+  }
+  private val GopherNgramPlant3 =
+    (0 until 15).map(i => s"green tea w$i").mkString(" ")
+
   private def annCorpus(s: SparkSession, d: String): DataFrame =
     DedupData.withPlantedVecDups(t(s, d, "embeddings"))
   private def annQueries(s: SparkSession, d: String): DataFrame =
@@ -2236,6 +2247,27 @@ object SparkEntry {
           when(col("doc_id") % 17 === m, lit(p)).otherwise(acc)
         }.as("text"))
       graft.text.GopherFilters.flags(planted, col("doc_id"), col("text"))
+    }),
+
+    "q_gopher_ngrams" -> ((s, d) => {
+      // the REPETITION half of Gopher Table A1 (top {2,3,4}-gram and
+      // duplicated {5..10}-gram character fractions) — q_gopher_filters'
+      // sibling, VALUE-CERTIFIED: all 10 integers (9 numerators + the
+      // denominator) are data-derived and oracle-recomputed, the flags
+      // are integer cross-multiplications over them. Spark side scans
+      // sorted in-row gram runs (no gram explode, no shuffle); the
+      // oracle replays by unnest + group-by — different shapes, same
+      // integers. Plants: %19==1 a contiguous 2-word repeat (breaks all
+      // nine), %19==2 a 12-word sentence repeated twice amid distinct
+      // filler (breaks ONLY the dup 5-10 family — top fractions stay
+      // low), %19==3 a scattered 2-word phrase (breaks ONLY top-2).
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 19 === 1, lit(GopherNgramPlant1))
+          .when(col("doc_id") % 19 === 2, lit(GopherNgramPlant2))
+          .when(col("doc_id") % 19 === 3, lit(GopherNgramPlant3))
+          .otherwise(col("text")).as("text"))
+      graft.text.GopherFilters.ngramFlags(planted, col("doc_id"), col("text"))
     }),
 
     "q_leak_report" -> ((s, d) => {
@@ -5052,6 +5084,88 @@ object SparkEntry {
          |    AND f_ellipsis_lines AND f_alpha_words AND f_stop_words AND f_dup_lines
          |    AND f_dup_paras AND f_dup_line_chars AND f_dup_para_chars AS keep
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    // repetition-rule replay: per n, unnest word n-grams, group-by for
+    // counts, top gram by (count DESC, gram ASC) — the same
+    // deterministic tie-break as the Spark side's sorted-run scan —
+    // then the identical integer cross-multiplied gates. Docs with
+    // fewer than n tokens contribute zero grams on both engines.
+    "q_gopher_ngrams" -> {
+      def gcte(n: Int): String =
+        s""", g$n AS (
+           |  SELECT doc_id, unnest(CASE WHEN len(tk) < $n THEN []
+           |    ELSE list_transform(generate_series(1, len(tk) - ${n - 1}),
+           |           i -> array_to_string(tk[i:i+${n - 1}], ' ')) END) AS g
+           |  FROM ntoks
+           |)""".stripMargin
+      def topCte(n: Int): String =
+        s""", t$n AS (
+           |  SELECT doc_id, CAST(c * strlen(g) AS BIGINT) AS chars FROM (
+           |    SELECT doc_id, g, c,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+           |    FROM (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g))
+           |  WHERE rn = 1
+           |)""".stripMargin
+      def dupCte(n: Int): String =
+        s""", d$n AS (
+           |  SELECT doc_id, CAST(sum((c - 1) * strlen(g)) AS BIGINT) AS chars
+           |  FROM (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g)
+           |  WHERE c >= 2 GROUP BY doc_id
+           |)""".stripMargin
+      s"""WITH gdocs AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 19
+         |      WHEN 1 THEN '$GopherNgramPlant1'
+         |      WHEN 2 THEN '$GopherNgramPlant2'
+         |      WHEN 3 THEN '$GopherNgramPlant3'
+         |      ELSE text END AS text
+         |  FROM documents
+         |), ntoks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM gdocs
+         |)""".stripMargin +
+        (2 to 10).map(gcte).mkString +
+        (2 to 4).map(topCte).mkString +
+        (5 to 10).map(dupCte).mkString +
+        s"""
+           |SELECT n.doc_id,
+           |  CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) AS total_chars,
+           |  coalesce(t2.chars, 0) AS top2_chars,
+           |  coalesce(t3.chars, 0) AS top3_chars,
+           |  coalesce(t4.chars, 0) AS top4_chars,
+           |  coalesce(d5.chars, 0) AS dup5_chars,
+           |  coalesce(d6.chars, 0) AS dup6_chars,
+           |  coalesce(d7.chars, 0) AS dup7_chars,
+           |  coalesce(d8.chars, 0) AS dup8_chars,
+           |  coalesce(d9.chars, 0) AS dup9_chars,
+           |  coalesce(d10.chars, 0) AS dup10_chars,
+           |  coalesce(t2.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 20 AS f_top2,
+           |  coalesce(t3.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 18 AS f_top3,
+           |  coalesce(t4.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 16 AS f_top4,
+           |  coalesce(d5.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 15 AS f_dup5,
+           |  coalesce(d6.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 14 AS f_dup6,
+           |  coalesce(d7.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 13 AS f_dup7,
+           |  coalesce(d8.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 12 AS f_dup8,
+           |  coalesce(d9.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 11 AS f_dup9,
+           |  coalesce(d10.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 10 AS f_dup10,
+           |  coalesce(t2.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 20 AND
+           |  coalesce(t3.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 18 AND
+           |  coalesce(t4.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 16 AND
+           |  coalesce(d5.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 15 AND
+           |  coalesce(d6.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 14 AND
+           |  coalesce(d7.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 13 AND
+           |  coalesce(d8.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 12 AND
+           |  coalesce(d9.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 11 AND
+           |  coalesce(d10.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 10 AS keep
+           |FROM ntoks n
+           |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+           |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+           |LEFT JOIN d6 USING (doc_id) LEFT JOIN d7 USING (doc_id)
+           |LEFT JOIN d8 USING (doc_id) LEFT JOIN d9 USING (doc_id)
+           |LEFT JOIN d10 USING (doc_id)
+           |ORDER BY n.doc_id""".stripMargin
     },
 
     // the q_decontaminate gram CTEs with the aggregation flipped to the

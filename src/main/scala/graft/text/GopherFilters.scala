@@ -44,6 +44,106 @@ object GopherFilters {
   val StopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The REPETITION half of Gopher Table A1 — the n-gram rules [[flags]]
+    * does not cover: fraction of characters inside the MOST COMMON
+    * {2,3,4}-gram (thresholds 0.20/0.18/0.16) and inside DUPLICATED
+    * {5..10}-grams (0.15/0.14/0.13/0.12/0.11/0.10). Convention
+    * (documented because published reimplementations differ on overlap
+    * handling): grams are word n-grams joined by single spaces; the top
+    * fraction counts count x len(gram) characters; the duplicated
+    * fraction counts (count - 1) x len(gram) per distinct gram with
+    * count >= 2 (occurrences beyond the first, no overlap dedup); the
+    * denominator is len(concat_ws(' ', tokens)). Every gate is an
+    * integer cross-multiplication — exact on any engine.
+    *
+    * Scale shape: per document, grams are SORTED in-row and scanned as
+    * adjacent runs in ONE `aggregate` fold — O(G log G) per doc, no
+    * gram explode, no shuffle (the corpus-wide alternative, explode +
+    * groupBy over every gram of every doc, would shuffle the tokenized
+    * corpus 9 times). The oracle replays via unnest + group-by, which
+    * is fine at oracle scale and produces identical integers.
+    *
+    * Returns (top_chars, dup_chars) for one n over a token array.
+    */
+  def gramRunStats(tk: Column, n: Int): Column = {
+    val grams = sort_array(
+      when(size(tk) < n, array())
+        .otherwise(transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+    // fold sorted grams as runs: state = (prev, run, top_cnt, top_chars,
+    // dup_chars); closing a run of gram p with count r adds (r-1)*len(p)
+    // to dup_chars and takes the top slot only on a STRICTLY greater
+    // count — sorted order makes the kept tie the lexicographically
+    // smallest, the deterministic tie-break the oracle replays.
+    aggregate(
+      grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("top_cnt"),
+        lit(0L).as("top_chars"), lit(0L).as("dup_chars")),
+      (st, g) => {
+        val close = st.getField("run") > 0 && g =!= st.getField("prev")
+        val newTop = close && st.getField("run") > st.getField("top_cnt")
+        struct(
+          g.as("prev"),
+          when(g === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L)).as("run"),
+          when(newTop, st.getField("run")).otherwise(st.getField("top_cnt"))
+            .as("top_cnt"),
+          when(newTop, st.getField("run") * length(st.getField("prev")))
+            .otherwise(st.getField("top_chars")).as("top_chars"),
+          when(close,
+            st.getField("dup_chars") +
+              (st.getField("run") - 1L) * length(st.getField("prev")))
+            .otherwise(st.getField("dup_chars")).as("dup_chars"))
+      },
+      st => {
+        val newTop = st.getField("run") > st.getField("top_cnt")
+        struct(
+          when(newTop, st.getField("run") * length(st.getField("prev")))
+            .otherwise(st.getField("top_chars")).as("top_chars"),
+          (st.getField("dup_chars") +
+            when(st.getField("run") > 0L,
+              (st.getField("run") - 1L) * length(st.getField("prev")))
+              .otherwise(lit(0L))).as("dup_chars"))
+      })
+  }
+
+  /** Per-document repetition report: the 9 Gopher n-gram rules as
+    * value-certified integer columns (numerators + denominator) plus a
+    * flag per rule and the conjunction. Thresholds gate in cross-
+    * multiplied integer form (e.g. top-2-gram <= 0.20 <=> 5*chars <=
+    * total).
+    */
+  def ngramFlags(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = TextAnalysis.tokens(text)
+    val withStats = docs.select(id.as("doc_id"), tk.as("__tk"))
+      .select(
+        col("doc_id"),
+        length(concat_ws(" ", col("__tk"))).cast("long").as("total_chars"),
+        gramRunStats(col("__tk"), 2).getField("top_chars").as("top2_chars"),
+        gramRunStats(col("__tk"), 3).getField("top_chars").as("top3_chars"),
+        gramRunStats(col("__tk"), 4).getField("top_chars").as("top4_chars"),
+        gramRunStats(col("__tk"), 5).getField("dup_chars").as("dup5_chars"),
+        gramRunStats(col("__tk"), 6).getField("dup_chars").as("dup6_chars"),
+        gramRunStats(col("__tk"), 7).getField("dup_chars").as("dup7_chars"),
+        gramRunStats(col("__tk"), 8).getField("dup_chars").as("dup8_chars"),
+        gramRunStats(col("__tk"), 9).getField("dup_chars").as("dup9_chars"),
+        gramRunStats(col("__tk"), 10).getField("dup_chars").as("dup10_chars"))
+    // thresholds x100: top 20/18/16, dup 15/14/13/12/11/10
+    val gates = Seq(
+      ("f_top2", col("top2_chars") * 100L <= col("total_chars") * 20L),
+      ("f_top3", col("top3_chars") * 100L <= col("total_chars") * 18L),
+      ("f_top4", col("top4_chars") * 100L <= col("total_chars") * 16L),
+      ("f_dup5", col("dup5_chars") * 100L <= col("total_chars") * 15L),
+      ("f_dup6", col("dup6_chars") * 100L <= col("total_chars") * 14L),
+      ("f_dup7", col("dup7_chars") * 100L <= col("total_chars") * 13L),
+      ("f_dup8", col("dup8_chars") * 100L <= col("total_chars") * 12L),
+      ("f_dup9", col("dup9_chars") * 100L <= col("total_chars") * 11L),
+      ("f_dup10", col("dup10_chars") * 100L <= col("total_chars") * 10L))
+    gates.foldLeft(withStats) { case (df, (nm, c)) => df.withColumn(nm, c) }
+      .withColumn("keep", gates.map(_._2).reduce(_ && _))
+      .orderBy("doc_id")
+  }
+
   def flags(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val tk = TextAnalysis.tokens(text)
     val lines = filter(split(text, "\n"), l => length(l) > 0)

@@ -69,6 +69,49 @@ class GopherFiltersSpec extends SparkSpec {
     assert(!got(3L)("f_word_count"), "49 words fails")
   }
 
+  test("gramRunStats: hand-computed top and duplicated n-gram characters") {
+    // "a b a b a b c": 2-grams = [a b, b a, a b, b a, a b, b c] sorted
+    // -> runs: "a b"x3, "b a"x2, "b c"x1. top = 3*len("a b")=9;
+    // dup = (3-1)*3 + (2-1)*3 + 0 = 9.
+    val df = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val r = df.select(GopherFilters.gramRunStats(
+        graft.text.TextAnalysis.tokens(col("text")), 2).as("r"))
+      .select(col("r.top_chars"), col("r.dup_chars"))
+      .as[(Long, Long)].head()
+    assert(r === ((9L, 9L)))
+    // tie-break: "b b a a" -> 2-grams [b b, b a, a a] all count 1; the
+    // top slot keeps the LEXICOGRAPHICALLY SMALLEST ("a a", 3 chars).
+    val t = Seq((1L, "b b a a")).toDF("doc_id", "text")
+      .select(GopherFilters.gramRunStats(
+        graft.text.TextAnalysis.tokens(col("text")), 2).as("r"))
+      .select(col("r.top_chars"), col("r.dup_chars"))
+      .as[(Long, Long)].head()
+    assert(t === ((3L, 0L)))
+    // fewer tokens than n -> zero grams, zero stats
+    val z = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(GopherFilters.gramRunStats(
+        graft.text.TextAnalysis.tokens(col("text")), 5).as("r"))
+      .select(col("r.top_chars"), col("r.dup_chars"))
+      .as[(Long, Long)].head()
+    assert(z === ((0L, 0L)))
+  }
+
+  test("ngramFlags: a contiguous repeat fails all nine rules, clean prose passes") {
+    // note: the stop-word `clean` fixture is REPETITIVE by construction
+    // (its phrase repeats 10x), so repetition rules need their own
+    // non-repetitive passage: 60 distinct words
+    val prose = (0 until 60).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, prose),
+      (2L, Seq.fill(30)("ja ja").mkString(" "))).toDF("doc_id", "text")
+    val got = GopherFilters.ngramFlags(df, col("doc_id"), col("text"))
+    val flags = got.columns.filter(c => c.startsWith("f_") || c == "keep")
+    val rows = got.collect().map(r =>
+      r.getLong(0) -> flags.map(n => r.getBoolean(r.fieldIndex(n))).toSeq).toMap
+    assert(rows(1L).forall(identity), "distinct prose passes every repetition rule")
+    assert(rows(2L).forall(!_), "the degenerate repeat fails every rule")
+  }
+
   test("single-line single-paragraph documents have zero dup fractions") {
     val got = flagsOf(1L -> clean)
     assert(got(1L)("f_dup_lines") && got(1L)("f_dup_paras") &&
