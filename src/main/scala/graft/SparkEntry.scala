@@ -2676,6 +2676,21 @@ object SparkEntry {
         docs, col("doc_id"), col("lang"), lit(total / 4L))
     }),
 
+    "q_unimax_mix" -> ((s, d) =>
+      // UniMax language-budget allocation (Chung et al., ICLR 2023)
+      // beside the temperature mixers: waterfill 3/4 of the corpus's
+      // tokens over LANGUAGES (the en-heavy skew is exactly the paper's
+      // motivating shape) under a 1-epoch cap — every low-resource
+      // language caps out at its full token count and its unused share
+      // redistributes to en, which takes the remaining budget
+      // share-limited; both branches real at every sf. Integer floor
+      // division per step, so the oracle replays the entire waterfill
+      // with a recursive CTE, cell for cell.
+      graft.etl.Sampling.unimaxTargets(
+        t(s, d, "documents").select(col("lang"),
+          size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+        col("lang"), col("n_tok"), budgetNum = 3, budgetDen = 4, epochCap = 1)),
+
     "q_token_mix" -> ((s, d) => {
       // TOKEN-budget temperature mixing: targets denominated in tokens
       // (√Σtokens-flattened, integer largest-remainder), each source's
@@ -5699,6 +5714,37 @@ object SparkEntry {
     // integer machinery over Σtokens) + the greedy best-quality-first
     // fill under an inclusive running token total. Zero-token docs are
     // excluded from the fill on both sides; quality from ScoredCte.
+    // the full waterfill replayed step by step: sources ordered by
+    // (cap, lang), a recursive CTE carries the remaining budget, and
+    // alloc_i = least(cap_i, remaining_{i-1} div k_i) with the same
+    // integer floor division — every cell data-derived, nothing pinned.
+    "q_unimax_mix" ->
+      """WITH tok AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang
+        |), ord AS (
+        |  SELECT source, n_tokens, n_tokens AS cap,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM tok
+        |), alloc AS (
+        |  WITH RECURSIVE w AS (
+        |    SELECT CAST(0 AS BIGINT) AS rn,
+        |      (SELECT (sum(n_tokens) * 3) // 4 FROM tok) AS remaining
+        |    UNION ALL
+        |    SELECT o.rn,
+        |      w.remaining - least(o.cap, w.remaining // (o.n - w.rn))
+        |    FROM w JOIN ord o ON o.rn = w.rn + 1
+        |  ) SELECT * FROM w
+        |)
+        |SELECT o.source, o.n_tokens, o.cap AS cap_tokens,
+        |  least(o.cap, w.remaining // (o.n - w.rn)) AS alloc_tokens,
+        |  least(o.cap, w.remaining // (o.n - w.rn)) * 1000000 // o.n_tokens AS epochs_mu
+        |FROM ord o JOIN alloc w ON w.rn = o.rn - 1
+        |ORDER BY o.source""".stripMargin,
+
     "q_token_mix" -> (ScoredCte +
       """, counts AS (
         |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens

@@ -298,6 +298,55 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023 — "UniMax: Fairer
+    * and More Effective Language Sampling"): distribute a total token
+    * budget over sources as UNIFORMLY as possible subject to a per-source
+    * epoch cap — the published alternative to temperature mixing that
+    * stops over-sampling low-resource sources past `epochCap` repeats.
+    * Waterfilling, smallest capacity first: at each step the pending
+    * uniform share is `remaining div k` (k sources left); a source whose
+    * cap is below its share takes the cap and the unused share
+    * redistributes to the larger sources behind it. Integer floor
+    * division at every step keeps the allocation exact and replayable
+    * (the q_pagerank discipline); ties in capacity break by source name.
+    * Budget beyond the total capped capacity stays unallocated by
+    * construction.
+    *
+    * Scale shape: one corpus pass reduces to per-source token counts;
+    * the sequential waterfill then folds INSIDE one row over the sorted
+    * source list (bounded by source cardinality — mixing config, the
+    * same contract as the temperature-mix targets frame), and explodes
+    * back to (source, n_tokens, cap_tokens, alloc_tokens, epochs_mu).
+    * The budget is `Σtokens · budgetNum div budgetDen`.
+    */
+  def unimaxTargets(docs: DataFrame, source: Column, tokens: Column,
+                    budgetNum: Int = 1, budgetDen: Int = 4,
+                    epochCap: Int = 4): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && epochCap > 0)
+    docs.groupBy(source.as("source")).agg(sum(tokens).as("n_tokens"))
+      .agg(
+        sort_array(collect_list(struct(
+          (col("n_tokens") * epochCap).as("cap"),
+          col("source"), col("n_tokens")))).as("xs"),
+        expr(s"(sum(n_tokens) * $budgetNum) div $budgetDen").as("budget"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  named_struct('remaining', budget, 'k', CAST(size(xs) AS BIGINT),
+          |    'out', CAST(array() AS
+          |      array<struct<source:string, n_tokens:bigint, cap:bigint, alloc:bigint>>)),
+          |  (st, x) -> named_struct(
+          |    'remaining', st.remaining - least(x.cap, st.remaining div st.k),
+          |    'k', st.k - 1L,
+          |    'out', array_append(st.out, named_struct(
+          |      'source', x.source, 'n_tokens', x.n_tokens, 'cap', x.cap,
+          |      'alloc', least(x.cap, st.remaining div st.k)))),
+          |  st -> st.out)""".stripMargin)).as("r"))
+      .select(col("r.source").as("source"), col("r.n_tokens").as("n_tokens"),
+        col("r.cap").as("cap_tokens"), col("r.alloc").as("alloc_tokens"))
+      .withColumn("epochs_mu", expr("alloc_tokens * 1000000L div n_tokens"))
+      .orderBy("source")
+  }
+
   /** The sampled corpus itself: per source, the `target` documents with
     * the smallest `xxhash64(id, "mix", salt)` — a reproducible
     * pseudo-random draw, stable across partitionings and retries like

@@ -27,6 +27,36 @@ class MixSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got === List(("a", 4L, 2L), ("b", 1L, 1L)))
   }
 
+  test("unimaxTargets: hand-computed waterfill with cap and share branches") {
+    // per-doc token counts: a has 2 docs x 5 tok, b has 1 doc x 40 tok,
+    // c has 1 doc x 50 tok -> n = {a:10, b:40, c:50}, total 100.
+    // budget = 100*4 div 5 = 80, epochCap = 2 -> caps {a:20, b:80, c:100}.
+    // waterfill ascending (a, b, c):
+    //   k=3 share=80 div 3=26 -> a takes cap 20, rem 60
+    //   k=2 share=30          -> b takes share 30 (cap 80), rem 30
+    //   k=1 share=30          -> c takes share 30 (cap 100), rem 0
+    val docs = Seq(
+      ("a", 5L), ("a", 5L), ("b", 40L), ("c", 50L)).toDF("source", "n_tok")
+    val got = Sampling.unimaxTargets(docs, col("source"), col("n_tok"),
+        budgetNum = 4, budgetDen = 5, epochCap = 2)
+      .select("source", "n_tokens", "cap_tokens", "alloc_tokens", "epochs_mu")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got === List(
+      ("a", 10L, 20L, 20L, 2000000L),   // cap-limited: full 2 epochs
+      ("b", 40L, 80L, 30L, 750000L),    // share-limited: 0.75 epochs
+      ("c", 50L, 100L, 30L, 600000L)))  // share-limited: 0.6 epochs
+    // total allocated never exceeds the budget
+    assert(got.map(_._4).sum <= 80L)
+  }
+
+  test("unimaxTargets: uniform sources split the budget evenly (no cap binds)") {
+    val docs = Seq(("a", 100L), ("b", 100L), ("c", 100L)).toDF("source", "n_tok")
+    val got = Sampling.unimaxTargets(docs, col("source"), col("n_tok"),
+        budgetNum = 1, budgetDen = 2, epochCap = 4)
+      .select("source", "alloc_tokens").as[(String, Long)].collect().toList
+    assert(got === List(("a", 50L), ("b", 50L), ("c", 50L)))
+  }
+
   test("temperatureTargets flattens: a 100x bigger source gets only 10x the quota") {
     val docs = docsFrom(Map("big" -> 400, "small" -> 4))
     val targets = Sampling.temperatureTargets(docs, col("source"), lit(110L))
