@@ -150,6 +150,13 @@ object SparkEntry {
     11 -> (0 until 10).map(i =>
       s"the committee and the board discussed item$i with care today").mkString(" "))
 
+  /** q_auc's junk plant: punctuation spam drags every score component
+    * down (alpha ratio falls, punct ratio rises) without erasing the
+    * original signal — separable but not trivially, so the AUC is a
+    * real number in (0.5, 1], not a degenerate 1. No quotes.
+    */
+  private val AucJunkSuffix = " ;;; !!! ??? %%% ((( ))) ### @@@"
+
   /** q_gopher_ngrams plants (no quotes — embedded in SQL unescaped). */
   private val GopherNgramPlant1 = Seq.fill(30)("ja ja").mkString(" ")
   private val GopherNgramPlant2 = {
@@ -2674,6 +2681,26 @@ object SparkEntry {
       val total = docs.count()
       graft.etl.Sampling.temperatureMixSummary(
         docs, col("doc_id"), col("lang"), lit(total / 4L))
+    }),
+
+    "q_auc" -> ((s, d) => {
+      // retrieval/curation EVALUATION: exact ROC-AUC of the heuristic
+      // quality ranker separating originals (label 1) from their
+      // punctuation-spammed junk copies (label 0) — the Mann-Whitney
+      // rank-sum with average-rank tie credit, all-integer numerator/
+      // denominator so the oracle recomputes the metric cell for cell
+      // (scores are the SQL-replayable quality formula, not model
+      // floats, which is what makes this row value-certified where the
+      // classifier gates are pinned booleans). The prefix over distinct
+      // scores runs in the reindexScalable shape — never a corpus-wide
+      // rank window.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val labeled = docs.select(col("doc_id"), col("text"), lit(1L).as("label"))
+        .unionByName(docs.select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(AucJunkSuffix)).as("text"), lit(0L).as("label")))
+      Stats.aucExact(
+        graft.text.DocPipeline.withQuality(labeled, col("text")),
+        col("quality_score"), col("label"))
     }),
 
     "q_unimax_mix" -> ((s, d) =>
@@ -5714,6 +5741,48 @@ object SparkEntry {
     // integer machinery over Σtokens) + the greedy best-quality-first
     // fill under an inclusive running token total. Zero-token docs are
     // excluded from the fill on both sides; quality from ScoredCte.
+    // AUC replay: the labeled frame rebuilt with the same junk suffix,
+    // the same IEEE quality formula (the ScoredCte expression tree —
+    // identical double bits, so distinct-score groups match exactly),
+    // then the rank-sum on the same integer surface: auc_num =
+    // Σ np·(2·negBelow + nn) over distinct scores, auc_den = 2·P·N.
+    "q_auc" ->
+      s"""WITH ldocs AS (
+         |  SELECT doc_id, text, 1 AS label FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, concat(text, '$AucJunkSuffix'), 0 FROM documents
+         |), lfeats AS (
+         |  SELECT label,
+         |    CAST(length(text) AS INTEGER) AS n_chars_c,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INTEGER) AS n_punct,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+         |  FROM ldocs
+         |), lscored AS (
+         |  SELECT label,
+         |    CAST(n_stop AS DOUBLE) / n_tokens * 2.0 +
+         |      CAST(n_alpha AS DOUBLE) / n_chars_c -
+         |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
+         |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS q
+         |  FROM lfeats
+         |), bys AS (
+         |  SELECT q,
+         |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |  FROM lscored GROUP BY q
+         |), cumn AS (
+         |  SELECT np, nn,
+         |    CAST(coalesce(sum(nn) OVER (ORDER BY q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+         |  FROM bys
+         |)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(sum(np * (2 * below + nn)) AS BIGINT) AS auc_num,
+         |  2 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT) AS auc_den
+         |FROM cumn""".stripMargin,
+
     // the full waterfill replayed step by step: sources ordered by
     // (cap, lang), a recursive CTE carries the remaining budget, and
     // alloc_i = least(cap_i, remaining_{i-1} div k_i) with the same

@@ -272,4 +272,45 @@ object Stats {
     */
   def topKFilter(df: DataFrame, pred: Column, sortKey: Column, tieBreak: Seq[Column], k: Int): DataFrame =
     df.filter(pred).orderBy(sortKey.desc +: tieBreak: _*).limit(k)
+
+  /** EXACT ROC-AUC of a scalar ranker against binary labels — the
+    * Mann-Whitney U statistic with average-rank tie handling, kept on an
+    * integer surface: `auc = auc_num / auc_den` where
+    * `auc_num = Σ_s np_s · (2·negBelow_s + nn_s)` over DISTINCT scores s
+    * and `auc_den = 2 · n_pos · n_neg` (the factor 2 absorbs the ½
+    * credit ties earn). Every intermediate is a BIGINT count, so any
+    * engine that agrees on the SCORES reproduces the AUC bit for bit.
+    *
+    * Scale shape: one groupBy reduces the corpus to per-distinct-score
+    * class counts; the running negatives-below prefix then runs in the
+    * reindexScalable shape — range partition on score, per-partition
+    * running sums, ONE tiny global window over the #partitions-row
+    * totals frame — never a corpus-wide rank window (the textbook
+    * `rank() OVER (ORDER BY score)` AUC is a single-partition sort).
+    */
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df.groupBy(score.as("__auc_s")).agg(
+      sum(when(label === 1, 1L).otherwise(0L)).as("np"),
+      sum(when(label === 1, 0L).otherwise(1L)).as("nn"))
+    val cum = graft.CachePool.persist(
+      byScore.repartitionByRange(col("__auc_s"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__cumn",
+          sum("nn").over(Window.partitionBy("__pid").orderBy("__auc_s"))))
+    val offs = cum.groupBy("__pid").agg(sum("nn").as("__tot"))
+      .withColumn("__off",
+        coalesce(sum("__tot").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__off")
+    cum.join(broadcast(offs), "__pid")
+      .select(col("np"), col("nn"),
+        (col("np") * (lit(2L) * (col("__cumn") - col("nn") + col("__off")) +
+          col("nn"))).as("__c"))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum("__c").as("auc_num"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
+  }
 }

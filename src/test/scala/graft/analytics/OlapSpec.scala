@@ -104,4 +104,28 @@ class OlapSpec extends SparkSpec {
     // a rollup re-aggregating per level would scan the input 3 times
     assert("Scan|LocalTableScan".r.findAllIn(plan).size <= 2, plan)
   }
+
+  test("aucExact: hand-computed Mann-Whitney AUC with tie credit") {
+    // pos scores [3, 2, 2], neg scores [2, 1]. Pairwise: 3>2, 3>1 win;
+    // each 2-vs-2 ties (half credit), each 2-vs-1 wins -> U = 5, AUC =
+    // 5/6. Integer surface: auc_num = 10, auc_den = 12.
+    val df = Seq((3.0, 1L), (2.0, 1L), (2.0, 1L), (2.0, 0L), (1.0, 0L))
+      .toDF("s", "label")
+    val got = Stats.aucExact(df, col("s"), col("label"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((3L, 2L, 10L, 12L)))
+    graft.CachePool.releaseAll()
+  }
+
+  test("aucExact: perfect ranker scores 1, inverted ranker 0, all-tied 1/2") {
+    def auc(rows: Seq[(Double, Long)]): Double = {
+      val r = Stats.aucExact(rows.toDF("s", "label"), col("s"), col("label"))
+        .as[(Long, Long, Long, Long)].head()
+      graft.CachePool.releaseAll()
+      r._3.toDouble / r._4
+    }
+    assert(auc(Seq((2.0, 1L), (3.0, 1L), (0.0, 0L), (1.0, 0L))) === 1.0)
+    assert(auc(Seq((0.0, 1L), (1.0, 1L), (2.0, 0L), (3.0, 0L))) === 0.0)
+    assert(auc(Seq((1.0, 1L), (1.0, 1L), (1.0, 0L), (1.0, 0L))) === 0.5)
+  }
 }
