@@ -2549,6 +2549,53 @@ object SparkEntry {
         .orderBy("user_id", "purchase_id", "view_id")
     }),
 
+    "q_stream_join_outer" -> ((s, d) => {
+      // the LEFT-OUTER stream-stream join — the subtler semantics
+      // q_stream_join's inner form never exercises: an unmatched
+      // purchase emits its null-padded row only when the WATERMARK
+      // proves no matching view can still arrive (state-store
+      // finalization, not a batch-side COALESCE). Lateness is a real 2
+      // hours here, so eviction happens DURING the drain — safe because
+      // the batches are time-ordered (a view old enough to evict can
+      // only match purchases that already arrived), which is exactly
+      // the production streaming contract — and two far-future sentinel
+      // ticks (one per side, reserved user -1) push the watermark past
+      // every real event so the unmatched tail flushes. Drained output
+      // must equal the batch LEFT JOIN row for row.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val ev = events(s2, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .filter(col("event_type").isin("view", "purchase"))
+      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+      val minTs = bounds.getTimestamp(0)
+      val maxTs = bounds.getTimestamp(1)
+      val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
+      split.setNanos(minTs.getNanos)
+      val b1 = ev.filter(col("ts") < lit(split))
+      val b2 = ev.filter(col("ts") >= lit(split))
+      def ticks(offsetSec: Long): DataFrame = {
+        val t0 = new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000)
+        s2.range(1).select(lit(-1L).as("event_id"), lit(t0).as("ts"),
+            lit(-1L).as("user_id"), lit("view").as("event_type"))
+          .unionByName(s2.range(1).select(lit(-2L).as("event_id"), lit(t0).as("ts"),
+            lit(-1L).as("user_id"), lit("purchase").as("event_type")))
+      }
+      drainFileStream(s2, "stream_join_outer", "append",
+          Seq(b1, b2, ticks(30L * 86400), ticks(30L * 86400 + 3600))) { in =>
+        EventStreams.joinStreams(
+          in.filter(col("event_type") === "purchase"),
+          in.filter(col("event_type") === "view"),
+          key = "user_id", windowSec = 86400L, lateness = "2 hours",
+          joinType = "leftOuter")
+      }
+        .filter(col("l_key") >= 0) // sentinel purchases flush as unmatched; drop them
+        .select(col("l_key").as("user_id"), col("l_id").as("purchase_id"),
+          col("l_ts").as("purchase_ts"), col("r_id").as("view_id"),
+          col("r_ts").as("view_ts"))
+        .orderBy(col("user_id"), col("purchase_id"), col("view_id").asc_nulls_last)
+    }),
+
     "q_stream_drift" -> ((s, d) => {
       // INCREMENTAL drift monitoring drained end-to-end: the baseline
       // histogram (sources × buckets, bounded) rides inside the stateful
@@ -3894,6 +3941,18 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         | AND v.ts >= p.ts - INTERVAL 1 DAY AND v.ts <= p.ts
         |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
+
+    // left-outer replay: the same interval join with the unmatched
+    // purchases null-padded — watermark finalization must reproduce
+    // the batch LEFT JOIN exactly.
+    "q_stream_join_outer" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  v.event_id AS view_id, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id
+        | AND v.ts >= p.ts - INTERVAL 1 DAY AND v.ts <= p.ts
+        |ORDER BY p.user_id, purchase_id, view_id NULLS LAST""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH lagd AS (

@@ -159,17 +159,23 @@ object EventStreams {
     * q_range_join/q_asof_join family; this is its incremental form.
     */
   def joinStreams(left: DataFrame, right: DataFrame, key: String,
-                  windowSec: Long = 3600L, lateness: String = "1 hour"): DataFrame = {
+                  windowSec: Long = 3600L, lateness: String = "1 hour",
+                  joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", lateness)
       .select(col(key).as("l_key"), col("ts").as("l_ts"),
         col("event_id").as("l_id"))
     val r = right.withWatermark("ts", lateness)
       .select(col(key).as("r_key"), col("ts").as("r_ts"),
         col("event_id").as("r_id"))
+    // outer variants emit their null-padded rows only once the watermark
+    // proves no future match can arrive — state-store finalization, not
+    // batch-side COALESCE; callers drain with watermark-advancing
+    // sentinels to flush the tail (q_stream_join_outer)
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
-        col("r_ts") <= col("l_ts"))
+        col("r_ts") <= col("l_ts"),
+      joinType)
   }
 
   /** Stream-static dimension enrichment: broadcast-join a streaming fact
