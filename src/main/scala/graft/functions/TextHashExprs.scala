@@ -305,7 +305,86 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document n-gram repetition statistics for the Gopher Table A1
+  * rules (`GopherFilters.ngramFlags`): over the word n-grams of a token
+  * array, `top_chars` = occurrences × char length of the MOST COMMON
+  * gram (count ties broken by the lexicographically smallest gram —
+  * UTF8String binary order, which is what `sort_array` and the oracle's
+  * `ORDER BY g` both use) and `dup_chars` = Σ (count−1) × length over
+  * distinct grams occurring more than once.
+  *
+  * One hash-map pass per document — O(total gram chars). The
+  * sort-the-grams `aggregate` HOF formulation this replaces was the
+  * whole q_gopher_ngrams budget (~13 s at sf0.1: interpreted lambda
+  * steps over a 5-field struct per gram, × 9 n values); this is the
+  * same integers in a tight loop.
+  */
+case class GramRepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_repetition_stats expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("top_chars", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup_chars", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val cnt = xs.numElements()
+    val zero = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, 0L))
+    if (cnt < n) return zero
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Long]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i + n <= cnt) {
+      var j = 0
+      while (j < n) { window(j) = xs.getUTF8String(i + j); j += 1 }
+      val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*)
+      counts.merge(gram, 1L, (a, b) => a + b)
+      i += 1
+    }
+    var topCnt = 0L
+    var topGram: org.apache.spark.unsafe.types.UTF8String = null
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > topCnt || (c == topCnt && e.getKey.compareTo(topGram) < 0)) {
+        topCnt = c
+        topGram = e.getKey
+      }
+      if (c > 1L) dup += (c - 1L) * e.getKey.numChars()
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topCnt * topGram.numChars(), dup))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[GramRepetitionStats].getName
+    val ref = ctx.addReferenceObj("grs", this, cls)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramRepetitionStats =
+    copy(child = newChild)
+}
+
 object TextHashExprs {
+
+  /** n-gram repetition stats (top_chars, dup_chars) of an array<string>. */
+  def gramRepetitionStats(tokens: Column, n: Int): Column =
+    ColumnBridge.column(GramRepetitionStats(ColumnBridge.expression(tokens), n))
 
   /** Rolling w-window polynomial hashes of an array<long> column. */
   def windowPolyHash(xs: Column, w: Int, base: Long): Column =

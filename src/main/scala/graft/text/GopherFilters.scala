@@ -56,56 +56,19 @@ object GopherFilters {
     * denominator is len(concat_ws(' ', tokens)). Every gate is an
     * integer cross-multiplication — exact on any engine.
     *
-    * Scale shape: per document, grams are SORTED in-row and scanned as
-    * adjacent runs in ONE `aggregate` fold — O(G log G) per doc, no
-    * gram explode, no shuffle (the corpus-wide alternative, explode +
-    * groupBy over every gram of every doc, would shuffle the tokenized
-    * corpus 9 times). The oracle replays via unnest + group-by, which
-    * is fine at oracle scale and produces identical integers.
+    * Scale shape: ONE hash-map pass per document inside the native
+    * [[graft.functions.GramRepetitionStats]] expression — O(total gram
+    * chars) per doc, no gram explode, no shuffle (the corpus-wide
+    * alternative, explode + groupBy over every gram of every doc,
+    * would shuffle the tokenized corpus 9 times; the interpreted
+    * sort-and-fold HOF formulation this started as cost ~13 s at sf0.1
+    * — the native loop is ~20×, the repo's standing hot-path rule).
+    * The oracle replays via unnest + group-by, identical integers.
     *
     * Returns (top_chars, dup_chars) for one n over a token array.
     */
-  def gramRunStats(tk: Column, n: Int): Column = {
-    val grams = sort_array(
-      when(size(tk) < n, array())
-        .otherwise(transform(sequence(lit(0), size(tk) - n),
-          i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
-    // fold sorted grams as runs: state = (prev, run, top_cnt, top_chars,
-    // dup_chars); closing a run of gram p with count r adds (r-1)*len(p)
-    // to dup_chars and takes the top slot only on a STRICTLY greater
-    // count — sorted order makes the kept tie the lexicographically
-    // smallest, the deterministic tie-break the oracle replays.
-    aggregate(
-      grams,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("top_cnt"),
-        lit(0L).as("top_chars"), lit(0L).as("dup_chars")),
-      (st, g) => {
-        val close = st.getField("run") > 0 && g =!= st.getField("prev")
-        val newTop = close && st.getField("run") > st.getField("top_cnt")
-        struct(
-          g.as("prev"),
-          when(g === st.getField("prev"), st.getField("run") + 1L)
-            .otherwise(lit(1L)).as("run"),
-          when(newTop, st.getField("run")).otherwise(st.getField("top_cnt"))
-            .as("top_cnt"),
-          when(newTop, st.getField("run") * length(st.getField("prev")))
-            .otherwise(st.getField("top_chars")).as("top_chars"),
-          when(close,
-            st.getField("dup_chars") +
-              (st.getField("run") - 1L) * length(st.getField("prev")))
-            .otherwise(st.getField("dup_chars")).as("dup_chars"))
-      },
-      st => {
-        val newTop = st.getField("run") > st.getField("top_cnt")
-        struct(
-          when(newTop, st.getField("run") * length(st.getField("prev")))
-            .otherwise(st.getField("top_chars")).as("top_chars"),
-          (st.getField("dup_chars") +
-            when(st.getField("run") > 0L,
-              (st.getField("run") - 1L) * length(st.getField("prev")))
-              .otherwise(lit(0L))).as("dup_chars"))
-      })
-  }
+  def gramRunStats(tk: Column, n: Int): Column =
+    graft.functions.TextHashExprs.gramRepetitionStats(tk, n)
 
   /** Per-document repetition report: the 9 Gopher n-gram rules as
     * value-certified integer columns (numerators + denominator) plus a
