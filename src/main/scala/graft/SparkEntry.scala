@@ -2596,6 +2596,37 @@ object SparkEntry {
         .orderBy(col("user_id"), col("purchase_id"), col("view_id").asc_nulls_last)
     }),
 
+    "q_stream_enrich" -> ((s, d) => {
+      // STREAM-STATIC broadcast enrichment drained end-to-end — the
+      // streaming twin of q_join_enrich: each micro-batch of the event
+      // stream hash-joins against the broadcast customer⋈nation dim
+      // (stateless — no watermark, no state store; the dim ships once
+      // per executor, the facts never shuffle), and the drained
+      // enriched rows reduce to a per-nation gauge the batch oracle
+      // replays directly. Every user_id resolves (events draw from the
+      // customer key range), so inner enrichment is lossless here; the
+      // batch twin's plan-audit (broadcast, never cartesian) carries
+      // the join-shape evidence.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val ev = events(s2, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("value"))
+      val dim = t(s2, d, "customer")
+        .join(t(s2, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+      val b1 = ev.filter(col("event_id") % 2 === 0)
+      val b2 = ev.filter(col("event_id") % 2 =!= 0)
+      drainFileStream(s2, "stream_enrich", "append", Seq(b1, b2)) { in =>
+        EventStreams.enrichStream(in, dim, "user_id")
+      }
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_events"),
+          sum(Relational.micros(col("value"))).as("sum_value_mu"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("nation")
+    }),
+
     "q_stream_drift" -> ((s, d) => {
       // INCREMENTAL drift monitoring drained end-to-end: the baseline
       // histogram (sources × buckets, bounded) rides inside the stateful
@@ -3941,6 +3972,17 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         | AND v.ts >= p.ts - INTERVAL 1 DAY AND v.ts <= p.ts
         |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
+
+    // stream-static enrich replay: the drained per-micro-batch
+    // broadcast join must equal the batch join — one SQL join + agg.
+    "q_stream_enrich" ->
+      """SELECT n.n_name AS nation, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(e.value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_mu,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // left-outer replay: the same interval join with the unmatched
     // purchases null-padded — watermark finalization must reproduce
