@@ -2885,6 +2885,37 @@ object SparkEntry {
         col("doc_id"), col("text"))
     }),
 
+    "q_ccnet_buckets" -> ((s, d) => {
+      // CCNet-style perplexity partitioning (Wenzek et al., LREC 2020):
+      // per language, rank documents by LM score and cut head/middle/
+      // tail terciles — the published recipe for grading web text by a
+      // reference LM before mixing. The score is q_lm_score's INTEGER
+      // mean bit-weight (score_mu = lp2·1e6 div n_grams), so ordering,
+      // cuts and every aggregate are exact on both engines; tercile ids
+      // come from explicit integer arithmetic ((rn−1)·3 div n), not
+      // engine NTILE conventions. The planted junk-suffixed copies sink
+      // toward the tail (unseen bigrams score 0 bits). Per-language
+      // windows only — the per-lang sort is CCNet's own shape; never a
+      // global window.
+      val docs = t(s, d, "documents")
+      val planted = DedupData.withPlantedDups(docs)
+      val scored = graft.text.NgramLm.scoreStats(
+          planted, docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
+        .join(planted.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("score_mu", expr("lp2 * 1000000 div n_grams"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("score_mu").desc, col("doc_id"))
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nl", count(lit(1)).over(wl))
+        .withColumn("bucket", expr("CAST((rn - 1) * 3 div nl AS BIGINT)"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("score_mu").as("sum_score_mu"))
+        .orderBy("lang", "bucket")
+    }),
+
     "q_quality_classifier" -> ((s, d) => {
       // the fastText-shaped quality filter trained IN-ENGINE: originals
       // vs their junk-suffixed near-dup copies — the classifier must find
@@ -6054,6 +6085,49 @@ object SparkEntry {
         |  CAST(s.lp2 AS BIGINT) AS lp2
         |FROM tk k JOIN sc s ON k.doc_id = s.doc_id
         |ORDER BY k.doc_id""".stripMargin),
+
+    // CCNet tercile replay: the q_lm_score chain extended with the lang
+    // join, the integer score, explicit integer tercile ids, and the
+    // per-cell checksums — every cell data-derived.
+    "q_ccnet_buckets" -> (DedupData.DocsCte +
+      """, tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM docs
+        |), rtk AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), cb AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+1], ' ')) END) AS g
+        |  FROM tk
+        |), rb AS (
+        |  SELECT unnest(
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+1], ' ')) END) AS g
+        |  FROM rtk
+        |), rc AS (
+        |  SELECT g, count(*) AS c FROM rb GROUP BY g
+        |), sc AS (
+        |  SELECT b.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN r.c IS NOT NULL THEN len(bin(r.c)) ELSE 0 END) AS lp2
+        |  FROM cb b LEFT JOIN rc r USING (g) GROUP BY b.doc_id
+        |), scored2 AS (
+        |  SELECT s.doc_id, d2.lang,
+        |    CAST(s.lp2 * 1000000 // s.n_grams AS BIGINT) AS score_mu
+        |  FROM sc s JOIN docs d2 USING (doc_id)
+        |), ranked AS (
+        |  SELECT lang, doc_id, score_mu,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score_mu DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nl
+        |  FROM scored2
+        |)
+        |SELECT lang, CAST((rn - 1) * 3 // nl AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(score_mu) AS BIGINT) AS sum_score_mu
+        |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_quality_classifier" ->
       """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_pos,
