@@ -55,12 +55,22 @@ object SparkEntry {
     * (clearing a prior invocation's files — bench repeats reuse the
     * scratch path); later batches append; each write is followed by
     * processAllAvailable, which reproduces the MemoryStream batch
-    * boundary exactly (the file source ingests all files present per
-    * trigger). Append-mode drains land in a parquet FILE sink (output
-    * never transits the driver either); update-mode drains (the drift
-    * gauge) use the memory sink — bounded at sources × triggers rows —
-    * because the file sink cannot take update mode. Checkpoint and
-    * output dirs are wiped per invocation so every drain is fresh.
+    * boundary exactly. Batch VISIBILITY is atomic: each batch lands in
+    * its own subdirectory under the source glob — batch 0 before the
+    * stream starts, later batches written to a staging dir and RENAMED
+    * into place as one directory move — because a plain append commits
+    * part files one rename at a time while the running source polls
+    * continuously, and a trigger that catches only the newest file
+    * would advance the watermark and drop the batch's older rows as
+    * late (code-review r11 finding; the MemoryStream harness this
+    * replaced had atomic addData boundaries, so the file harness must
+    * match). Append-mode drains land in a parquet FILE sink (output
+    * never transits the driver either; read back under the result's
+    * own schema, so a zero-row drain is an empty frame, not an
+    * inference error); update-mode drains (the drift gauge) use the
+    * memory sink — bounded at sources × triggers rows — because the
+    * file sink cannot take update mode. Checkpoint, staging and output
+    * dirs are wiped per invocation so every drain is fresh.
     */
   private def drainFileStream(s2: SparkSession, name: String,
                               outputMode: String, batches: Seq[DataFrame])(
@@ -69,13 +79,15 @@ object SparkEntry {
     val src = s"$root/src"
     val cp = s"$root/cp"
     val out = s"$root/out"
+    val stage = s"$root/stage"
     val hconf = s2.sparkContext.hadoopConfiguration
-    Seq(cp, out).foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).delete(hp, true): Unit
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    Seq(src, cp, out, stage).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true): Unit
     }
-    batches.head.write.mode("overwrite").parquet(src)
-    val input = s2.readStream.schema(s2.read.parquet(src).schema).parquet(src)
+    batches.head.write.mode("overwrite").parquet(s"$src/b0")
+    val input = s2.readStream
+      .schema(s2.read.parquet(s"$src/b0").schema).parquet(s"$src/*")
     val result = build(input)
     val sink = s"${name}_${System.nanoTime()}"
     val q =
@@ -87,12 +99,45 @@ object SparkEntry {
           .option("checkpointLocation", cp).outputMode(outputMode).start()
     try {
       q.processAllAvailable()
-      batches.tail.foreach { b =>
-        b.write.mode("append").parquet(src)
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        b.write.mode("overwrite").parquet(stage)
+        require(fs.rename(new org.apache.hadoop.fs.Path(stage),
+          new org.apache.hadoop.fs.Path(s"$src/b${i + 1}")),
+          s"atomic batch publish failed for $src/b${i + 1}")
         q.processAllAvailable()
       }
     } finally q.stop()
-    if (outputMode == "update") s2.table(sink) else s2.read.parquet(out)
+    if (outputMode == "update") s2.table(sink)
+    else s2.read.schema(result.schema).parquet(out)
+  }
+
+  /** Shared scaffolding for the event-stream drains: the 1-row bounds
+    * aggregate (the only driver read), the min+15d split at full
+    * microsecond precision (nanos carried), and the two time-ordered
+    * batches. One home for the convention the four drains previously
+    * copy-pasted (code-review r11).
+    */
+  private case class TimeSplit(b1: DataFrame, b2: DataFrame,
+                               minTs: java.sql.Timestamp, maxTs: java.sql.Timestamp)
+  private def timeSplit(ev: DataFrame): TimeSplit = {
+    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+    val minTs = bounds.getTimestamp(0)
+    val maxTs = bounds.getTimestamp(1)
+    val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
+    split.setNanos(minTs.getNanos)
+    TimeSplit(ev.filter(col("ts") < lit(split)), ev.filter(col("ts") >= lit(split)),
+      minTs, maxTs)
+  }
+
+  /** A single sentinel row at maxTs + offset with the given literal
+    * columns (ts injected under the name "ts") — the watermark-advancing
+    * tick the append-mode drains flush with.
+    */
+  private def sentinelTick(s2: SparkSession, maxTs: java.sql.Timestamp,
+                           offsetSec: Long, cols: (String, Column)*): DataFrame = {
+    val t0 = new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000)
+    val named = cols.map { case (n, c) => c.as(n) }
+    s2.range(1).select((lit(t0).as("ts") +: named): _*)
   }
 
   /** events.parquet's `ts` physical encoding varies by testdata
@@ -205,14 +250,16 @@ object SparkEntry {
                         nearRecall: Double): DataFrame = {
     val nNear = docs.filter(col("doc_id") % 5 === 0).agg(count(lit(1)).as("n_near"))
     val nExact = docs.filter(col("doc_id") % 7 === 0).agg(count(lit(1)).as("n_exact"))
+    // coalesce: an empty pair frame (total recall collapse) must read
+    // as recovered = 0 -> booleans FALSE, not NULL (code-review r11)
     pairs.agg(
         count(lit(1)).as("n_pairs"),
-        sum(when(col("id_a") % 5 === 0 && col("id_a") < DedupData.ExactIdOffset &&
+        coalesce(sum(when(col("id_a") % 5 === 0 && col("id_a") < DedupData.ExactIdOffset &&
           col("id_b") === col("id_a") + DedupData.NearIdOffset, 1L)
-          .otherwise(0L)).as("rec_near"),
-        sum(when(col("id_a") % 7 === 0 && col("id_a") < DedupData.ExactIdOffset &&
+          .otherwise(0L)), lit(0L)).as("rec_near"),
+        coalesce(sum(when(col("id_a") % 7 === 0 && col("id_a") < DedupData.ExactIdOffset &&
           col("id_b") === col("id_a") + DedupData.ExactIdOffset, 1L)
-          .otherwise(0L)).as("rec_exact"))
+          .otherwise(0L)), lit(0L)).as("rec_exact"))
       .crossJoin(broadcast(nNear)).crossJoin(broadcast(nExact))
       .select(lit(algo).as("algo"), col("n_near"), col("n_exact"),
         (col("rec_near") >= col("n_near") * nearRecall).as("near_recall_ok"),
@@ -2459,24 +2506,16 @@ object SparkEntry {
       // only the two BOUNDS transit the driver (a 1-row aggregate — the
       // ANN-fit collect contract); the event batches themselves are
       // distributed writes through the drainFileStream harness.
-      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
-      val minTs = bounds.getTimestamp(0)
-      val maxTs = bounds.getTimestamp(1)
-      // split at full microsecond precision: ms + 15 days, nanos carried
-      val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
-      split.setNanos(minTs.getNanos)
-      val b1 = ev.filter(col("ts") < lit(split))
-      val b2 = ev.filter(col("ts") >= lit(split))
-        .unionByName(ev.filter(col("ts") === lit(minTs))) // the planted late re-send
-      def tick(offsetSec: Long): DataFrame = {
-        val t0 = new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000)
-        s2.range(1).select(lit(t0).as("ts"), lit(0.0).as("value"))
-      }
+      val ts = timeSplit(ev)
+      val b2 = ts.b2
+        .unionByName(ev.filter(col("ts") === lit(ts.minTs))) // the planted late re-send
+      def tick(offsetSec: Long): DataFrame =
+        sentinelTick(s2, ts.maxTs, offsetSec, "value" -> lit(0.0))
       drainFileStream(s2, "stream_window", "append",
-          Seq(b1, b2, tick(30L * 86400), tick(30L * 86400 + 3600))) { in =>
+          Seq(ts.b1, b2, tick(30L * 86400), tick(30L * 86400 + 3600))) { in =>
         graft.streaming.EventStreams.tumblingCountsStream(in)
       }
-        .filter(col("window_start") <= lit(maxTs)) // sentinel windows never finalize; belt and braces
+        .filter(col("window_start") <= lit(ts.maxTs)) // sentinel windows never finalize; belt and braces
         .orderBy("window_start")
     }),
 
@@ -2493,19 +2532,11 @@ object SparkEntry {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
       val ev = events(s2, d).select(col("ts"), col("user_id"))
-      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
-      val minTs = bounds.getTimestamp(0)
-      val maxTs = bounds.getTimestamp(1)
-      val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
-      split.setNanos(minTs.getNanos)
-      val b1 = ev.filter(col("ts") < lit(split))
-      val b2 = ev.filter(col("ts") >= lit(split))
-      def tick(offsetSec: Long): DataFrame = {
-        val t0 = new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000)
-        s2.range(1).select(lit(t0).as("ts"), lit(-1L).as("user_id"))
-      }
+      val ts = timeSplit(ev)
+      def tick(offsetSec: Long): DataFrame =
+        sentinelTick(s2, ts.maxTs, offsetSec, "user_id" -> lit(-1L))
       drainFileStream(s2, "stream_sessionize", "append",
-          Seq(b1, b2, tick(30L * 86400), tick(30L * 86400 + 3600))) { in =>
+          Seq(ts.b1, ts.b2, tick(30L * 86400), tick(30L * 86400 + 3600))) { in =>
         graft.streaming.EventStreams.sessionizeNativeStream(in)
       }
         .filter(col("user_id") >= 0) // sentinel user; its session never finalizes anyway
@@ -2531,13 +2562,8 @@ object SparkEntry {
       val ev = events(s2, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .filter(col("event_type").isin("view", "purchase"))
-      val bounds = ev.agg(min(col("ts")).as("mn")).collect()(0)
-      val minTs = bounds.getTimestamp(0)
-      val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
-      split.setNanos(minTs.getNanos)
-      val b1 = ev.filter(col("ts") < lit(split))
-      val b2 = ev.filter(col("ts") >= lit(split))
-      drainFileStream(s2, "stream_join", "append", Seq(b1, b2)) { in =>
+      val ts = timeSplit(ev)
+      drainFileStream(s2, "stream_join", "append", Seq(ts.b1, ts.b2)) { in =>
         EventStreams.joinStreams(
           in.filter(col("event_type") === "purchase"),
           in.filter(col("event_type") === "view"),
@@ -2567,22 +2593,15 @@ object SparkEntry {
       val ev = events(s2, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .filter(col("event_type").isin("view", "purchase"))
-      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
-      val minTs = bounds.getTimestamp(0)
-      val maxTs = bounds.getTimestamp(1)
-      val split = new java.sql.Timestamp(minTs.getTime + 15L * 86400 * 1000)
-      split.setNanos(minTs.getNanos)
-      val b1 = ev.filter(col("ts") < lit(split))
-      val b2 = ev.filter(col("ts") >= lit(split))
-      def ticks(offsetSec: Long): DataFrame = {
-        val t0 = new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000)
-        s2.range(1).select(lit(-1L).as("event_id"), lit(t0).as("ts"),
-            lit(-1L).as("user_id"), lit("view").as("event_type"))
-          .unionByName(s2.range(1).select(lit(-2L).as("event_id"), lit(t0).as("ts"),
-            lit(-1L).as("user_id"), lit("purchase").as("event_type")))
-      }
+      val ts = timeSplit(ev)
+      def ticks(offsetSec: Long): DataFrame =
+        sentinelTick(s2, ts.maxTs, offsetSec, "event_id" -> lit(-1L),
+            "user_id" -> lit(-1L), "event_type" -> lit("view"))
+          .unionByName(sentinelTick(s2, ts.maxTs, offsetSec,
+            "event_id" -> lit(-2L), "user_id" -> lit(-1L),
+            "event_type" -> lit("purchase")))
       drainFileStream(s2, "stream_join_outer", "append",
-          Seq(b1, b2, ticks(30L * 86400), ticks(30L * 86400 + 3600))) { in =>
+          Seq(ts.b1, ts.b2, ticks(30L * 86400), ticks(30L * 86400 + 3600))) { in =>
         EventStreams.joinStreams(
           in.filter(col("event_type") === "purchase"),
           in.filter(col("event_type") === "view"),
@@ -5267,9 +5286,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |    CAST(len(tk) AS BIGINT) AS n_words,
          |    CAST(len(ln) AS BIGINT) AS n_lines,
-         |    CAST(coalesce(list_sum(list_transform(tk, t -> strlen(t))), 0) AS BIGINT) AS chars,
-         |    CAST(strlen(text) - strlen(replace(text, '#', ''))
-         |      + (strlen(text) - strlen(replace(text, '...', ''))) // 3 AS BIGINT) AS sym,
+         |    CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS BIGINT) AS chars,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS sym,
          |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
          |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
          |      s -> list_contains(tk, s))) AS BIGINT) AS stops,
@@ -5279,11 +5298,11 @@ object SparkEntry {
          |    CAST(len(pp) AS BIGINT) AS np,
          |    CAST(len(list_distinct(pp)) AS BIGINT) AS dpp,
          |    CAST(coalesce(list_sum(list_transform(list_distinct(ln),
-         |      d -> (len(list_filter(ln, x -> x = d)) - 1) * strlen(d))), 0) AS BIGINT) AS dlc,
-         |    CAST(coalesce(list_sum(list_transform(ln, x -> strlen(x))), 0) AS BIGINT) AS tlc,
+         |      d -> (len(list_filter(ln, x -> x = d)) - 1) * length(d))), 0) AS BIGINT) AS dlc,
+         |    CAST(coalesce(list_sum(list_transform(ln, x -> length(x))), 0) AS BIGINT) AS tlc,
          |    CAST(coalesce(list_sum(list_transform(list_distinct(pp),
-         |      d -> (len(list_filter(pp, x -> x = d)) - 1) * strlen(d))), 0) AS BIGINT) AS dpc,
-         |    CAST(coalesce(list_sum(list_transform(pp, x -> strlen(x))), 0) AS BIGINT) AS tpc
+         |      d -> (len(list_filter(pp, x -> x = d)) - 1) * length(d))), 0) AS BIGINT) AS dpc,
+         |    CAST(coalesce(list_sum(list_transform(pp, x -> length(x))), 0) AS BIGINT) AS tpc
          |  FROM feat
          |), f AS (
          |  SELECT doc_id, n_words,
@@ -5323,7 +5342,7 @@ object SparkEntry {
            |)""".stripMargin
       def topCte(n: Int): String =
         s""", t$n AS (
-           |  SELECT doc_id, CAST(c * strlen(g) AS BIGINT) AS chars FROM (
+           |  SELECT doc_id, CAST(c * length(g) AS BIGINT) AS chars FROM (
            |    SELECT doc_id, g, c,
            |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
            |    FROM (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g))
@@ -5331,7 +5350,7 @@ object SparkEntry {
            |)""".stripMargin
       def dupCte(n: Int): String =
         s""", d$n AS (
-           |  SELECT doc_id, CAST(sum((c - 1) * strlen(g)) AS BIGINT) AS chars
+           |  SELECT doc_id, CAST(sum((c - 1) * length(g)) AS BIGINT) AS chars
            |  FROM (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g)
            |  WHERE c >= 2 GROUP BY doc_id
            |)""".stripMargin
@@ -5353,7 +5372,7 @@ object SparkEntry {
         (5 to 10).map(dupCte).mkString +
         s"""
            |SELECT n.doc_id,
-           |  CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) AS total_chars,
+           |  CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) AS total_chars,
            |  coalesce(t2.chars, 0) AS top2_chars,
            |  coalesce(t3.chars, 0) AS top3_chars,
            |  coalesce(t4.chars, 0) AS top4_chars,
@@ -5363,24 +5382,24 @@ object SparkEntry {
            |  coalesce(d8.chars, 0) AS dup8_chars,
            |  coalesce(d9.chars, 0) AS dup9_chars,
            |  coalesce(d10.chars, 0) AS dup10_chars,
-           |  coalesce(t2.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 20 AS f_top2,
-           |  coalesce(t3.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 18 AS f_top3,
-           |  coalesce(t4.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 16 AS f_top4,
-           |  coalesce(d5.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 15 AS f_dup5,
-           |  coalesce(d6.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 14 AS f_dup6,
-           |  coalesce(d7.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 13 AS f_dup7,
-           |  coalesce(d8.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 12 AS f_dup8,
-           |  coalesce(d9.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 11 AS f_dup9,
-           |  coalesce(d10.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 10 AS f_dup10,
-           |  coalesce(t2.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 20 AND
-           |  coalesce(t3.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 18 AND
-           |  coalesce(t4.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 16 AND
-           |  coalesce(d5.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 15 AND
-           |  coalesce(d6.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 14 AND
-           |  coalesce(d7.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 13 AND
-           |  coalesce(d8.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 12 AND
-           |  coalesce(d9.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 11 AND
-           |  coalesce(d10.chars, 0) * 100 <= CAST(strlen(array_to_string(n.tk, ' ')) AS BIGINT) * 10 AS keep
+           |  coalesce(t2.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 20 AS f_top2,
+           |  coalesce(t3.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 18 AS f_top3,
+           |  coalesce(t4.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 16 AS f_top4,
+           |  coalesce(d5.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 15 AS f_dup5,
+           |  coalesce(d6.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 14 AS f_dup6,
+           |  coalesce(d7.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 13 AS f_dup7,
+           |  coalesce(d8.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 12 AS f_dup8,
+           |  coalesce(d9.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 11 AS f_dup9,
+           |  coalesce(d10.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 10 AS f_dup10,
+           |  coalesce(t2.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 20 AND
+           |  coalesce(t3.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 18 AND
+           |  coalesce(t4.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 16 AND
+           |  coalesce(d5.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 15 AND
+           |  coalesce(d6.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 14 AND
+           |  coalesce(d7.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 13 AND
+           |  coalesce(d8.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 12 AND
+           |  coalesce(d9.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 11 AND
+           |  coalesce(d10.chars, 0) * 100 <= CAST(length(array_to_string(n.tk, ' ')) AS BIGINT) * 10 AS keep
            |FROM ntoks n
            |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
            |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
@@ -5990,7 +6009,9 @@ object SparkEntry {
         |)
         |SELECT o.source, o.n_tokens, o.cap AS cap_tokens,
         |  least(o.cap, w.remaining // (o.n - w.rn)) AS alloc_tokens,
-        |  least(o.cap, w.remaining // (o.n - w.rn)) * 1000000 // o.n_tokens AS epochs_mu
+        |  CASE WHEN o.n_tokens > 0
+        |       THEN least(o.cap, w.remaining // (o.n - w.rn)) * 1000000 // o.n_tokens
+        |       ELSE 0 END AS epochs_mu
         |FROM ord o JOIN alloc w ON w.rn = o.rn - 1
         |ORDER BY o.source""".stripMargin,
 

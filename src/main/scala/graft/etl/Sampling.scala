@@ -343,7 +343,10 @@ object Sampling {
           |  st -> st.out)""".stripMargin)).as("r"))
       .select(col("r.source").as("source"), col("r.n_tokens").as("n_tokens"),
         col("r.cap").as("cap_tokens"), col("r.alloc").as("alloc_tokens"))
-      .withColumn("epochs_mu", expr("alloc_tokens * 1000000L div n_tokens"))
+      // a zero-token source allocates zero and reads as zero epochs —
+      // guarded so the division cannot NULL (Spark) or error (oracle //)
+      .withColumn("epochs_mu",
+        expr("CASE WHEN n_tokens > 0 THEN alloc_tokens * 1000000L div n_tokens ELSE 0L END"))
       .orderBy("source")
   }
 

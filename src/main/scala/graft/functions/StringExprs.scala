@@ -69,6 +69,9 @@ case class UnicodeNormalize(child: Expression, form: String)
   */
 object MojibakeRepair {
   private val MaxPasses = 4
+  // hot path: one Charset lookup per JVM, not per row per pass (the
+  // encoder itself is not thread-safe and stays per-call)
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
 
   def fix(s: String): String = {
     var cur = s
@@ -106,7 +109,7 @@ object MojibakeRepair {
       out
     } else {
       try {
-        val enc = java.nio.charset.Charset.forName("windows-1252").newEncoder()
+        val enc = Cp1252.newEncoder()
           .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
           .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
         val bb = enc.encode(java.nio.CharBuffer.wrap(s))
