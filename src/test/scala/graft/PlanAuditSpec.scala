@@ -378,6 +378,57 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_auc: prefix in the range-sort shape, never a corpus-wide rank window") {
+    val plan = finalPlan(q("q_auc"))
+    graft.CachePool.releaseAll()
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // aucExact: the per-partition running sum windows on __pid; the only
+    // permissible unpartitioned window is the #partitions-row offsets
+    // frame — never a rank over the scored corpus
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      s"only the offsets window may be global:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_gopher_filters and q_gopher_ngrams are stateless projections (no shuffle before the sort)") {
+    Seq("q_gopher_filters", "q_gopher_ngrams").foreach { name =>
+      val plan = finalPlan(q(name))
+      graft.CachePool.releaseAll()
+      // the only exchange allowed is the final presentation sort's range
+      // partitioning; the flags themselves must be per-row projections
+      val exchanges = collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.forall(_.outputPartitioning.toString.contains("range")),
+        s"$name shuffles beyond the output sort:\n$plan")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name must not window:\n$plan")
+    }
+  }
+
+  test("q_unimax_mix reduces to per-source counts; the waterfill never windows the corpus") {
+    val plan = finalPlan(q("q_unimax_mix"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the waterfill folds in-row, no window belongs here:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_ccnet_buckets windows are per-language only") {
+    val plan = finalPlan(q("q_ccnet_buckets"))
+    graft.CachePool.releaseAll()
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"CCNet terciles must partition by lang, never globally:\n$plan")
+  }
+
   test("q_event_funnel: one user-keyed exchange, no per-step event-log re-join") {
     val plan = finalPlan(q("q_event_funnel"))
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
