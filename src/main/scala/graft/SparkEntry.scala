@@ -2852,6 +2852,21 @@ object SparkEntry {
           size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
         col("lang"), col("n_tok"), budgetNum = 3, budgetDen = 4, epochCap = 1)),
 
+    "q_unimax_select" -> ((s, d) =>
+      // the MATERIALIZATION half of q_unimax_mix — what the loader
+      // consumes: per language, full_epochs complete passes plus a
+      // deterministic partial pass filling the token remainder best-
+      // Knuth-rank-first (the tokenBudgetMix fill on the per-source
+      // remainders). Every column is integer arithmetic + a replayable
+      // greedy fill, so the oracle recomputes the WHOLE row: waterfill
+      // by recursive CTE, epochs/remainder by div/mod, the partial pass
+      // by the same hash rank and running-total window.
+      graft.etl.Sampling.unimaxSelect(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+        col("doc_id"), col("lang"), col("n_tok"),
+        budgetNum = 3, budgetDen = 4, epochCap = 1)),
+
     "q_token_mix" -> ((s, d) => {
       // TOKEN-budget temperature mixing: targets denominated in tokens
       // (√Σtokens-flattened, integer largest-remainder), each source's
@@ -6014,6 +6029,62 @@ object SparkEntry {
         |       ELSE 0 END AS epochs_mu
         |FROM ord o JOIN alloc w ON w.rn = o.rn - 1
         |ORDER BY o.source""".stripMargin,
+
+    // full materialization replay: waterfill (recursive CTE) -> epochs
+    // and remainder by div/mod -> the partial pass by the same Knuth
+    // rank and inclusive running-total window. Nothing pinned.
+    "q_unimax_select" ->
+      """WITH dtok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), tok AS (
+        |  SELECT lang AS source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM dtok GROUP BY lang
+        |), ord AS (
+        |  SELECT source, n_tokens, n_tokens AS cap,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM tok
+        |), alloc AS (
+        |  WITH RECURSIVE w AS (
+        |    SELECT CAST(0 AS BIGINT) AS rn,
+        |      (SELECT (sum(n_tokens) * 3) // 4 FROM tok) AS remaining
+        |    UNION ALL
+        |    SELECT o.rn,
+        |      w.remaining - least(o.cap, w.remaining // (o.n - w.rn))
+        |    FROM w JOIN ord o ON o.rn = w.rn + 1
+        |  ) SELECT * FROM w
+        |), te AS (
+        |  SELECT o.source, o.n_tokens,
+        |    least(o.cap, w.remaining // (o.n - w.rn)) AS alloc_tokens,
+        |    CASE WHEN o.n_tokens > 0
+        |         THEN least(o.cap, w.remaining // (o.n - w.rn)) // o.n_tokens
+        |         ELSE 0 END AS full_epochs,
+        |    CASE WHEN o.n_tokens > 0
+        |         THEN least(o.cap, w.remaining // (o.n - w.rn)) % o.n_tokens
+        |         ELSE 0 END AS rem_budget
+        |  FROM ord o JOIN alloc w ON w.rn = o.rn - 1
+        |), ranked AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id & 2147483647) * 2654435761) % 4294967296, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM dtok WHERE n_tok >= 1
+        |), fill AS (
+        |  SELECT r.lang AS source, CAST(count(*) AS BIGINT) AS rem_docs,
+        |    CAST(sum(r.n_tok) AS BIGINT) AS rem_tokens
+        |  FROM ranked r JOIN te ON te.source = r.lang
+        |  WHERE r.run <= te.rem_budget GROUP BY 1
+        |)
+        |SELECT te.source, te.n_tokens, te.alloc_tokens,
+        |  CAST(te.full_epochs AS BIGINT) AS full_epochs,
+        |  CAST(te.rem_budget AS BIGINT) AS rem_budget,
+        |  coalesce(f.rem_docs, 0) AS rem_docs,
+        |  coalesce(f.rem_tokens, 0) AS rem_tokens
+        |FROM te LEFT JOIN fill f USING (source)
+        |ORDER BY te.source""".stripMargin,
 
     "q_token_mix" -> (ScoredCte +
       """, counts AS (

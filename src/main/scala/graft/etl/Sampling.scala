@@ -350,6 +350,69 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** The MATERIALIZATION half of [[unimaxTargets]] — what the training
+    * loader actually consumes: each source contributes `full_epochs`
+    * complete passes (alloc div n_tokens) plus a deterministic PARTIAL
+    * pass filling the remainder budget (alloc mod n_tokens) best-rank-
+    * first under the engine-portable Knuth hash of the doc id, with an
+    * inclusive running token total — the tokenBudgetMix fill applied to
+    * the per-source remainders. Returns the per-source summary
+    * (n_tokens, alloc_tokens, full_epochs, rem_budget, rem_docs,
+    * rem_tokens); every column is integer arithmetic + a replayable
+    * greedy fill, so an oracle recomputes the whole row. Zero-token
+    * docs are excluded from the partial pass on both engines (they
+    * cannot consume budget).
+    *
+    * Scale shape: the fill pre-caps each source with TopKPerKey bounded
+    * heaps at the max remainder (every admitted doc costs >= 1 token),
+    * so the per-source cumsum window sees at most max(rem_budget) rows
+    * per source, never the corpus.
+    */
+  def unimaxSelect(docs: DataFrame, id: Column, source: Column, tokens: Column,
+                   budgetNum: Int = 1, budgetDen: Int = 4,
+                   epochCap: Int = 4): DataFrame = {
+    val targets = graft.CachePool.persist(
+      unimaxTargets(docs, source, tokens, budgetNum, budgetDen, epochCap)
+        .withColumn("full_epochs",
+          expr("CASE WHEN n_tokens > 0 THEN alloc_tokens div n_tokens ELSE 0L END"))
+        .withColumn("rem_budget",
+          expr("CASE WHEN n_tokens > 0 THEN alloc_tokens % n_tokens ELSE 0L END")))
+    // bounded driver read: the max remainder caps the fill heaps
+    val maxRem = targets.agg(coalesce(max("rem_budget"), lit(0L)))
+      .collect()(0).getLong(0)
+    val summaryCols = Seq("source", "n_tokens", "alloc_tokens",
+      "full_epochs", "rem_budget")
+    val filled =
+      if (maxRem <= 0L)
+        targets.limit(0).select(col("source"), lit(0L).as("rem_docs"),
+          lit(0L).as("rem_tokens"))
+      else {
+        val keyed = docs.select(source.as("source"),
+            tokens.cast("long").as("n_tok"),
+            knuthHash(id).as("__ux_h"), id.cast("long").as("doc_id"))
+          .filter(col("n_tok") >= 1L)
+        val capK = math.min(maxRem, Int.MaxValue.toLong).toInt
+        val capped = graft.plans.TopKPerKey.topK(
+          keyed, Seq("source"), Seq(("__ux_h", true), ("doc_id", true)), capK)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("__ux_h").asc, col("doc_id").asc)
+        capped
+          .withColumn("__ux_run", sum(col("n_tok")).over(
+            win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .join(broadcast(targets.select("source", "rem_budget")), "source")
+          .filter(col("__ux_run") <= col("rem_budget"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("rem_docs"), sum("n_tok").as("rem_tokens"))
+      }
+    targets.select(summaryCols.map(col): _*)
+      .join(filled, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        col("full_epochs"), col("rem_budget"),
+        coalesce(col("rem_docs"), lit(0L)).as("rem_docs"),
+        coalesce(col("rem_tokens"), lit(0L)).as("rem_tokens"))
+      .orderBy("source")
+  }
+
   /** The sampled corpus itself: per source, the `target` documents with
     * the smallest `xxhash64(id, "mix", salt)` — a reproducible
     * pseudo-random draw, stable across partitionings and retries like

@@ -57,6 +57,34 @@ class MixSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got === List(("a", 50L), ("b", 50L), ("c", 50L)))
   }
 
+  test("unimaxSelect: full epochs plus a deterministic partial pass") {
+    // n = {a:10 (2x5), b:40, c:50}, budget 80, cap 2 epochs (the
+    // unimaxTargets fixture): allocs a=20, b=30, c=30 ->
+    // a: 2 full epochs, remainder 0; b: 0 full, rem 30 (fills 0 docs —
+    // its one 40-token doc does not fit); c: 0 full, rem 30 (same).
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "a", 5L), (3L, "b", 40L), (4L, "c", 50L))
+      .toDF("doc_id", "source", "n_tok")
+    val got = Sampling.unimaxSelect(docs, col("doc_id"), col("source"),
+        col("n_tok"), budgetNum = 4, budgetDen = 5, epochCap = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List(
+      ("a", 10L, 20L, 2L, 0L, 0L, 0L),
+      ("b", 40L, 30L, 0L, 30L, 0L, 0L),
+      ("c", 50L, 30L, 0L, 30L, 0L, 0L)))
+    graft.CachePool.releaseAll()
+    // a divisible remainder: one source, 3 docs of 10 tokens, budget 20
+    // at cap 4 -> alloc 20, 0 full epochs (20 div 30), remainder 20
+    // fills exactly the 2 best-Knuth-ranked docs
+    val d2 = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L))
+      .toDF("doc_id", "source", "n_tok")
+    val got2 = Sampling.unimaxSelect(d2, col("doc_id"), col("source"),
+        col("n_tok"), budgetNum = 2, budgetDen = 3, epochCap = 4)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got2 === List(("a", 30L, 20L, 0L, 20L, 2L, 20L)))
+    graft.CachePool.releaseAll()
+  }
+
   test("temperatureTargets flattens: a 100x bigger source gets only 10x the quota") {
     val docs = docsFrom(Map("big" -> 400, "small" -> 4))
     val targets = Sampling.temperatureTargets(docs, col("source"), lit(110L))
