@@ -493,4 +493,42 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(String, Long)].toDF("k", "v"),
       Seq(("a", 1)).toDF("k", "w"), "k").count() === 0)
   }
+
+  test("round-11 operators survive empty and degenerate inputs") {
+    // Gopher rules on the empty and whitespace-only document: zero
+    // tokens/lines/paragraphs must produce well-defined flags, not a
+    // crash or NULL (0 <= 0 ratios pass by convention)
+    val degenerate = Seq((1L, ""), (2L, "   "), (3L, "\n\n\n")).toDF("doc_id", "text")
+    val gf = graft.text.GopherFilters.flags(degenerate, col("doc_id"), col("text"))
+    assert(gf.count() === 3)
+    assert(gf.filter(col("keep").isNull).count() === 0)
+    val gn = graft.text.GopherFilters.ngramFlags(degenerate, col("doc_id"), col("text"))
+    assert(gn.count() === 3)
+    assert(gn.filter(col("keep").isNull || col("total_chars").isNull).count() === 0)
+
+    // AUC with a single class present: integer surface stays defined
+    // (den = 0), no division anywhere inside the operator
+    val onePos = Seq((1.0, 1L), (2.0, 1L)).toDF("s", "label")
+    val auc = Stats.aucExact(onePos, col("s"), col("label"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(auc === ((2L, 0L, 0L, 0L)))
+    graft.CachePool.releaseAll()
+
+    // empty-corpus mixing: no rows out, no crash
+    val noTok = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_tok")
+    assert(graft.etl.Sampling.unimaxTargets(
+      noTok, col("source"), col("n_tok")).count() === 0)
+    assert(graft.etl.Sampling.unimaxSelect(
+      noTok, col("doc_id"), col("source"), col("n_tok")).count() === 0)
+    graft.CachePool.releaseAll()
+
+    // empty-frame global shuffle order
+    assert(graft.etl.Sampling.shuffleOrder(
+      noDocs, col("doc_id"), "train_pos").count() === 0)
+    graft.CachePool.releaseAll()
+
+    // mojibake repair: empty string and lone high bytes stay put
+    assert(graft.functions.MojibakeRepair.fix("") === "")
+    assert(graft.functions.MojibakeRepair.fix("\u00e9") === "\u00e9")
+  }
 }
