@@ -1108,6 +1108,21 @@ object SparkEntry {
         (col("rec") >= col("n_p") * 0.9).as("recall_ok"))
     }),
 
+    "q_video_scenes" -> ((s, d) =>
+      // SCENE-CUT detection — the segmentation step between video decode
+      // and frame sampling: per-frame dHash over REAL GIF decodes,
+      // consecutive-frame Hamming through one per-video lag window, a
+      // cut above the intra-scene threshold. The clips derive entirely
+      // from doc_id (1 + id%3 scenes x 2 identical frames, fresh block
+      // pattern per scene), so the oracle restates frame count, scene
+      // count and first-cut index from the SAME arithmetic — a missed or
+      // spurious cut anywhere hash-mismatches. Within-scene distance is
+      // exactly 0 (byte-identical renders); cross-scene patterns differ
+      // like independent 64-bit draws, and payloads are pure functions
+      // of id, so a threshold green at a scale factor is green forever.
+      Multimodal.sceneCuts(
+        Multimodal.sceneVideoMedia(t(s, d, "documents")), maxIntraDist = 8)),
+
     "q_video_dedup" -> ((s, d) => {
       // PERCEPTUAL video dedup — the multi-frame member of the
       // image/audio/video triple: planted block-pattern animated GIFs
@@ -3524,6 +3539,16 @@ object SparkEntry {
     "q_video_dedup" ->
       """SELECT 'video_dhash' AS algo, count(*) AS n_planted, TRUE AS recall_ok
         |FROM documents""".stripMargin,
+
+    // scene expectations restated from the clip-generation arithmetic:
+    // 1 + id%3 scenes of 2 frames each, first cut at frame 2 whenever a
+    // second scene exists — the q_multimodal_meta derivation idiom.
+    "q_video_scenes" ->
+      """SELECT doc_id,
+        |  CAST(2 * (1 + doc_id % 3) AS BIGINT) AS n_frames,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_scenes,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 2 END AS BIGINT) AS first_cut_idx
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors videoMedia's planted derivation: n_frames = 1 + doc_id % 12,
     // frame i is (1 + (doc_id+i) % 16) × (1 + (doc_id·3+i) % 12) — the

@@ -933,4 +933,99 @@ object Multimodal {
       .select("vid_a", "vid_b", "n_matched", "n_frames")
       .orderBy("vid_a", "vid_b")
   }
+
+  /** Scene-structured animated GIFs for the scene-cut lane: each doc's
+    * clip has `1 + (id % 3)` SCENES of `framesPerScene` IDENTICAL frames
+    * (within-scene dHash distance exactly 0 — the frames are
+    * byte-identical renders), and each scene draws a fresh block pattern
+    * from the (id, scene) mix, so consecutive cross-scene frames differ
+    * like independent 64-bit patterns. Everything derives from doc_id —
+    * the oracle restates frame/scene/cut-index expectations from the
+    * same arithmetic, and since the payloads are a pure function of id,
+    * a detection threshold that holds at a scale factor holds forever.
+    */
+  def sceneVideoMedia(docs: DataFrame, framesPerScene: Int = 2,
+                      w: Int = 32, h: Int = 24): DataFrame = {
+    require(framesPerScene > 0 && w >= 8 && h >= 8)
+    val spark = docs.sparkSession
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nScenes = 1 + (id % 3).toInt
+        val buf = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+        try {
+          writer.reset()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var sc = 0
+          while (sc < nScenes) {
+            // one pattern per (id, scene); every frame of the scene
+            // renders it identically
+            var key = id * -7046029254386353131L + sc * -2862933555777941757L
+            key ^= key >>> 31; key *= -7723592293110705685L; key ^= key >>> 33
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val data = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val b = (y * 8 / h) * 8 + (x * 8 / w)
+                var kb = key + b * -4417276706812531889L
+                kb ^= kb >>> 31; kb *= -7723592293110705685L; kb ^= kb >>> 33
+                data(y * w + x) = (kb & 0xffL).toByte
+                x += 1
+              }
+              y += 1
+            }
+            var f = 0
+            while (f < framesPerScene) {
+              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            sc += 1
+          }
+          writer.endWriteSequence()
+        } finally ios.close()
+        Row(id, buf.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** SCENE-CUT detection + keyframe report — the segmentation step a
+    * video training pipeline runs between decode and sampling: per-frame
+    * dHash, consecutive-frame Hamming distance via one per-video lag
+    * window, a cut wherever the distance exceeds `maxIntraDist`
+    * (within-scene perceptual drift passes under it; a genuine scene
+    * change flips ~half the 64 bits). Output per video: frame count,
+    * detected scene count (#cuts + 1), and the first cut's frame index
+    * (-1 when the clip is a single scene — the keyframe seed a sampler
+    * starts from). Payloads never shuffle: only (doc_id, frame_idx,
+    * dhash) rows reach the window, partitioned per video.
+    */
+  def sceneCuts(media: DataFrame, maxIntraDist: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frameDHash64(media)
+      .withColumn("__prev", lag(col("dhash"), 1).over(w))
+      .withColumn("__cut", col("__prev").isNotNull &&
+        bit_count(col("__prev").bitwiseXOR(col("dhash"))) > maxIntraDist)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        (sum(when(col("__cut"), 1L).otherwise(0L)) + 1L).as("n_scenes"),
+        coalesce(min(when(col("__cut"), col("frame_idx"))), lit(-1L))
+          .as("first_cut_idx"))
+      .orderBy("doc_id")
+  }
 }
