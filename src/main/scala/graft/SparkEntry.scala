@@ -2661,6 +2661,37 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    "q_stream_dedup" -> ((s, d) => {
+      // ONLINE near-dup candidate detection drained end-to-end
+      // (StreamingDedup.nearDupCandidates — the stateful band-bucket
+      // analogue of the batch LSH self-join): originals arrive first and
+      // become bucket residents, the planted re-crawl copies arrive in
+      // batch 2 and must match ACROSS the batch boundary out of state.
+      // Graded with the same planted-recovery gate as the batch near-dup
+      // family (candidates normalized to unordered distinct pairs
+      // first); maxPerBucket is raised past any natural bucket
+      // population so eviction cannot eat residents, and ttl=None keeps
+      // the drain clock-independent. State is (doc_id, signature) pairs
+      // per bucket — bounded, payloads never enter the state store.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val docs = t(s2, d, "documents")
+      val planted = DedupData.withPlantedDups(docs)
+      val b1 = planted.filter(col("doc_id") < DedupData.ExactIdOffset)
+        .select("doc_id", "text")
+      val b2 = planted.filter(col("doc_id") >= DedupData.ExactIdOffset)
+        .select("doc_id", "text")
+      val hits = drainFileStream(s2, "stream_dedup", "append", Seq(b1, b2)) { in =>
+        graft.streaming.StreamingDedup.nearDupCandidates(
+          in, threshold = 0.5, maxPerBucket = 4096, ttl = None).toDF()
+      }
+      val pairs = hits.select(
+          least(col("doc_id"), col("matched_id")).as("id_a"),
+          greatest(col("doc_id"), col("matched_id")).as("id_b"))
+        .distinct()
+      dedupGate("stream_minhash", pairs, docs, nearRecall = 0.9)
+    }),
+
     "q_stream_drift" -> ((s, d) => {
       // INCREMENTAL drift monitoring drained end-to-end: the baseline
       // histogram (sources × buckets, bounded) rides inside the stateful
@@ -4062,6 +4093,14 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         | AND v.ts >= p.ts - INTERVAL 1 DAY AND v.ts <= p.ts
         |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
+
+    // the streaming near-dup drain grades through the same planted-
+    // recovery gate as the batch family (see q_dedup_minhash's oracle).
+    "q_stream_dedup" ->
+      """SELECT 'stream_minhash' AS algo,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS n_near,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 0) AS n_exact,
+        |  TRUE AS near_recall_ok, TRUE AS exact_recall_ok, TRUE AS pairs_bounded""".stripMargin,
 
     // stream-static enrich replay: the drained per-micro-batch
     // broadcast join must equal the batch join — one SQL join + agg.
