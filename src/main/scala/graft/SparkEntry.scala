@@ -3125,6 +3125,30 @@ object SparkEntry {
     * one string (the older per-query copies that also carry text/feature
     * columns keep their local CTEs).
     */
+  /** The UniMax waterfill replay shared by the q_unimax_mix and
+    * q_unimax_select oracles: assumes a `tok(source, n_tokens)` CTE is
+    * in scope, orders sources by capacity, and carries the remaining
+    * budget through the recursive CTE — ONE home for the algorithm's
+    * SQL (code-review r11: the two oracles previously duplicated it).
+    */
+  private val UnimaxOrdAllocCte: String =
+    """, ord AS (
+      |  SELECT source, n_tokens, n_tokens AS cap,
+      |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM tok
+      |), alloc AS (
+      |  WITH RECURSIVE w AS (
+      |    SELECT CAST(0 AS BIGINT) AS rn,
+      |      (SELECT (sum(n_tokens) * 3) // 4 FROM tok) AS remaining
+      |    UNION ALL
+      |    SELECT o.rn,
+      |      w.remaining - least(o.cap, w.remaining // (o.n - w.rn))
+      |    FROM w JOIN ord o ON o.rn = w.rn + 1
+      |  ) SELECT * FROM w
+      |)
+      |""".stripMargin
+
   private val ScoredCte: String =
     """WITH feats AS (
       |  SELECT doc_id, source,
@@ -6066,39 +6090,26 @@ object SparkEntry {
     // alloc_i = least(cap_i, remaining_{i-1} div k_i) with the same
     // integer floor division — every cell data-derived, nothing pinned.
     "q_unimax_mix" ->
-      """WITH tok AS (
+      ("""WITH tok AS (
         |  SELECT lang AS source,
         |    CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |      t -> len(t) > 0))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang
-        |), ord AS (
-        |  SELECT source, n_tokens, n_tokens AS cap,
-        |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
-        |    CAST(count(*) OVER () AS BIGINT) AS n
-        |  FROM tok
-        |), alloc AS (
-        |  WITH RECURSIVE w AS (
-        |    SELECT CAST(0 AS BIGINT) AS rn,
-        |      (SELECT (sum(n_tokens) * 3) // 4 FROM tok) AS remaining
-        |    UNION ALL
-        |    SELECT o.rn,
-        |      w.remaining - least(o.cap, w.remaining // (o.n - w.rn))
-        |    FROM w JOIN ord o ON o.rn = w.rn + 1
-        |  ) SELECT * FROM w
         |)
-        |SELECT o.source, o.n_tokens, o.cap AS cap_tokens,
+        |""".stripMargin + UnimaxOrdAllocCte +
+       """SELECT o.source, o.n_tokens, o.cap AS cap_tokens,
         |  least(o.cap, w.remaining // (o.n - w.rn)) AS alloc_tokens,
         |  CASE WHEN o.n_tokens > 0
         |       THEN least(o.cap, w.remaining // (o.n - w.rn)) * 1000000 // o.n_tokens
         |       ELSE 0 END AS epochs_mu
         |FROM ord o JOIN alloc w ON w.rn = o.rn - 1
-        |ORDER BY o.source""".stripMargin,
+        |ORDER BY o.source""".stripMargin),
 
     // full materialization replay: waterfill (recursive CTE) -> epochs
     // and remainder by div/mod -> the partial pass by the same Knuth
     // rank and inclusive running-total window. Nothing pinned.
     "q_unimax_select" ->
-      """WITH dtok AS (
+      ("""WITH dtok AS (
         |  SELECT doc_id, lang,
         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |      t -> len(t) > 0)) AS BIGINT) AS n_tok
@@ -6106,21 +6117,9 @@ object SparkEntry {
         |), tok AS (
         |  SELECT lang AS source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |  FROM dtok GROUP BY lang
-        |), ord AS (
-        |  SELECT source, n_tokens, n_tokens AS cap,
-        |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
-        |    CAST(count(*) OVER () AS BIGINT) AS n
-        |  FROM tok
-        |), alloc AS (
-        |  WITH RECURSIVE w AS (
-        |    SELECT CAST(0 AS BIGINT) AS rn,
-        |      (SELECT (sum(n_tokens) * 3) // 4 FROM tok) AS remaining
-        |    UNION ALL
-        |    SELECT o.rn,
-        |      w.remaining - least(o.cap, w.remaining // (o.n - w.rn))
-        |    FROM w JOIN ord o ON o.rn = w.rn + 1
-        |  ) SELECT * FROM w
-        |), te AS (
+        |)
+        |""".stripMargin + UnimaxOrdAllocCte +
+       """, te AS (
         |  SELECT o.source, o.n_tokens,
         |    least(o.cap, w.remaining // (o.n - w.rn)) AS alloc_tokens,
         |    CASE WHEN o.n_tokens > 0
@@ -6148,7 +6147,7 @@ object SparkEntry {
         |  coalesce(f.rem_docs, 0) AS rem_docs,
         |  coalesce(f.rem_tokens, 0) AS rem_tokens
         |FROM te LEFT JOIN fill f USING (source)
-        |ORDER BY te.source""".stripMargin,
+        |ORDER BY te.source""".stripMargin),
 
     "q_token_mix" -> (ScoredCte +
       """, counts AS (

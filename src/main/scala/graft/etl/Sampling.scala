@@ -371,8 +371,14 @@ object Sampling {
   def unimaxSelect(docs: DataFrame, id: Column, source: Column, tokens: Column,
                    budgetNum: Int = 1, budgetDen: Int = 4,
                    epochCap: Int = 4): DataFrame = {
+    // one tokenize/featurize pass: targets aggregate AND the fill frame
+    // both read this projection (code-review r11 — without the boundary
+    // the tokens expression evaluates over the corpus twice)
+    val src = graft.CachePool.persist(docs.select(
+      id.cast("long").as("doc_id"), source.as("source"),
+      tokens.cast("long").as("n_tok")))
     val targets = graft.CachePool.persist(
-      unimaxTargets(docs, source, tokens, budgetNum, budgetDen, epochCap)
+      unimaxTargets(src, col("source"), col("n_tok"), budgetNum, budgetDen, epochCap)
         .withColumn("full_epochs",
           expr("CASE WHEN n_tokens > 0 THEN alloc_tokens div n_tokens ELSE 0L END"))
         .withColumn("rem_budget",
@@ -387,9 +393,8 @@ object Sampling {
         targets.limit(0).select(col("source"), lit(0L).as("rem_docs"),
           lit(0L).as("rem_tokens"))
       else {
-        val keyed = docs.select(source.as("source"),
-            tokens.cast("long").as("n_tok"),
-            knuthHash(id).as("__ux_h"), id.cast("long").as("doc_id"))
+        val keyed = src
+          .withColumn("__ux_h", knuthHash(col("doc_id")))
           .filter(col("n_tok") >= 1L)
         val capK = math.min(maxRem, Int.MaxValue.toLong).toInt
         val capped = graft.plans.TopKPerKey.topK(

@@ -739,9 +739,17 @@ object Multimodal {
     * palettes are lossless for ≤256 gray levels, so decoded pixels equal
     * the pattern exactly.
     */
-  def videoPatternMedia(docs: DataFrame, maxFrames: Int = 6,
-                        w: Int = 32, h: Int = 24): DataFrame = {
-    require(maxFrames > 0 && w >= 8 && h >= 8)
+  /** Shared renderer for the synthetic block-pattern GIF lanes
+    * (videoPatternMedia / sceneVideoMedia): `frameKeys(id)` decides the
+    * clip's per-frame 64-bit pattern keys; every frame renders its key
+    * as an 8x8 block grid (aligned with dHash's 9x8 resample — the
+    * entropy contract both lanes lean on), one reader-reusable
+    * ImageIO writer per partition. One home for the codec scaffolding
+    * (code-review r11: the two lanes previously duplicated it).
+    */
+  private def blockPatternGifs(docs: DataFrame, w: Int, h: Int)(
+      frameKeys: Long => Array[Long]): DataFrame = {
+    require(w >= 8 && h >= 8)
     val spark = docs.sparkSession
     val mediaSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -753,7 +761,7 @@ object Multimodal {
         .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
       rows.map { r =>
         val id = r.getLong(0)
-        val nFrames = 1 + (id % maxFrames).toInt
+        val keys = frameKeys(id)
         val buf = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
         try {
@@ -761,10 +769,8 @@ object Multimodal {
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var f = 0
-          while (f < nFrames) {
-            // splitmix-style mix per (id, f); re-mixed per cell below
-            var key = id * -7046029254386353131L + f * -4417276706812531889L
-            key ^= key >>> 31; key *= -7723592293110705685L; key ^= key >>> 33
+          while (f < keys.length) {
+            val key = keys(f)
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
             val data = img.getRaster.getDataBuffer
@@ -790,6 +796,23 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Block-pattern clips for the video-dedup lane: `1 + (id % maxFrames)`
+    * frames, a FRESH pattern per (id, frame) — splitmix-style mix, one
+    * key per frame.
+    */
+  def videoPatternMedia(docs: DataFrame, maxFrames: Int = 6,
+                        w: Int = 32, h: Int = 24): DataFrame = {
+    require(maxFrames > 0)
+    blockPatternGifs(docs, w, h) { id =>
+      val n = 1 + (id % maxFrames).toInt
+      Array.tabulate(n) { f =>
+        var key = id * -7046029254386353131L + f * -4417276706812531889L
+        key ^= key >>> 31; key *= -7723592293110705685L; key ^= key >>> 33
+        key
+      }
+    }
   }
 
   /** Re-encode every frame of a multi-frame container at `factor×` size
@@ -946,60 +969,15 @@ object Multimodal {
     */
   def sceneVideoMedia(docs: DataFrame, framesPerScene: Int = 2,
                       w: Int = 32, h: Int = 24): DataFrame = {
-    require(framesPerScene > 0 && w >= 8 && h >= 8)
-    val spark = docs.sparkSession
-    val mediaSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
-      rows.map { r =>
-        val id = r.getLong(0)
-        val nScenes = 1 + (id % 3).toInt
-        val buf = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
-        try {
-          writer.reset()
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var sc = 0
-          while (sc < nScenes) {
-            // one pattern per (id, scene); every frame of the scene
-            // renders it identically
-            var key = id * -7046029254386353131L + sc * -2862933555777941757L
-            key ^= key >>> 31; key *= -7723592293110705685L; key ^= key >>> 33
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val data = img.getRaster.getDataBuffer
-              .asInstanceOf[java.awt.image.DataBufferByte].getData
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val b = (y * 8 / h) * 8 + (x * 8 / w)
-                var kb = key + b * -4417276706812531889L
-                kb ^= kb >>> 31; kb *= -7723592293110705685L; kb ^= kb >>> 33
-                data(y * w + x) = (kb & 0xffL).toByte
-                x += 1
-              }
-              y += 1
-            }
-            var f = 0
-            while (f < framesPerScene) {
-              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-              f += 1
-            }
-            sc += 1
-          }
-          writer.endWriteSequence()
-        } finally ios.close()
-        Row(id, buf.toByteArray)
-      }
+    require(framesPerScene > 0)
+    blockPatternGifs(docs, w, h) { id =>
+      val nScenes = 1 + (id % 3).toInt
+      (0 until nScenes).flatMap { sc =>
+        var key = id * -7046029254386353131L + sc * -2862933555777941757L
+        key ^= key >>> 31; key *= -7723592293110705685L; key ^= key >>> 33
+        Seq.fill(framesPerScene)(key)
+      }.toArray
     }
-    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** SCENE-CUT detection + keyframe report — the segmentation step a
