@@ -621,6 +621,24 @@ object SparkEntry {
         DedupData.withPlantedDups(t(s, d, "documents")),
         col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)),
 
+    "q_fuzzy_link" -> ((s, d) => {
+      // blocked edit-distance RECORD LINKAGE (entity resolution): dirty
+      // re-crawl twins (LinkData's delete-1 / sub-2 / vowel-mangle noise
+      // classes) link back to the clean 8-token title registry through
+      // the first-two-token blocking equi-join, the |Δlen| ≤ 2 band, and
+      // the bounded `levenshtein(a, b, 2)` confirm; per-probe argmin on
+      // the (dist, id) integer pack. VALUE-CERTIFIED: both engines
+      // implement exact unit-cost Levenshtein, so candidates, matches
+      // and the argmin replay cell for cell; class-2 probes exercise the
+      // no-match and empty-block branches (their mangled block key finds
+      // no clean block at all).
+      val titles = graft.operators.LinkData.titles(t(s, d, "documents"))
+      graft.operators.FuzzyLinkage.linkSummary(
+        graft.operators.LinkData.dirtyRecords(titles), col("doc_id"), col("title"),
+        titles, col("doc_id"), col("title"), maxDist = 2)
+        .orderBy("probe_id")
+    }),
+
     "q_dedup_recall" -> ((s, d) => {
       // Driver-visible quality gate for the approximate dedup family,
       // mirroring q_knn_recall: planted duplicates have KNOWN answers, so
@@ -3636,6 +3654,52 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.8 OR CAST(n_shared AS DOUBLE) / n_b >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // linkage replay: the same titles / dirty twins / blocking join /
+    // length band, then DuckDB's exact levenshtein in place of Spark's
+    // bounded form (bounding only changes values ABOVE the threshold,
+    // which the match filter discards on both sides), and the identical
+    // (dist·10^8 + id) integer argmin. Every cell data-derived.
+    "q_fuzzy_link" ->
+      """WITH titles AS (
+        |  SELECT doc_id, array_to_string(list_slice(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0),
+        |    1, 8), ' ') AS title
+        |  FROM documents
+        |), dirty AS (
+        |  SELECT doc_id + 7000000 AS doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN substr(title, 1, greatest(length(title) - 1, 0))
+        |         WHEN doc_id % 3 = 1 THEN concat(substr(title, 1, greatest(length(title) - 2, 0)), 'qz')
+        |         ELSE regexp_replace(title, '[aeiou]', 'x', 'g') END AS title
+        |  FROM titles
+        |), pblk AS (
+        |  SELECT doc_id, title, array_to_string(list_slice(
+        |    list_filter(string_split_regex(lower(trim(title)), '\s+'), t -> len(t) > 0),
+        |    1, 2), ' ') AS blk
+        |  FROM dirty
+        |), iblk AS (
+        |  SELECT doc_id, title, array_to_string(list_slice(
+        |    list_filter(string_split_regex(lower(trim(title)), '\s+'), t -> len(t) > 0),
+        |    1, 2), ' ') AS blk
+        |  FROM titles
+        |), cand AS (
+        |  SELECT p.doc_id AS probe_id, i.doc_id AS index_id,
+        |    levenshtein(p.title, i.title) AS dist
+        |  FROM pblk p JOIN iblk i USING (blk)
+        |  WHERE abs(length(p.title) - length(i.title)) <= 2
+        |), agg AS (
+        |  SELECT probe_id, count(*) AS n_cand,
+        |    sum(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS n_matches,
+        |    min(CASE WHEN dist <= 2 THEN dist * 100000000 + index_id END) AS best_key
+        |  FROM cand GROUP BY probe_id
+        |)
+        |SELECT d.doc_id AS probe_id,
+        |  CAST(coalesce(a.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+        |  CAST(coalesce(a.best_key // 100000000, -1) AS BIGINT) AS best_dist,
+        |  CAST(coalesce(a.best_key % 100000000, -1) AS BIGINT) AS best_index_id
+        |FROM dirty d LEFT JOIN agg a ON a.probe_id = d.doc_id
+        |ORDER BY probe_id""".stripMargin,
 
     // unicode fold replay: DuckDB's nfc_normalize + strip_accents + lower
     // against the native UnicodeNormalize chain; the planted prefix
