@@ -917,6 +917,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_k_anonymity" -> ((s, d) => {
+      // k-ANONYMITY / l-DIVERSITY release audit (Privacy.kAnonymityLadder):
+      // customers keyed by the (nation, segment, balance-bucket) quasi-
+      // identifiers, audited over a 4-level global-recoding ladder —
+      // bucket widening ($100 → $1000), hierarchy climb (nation → region
+      // via the broadcast nation dim), column drop — with k = 5, the
+      // custkey%8 stand-in sensitive attribute, and a 1% residual-risk
+      // budget picking the FIRST publishable level. Balance buckets go
+      // through exact integer cents (+1e8 shift keeps the floor division
+      // on positives — engine-portable). VALUE-CERTIFIED: class counts,
+      // risky rows, min-l, ppm and the chosen flag all replay in SQL;
+      // at sf0.01 the risk falls 100% → 96% → 20% → 0 down the ladder
+      // and only L3 clears the budget, so both branches of every flag
+      // (risky/clean classes, chosen true/false, min_l 1 vs 8) are real.
+      val c = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("cents",
+          (round(col("c_acctbal") * 100) + 100000000L).cast("long"))
+        .withColumn("b100", expr("cents div 10000"))
+        .withColumn("b1000", expr("cents div 100000"))
+      graft.etl.Privacy.kAnonymityLadder(c,
+        Seq(
+          0 -> Seq(col("c_nationkey"), col("c_mktsegment"), col("b100")),
+          1 -> Seq(col("c_nationkey"), col("c_mktsegment"), col("b1000")),
+          2 -> Seq(col("n_regionkey"), col("c_mktsegment"), col("b1000")),
+          3 -> Seq(col("n_regionkey"), col("c_mktsegment"))),
+        sensitive = col("c_custkey") % 8, k = 5, maxRiskPpm = 10000L)
+    }),
+
     "q_pii_redact" -> ((s, d) => {
       // every 5th doc gets a deterministic PII suffix (URL with embedded
       // credentials, e-mail, phone, IP) so the redaction chain has real
@@ -3734,6 +3764,51 @@ object SparkEntry {
     // the same sequential regex chain as Redact.Stages — patterns sit in
     // the Java-regex/RE2 agreement subset, so text and counts match
     // byte-for-byte. DuckDB regexp_replace needs the explicit 'g' flag
+    // the ladder replayed level by level: same integer cents buckets, same
+    // group-bys, same floor-division ppm, same first-clearing-level window
+    // over the 4 audit rows. Every cell data-derived.
+    "q_k_anonymity" ->
+      """WITH base AS (
+        |  SELECT c_custkey % 8 AS sens, c_nationkey, n_regionkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 10000 AS b100,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000 AS b1000
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |), audit AS (
+        |  SELECT 0 AS level, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    count(*) AS n_classes,
+        |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+        |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+        |    CAST(min(l) AS BIGINT) AS min_l
+        |  FROM (SELECT count(*) n, count(DISTINCT sens) l FROM base
+        |        GROUP BY c_nationkey, c_mktsegment, b100)
+        |  UNION ALL
+        |  SELECT 1, CAST(sum(n) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+        |    CAST(min(l) AS BIGINT)
+        |  FROM (SELECT count(*) n, count(DISTINCT sens) l FROM base
+        |        GROUP BY c_nationkey, c_mktsegment, b1000)
+        |  UNION ALL
+        |  SELECT 2, CAST(sum(n) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+        |    CAST(min(l) AS BIGINT)
+        |  FROM (SELECT count(*) n, count(DISTINCT sens) l FROM base
+        |        GROUP BY n_regionkey, c_mktsegment, b1000)
+        |  UNION ALL
+        |  SELECT 3, CAST(sum(n) AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+        |    CAST(min(l) AS BIGINT)
+        |  FROM (SELECT count(*) n, count(DISTINCT sens) l FROM base
+        |        GROUP BY n_regionkey, c_mktsegment)
+        |)
+        |SELECT level, n_rows, n_classes, n_risky_classes, n_risky_rows, min_l,
+        |  n_risky_rows * 1000000 // n_rows AS risk_ppm,
+        |  coalesce(level = min(CASE WHEN n_risky_rows * 1000000 // n_rows <= 10000
+        |                            THEN level END) OVER (), false) AS chosen
+        |FROM audit ORDER BY level""".stripMargin,
+
     // (Spark's is global by default).
     "q_pii_redact" ->
       """WITH planted AS (
