@@ -1276,6 +1276,18 @@ object SparkEntry {
       graft.analytics.EventAnalytics.funnel(events(s, d), col("user_id"),
         col("ts"), col("event_type"), Seq("signup", "view", "click", "purchase"))),
 
+    "q_transitions" -> ((s, d) =>
+      // first-order Markov TRANSITION MATRIX over per-user event paths
+      // (EventAnalytics.transitionMatrix): (prev → current) bigrams from
+      // one per-user lag window in (ts, event_id) order, a `_start_`
+      // pseudo-state ahead of each user's first event, then counts,
+      // integer-ppm probabilities and per-from ranks computed on the
+      // AGGREGATED ≤ (#states+1)·#states matrix — the totals/rank
+      // windows never see the corpus. VALUE-CERTIFIED: bigrams, counts,
+      // floor-division ppm and the (n desc, name) rank replay in SQL.
+      graft.analytics.EventAnalytics.transitionMatrix(events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4364,6 +4376,26 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
         |ORDER BY step""".stripMargin,
+
+    // the per-user lag window replayed 1:1 (same (ts, event_id) order,
+    // same `_start_` default), then the same aggregate, floor-division
+    // ppm, and deterministic (count desc, name) rank.
+    "q_transitions" ->
+      """WITH bigrams AS (
+        |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), '_start_') AS from_type,
+        |    event_type AS to_type
+        |  FROM events
+        |), matrix AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM bigrams GROUP BY from_type, to_type
+        |)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        |  n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm,
+        |  CAST(row_number() OVER (PARTITION BY from_type
+        |    ORDER BY n DESC, to_type) AS INTEGER) AS rnk
+        |FROM matrix ORDER BY from_type, to_type""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -211,4 +211,39 @@ object EventAnalytics {
         col("n_events") * scale * num < col("prev_s") * den)
       .orderBy("k", "day")
   }
+
+  /** First-order Markov TRANSITION MATRIX over per-user event sequences —
+    * the sequence-mining primitive behind next-action prediction, funnel
+    * discovery and session-path audits: each user's events in (ts,
+    * tie-break) order yield (prev → current) bigrams, with a `_start_`
+    * pseudo-state ahead of every user's first event so entry points are
+    * first-class transitions.
+    *
+    * Output per (from_type, to_type): count, the from-state's outgoing
+    * total, the transition probability as integer ppm (count·10⁶ div
+    * total — engine-portable, no float division), and the to-state's rank
+    * within the from-state (by count desc, name asc — deterministic).
+    *
+    * Scale design: the ONLY corpus-sized operation is the per-user lag
+    * window (shuffle by user — the sessionize shape) feeding a hash
+    * aggregate with map-side combine; the totals/rank windows run over the
+    * AGGREGATED matrix, which is ≤ (#states+1)·#states rows regardless of
+    * corpus size.
+    */
+  def transitionMatrix(events: DataFrame, user: Column, ts: Column,
+                       tieBreak: Column, eventType: Column): DataFrame = {
+    val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)
+    val bigrams = events
+      .select(lag(eventType, 1, "_start_").over(perUser).as("from_type"),
+        eventType.as("to_type"))
+    val matrix = bigrams.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val perFrom = Window.partitionBy("from_type")
+    matrix
+      .withColumn("from_total", sum(col("n")).over(perFrom))
+      .withColumn("p_ppm", expr("n * 1000000 div from_total"))
+      .withColumn("rnk", row_number().over(
+        perFrom.orderBy(col("n").desc, col("to_type"))))
+      .orderBy("from_type", "to_type")
+  }
 }
