@@ -1288,6 +1288,38 @@ object SparkEntry {
       graft.analytics.EventAnalytics.transitionMatrix(events(s, d),
         col("user_id"), col("ts"), col("event_id"), col("event_type"))),
 
+    "q_ab_test" -> ((s, d) => {
+      // controlled-experiment analysis (Experiment.chiSquare): variant =
+      // user_id parity, one metric per event type (conversion = the event
+      // is of that type) plus `planted_lift`, where the treatment arm
+      // additionally converts on even-id error events — a deterministic
+      // ~50% relative lift, so `significant` has a guaranteed TRUE branch
+      // while the five null metrics pin the (data-derived) FALSE side.
+      // The corpus is touched by ONE hash aggregate into the 20-row
+      // (variant, type, parity) frame; metric tagging, the contingency
+      // pivot and the exact DECIMAL(38,0) cross-multiplied chi-square
+      // decision (10⁶·N·(ad−bc)² ≥ 3841459·margins — the oracle replays
+      // it over HUGEINT) all run on that tiny frame. VALUE-CERTIFIED:
+      // counts, floor-division ppm rates, lift and the decision replay
+      // cell for cell.
+      val base = events(s, d).groupBy(
+          (col("user_id") % 2).as("variant"), col("event_type"),
+          (col("event_id") % 2).as("par"))
+        .agg(count(lit(1)).as("n"))
+      val metrics = Seq("click", "error", "purchase", "signup", "view")
+      val tagged = base.select(col("variant"), col("n"), explode(array(
+        (metrics.map(m => struct(lit(m).as("metric"),
+          (col("event_type") === m).as("conv"))) :+
+          struct(lit("planted_lift").as("metric"),
+            (col("event_type") === "purchase" ||
+              (col("variant") === 1 && col("event_type") === "error" &&
+                col("par") === 0)).as("conv"))): _*)).as("mx"))
+      val cont = tagged.groupBy(col("mx.metric").as("metric"), col("variant"))
+        .agg(sum("n").as("n"),
+          sum(when(col("mx.conv"), col("n")).otherwise(0L)).as("conv"))
+      graft.analytics.Experiment.chiSquare(cont)
+    }),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4396,6 +4428,49 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY from_type
         |    ORDER BY n DESC, to_type) AS INTEGER) AS rnk
         |FROM matrix ORDER BY from_type, to_type""".stripMargin,
+
+    // the same 20-row (variant, type, parity) pre-aggregate, metric
+    // tagging via a VALUES cross join, the contingency pivot, and the
+    // chi-square decision replayed over HUGEINT (both engines' wide
+    // integers are exact here — see Experiment.scala's headroom note).
+    "q_ab_test" ->
+      """WITH base AS (
+        |  SELECT user_id % 2 AS variant, event_type, event_id % 2 AS par,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |), tagged AS (
+        |  SELECT variant, n, m.metric,
+        |    CASE WHEN m.metric = 'planted_lift'
+        |         THEN (event_type = 'purchase' OR
+        |               (variant = 1 AND event_type = 'error' AND par = 0))
+        |         ELSE event_type = m.metric END AS conv
+        |  FROM base CROSS JOIN (VALUES ('click'), ('error'), ('purchase'),
+        |    ('signup'), ('view'), ('planted_lift')) m(metric)
+        |), cont AS (
+        |  SELECT metric, variant, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN conv THEN n ELSE 0 END) AS BIGINT) AS conv
+        |  FROM tagged GROUP BY 1, 2
+        |), arms AS (
+        |  SELECT metric,
+        |    CAST(sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n_ctl,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_ctl,
+        |    CAST(sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n_trt,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_trt
+        |  FROM cont GROUP BY 1
+        |)
+        |SELECT metric, n_ctl, conv_ctl, n_trt, conv_trt,
+        |  conv_ctl * 1000000 // n_ctl AS ppm_ctl,
+        |  conv_trt * 1000000 // n_trt AS ppm_trt,
+        |  (conv_trt * 1000000 // n_trt) - (conv_ctl * 1000000 // n_ctl) AS lift_ppm,
+        |  (CAST(1000000 AS HUGEINT) * CAST(n_ctl + n_trt AS HUGEINT) *
+        |   (CAST(conv_trt AS HUGEINT) * CAST(n_ctl - conv_ctl AS HUGEINT) -
+        |    CAST(n_trt - conv_trt AS HUGEINT) * CAST(conv_ctl AS HUGEINT)) *
+        |   (CAST(conv_trt AS HUGEINT) * CAST(n_ctl - conv_ctl AS HUGEINT) -
+        |    CAST(n_trt - conv_trt AS HUGEINT) * CAST(conv_ctl AS HUGEINT))
+        |   >= CAST(3841459 AS HUGEINT) * CAST(n_trt AS HUGEINT) *
+        |      CAST(n_ctl AS HUGEINT) * CAST(conv_ctl + conv_trt AS HUGEINT) *
+        |      CAST(n_ctl + n_trt - conv_ctl - conv_trt AS HUGEINT)) AS significant
+        |FROM arms ORDER BY metric""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

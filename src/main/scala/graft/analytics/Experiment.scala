@@ -1,0 +1,76 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Controlled-experiment (A/B test) analysis — the two-proportion
+  * contingency test every event-logging product runs continuously:
+  * trials carry a variant (0 = control, 1 = treatment) and a conversion
+  * flag; per metric the engine reports both arms' trial/conversion
+  * counts, integer-ppm conversion rates, the treatment lift in ppm, and
+  * a Pearson chi-square significance decision at α = 0.05.
+  *
+  * The decision is EXACT fixed-point arithmetic, no float division:
+  * χ² ≥ 3.841459 (the 95% critical value of χ²₁) is evaluated as the
+  * cross-multiplied integer comparison
+  *
+  *   10⁶ · N · (ad − bc)²  ≥  3841459 · (a+b)(c+d)(a+c)(b+d)
+  *
+  * over DECIMAL(38,0) (the oracle replays it over HUGEINT — both sides
+  * are exact integers in both engines), where a/b = treatment
+  * conversions/non-conversions and c/d = control's. DECIMAL(38,0) holds
+  * the products exactly to N ≈ 4·10⁶ trials per metric; a 100 TB log
+  * feeds the test through [[contingency]]'s pre-aggregation, and beyond
+  * that N the caller should stratify or subsample — statistical power
+  * saturates orders of magnitude earlier.
+  *
+  * Scale design: [[contingency]] is ONE hash aggregate with map-side
+  * combine (2 rows per metric out); [[chiSquare]] runs scalar
+  * expressions and a #metrics-row pivot — nothing after the first
+  * aggregate ever sees the corpus.
+  */
+object Experiment {
+
+  /** Collapse row-level trials to the per-(metric, variant) contingency
+    * counts: `n` trials, `conv` conversions. The only corpus-sized op. */
+  def contingency(trials: DataFrame, metric: Column, variant: Column,
+                  converted: Column): DataFrame =
+    trials.groupBy(metric.as("metric"), variant.as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(converted, lit(1L)).otherwise(lit(0L))).as("conv"))
+
+  /** Per-metric test over a (metric, variant, n, conv) contingency
+    * frame: pivots the two arms side by side and appends ppm rates, the
+    * lift, and the exact chi-square decision. Input is metric-count
+    * sized, never corpus sized.
+    */
+  def chiSquare(cont: DataFrame): DataFrame = {
+    val arms = cont.groupBy("metric").agg(
+      sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n_ctl"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_ctl"),
+      sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n_trt"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_trt"))
+    arms
+      .withColumn("ppm_ctl", expr("conv_ctl * 1000000 div n_ctl"))
+      .withColumn("ppm_trt", expr("conv_trt * 1000000 div n_trt"))
+      .withColumn("lift_ppm", col("ppm_trt") - col("ppm_ctl"))
+      // exact integer chi-square decision; every operand cast BEFORE any
+      // product so no BIGINT intermediate can overflow
+      .withColumn("significant", expr(
+        """CAST(1000000 AS DECIMAL(38,0)) * CAST(n_ctl + n_trt AS DECIMAL(38,0)) *
+          |  (CAST(conv_trt AS DECIMAL(38,0)) * CAST(n_ctl - conv_ctl AS DECIMAL(38,0)) -
+          |   CAST(n_trt - conv_trt AS DECIMAL(38,0)) * CAST(conv_ctl AS DECIMAL(38,0))) *
+          |  (CAST(conv_trt AS DECIMAL(38,0)) * CAST(n_ctl - conv_ctl AS DECIMAL(38,0)) -
+          |   CAST(n_trt - conv_trt AS DECIMAL(38,0)) * CAST(conv_ctl AS DECIMAL(38,0)))
+          |>= CAST(3841459 AS DECIMAL(38,0)) *
+          |  CAST(n_trt AS DECIMAL(38,0)) * CAST(n_ctl AS DECIMAL(38,0)) *
+          |  CAST(conv_ctl + conv_trt AS DECIMAL(38,0)) *
+          |  CAST(n_ctl + n_trt - conv_ctl - conv_trt AS DECIMAL(38,0))""".stripMargin))
+      .orderBy("metric")
+  }
+
+  /** Row-level convenience: [[contingency]] then [[chiSquare]]. */
+  def abTest(trials: DataFrame, metric: Column, variant: Column,
+             converted: Column): DataFrame =
+    chiSquare(contingency(trials, metric, variant, converted))
+}
