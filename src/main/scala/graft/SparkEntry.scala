@@ -1320,6 +1320,23 @@ object SparkEntry {
       graft.analytics.Experiment.chiSquare(cont)
     }),
 
+    "q_attribution" -> ((s, d) =>
+      // multi-touch conversion attribution (EventAnalytics.attribution):
+      // touches = signup/view/click, conversions = purchase, 6-hour
+      // lookback. Segments come from one forward-counting user window;
+      // first/last/linear (floor-division ppm) credits roll up per
+      // channel, with zero-touch conversions crediting `_none_`. The
+      // 6-hour lookback is SHORT relative to the ~11 h mean inter-event
+      // gap, so all three branches are real at sf0.01: attributed
+      // touches, touches excluded by the lookback, and zero-touch
+      // conversions. VALUE-CERTIFIED: every credit column replays in
+      // SQL cell for cell.
+      graft.analytics.EventAnalytics.attribution(
+        events(s, d).filter(
+          col("event_type").isin("signup", "view", "click", "purchase")),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("event_type") === "purchase", lookbackHours = 6)),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4471,6 +4488,71 @@ object SparkEntry {
         |      CAST(n_ctl AS HUGEINT) * CAST(conv_ctl + conv_trt AS HUGEINT) *
         |      CAST(n_ctl + n_trt - conv_ctl - conv_trt AS HUGEINT)) AS significant
         |FROM arms ORDER BY metric""".stripMargin,
+
+    // the segmentation window, lookback filter, rank windows, credit
+    // floor divisions and channel rollups replayed 1:1; the channel set
+    // derives from the data in both engines (UNION of the three credit
+    // frames' channels).
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, ts AS t, event_id AS tb, event_type AS ch,
+        |    (event_type = 'purchase') AS isconv
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        |), seg AS (
+        |  SELECT *, sum(CASE WHEN isconv THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY u ORDER BY t, tb
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS seg
+        |  FROM ev
+        |), segc AS (
+        |  SELECT *, max(CASE WHEN isconv THEN t END)
+        |      OVER (PARTITION BY u, seg) AS conv_t
+        |  FROM seg WHERE seg >= 1
+        |), ranked AS (
+        |  SELECT u, seg, ch, t, tb,
+        |    row_number() OVER (PARTITION BY u, seg ORDER BY t, tb) AS rn_a,
+        |    row_number() OVER (PARTITION BY u, seg ORDER BY t DESC, tb DESC) AS rn_d
+        |  FROM segc WHERE NOT isconv AND t >= conv_t - INTERVAL 6 HOUR
+        |), perconv AS (
+        |  SELECT u, seg, count(*) AS n_att,
+        |    max(CASE WHEN rn_a = 1 THEN ch END) AS first_type,
+        |    max(CASE WHEN rn_d = 1 THEN ch END) AS last_type
+        |  FROM ranked GROUP BY 1, 2
+        |), convlvl AS (
+        |  SELECT c.u, c.seg,
+        |    coalesce(p.first_type, '_none_') AS first_type,
+        |    coalesce(p.last_type, '_none_') AS last_type
+        |  FROM (SELECT u, seg FROM segc WHERE isconv) c
+        |  LEFT JOIN perconv p USING (u, seg)
+        |), chlin AS (
+        |  SELECT channel, CAST(sum(credit) AS BIGINT) AS linear_ppm,
+        |    CAST(sum(cnt) AS BIGINT) AS n_touches
+        |  FROM (
+        |    SELECT r.ch AS channel, count(*) AS cnt,
+        |      count(*) * 1000000 // p.n_att AS credit
+        |    FROM ranked r JOIN perconv p USING (u, seg)
+        |    GROUP BY r.u, r.seg, r.ch, p.n_att)
+        |  GROUP BY 1
+        |), chfirst AS (
+        |  SELECT first_type AS channel, CAST(count(*) AS BIGINT) AS first_n
+        |  FROM convlvl GROUP BY 1
+        |), chlast AS (
+        |  SELECT last_type AS channel, CAST(count(*) AS BIGINT) AS last_n
+        |  FROM convlvl GROUP BY 1
+        |), allch AS (
+        |  SELECT channel FROM chfirst UNION SELECT channel FROM chlast
+        |  UNION SELECT channel FROM chlin
+        |)
+        |SELECT a.channel,
+        |  coalesce(f.first_n, 0) AS first_n,
+        |  coalesce(l.last_n, 0) AS last_n,
+        |  coalesce(li.linear_ppm, 0) AS linear_ppm,
+        |  coalesce(li.n_touches, 0) AS n_touches
+        |FROM allch a
+        |LEFT JOIN chfirst f USING (channel)
+        |LEFT JOIN chlast l USING (channel)
+        |LEFT JOIN chlin li USING (channel)
+        |ORDER BY a.channel""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -230,6 +230,78 @@ object EventAnalytics {
     * AGGREGATED matrix, which is ≤ (#states+1)·#states rows regardless of
     * corpus size.
     */
+  /** Multi-touch conversion ATTRIBUTION — the marketing-analytics
+    * primitive crediting touch events (views, clicks, …) for the
+    * conversions they precede. Each user's event stream splits into
+    * conversion segments (everything after the previous conversion up to
+    * and including the next one — computed by ONE forward-counting
+    * window, no self-join); a touch is attributed to its segment's
+    * conversion iff it falls within `lookbackHours` of it. Per channel
+    * the output reports first-touch and last-touch conversion credits
+    * (deterministic: touch order is (ts, tie-break)), linear credit as
+    * summed integer ppm (each conversion's 10⁶ splits across channels as
+    * floor(channel-touches·10⁶ / all-touches) — per-CHANNEL flooring,
+    * engine-portable), and the attributed touch count. Conversions with NO attributed touch credit the `noneLabel`
+    * channel, so every conversion is accounted for.
+    *
+    * Scale design: the corpus flows through user-keyed windows (the
+    * sessionize shuffle shape) and (user, segment)-keyed windows/joins —
+    * never a global window, never a pair join; the channel rollup frames
+    * are channel-count sized and assemble with tiny outer joins. The
+    * output channel set is derived from the data (channels that earn any
+    * credit), identically in the oracle.
+    */
+  def attribution(events: DataFrame, user: Column, ts: Column,
+                  tieBreak: Column, channel: Column, isConversion: Column,
+                  lookbackHours: Int = 6,
+                  noneLabel: String = "_none_"): DataFrame = {
+    val ev = events.select(user.as("u"), ts.as("t"), tieBreak.as("tb"),
+      channel.as("ch"), isConversion.as("isconv"))
+    // segment id = #conversions at or after this row (per user, forward
+    // frame): a conversion closes its own segment, so group seg=k is
+    // "events since the previous conversion, conversion last"
+    val wSeg = Window.partitionBy("u").orderBy(col("t"), col("tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val seg = ev
+      .withColumn("seg", sum(when(col("isconv"), 1L).otherwise(0L)).over(wSeg))
+      .filter(col("seg") >= 1) // seg 0 = trailing touches with no conversion ahead
+    val withConv = seg.withColumn("conv_t",
+      max(when(col("isconv"), col("t"))).over(Window.partitionBy("u", "seg")))
+    val att = withConv.filter(!col("isconv") &&
+      col("t") >= expr(s"conv_t - INTERVAL '$lookbackHours' HOUR"))
+    val ranked = att
+      .withColumn("rn_a", row_number().over(
+        Window.partitionBy("u", "seg").orderBy(col("t"), col("tb"))))
+      .withColumn("rn_d", row_number().over(
+        Window.partitionBy("u", "seg").orderBy(col("t").desc, col("tb").desc)))
+    val perConv = ranked.groupBy("u", "seg").agg(
+      count(lit(1)).as("n_att"),
+      max(when(col("rn_a") === 1, col("ch"))).as("first_type"),
+      max(when(col("rn_d") === 1, col("ch"))).as("last_type"))
+    val convLvl = withConv.filter(col("isconv")).select("u", "seg")
+      .join(perConv, Seq("u", "seg"), "left")
+      .select(col("u"), col("seg"),
+        coalesce(col("first_type"), lit(noneLabel)).as("first_type"),
+        coalesce(col("last_type"), lit(noneLabel)).as("last_type"))
+    val chLin = ranked.groupBy("u", "seg", "ch").agg(count(lit(1)).as("cnt"))
+      .join(perConv.select("u", "seg", "n_att"), Seq("u", "seg"))
+      .withColumn("credit", expr("cnt * 1000000 div n_att"))
+      .groupBy(col("ch").as("channel"))
+      .agg(sum("credit").as("linear_ppm"), sum("cnt").as("n_touches"))
+    val chFirst = convLvl.groupBy(col("first_type").as("channel"))
+      .agg(count(lit(1)).as("first_n"))
+    val chLast = convLvl.groupBy(col("last_type").as("channel"))
+      .agg(count(lit(1)).as("last_n"))
+    chFirst.join(chLast, Seq("channel"), "full")
+      .join(chLin, Seq("channel"), "full")
+      .select(col("channel"),
+        coalesce(col("first_n"), lit(0L)).as("first_n"),
+        coalesce(col("last_n"), lit(0L)).as("last_n"),
+        coalesce(col("linear_ppm"), lit(0L)).as("linear_ppm"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"))
+      .orderBy("channel")
+  }
+
   def transitionMatrix(events: DataFrame, user: Column, ts: Column,
                        tieBreak: Column, eventType: Column): DataFrame = {
     val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)
