@@ -1337,6 +1337,25 @@ object SparkEntry {
         col("user_id"), col("ts"), col("event_id"), col("event_type"),
         col("event_type") === "purchase", lookbackHours = 6)),
 
+    "q_basket_rules" -> ((s, d) => {
+      // market-basket association rules (MarketBasket.rules): baskets =
+      // orders, items = part brands (the classic hierarchy rollup — the
+      // brand dim is extracted small and broadcast even when `part`
+      // itself is huge). Apriori prune at 14% item support cuts 25
+      // brands to 17 at sf0.01 (14 at sf0.001) BEFORE any pair exists;
+      // the 2% pair-support floor then drops 2 more pairs — both prune
+      // branches are real at both scales. Confidence = floor-division
+      // ppm; lift over DECIMAL(38,0)/HUGEINT so the n_ab·N·10⁶ product
+      // is exact. VALUE-CERTIFIED: 268 directed rules at sf0.01, every
+      // metric cell replayed in SQL.
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val withBrand = li.join(
+        broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      graft.analytics.MarketBasket.rules(withBrand, col("l_orderkey"),
+        col("p_brand"), minItemSupPpm = 140000L, minPairSupPpm = 20000L)
+    }),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4553,6 +4572,43 @@ object SparkEntry {
         |LEFT JOIN chlast l USING (channel)
         |LEFT JOIN chlin li USING (channel)
         |ORDER BY a.channel""".stripMargin,
+
+    // distinct (basket, brand), the same cross-multiplied prunes, the
+    // same pair join (with the 64-item basket cap replayed), and the
+    // HUGEINT lift replay of Spark's DECIMAL(38,0) arithmetic.
+    "q_basket_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM bi
+        |), sup AS (SELECT it, count(*) AS n_it FROM bi GROUP BY 1
+        |), freq AS (
+        |  SELECT it, n_it FROM sup, nb
+        |  WHERE n_it * 1000000 >= 140000 * n_baskets
+        |), fbi AS (SELECT bk, it FROM bi WHERE it IN (SELECT it FROM freq)
+        |), okb AS (SELECT bk FROM fbi GROUP BY bk HAVING count(*) <= 64
+        |), fb2 AS (SELECT f.bk, f.it FROM fbi f JOIN okb USING (bk)
+        |), pr AS (
+        |  SELECT x.it AS a, y.it AS b, count(*) AS n_ab
+        |  FROM fb2 x JOIN fb2 y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT a, b, n_ab, n_baskets FROM pr, nb
+        |  WHERE n_ab * 1000000 >= 20000 * n_baskets
+        |), directed AS (
+        |  SELECT a AS antecedent, b AS consequent, n_ab, n_baskets FROM keep
+        |  UNION ALL
+        |  SELECT b, a, n_ab, n_baskets FROM keep
+        |)
+        |SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(fa.n_it AS BIGINT) AS n_ante, CAST(fc.n_it AS BIGINT) AS n_cons,
+        |  n_ab * 1000000 // fa.n_it AS conf_ppm,
+        |  CAST(CAST(n_ab AS HUGEINT) * CAST(n_baskets AS HUGEINT) * 1000000 //
+        |    (CAST(fa.n_it AS HUGEINT) * CAST(fc.n_it AS HUGEINT)) AS BIGINT) AS lift_ppm
+        |FROM directed
+        |JOIN freq fa ON fa.it = antecedent
+        |JOIN freq fc ON fc.it = consequent
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (
