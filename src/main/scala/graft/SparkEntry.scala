@@ -1356,6 +1356,39 @@ object SparkEntry {
         col("p_brand"), minItemSupPpm = 140000L, minPairSupPpm = 20000L)
     }),
 
+    "q_rendezvous_shard" -> ((s, d) => {
+      // rendezvous-hash shard rebalance audit (etl/Sharding): every
+      // event key assigned under HRW at 16 and 17 shards — the argmax
+      // folds over sequence(0,n-1) INSIDE the row (codegen arithmetic,
+      // no explode/join) — vs the mod-hash baseline. The summary
+      // certifies HRW's minimal-movement law (every moved key lands on
+      // the NEW shard — a mathematical invariant of argmax growth, so
+      // rdv_minimal_ok is a certificate, not a tunable), the ~1/17
+      // movement ppm vs mod's ~15/16, and 17-shard load balance.
+      // VALUE-CERTIFIED: the oracle replays the double-Knuth weights
+      // bit-for-bit (all BIGINT-safe) and every count/ppm cell.
+      val assigned = events(s, d).select(col("event_id"))
+        .withColumn("s16", graft.etl.Sharding.rendezvousShard(col("event_id"), 16))
+        .withColumn("s17", graft.etl.Sharding.rendezvousShard(col("event_id"), 17))
+      val summ = assigned.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L)).as("rdv_moved"),
+        sum(when(col("s16") =!= col("s17") && col("s17") =!= 16, 1L)
+          .otherwise(0L)).as("n_nonmin"),
+        sum(when(col("event_id") % 16 =!= col("event_id") % 17, 1L)
+          .otherwise(0L)).as("mod_moved"))
+      val load = assigned.groupBy("s17").agg(count(lit(1)).as("ld"))
+        .agg(max("ld").as("load17_max"), min("ld").as("load17_min"),
+          count(lit(1)).as("n_shards17"))
+      summ.crossJoin(broadcast(load))
+        .select(col("n_keys"), col("rdv_moved"),
+          expr("rdv_moved * 1000000 div n_keys").as("rdv_moved_ppm"),
+          (col("n_nonmin") === 0L).as("rdv_minimal_ok"),
+          col("mod_moved"),
+          expr("mod_moved * 1000000 div n_keys").as("mod_moved_ppm"),
+          col("load17_max"), col("load17_min"), col("n_shards17"))
+    }),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4609,6 +4642,49 @@ object SparkEntry {
         |JOIN freq fa ON fa.it = antecedent
         |JOIN freq fc ON fc.it = consequent
         |ORDER BY antecedent, consequent""".stripMargin,
+
+    // the double-Knuth HRW weight replayed bit-for-bit over a
+    // generate_series blowup (oracle-side only; Spark folds in-row),
+    // argmax by (w DESC, s) = the fold's first-maximum tie rule.
+    "q_rendezvous_shard" ->
+      """WITH keys AS (SELECT event_id AS k FROM events
+        |), ws AS (
+        |  SELECT k, n, s,
+        |    ((xor(((k & 2147483647) * 2654435761) % 4294967296,
+        |          s * 2654435761) & 2147483647) * 2654435761) % 4294967296 AS w
+        |  FROM keys
+        |  CROSS JOIN (SELECT 16 AS n UNION ALL SELECT 17) nn
+        |  CROSS JOIN generate_series(0, 16) g(s)
+        |  WHERE s < n
+        |), pick AS (
+        |  SELECT k, n, s FROM (
+        |    SELECT k, n, s,
+        |      row_number() OVER (PARTITION BY k, n ORDER BY w DESC, s) AS rn
+        |    FROM ws)
+        |  WHERE rn = 1
+        |), a AS (
+        |  SELECT k,
+        |    max(CASE WHEN n = 16 THEN s END) AS s16,
+        |    max(CASE WHEN n = 17 THEN s END) AS s17
+        |  FROM pick GROUP BY k
+        |), summ AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT) AS rdv_moved,
+        |    CAST(sum(CASE WHEN s16 <> s17 AND s17 <> 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmin,
+        |    CAST(sum(CASE WHEN k % 16 <> k % 17 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+        |  FROM a
+        |), lo AS (
+        |  SELECT CAST(max(c) AS BIGINT) AS load17_max,
+        |    CAST(min(c) AS BIGINT) AS load17_min,
+        |    CAST(count(*) AS BIGINT) AS n_shards17
+        |  FROM (SELECT s17, count(*) AS c FROM a GROUP BY 1)
+        |)
+        |SELECT n_keys, rdv_moved,
+        |  rdv_moved * 1000000 // n_keys AS rdv_moved_ppm,
+        |  (n_nonmin = 0) AS rdv_minimal_ok, mod_moved,
+        |  mod_moved * 1000000 // n_keys AS mod_moved_ppm,
+        |  load17_max, load17_min, n_shards17
+        |FROM summ, lo""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (
