@@ -1389,6 +1389,22 @@ object SparkEntry {
           col("load17_max"), col("load17_min"), col("n_shards17"))
     }),
 
+    "q_skyline" -> ((s, d) =>
+      // 2-D Pareto frontier (Skyline.skyline2d): parts minimizing
+      // (price cents, size) — exact in two phases: a 64-bucket prune off
+      // a broadcast stats row (the only unpartitioned window is the
+      // 64-row bucket frame), then within-bucket windows on the pruned
+      // survivors. No global sort, no pair join at any scale. The
+      // oracle grades the whole machinery against the DEFINITION: a
+      // brute-force NOT EXISTS dominance scan — any pruning error
+      // hash-mismatches.
+      graft.analytics.Skyline.skyline2d(
+        t(s, d, "part").withColumn("cents",
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)")),
+        col("p_partkey"), col("cents"), col("p_size"))
+        .select(col("id").as("p_partkey"), col("x").as("price_cents"),
+          col("y").as("p_size"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4685,6 +4701,21 @@ object SparkEntry {
         |  mod_moved * 1000000 // n_keys AS mod_moved_ppm,
         |  load17_max, load17_min, n_shards17
         |FROM summ, lo""".stripMargin,
+
+    // graded against the skyline DEFINITION, not the algorithm: a
+    // brute-force dominance NOT EXISTS over integer cents.
+    "q_skyline" ->
+      """WITH base AS (
+        |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part
+        |)
+        |SELECT p_partkey, price_cents, p_size FROM base a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM base b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (
