@@ -1405,6 +1405,19 @@ object SparkEntry {
         .select(col("id").as("p_partkey"), col("x").as("price_cents"),
           col("y").as("p_size"))),
 
+    "q_rfm" -> ((s, d) =>
+      // RFM customer segmentation (Rfm.rfmCells): recency / frequency /
+      // monetary quartile scores (recency reversed) off ONE keyed
+      // aggregate to the customer grain + a 1-row broadcast cutoff
+      // frame — threshold scoring, never an ntile global window — then
+      // the <=64-cell segment grid. Monetary runs in exact integer
+      // cents. VALUE-CERTIFIED: Spark `percentile` == DuckDB
+      // `quantile_cont` (the q_group_quantiles-proven equivalence), so
+      // every cell count and cent sum replays.
+      graft.analytics.Rfm.rfmCells(t(s, d, "orders"), col("o_custkey"),
+        col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4716,6 +4729,55 @@ object SparkEntry {
         |  WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
         |    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))
         |ORDER BY p_partkey""".stripMargin,
+
+    // customer grain, quartile cutoffs via quantile_cont (== Spark's
+    // percentile), identical threshold scoring and segment CASE.
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS cust, max(CAST(o_orderdate AS DATE)) AS last_dt,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1
+        |), ref AS (SELECT max(last_dt) AS ref_dt FROM per
+        |), wr AS (
+        |  SELECT cust, CAST(date_diff('day', last_dt, ref_dt) AS INTEGER) AS r_days,
+        |    f, m
+        |  FROM per, ref
+        |), cuts AS (
+        |  SELECT quantile_cont(r_days, 0.25) AS rq1, quantile_cont(r_days, 0.5) AS rq2,
+        |    quantile_cont(r_days, 0.75) AS rq3,
+        |    quantile_cont(f, 0.25) AS fq1, quantile_cont(f, 0.5) AS fq2,
+        |    quantile_cont(f, 0.75) AS fq3,
+        |    quantile_cont(m, 0.25) AS mq1, quantile_cont(m, 0.5) AS mq2,
+        |    quantile_cont(m, 0.75) AS mq3
+        |  FROM wr
+        |), scored AS (
+        |  SELECT f, m,
+        |    CAST(5 - (1 + (CASE WHEN r_days > rq1 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN r_days > rq2 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN r_days > rq3 THEN 1 ELSE 0 END)) AS INTEGER) AS r_score,
+        |    CAST(1 + (CASE WHEN f > fq1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN f > fq2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN f > fq3 THEN 1 ELSE 0 END) AS INTEGER) AS f_score,
+        |    CAST(1 + (CASE WHEN m > mq1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m > mq2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m > mq3 THEN 1 ELSE 0 END) AS INTEGER) AS m_score
+        |  FROM wr, cuts
+        |), seg AS (
+        |  SELECT *,
+        |    CASE WHEN r_score = 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |         WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+        |         WHEN m_score >= 4 THEN 'big_spender'
+        |         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |         WHEN r_score <= 2 THEN 'hibernating'
+        |         ELSE 'regular' END AS segment
+        |  FROM scored
+        |)
+        |SELECT r_score, f_score, m_score, segment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(m) AS BIGINT) AS m_cents
+        |FROM seg GROUP BY 1, 2, 3, 4
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (
