@@ -1418,6 +1418,24 @@ object SparkEntry {
         col("o_orderdate"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)"))),
 
+    "q_gini" -> ((s, d) => {
+      // Gini concentration audit (Stats.giniPpm) on two distributions:
+      // events per user and revenue cents per customer. Ranking rides
+      // reindexScalable (range partition + broadcast offsets — never a
+      // corpus-wide rank window); the index is exact fixed-point over
+      // DECIMAL(38,0)/HUGEINT. VALUE-CERTIFIED: n, totals and the ppm
+      // index replay cell for cell.
+      val perUser = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("v"))
+      val perCust = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("v"))
+      graft.analytics.Stats.giniPpm(perUser, col("v"), col("user_id"),
+          "events_per_user")
+        .unionAll(graft.analytics.Stats.giniPpm(perCust, col("v"),
+          col("o_custkey"), "revenue_per_customer"))
+        .orderBy("dim")
+    }),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4778,6 +4796,37 @@ object SparkEntry {
         |  CAST(sum(m) AS BIGINT) AS m_cents
         |FROM seg GROUP BY 1, 2, 3, 4
         |ORDER BY r_score, f_score, m_score""".stripMargin,
+
+    // same ascending (v, key) rank via row_number, same fixed-point
+    // formula over HUGEINT.
+    "q_gini" ->
+      """WITH eu AS (
+        |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1
+        |), rc AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), g1 AS (
+        |  SELECT 'events_per_user' AS dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS total,
+        |    CAST((2 * sum(CAST(i AS HUGEINT) * v)
+        |          - (CAST(count(*) AS HUGEINT) + 1) * CAST(sum(v) AS HUGEINT))
+        |         * 1000000
+        |      // (CAST(count(*) AS HUGEINT) * CAST(sum(v) AS HUGEINT)) AS BIGINT)
+        |      AS gini_ppm
+        |  FROM (SELECT v, row_number() OVER (ORDER BY v, k) AS i FROM eu)
+        |), g2 AS (
+        |  SELECT 'revenue_per_customer' AS dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS total,
+        |    CAST((2 * sum(CAST(i AS HUGEINT) * v)
+        |          - (CAST(count(*) AS HUGEINT) + 1) * CAST(sum(v) AS HUGEINT))
+        |         * 1000000
+        |      // (CAST(count(*) AS HUGEINT) * CAST(sum(v) AS HUGEINT)) AS BIGINT)
+        |      AS gini_ppm
+        |  FROM (SELECT v, row_number() OVER (ORDER BY v, k) AS i FROM rc)
+        |)
+        |SELECT * FROM g1 UNION ALL SELECT * FROM g2 ORDER BY dim""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

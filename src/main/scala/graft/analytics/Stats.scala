@@ -313,4 +313,38 @@ object Stats {
       .select(col("n_pos"), col("n_neg"), col("auc_num"),
         (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
   }
+
+  /** GINI concentration index of a non-negative value distribution — the
+    * inequality audit behind "how skewed is activity/revenue/token
+    * share": with values sorted ascending and 1-based rank i,
+    *
+    *   gini_ppm = floor(10⁶ · (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx))
+    *
+    * 0 = perfectly equal, → 10⁶·(n−1)/n as one row holds everything.
+    * Rank ties are broken by `tieBreak` for determinism, but Σ i·xᵢ is
+    * tie-order-invariant (equal values commute), so the index is
+    * well-defined regardless.
+    *
+    * Scale design: ranking goes through [[graft.etl.Cleaning.reindexScalable]]
+    * on (value, tieBreak) — range partition + partitioned window +
+    * broadcast offsets, never a corpus-wide rank window — and the final
+    * ratio runs over DECIMAL(38,0) (HUGEINT in oracles) so n·Σx·10⁶
+    * stays exact far past BIGINT; Σ i·xᵢ itself accumulates in
+    * DECIMAL(38,0) for the same reason.
+    */
+  def giniPpm(df: DataFrame, value: Column, tieBreak: Column,
+              label: String): DataFrame = {
+    val vals = df.select(value.cast("long").as("v"), tieBreak.as("tb"))
+    val ranked = graft.etl.Cleaning.reindexScalable(vals,
+      struct(col("v"), col("tb")), "i")
+    ranked
+      .agg(count(lit(1)).as("n"), sum("v").as("total"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * v")).as("iwsum"))
+      .select(lit(label).as("dim"), col("n"), col("total"),
+        expr(
+          """(2 * iwsum - CAST(n + 1 AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)))
+            |  * 1000000
+            |div (CAST(n AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)))""".stripMargin)
+          .as("gini_ppm"))
+  }
 }
