@@ -1436,6 +1436,17 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    "q_path_topk" -> ((s, d) =>
+      // top-20 session-opening paths (EventAnalytics.sessionPathsTopK):
+      // 30-min-gap sessions (q_sessionize's exact boundary convention),
+      // each contributing its first-5 event types as a '>'-joined path.
+      // Rows beyond the path length are filtered BEFORE collect_list
+      // (bounded arrays); the rank window sees only the path-vocabulary
+      // frame. VALUE-CERTIFIED: paths, session counts and the
+      // deterministic (count desc, path) ranks replay in SQL.
+      graft.analytics.EventAnalytics.sessionPathsTopK(events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4827,6 +4838,42 @@ object SparkEntry {
         |  FROM (SELECT v, row_number() OVER (ORDER BY v, k) AS i FROM rc)
         |)
         |SELECT * FROM g1 UNION ALL SELECT * FROM g2 ORDER BY dim""".stripMargin,
+
+    // q_sessionize's gap windows, then string_agg ordered by the same
+    // per-session row_number, counts, and the (count desc, path) rank.
+    "q_path_topk" ->
+      """WITH lagd AS (
+        |  SELECT user_id AS u, ts AS t, event_id AS tb, event_type AS et,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |  FROM events
+        |), flags AS (
+        |  SELECT u, t, tb, et,
+        |    CASE WHEN prev_t IS NULL
+        |      OR epoch_us(t) - epoch_us(prev_t) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM lagd
+        |), seqs AS (
+        |  SELECT u, t, tb, et,
+        |    sum(is_new) OVER (PARTITION BY u ORDER BY t, tb
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags
+        |), heads AS (
+        |  SELECT u, sid, et,
+        |    row_number() OVER (PARTITION BY u, sid ORDER BY t, tb) AS rn
+        |  FROM seqs
+        |), paths AS (
+        |  SELECT u, sid, string_agg(et, '>' ORDER BY rn) AS path
+        |  FROM heads WHERE rn <= 5 GROUP BY u, sid
+        |), counts AS (
+        |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM paths GROUP BY 1
+        |), ranked AS (
+        |  SELECT path, n_sessions,
+        |    CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INTEGER) AS rnk
+        |  FROM counts
+        |)
+        |SELECT path, n_sessions, rnk FROM ranked
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

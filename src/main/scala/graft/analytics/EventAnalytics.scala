@@ -302,6 +302,49 @@ object EventAnalytics {
       .orderBy("channel")
   }
 
+  /** Top-k SESSION PATHS — the "how do sessions start" mining primitive:
+    * sessions form by the gap rule (same lag + running-sum windows as
+    * `EventStreams.sessionize`, same inclusive-boundary convention), each
+    * session contributes the '>'-joined sequence of its first `pathLen`
+    * event types, and paths rank by session count (ties by path string —
+    * deterministic).
+    *
+    * Scale design: corpus-sized work is the per-user session windows and
+    * a per-session row_number (all user-keyed shuffles); rows beyond
+    * `pathLen` are FILTERED before any collect_list, so per-session
+    * arrays are bounded by `pathLen`, not session length. The count/rank
+    * stage runs on the path-vocabulary frame (≤ |types|^pathLen rows —
+    * the one unpartitioned window, bounded by vocabulary, never corpus).
+    */
+  def sessionPathsTopK(events: DataFrame, user: Column, ts: Column,
+                       tieBreak: Column, eventType: Column,
+                       gapSec: Long = 1800L, pathLen: Int = 5,
+                       k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("u").orderBy("t", "tb")
+    val sess = events.select(user.as("u"), ts.as("t"), tieBreak.as("tb"),
+        eventType.as("et"))
+      .withColumn("prev_t", lag(col("t"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_t").isNull ||
+        Relational.epochMicros(col("t")) -
+          Relational.epochMicros(col("prev_t")) > gapSec * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val heads = sess
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u", "sid").orderBy("t", "tb")))
+      .filter(col("rn") <= pathLen)
+    val paths = heads.groupBy("u", "sid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("et")))),
+        x => x.getField("et")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .filter(col("rnk") <= k)
+      .orderBy("rnk")
+  }
+
   def transitionMatrix(events: DataFrame, user: Column, ts: Column,
                        tieBreak: Column, eventType: Column): DataFrame = {
     val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)
