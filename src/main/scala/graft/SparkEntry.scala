@@ -1447,6 +1447,19 @@ object SparkEntry {
       graft.analytics.EventAnalytics.sessionPathsTopK(events(s, d),
         col("user_id"), col("ts"), col("event_id"), col("event_type"))),
 
+    "q_join_profile" -> ((s, d) =>
+      // pre-flight join diagnostic (Relational.joinProfile) for
+      // events.user_id ⋈ orders.o_custkey: exact side NDVs, overlap /
+      // only-in-one splits, the EXACT join output size Σ aₖ·bₖ (DECIMAL
+      // accumulator — a skewed join can exceed 2⁶³ rows, and surfacing
+      // that is the point), the heaviest key (ties to smallest) and its
+      // ppm share — the "does this join need salting" headline. Two
+      // keyed aggregates + a key-keyed outer join; nothing else touches
+      // the corpus. VALUE-CERTIFIED cell for cell.
+      graft.analytics.Relational.joinProfile(
+        events(s, d), col("user_id"),
+        t(s, d, "orders"), col("o_custkey"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4874,6 +4887,38 @@ object SparkEntry {
         |)
         |SELECT path, n_sessions, rnk FROM ranked
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // the same key-grain counts, outer join, and HUGEINT replay of the
+    // DECIMAL(38,0) join-size/share arithmetic.
+    "q_join_profile" ->
+      """WITH ka AS (
+        |  SELECT user_id AS k, count(*) AS ca FROM events GROUP BY 1
+        |), kb AS (
+        |  SELECT o_custkey AS k, count(*) AS cb FROM orders GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(ka.k, kb.k) AS k,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+        |    coalesce(ca, 0) * coalesce(cb, 0) AS prod
+        |  FROM ka FULL OUTER JOIN kb ON ka.k = kb.k
+        |), agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_a,
+        |    CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_b,
+        |    CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_both,
+        |    CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        |    CAST(sum(CASE WHEN cb > 0 AND ca = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+        |    CAST(sum(CAST(prod AS HUGEINT)) AS BIGINT) AS join_rows,
+        |    CAST(max(prod) AS BIGINT) AS max_key_rows
+        |  FROM j
+        |), top AS (
+        |  SELECT CAST(min(k) AS BIGINT) AS top_key
+        |  FROM j, agg WHERE prod = max_key_rows AND prod > 0
+        |)
+        |SELECT ndv_a, ndv_b, ndv_both, only_a, only_b, join_rows,
+        |  max_key_rows, top_key,
+        |  CAST(CAST(max_key_rows AS HUGEINT) * 1000000 //
+        |    CAST(join_rows AS HUGEINT) AS BIGINT) AS top_share_ppm
+        |FROM agg, top""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -151,4 +151,48 @@ object Relational {
         sum(micros(col("value"))).as("sum_value_mu"),
         max(col("ts")).as("last_ts"))
       .orderBy("user_id")
+
+  /** JOIN PROFILE — the pre-flight diagnostic a planner (or an engineer
+    * deciding whether a join needs salting) wants before running an
+    * equi-join: exact per-side key cardinalities, key-overlap split
+    * (keys only in A / only in B — the referential-health signal), the
+    * EXACT join output size Σₖ aₖ·bₖ, the heaviest key and its share of
+    * the output in ppm (the skew headline: one key at >10% share is a
+    * salting candidate).
+    *
+    * Scale design: one hash aggregate per side to the KEY grain, a
+    * key-keyed full outer join of the two count frames, then two passes
+    * of plain aggregates over that key frame (second pass re-derives the
+    * heaviest key against the broadcast 1-row max — deterministic ties
+    * to the smallest key). Σ aₖ·bₖ accumulates in DECIMAL(38,0): a
+    * skewed 100 TB join can exceed 2⁶³ output rows, and knowing that IS
+    * the point of the profile.
+    */
+  def joinProfile(a: DataFrame, keyA: Column, b: DataFrame,
+                  keyB: Column): DataFrame = {
+    val ka = a.groupBy(keyA.cast("long").as("k")).agg(count(lit(1)).as("ca"))
+    val kb = b.groupBy(keyB.cast("long").as("k")).agg(count(lit(1)).as("cb"))
+    val j = ka.join(kb, Seq("k"), "full")
+      .select(col("k"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("prod", col("ca") * col("cb"))
+    val agg = j.agg(
+      sum(when(col("ca") > 0, 1L).otherwise(0L)).as("ndv_a"),
+      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("ndv_b"),
+      sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("ndv_both"),
+      sum(when(col("ca") > 0 && col("cb") === 0, 1L).otherwise(0L)).as("only_a"),
+      sum(when(col("cb") > 0 && col("ca") === 0, 1L).otherwise(0L)).as("only_b"),
+      sum(col("prod").cast("decimal(38,0)")).as("join_rows_dec"),
+      max(col("prod")).as("max_key_rows"))
+    val top = j.crossJoin(broadcast(agg.select("max_key_rows")))
+      .filter(col("prod") === col("max_key_rows") && col("prod") > 0)
+      .agg(min("k").as("top_key"))
+    agg.crossJoin(broadcast(top))
+      .select(col("ndv_a"), col("ndv_b"), col("ndv_both"), col("only_a"),
+        col("only_b"),
+        expr("CAST(join_rows_dec AS BIGINT)").as("join_rows"),
+        col("max_key_rows"), col("top_key"),
+        expr("CAST(max_key_rows AS DECIMAL(38,0)) * 1000000 div join_rows_dec")
+          .as("top_share_ppm"))
+  }
 }
