@@ -1460,6 +1460,19 @@ object SparkEntry {
         events(s, d), col("user_id"),
         t(s, d, "orders"), col("o_custkey"))),
 
+    "q_funnel_strict" -> ((s, d) =>
+      // time-constrained funnel (EventAnalytics.funnelWindowed): the
+      // q_event_funnel chain with a 24 h deadline per step plus the
+      // exact median step latency in whole seconds (floor per user,
+      // then percentile == quantile_cont). One filtered keyed aggregate
+      // per step, monotonically shrinking user frames, no windows.
+      // VALUE-CERTIFIED: counts and medians replay cell for cell; the
+      // deadline binds for real (step counts sit under q_event_funnel's
+      // unbounded counts at sf0.01).
+      graft.analytics.EventAnalytics.funnelWindowed(events(s, d),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("signup", "view", "click", "purchase"), maxLagHours = 24)),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4919,6 +4932,39 @@ object SparkEntry {
         |  CAST(CAST(max_key_rows AS HUGEINT) * 1000000 //
         |    CAST(join_rows AS HUGEINT) AS BIGINT) AS top_share_ppm
         |FROM agg, top""".stripMargin,
+
+    // q_event_funnel's step CTEs with the 24 h deadline and the
+    // floor-seconds median appended per step.
+    "q_funnel_strict" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t, max(s1.t) AS tp FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+        |    AND epoch_us(e.ts) <= s1.t + 86400000000 GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t, max(s2.t) AS tp FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) <= s2.t + 86400000000 GROUP BY e.user_id
+        |), s4 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t, max(s3.t) AS tp FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t
+        |    AND epoch_us(e.ts) <= s3.t + 86400000000 GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users,
+        |  (SELECT quantile_cont(0, 0.5) FROM s1) AS median_lag_s
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2),
+        |  (SELECT quantile_cont((t - tp) // 1000000, 0.5) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3),
+        |  (SELECT quantile_cont((t - tp) // 1000000, 0.5) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4),
+        |  (SELECT quantile_cont((t - tp) // 1000000, 0.5) FROM s4)
+        |ORDER BY step""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -345,6 +345,47 @@ object EventAnalytics {
       .orderBy("rnk")
   }
 
+  /** Time-CONSTRAINED strict funnel — [[funnel]]'s sequential-EXISTS
+    * semantics tightened by a per-step deadline: step k counts only if
+    * it happens AFTER the user's chosen step-(k−1) time and within
+    * `maxLagHours` of it (the "did they convert promptly" product
+    * question, where the unbounded funnel answers "did they ever").
+    * Each step also reports the median step-to-step latency in whole
+    * seconds (per-user floor to seconds first, then the exact median —
+    * replayed engine-for-engine).
+    *
+    * Scale design: one filtered keyed aggregate per step, each joined to
+    * the previous step's user frame on the user key — the user frames
+    * shrink monotonically down the funnel; the summary is #steps 1-row
+    * aggregates. No window functions at all.
+    */
+  def funnelWindowed(events: DataFrame, user: Column, ts: Column,
+                     eventType: Column, steps: Seq[String],
+                     maxLagHours: Int = 24): DataFrame = {
+    require(steps.nonEmpty)
+    val ev = events.select(user.as("u"),
+      Relational.epochMicros(ts).as("t"), eventType.as("et"))
+    val maxLagMicros = maxLagHours * 3600L * 1000000L
+    // per-step user frames: (u, t_k, lag_s); step 1 has lag 0
+    val first = ev.filter(col("et") === steps.head).groupBy("u")
+      .agg(min("t").as("tk")).withColumn("lag_s", lit(0L))
+    val frames = steps.tail.scanLeft(first) { (prev, st) =>
+      ev.filter(col("et") === st)
+        .join(prev.select(col("u"), col("tk").as("tp")), Seq("u"))
+        .filter(col("t") > col("tp") && col("t") <= col("tp") + maxLagMicros)
+        .groupBy("u")
+        .agg(min("t").as("tk"), max("tp").as("tp"))
+        .withColumn("lag_s", expr("(tk - tp) div 1000000"))
+        .select("u", "tk", "lag_s")
+    }
+    frames.zip(steps).zipWithIndex.map { case ((f, name), i) =>
+      f.agg(count(lit(1)).as("n_users"),
+          expr("percentile(lag_s, 0.5)").as("median_lag_s"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_users"), col("median_lag_s"))
+    }.reduce(_ unionAll _).orderBy("step")
+  }
+
   def transitionMatrix(events: DataFrame, user: Column, ts: Column,
                        tieBreak: Column, eventType: Column): DataFrame = {
     val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)
