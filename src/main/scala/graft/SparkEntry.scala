@@ -1473,6 +1473,16 @@ object SparkEntry {
         col("user_id"), col("ts"), col("event_type"),
         Seq("signup", "view", "click", "purchase"), maxLagHours = 24)),
 
+    "q_dau_mau" -> ((s, d) =>
+      // DAU / trailing-28-day MAU stickiness (EventAnalytics.dauMau):
+      // the corpus compacts to distinct (user, day) FIRST; the trailing
+      // window is a BETWEEN join of that compact frame to the broadcast
+      // day list (fan-out <= 28x|user-days|, never corpus x days), then
+      // day-keyed distinct aggregates and the floor-division ppm ratio.
+      // VALUE-CERTIFIED: every day's dau, mau and ratio replay in SQL.
+      graft.analytics.EventAnalytics.dauMau(events(s, d), col("user_id"),
+        col("ts"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4965,6 +4975,26 @@ object SparkEntry {
         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4),
         |  (SELECT quantile_cont((t - tp) // 1000000, 0.5) FROM s4)
         |ORDER BY step""".stripMargin,
+
+    // the same distinct (user, day) compaction, trailing BETWEEN join,
+    // and floor-division ratio; days compare as midnight timestamps.
+    "q_dau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+        |), days AS (SELECT DISTINCT day FROM ud
+        |), dau AS (
+        |  SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1
+        |), mau AS (
+        |  SELECT d.day, CAST(count(DISTINCT x.u) AS BIGINT) AS mau
+        |  FROM days d JOIN ud x
+        |    ON date_diff('day', x.day, d.day) BETWEEN 0 AND 27
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(dau.day AS TIMESTAMP) AS day, dau, mau,
+        |  dau * 1000000 // mau AS stickiness_ppm
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY day""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

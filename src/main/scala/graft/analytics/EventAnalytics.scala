@@ -386,6 +386,34 @@ object EventAnalytics {
     }.reduce(_ unionAll _).orderBy("step")
   }
 
+  /** DAU/MAU STICKINESS — the product-health ratio: per calendar day,
+    * distinct daily actives, distinct actives over the trailing
+    * `windowDays` (inclusive, partial at the corpus edge — the standard
+    * convention), and their floor-division ppm ratio.
+    *
+    * Scale design: the corpus compacts to the distinct (user, day) frame
+    * FIRST (one distinct pass); the trailing window is that compact
+    * frame joined to the broadcast day list with a BETWEEN predicate —
+    * fan-out bounded by `windowDays`×|user-days|, never corpus×days —
+    * then day-keyed distinct aggregates. Days are emitted as midnight
+    * timestamps (DATE physical types differ across engines).
+    */
+  def dauMau(events: DataFrame, user: Column, ts: Column,
+             windowDays: Int = 28): DataFrame = {
+    val ud = events.select(user.as("u"), to_date(ts).as("day")).distinct()
+    val days = ud.select("day").distinct()
+    val dau = ud.groupBy("day").agg(countDistinct(col("u")).as("dau"))
+    val mau = ud.as("x")
+      .join(broadcast(days.as("dd")),
+        expr(s"datediff(dd.day, x.day) BETWEEN 0 AND ${windowDays - 1}"))
+      .groupBy(col("dd.day").as("day"))
+      .agg(countDistinct(col("x.u")).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day").cast("timestamp").as("day"), col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
   def transitionMatrix(events: DataFrame, user: Column, ts: Column,
                        tieBreak: Column, eventType: Column): DataFrame = {
     val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)
