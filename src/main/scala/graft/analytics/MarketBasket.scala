@@ -46,7 +46,10 @@ object MarketBasket {
     val fbi = bi.join(broadcast(freq.select("it")), Seq("it"))
     // in-basket pair generation: items sorted, (i, j>i) pairs via nested
     // array transforms — no explode before the basket is reduced to a row
-    val pairs = fbi.groupBy("bk")
+    // persisted: the self-union below consumes the pair frame twice, and
+    // without the persist the whole basket scan + pair fan-out reruns
+    // per direction (caller releases via CachePool, as elsewhere)
+    val pairs = graft.CachePool.persist(fbi.groupBy("bk")
       .agg(sort_array(collect_set(col("it"))).as("xs"))
       .filter(size(col("xs")) <= maxBasketItems)
       .select(explode(expr(
@@ -56,7 +59,7 @@ object MarketBasket {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_ab"))
       .join(broadcast(nB),
-        col("n_ab") * 1000000L >= lit(minPairSupPpm) * col("n_baskets"))
+        col("n_ab") * 1000000L >= lit(minPairSupPpm) * col("n_baskets")))
     // both rule directions; antecedent/consequent supports via broadcast
     val directed = pairs.select(col("a").as("antecedent"),
         col("b").as("consequent"), col("n_ab"), col("n_baskets"))

@@ -36,9 +36,12 @@ object Skyline {
     val base = df.select(id.as("id"), x.cast("long").as("x"),
       y.cast("long").as("y"))
     val stats = base.agg(min("x").as("minx"), max("x").as("maxx"))
-    val bucketed = base.crossJoin(broadcast(stats))
+    // persisted: both the bucket-stats branch and the survivor filter
+    // consume this frame; unpersisted, the scan + stats BNL would run
+    // twice (caller releases via CachePool, as elsewhere)
+    val bucketed = graft.CachePool.persist(base.crossJoin(broadcast(stats))
       .withColumn("bk", expr(s"(x - minx) * $buckets div (maxx - minx + 1)"))
-      .select("id", "x", "y", "bk")
+      .select("id", "x", "y", "bk"))
     val bstats = bucketed.groupBy("bk").agg(min("y").as("bmin"))
     val lows = bstats.withColumn("lowmin", min("bmin").over(
         Window.orderBy("bk").rangeBetween(Window.unboundedPreceding, -1)))

@@ -846,4 +846,77 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(bnl.size <= 1, s"corpus-sized BNL in the decontamination probe:\n$plan")
   }
+
+  test("q_skyline: bucket-prune shape — one stats BNL, no cartesian, bucket-keyed windows") {
+    val plan = finalPlan(q("q_skyline"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    val bnl = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 1, s"only the 1-row stats broadcast may be a BNL:\n$plan")
+    // the only unpartitioned window is the buckets-row lowmin frame
+    val unpartitioned = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1, s"only the bucket frame may window globally:\n$plan")
+  }
+
+  test("q_basket_rules: pairs never leave the basket row — no cartesian, BNLs are the 1-row count frame") {
+    val plan = finalPlan(q("q_basket_rules"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    val bnl = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 2, s"only the two threshold broadcasts may be BNLs:\n$plan")
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"frequent-item and support joins must broadcast:\n$plan")
+  }
+
+  test("q_rendezvous_shard folds in-row: no explode, no join wider than the 1-row frames") {
+    val plan = finalPlan(q("q_rendezvous_shard"))
+    assert(collect(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, s"HRW argmax must fold inside the row, not explode:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+  }
+
+  test("q_gini ranks via the range-sort shape, not a corpus-wide window") {
+    val plan = finalPlan(q("q_gini"))
+    graft.CachePool.releaseAll()
+    val unpartitioned = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty)
+    // two giniPpm branches, each with one #partitions-row offsets window
+    assert(unpartitioned.size <= 2,
+      s"only the offsets windows may be global:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_funnel_strict steps join on the user key only — no cartesian, no BNL") {
+    val plan = finalPlan(q("q_funnel_strict"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"step deadlines must ride the equi-join, not a range join:\n$plan")
+  }
+
+  test("q_dau_mau trailing window is one bounded BNL against the broadcast day list") {
+    val plan = finalPlan(q("q_dau_mau"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    val bnl = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 1, s"only the day-list BETWEEN join may be a BNL:\n$plan")
+  }
+
+  test("q_ab_test touches the corpus with exactly one scan") {
+    val plan = finalPlan(q("q_ab_test"))
+    val scans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1, s"the contingency pass must be one scan:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
 }
