@@ -1483,6 +1483,24 @@ object SparkEntry {
       graft.analytics.EventAnalytics.dauMau(events(s, d), col("user_id"),
         col("ts"))),
 
+    "q_benford" -> ((s, d) =>
+      // Benford first-digit audit (DigitLaw.benford) of order totals and
+      // line extended prices in integer cents: per digit observed vs the
+      // exact-ppm Benford constants (they sum to 10^6), per source the
+      // fixed-point chi-square (micro units, DECIMAL(38,0) squares) and
+      // the df=8 rejection at 15.507. TPC-H-ish prices are range-clipped,
+      // so BOTH sources reject - that detection is the audit's point;
+      // every cell is data-derived and replayed. The first digit comes
+      // from an in-row div-by-10 fold, no strings or logs in the hot
+      // path; each source is ONE hash aggregate to a 9-row frame.
+      graft.analytics.DigitLaw.benford(t(s, d, "orders"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+          "orders_totalprice")
+        .unionAll(graft.analytics.DigitLaw.benford(t(s, d, "lineitem"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+          "lineitem_extendedprice"))
+        .orderBy("source", "digit")),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -4995,6 +5013,52 @@ object SparkEntry {
         |  dau * 1000000 // mau AS stickiness_ppm
         |FROM dau JOIN mau ON dau.day = mau.day
         |ORDER BY day""".stripMargin,
+
+    // first digit via string head (same value as Spark's div-by-10
+    // fold on positive ints), identical fixed-point chi-square over
+    // HUGEINT, same Benford ppm literals.
+    "q_benford" ->
+      """WITH src AS (
+        |  SELECT 'orders_totalprice' AS source,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_extendedprice',
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+        |), digs AS (
+        |  SELECT source, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    count(*) AS observed
+        |  FROM src WHERE v > 0 GROUP BY 1, 2
+        |), exp AS (
+        |  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) e(digit, expected_ppm)
+        |), j AS (
+        |  SELECT s.source, e.digit,
+        |    CAST(coalesce(d.observed, 0) AS BIGINT) AS observed,
+        |    CAST(e.expected_ppm AS BIGINT) AS expected_ppm
+        |  FROM (SELECT DISTINCT source FROM src) s
+        |  CROSS JOIN exp e
+        |  LEFT JOIN digs d ON d.source = s.source AND d.digit = e.digit
+        |), nn AS (
+        |  SELECT source, CAST(sum(observed) AS BIGINT) AS n FROM j GROUP BY 1
+        |), terms AS (
+        |  SELECT j.source, j.digit, j.observed, nn.n,
+        |    observed * 1000000 // n AS observed_ppm, expected_ppm,
+        |    abs(observed * 1000000 // n - expected_ppm) AS dev_ppm,
+        |    CAST(CAST(1000000 * observed - n * expected_ppm AS HUGEINT) *
+        |         CAST(1000000 * observed - n * expected_ppm AS HUGEINT) //
+        |         (CAST(n AS HUGEINT) * CAST(expected_ppm AS HUGEINT)) AS BIGINT)
+        |      AS term_micro
+        |  FROM j JOIN nn ON nn.source = j.source
+        |), chi AS (
+        |  SELECT source, CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+        |  FROM terms GROUP BY 1
+        |)
+        |SELECT t.source, t.digit, t.observed, t.n, t.observed_ppm,
+        |  t.expected_ppm, t.dev_ppm, c.chi2_micro,
+        |  (c.chi2_micro >= 15507000) AS benford_rejected
+        |FROM terms t JOIN chi c ON c.source = t.source
+        |ORDER BY t.source, t.digit""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (
