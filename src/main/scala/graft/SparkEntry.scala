@@ -1501,6 +1501,37 @@ object SparkEntry {
           "lineitem_extendedprice"))
         .orderBy("source", "digit")),
 
+    "q_seasonality" -> ((s, d) => {
+      // day-of-week seasonality audit (Experiment.uniformity): per event
+      // type, the k=7 uniformity chi-square at df=6 (critical 12.592)
+      // over the engine-portable dow = epoch-day mod 7 (no locale/
+      // week-start convention), plus the peak day. `planted_skew` —
+      // clicks on two dows in full plus a third of the rest — is a
+      // deterministic heavy weekend pattern that guarantees the
+      // rejection branch; the five real types pin the uniform side by
+      // data. ONE corpus aggregate to the (type, dow, id%3) frame;
+      // tagging and the fixed-point chi-square run on that tiny frame.
+      // VALUE-CERTIFIED cell for cell.
+      val ev = events(s, d).select(col("event_type"),
+        graft.analytics.Relational.epochMicros(col("ts")).as("tus"),
+        (col("event_id") % 3).as("par3"))
+      val base = ev
+        .select(col("event_type"), expr("(tus div 86400000000) % 7").as("dow"),
+          col("par3"))
+        .groupBy("event_type", "dow", "par3").agg(count(lit(1)).as("c"))
+      val cells = base.select(col("dow"), col("c"), explode(array(
+          struct(col("event_type").as("metric"), lit(true).as("keep")),
+          struct(lit("planted_skew").as("metric"),
+            (col("event_type") === "click" &&
+              (col("dow").isin(0, 1) || col("par3") === 0)).as("keep"))))
+          .as("mx"))
+        .filter(col("mx.keep"))
+        .groupBy(col("mx.metric").as("metric"), col("dow"))
+        .agg(sum("c").as("n_cat"))
+      graft.analytics.Experiment.uniformity(cells, col("metric"),
+        col("dow"), col("n_cat"), kCats = 7, criticalMicro = 12592000L)
+    }),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5059,6 +5090,45 @@ object SparkEntry {
         |  (c.chi2_micro >= 15507000) AS benford_rejected
         |FROM terms t JOIN chi c ON c.source = t.source
         |ORDER BY t.source, t.digit""".stripMargin,
+
+    // same modular dow, same tagging, the chi-square replayed over
+    // HUGEINT with absent-cell terms, the same packed-argmax peak.
+    "q_seasonality" ->
+      """WITH ev AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    event_id % 3 AS par3
+        |  FROM events
+        |), base AS (
+        |  SELECT event_type, dow, par3, count(*) AS c FROM ev GROUP BY 1, 2, 3
+        |), cells AS (
+        |  SELECT event_type AS metric, dow, CAST(sum(c) AS BIGINT) AS n_cat
+        |  FROM base GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'planted_skew', dow, CAST(sum(c) AS BIGINT)
+        |  FROM base
+        |  WHERE event_type = 'click' AND (dow IN (0, 1) OR par3 = 0)
+        |  GROUP BY dow
+        |), tot AS (
+        |  SELECT metric, CAST(sum(n_cat) AS BIGINT) AS n, count(*) AS kp
+        |  FROM cells GROUP BY 1
+        |), terms AS (
+        |  SELECT c.metric, t.n, t.kp,
+        |    CAST(CAST(7 * c.n_cat - t.n AS HUGEINT) *
+        |         CAST(7 * c.n_cat - t.n AS HUGEINT) * 1000000
+        |      // (7 * CAST(t.n AS HUGEINT)) AS BIGINT) AS term_micro,
+        |    c.n_cat * 1024 + (1023 - c.dow) AS pack
+        |  FROM cells c JOIN tot t ON t.metric = c.metric
+        |), agg AS (
+        |  SELECT metric, CAST(max(n) AS BIGINT) AS n, CAST(7 AS BIGINT) AS k,
+        |    CAST(sum(term_micro) +
+        |      (7 - max(kp)) * (max(n) * 1000000 // 7) AS BIGINT) AS chi2_micro,
+        |    CAST(1023 - max(pack) % 1024 AS INTEGER) AS peak_cat,
+        |    CAST(max(pack) // 1024 AS BIGINT) AS peak_count
+        |  FROM terms GROUP BY 1
+        |)
+        |SELECT metric, n, k, chi2_micro,
+        |  (chi2_micro >= 12592000) AS uniform_rejected, peak_cat, peak_count
+        |FROM agg ORDER BY metric""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -73,4 +73,50 @@ object Experiment {
   def abTest(trials: DataFrame, metric: Column, variant: Column,
              converted: Column): DataFrame =
     chiSquare(contingency(trials, metric, variant, converted))
+
+  /** k-category UNIFORMITY chi-square — the seasonality/skew test ("is
+    * this metric flat across days-of-week / shards / buckets"): over a
+    * per-(metric, category, count) frame, χ² against the uniform
+    * expectation N/k is Σ (k·o − N)²/(k·N), computed in exact micro
+    * fixed point (squares in DECIMAL(38,0); oracles replay over
+    * HUGEINT). Categories absent from the frame contribute their
+    * zero-count term floor(N·10⁶/k) — the grid need not be dense.
+    * `criticalMicro` is the rejection threshold ·10⁶ for the caller's
+    * df = k−1 (e.g. 12 592 000 for df 6 at α = 0.05).
+    *
+    * Each metric also reports its peak category (ties to the smallest),
+    * via an order-free max over packed (count, category) — categories
+    * must be integers in [0, 1023].
+    *
+    * Scale design: the input frame is already aggregated (callers
+    * produce it with one map-side-combinable pass); everything here
+    * runs on metric×category rows.
+    */
+  def uniformity(counts: DataFrame, metric: Column, cat: Column,
+                 cnt: Column, kCats: Int, criticalMicro: Long): DataFrame = {
+    require(kCats >= 2 && kCats <= 1024, s"kCats out of range: $kCats")
+    val base = counts.select(metric.as("metric"), cat.cast("long").as("cat"),
+      cnt.cast("long").as("c"))
+    val tot = base.groupBy("metric")
+      .agg(sum("c").as("n"), count(lit(1)).as("k_present"))
+    base.join(tot, Seq("metric"))
+      .withColumn("term_micro", expr(
+        s"""CAST($kCats * c - n AS DECIMAL(38,0)) *
+           |CAST($kCats * c - n AS DECIMAL(38,0)) * 1000000
+           |div (CAST($kCats AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))""".stripMargin))
+      .withColumn("pack", expr("c * 1024 + (1023 - cat)"))
+      .groupBy("metric")
+      .agg(max("n").as("n"), max("k_present").as("kp"),
+        sum("term_micro").as("present_micro"), max("pack").as("pk"))
+      .select(col("metric"), col("n"), lit(kCats.toLong).as("k"),
+        (col("present_micro") +
+          (lit(kCats.toLong) - col("kp")) *
+            expr(s"n * 1000000 div $kCats")).as("chi2_micro"),
+        expr("CAST(1023 - pk % 1024 AS INT)").as("peak_cat"),
+        expr("pk div 1024").as("peak_count"))
+      .withColumn("uniform_rejected", col("chi2_micro") >= criticalMicro)
+      .select("metric", "n", "k", "chi2_micro", "uniform_rejected",
+        "peak_cat", "peak_count")
+      .orderBy("metric")
+  }
 }
