@@ -1532,6 +1532,18 @@ object SparkEntry {
         col("dow"), col("n_cat"), kCats = 7, criticalMicro = 12592000L)
     }),
 
+    "q_growth_accounting" -> ((s, d) =>
+      // weekly growth accounting (EventAnalytics.growthAccounting): per
+      // epoch week, actives split into new / retained / resurrected,
+      // plus churned = prior actives who went missing. The corpus
+      // compacts to distinct (user, week) in one pass; the prior-week
+      // split is a self equi-join of that compact frame on (u, wk-1).
+      // The ledger identities (active = new + retained + resurrected;
+      // churned(w) = active(w-1) - retained(w)) hold by construction
+      // and are spec-pinned. VALUE-CERTIFIED cell for cell.
+      graft.analytics.EventAnalytics.growthAccounting(events(s, d),
+        col("user_id"), col("ts"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5129,6 +5141,34 @@ object SparkEntry {
         |SELECT metric, n, k, chi2_micro,
         |  (chi2_micro >= 12592000) AS uniform_rejected, peak_cat, peak_count
         |FROM agg ORDER BY metric""".stripMargin,
+
+    // the same distinct (user, epoch-week) compaction, first-week
+    // aggregate, (u, wk-1) self-join classification and weekly ledger.
+    "q_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events
+        |), fw AS (SELECT u, min(wk) AS first_wk FROM uw GROUP BY 1
+        |), cls AS (
+        |  SELECT uw.u, uw.wk,
+        |    CASE WHEN fw.first_wk = uw.wk THEN 'new'
+        |         WHEN p.u IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS cls
+        |  FROM uw
+        |  JOIN fw ON fw.u = uw.u
+        |  LEFT JOIN uw p ON p.u = uw.u AND p.wk = uw.wk - 1
+        |), weekly AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY 1
+        |)
+        |SELECT w.wk, w.n_active, w.n_new, w.n_retained, w.n_resurrected,
+        |  coalesce(pw.n_active - w.n_retained, 0) AS n_churned
+        |FROM weekly w
+        |LEFT JOIN weekly pw ON pw.wk = w.wk - 1
+        |ORDER BY w.wk""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -414,6 +414,53 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Weekly GROWTH ACCOUNTING — the canonical active-user ledger: per
+    * epoch week (integer floor-division of epoch days, no week-start
+    * convention — the q_retention_cohorts grain), actives split into
+    * NEW (first-ever week), RETAINED (also active the prior week) and
+    * RESURRECTED (previously active, absent last week), plus CHURNED
+    * (active last week, absent this week — attributed to the week they
+    * went missing). The identities `active = new + retained +
+    * resurrected` and `churned(w) = active(w−1) − retained(w)` hold by
+    * construction and are spec-pinned.
+    *
+    * Scale design: the corpus compacts to distinct (user, week) in one
+    * pass; first-active weeks are one more user-keyed aggregate; the
+    * prior-week split is a self equi-join of the compact frame on
+    * (user, week−1); weekly rollups are week-keyed. Nothing after the
+    * first distinct sees raw events.
+    */
+  def growthAccounting(events: DataFrame, user: Column,
+                       ts: Column): DataFrame = {
+    val uw = events.select(user.as("u"),
+        Relational.epochMicros(ts).as("tus"))
+      .select(col("u"), expr("tus div 604800000000").as("wk"))
+      .distinct()
+    val firstWk = uw.groupBy("u").agg(min("wk").as("first_wk"))
+    val prev = uw.select(col("u"), (col("wk") + 1).as("wk"),
+      lit(1).as("was_prev"))
+    val classified = uw.join(firstWk, Seq("u"))
+      .join(prev, Seq("u", "wk"), "left")
+      .select(col("u"), col("wk"),
+        when(col("first_wk") === col("wk"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("cls"))
+    val weekly = classified.groupBy("wk").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    // churned(w) = active(w-1) - retained(w); weeks frame is tiny
+    val lagW = weekly.select((col("wk") + 1).as("wk"),
+      col("n_active").as("prev_active"))
+    weekly.join(lagW, Seq("wk"), "left")
+      .withColumn("n_churned",
+        coalesce(col("prev_active") - col("n_retained"), lit(0L)))
+      .select("wk", "n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned")
+      .orderBy("wk")
+  }
+
   def transitionMatrix(events: DataFrame, user: Column, ts: Column,
                        tieBreak: Column, eventType: Column): DataFrame = {
     val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)
