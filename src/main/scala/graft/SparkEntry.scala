@@ -1544,6 +1544,18 @@ object SparkEntry {
       graft.analytics.EventAnalytics.growthAccounting(events(s, d),
         col("user_id"), col("ts"))),
 
+    "q_cohort_ltv" -> ((s, d) =>
+      // cohort LTV curve (EventAnalytics.cohortLtv): customers cohorted
+      // by the epoch week of their FIRST order; per (cohort, week
+      // offset): active buyers, period revenue in integer cents, the
+      // running cumulative, and the cohort size (offset-0 buyers). One
+      // customer-keyed aggregate + join, one grid aggregate; the cumsum
+      // window runs per cohort over <= #weeks rows, never the corpus.
+      // VALUE-CERTIFIED cell for cell.
+      graft.analytics.EventAnalytics.cohortLtv(t(s, d, "orders"),
+        col("o_custkey"), col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5169,6 +5181,31 @@ object SparkEntry {
         |FROM weekly w
         |LEFT JOIN weekly pw ON pw.wk = w.wk - 1
         |ORDER BY w.wk""".stripMargin,
+
+    // same cohort assignment, grid aggregate, per-cohort running sum
+    // and first_value cohort size.
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust,
+        |    epoch_us(o_orderdate) // 604800000000 AS wk,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), coh AS (SELECT cust, min(wk) AS cohort_wk FROM o GROUP BY 1
+        |), cells AS (
+        |  SELECT coh.cohort_wk, o.wk - coh.cohort_wk AS wk_offset,
+        |    CAST(count(DISTINCT o.cust) AS BIGINT) AS n_buyers,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM o JOIN coh ON coh.cust = o.cust
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cohort_wk, wk_offset, n_buyers, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_wk
+        |    ORDER BY wk_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_revenue_cents,
+        |  CAST(first_value(n_buyers) OVER (PARTITION BY cohort_wk
+        |    ORDER BY wk_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cohort_size
+        |FROM cells ORDER BY cohort_wk, wk_offset""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -461,6 +461,41 @@ object EventAnalytics {
       .orderBy("wk")
   }
 
+  /** Cohort LTV — cumulative revenue by acquisition cohort: customers
+    * cohorted by the epoch week of their FIRST order, revenue (integer
+    * cents) bucketed by week offset from that cohort week, and each
+    * (cohort, offset) cell carrying both the period revenue and the
+    * running cumulative — the curve "how much has the week-W cohort
+    * spent by week W+k" that LTV projections read off. Cells also count
+    * the cohort's active buyers that offset.
+    *
+    * Scale design: one user-keyed aggregate for cohort assignment, one
+    * keyed join back (both sides keyed by customer), one hash aggregate
+    * to the (cohort, offset) grid, and the cumulative window runs per
+    * cohort over ≤ #weeks rows — the corpus is never windowed.
+    */
+  def cohortLtv(orders: DataFrame, customer: Column, ts: Column,
+                amountCents: Column): DataFrame = {
+    val o = orders.select(customer.as("cust"),
+        Relational.epochMicros(ts).as("tus"), amountCents.as("cents"))
+      .select(col("cust"), expr("tus div 604800000000").as("wk"), col("cents"))
+    val cohorts = o.groupBy("cust").agg(min("wk").as("cohort_wk"))
+    val cells = o.join(cohorts, Seq("cust"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(countDistinct(col("cust")).as("n_buyers"),
+        sum("cents").as("revenue_cents"))
+    cells
+      .withColumn("cum_revenue_cents", sum("revenue_cents").over(
+        Window.partitionBy("cohort_wk").orderBy("wk_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cohort_size", first("n_buyers").over(
+        Window.partitionBy("cohort_wk").orderBy("wk_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("cohort_wk", "wk_offset", "n_buyers", "revenue_cents",
+        "cum_revenue_cents", "cohort_size")
+      .orderBy("cohort_wk", "wk_offset")
+  }
+
   def transitionMatrix(events: DataFrame, user: Column, ts: Column,
                        tieBreak: Column, eventType: Column): DataFrame = {
     val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)
