@@ -1556,6 +1556,20 @@ object SparkEntry {
         col("o_custkey"), col("o_orderdate"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)"))),
 
+    "q_abc_analysis" -> ((s, d) =>
+      // ABC / Pareto catalog classification (Stats.abcClasses): parts
+      // ranked by lineitem revenue cents desc, A while the running
+      // cumulative stays <= 80% of total, B to 95%, C beyond. The
+      // cumulative rides the range-sort shape (range partition +
+      // per-partition windows + broadcast offsets), never a global
+      // window; boundaries cross-multiply in DECIMAL(38,0)/HUGEINT.
+      // VALUE-CERTIFIED: the 3-row class summary replays cell for cell.
+      graft.analytics.Stats.abcClasses(
+        t(s, d, "lineitem").groupBy(col("l_partkey"))
+          .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT))")
+            .as("v")),
+        col("l_partkey"), col("v"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5206,6 +5220,33 @@ object SparkEntry {
         |    ORDER BY wk_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |    AS cohort_size
         |FROM cells ORDER BY cohort_wk, wk_offset""".stripMargin,
+
+    // the same desc cumulative (plain window — oracle side only) and
+    // HUGEINT boundary comparisons.
+    "q_abc_analysis" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS id,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT CAST(sum(v) AS BIGINT) AS total FROM pv
+        |), c AS (
+        |  SELECT id, v,
+        |    sum(v) OVER (ORDER BY v DESC, id ROWS UNBOUNDED PRECEDING) AS cumv
+        |  FROM pv
+        |), cl AS (
+        |  SELECT v,
+        |    CASE WHEN CAST(cumv AS HUGEINT) * 1000000
+        |           <= 800000 * CAST(total AS HUGEINT) THEN 'A'
+        |         WHEN CAST(cumv AS HUGEINT) * 1000000
+        |           <= 950000 * CAST(total AS HUGEINT) THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM c, t
+        |)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(v) AS BIGINT) AS value_sum,
+        |  CAST(CAST(sum(v) AS HUGEINT) * 1000000 //
+        |    CAST((SELECT total FROM t) AS HUGEINT) AS BIGINT) AS share_ppm
+        |FROM cl GROUP BY 1 ORDER BY cls""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

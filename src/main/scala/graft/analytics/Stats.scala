@@ -314,6 +314,53 @@ object Stats {
         (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
   }
 
+  /** ABC (Pareto) CLASSIFICATION — the inventory/catalog 80-15-5 split:
+    * items ranked by value descending (ties by id — deterministic), an
+    * item is class A while the running cumulative stays ≤ `cutAPpm` of
+    * the total, B up to `cutBPpm`, C beyond; output is the 3-row class
+    * summary (item count, value sum, value share ppm).
+    *
+    * Scale design: the running cumulative over the catalog-sized frame
+    * rides the range-sort shape ([[aucExact]]'s): range partition on
+    * (value desc, id), per-partition cumsum windows on the partition id,
+    * broadcast per-partition offsets — never a single-partition global
+    * window. Class-boundary comparisons cross-multiply in
+    * DECIMAL(38,0)/HUGEINT so cum·10⁶ stays exact past BIGINT totals.
+    */
+  def abcClasses(df: DataFrame, id: Column, value: Column,
+                 cutAPpm: Long = 800000L, cutBPpm: Long = 950000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 < cutAPpm && cutAPpm < cutBPpm && cutBPpm < 1000000L)
+    val base = df.select(id.as("id"), value.cast("long").as("v"))
+    val cum = graft.CachePool.persist(
+      base.repartitionByRange(col("v").desc, col("id"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__cum", sum("v").over(
+          Window.partitionBy("__pid").orderBy(col("v").desc, col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val offs = cum.groupBy("__pid").agg(sum("v").as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    val total = base.agg(sum("v").as("total"))
+    cum.join(broadcast(offs), "__pid").crossJoin(broadcast(total))
+      .withColumn("cumv", col("__cum") + col("__off"))
+      .withColumn("cls", expr(
+        s"""CASE WHEN CAST(cumv AS DECIMAL(38,0)) * 1000000
+           |       <= $cutAPpm * CAST(total AS DECIMAL(38,0)) THEN 'A'
+           |     WHEN CAST(cumv AS DECIMAL(38,0)) * 1000000
+           |       <= $cutBPpm * CAST(total AS DECIMAL(38,0)) THEN 'B'
+           |     ELSE 'C' END""".stripMargin))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_items"), sum("v").as("value_sum"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr(
+        "CAST(value_sum AS DECIMAL(38,0)) * 1000000 div CAST(total AS DECIMAL(38,0))"))
+      .select("cls", "n_items", "value_sum", "share_ppm")
+      .orderBy("cls")
+  }
+
   /** GINI concentration index of a non-negative value distribution — the
     * inequality audit behind "how skewed is activity/revenue/token
     * share": with values sorted ascending and 1-based rank i,
