@@ -1570,6 +1570,30 @@ object SparkEntry {
             .as("v")),
         col("l_partkey"), col("v"))),
 
+    "q_ivm_agg" -> ((s, d) => {
+      // incremental view maintenance (etl/Ivm): the (returnflag,
+      // linestatus) count/sum-of-quantity-cents view over a base slice
+      // (orderkey%10 != 0), maintained by folding a signed delta —
+      // inserts = the %10==0 slice, deletes = the %20==5 base slice —
+      // through ONE key-keyed outer join; cost |delta|+|view|, never
+      // |base|. GRADED BY EQUIVALENCE: the oracle computes the final
+      // state from scratch, so any error in the signed algebra
+      // hash-mismatches (Spark takes the incremental path end to end).
+      val li = t(s, d, "lineitem")
+      val qtyCents = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val view = base.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"), sum(qtyCents).as("sum_v"))
+      graft.etl.Ivm.maintain(view,
+          inserts = li.filter(col("l_orderkey") % 10 === 0),
+          deletes = base.filter(col("l_orderkey") % 20 === 5),
+          keys, qtyCents)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          col("sum_v").as("sum_qty_c"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5247,6 +5271,18 @@ object SparkEntry {
         |  CAST(CAST(sum(v) AS HUGEINT) * 1000000 //
         |    CAST((SELECT total FROM t) AS HUGEINT) AS BIGINT) AS share_ppm
         |FROM cl GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    // the IVM result graded against the FROM-SCRATCH final state:
+    // (base minus deletes) union inserts, aggregated directly.
+    "q_ivm_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM lineitem
+        |WHERE (l_orderkey % 10 <> 0 AND l_orderkey % 20 <> 5)
+        |   OR l_orderkey % 10 = 0
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (
