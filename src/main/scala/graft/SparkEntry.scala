@@ -1594,6 +1594,17 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q_discount_lift" -> ((s, d) =>
+      // price-response curve (Relational.discountLift): quantity means
+      // per integer discount percent with exact cross-multiplied lift
+      // signs vs the zero-discount bucket and a Kendall-style pair
+      // concordance certificate — all DECIMAL(38,0)/HUGEINT, no float
+      // means compared. ONE hash aggregate to the <=11-bucket frame;
+      // the pair join is on that tiny frame. VALUE-CERTIFIED cell for
+      // cell.
+      graft.analytics.Relational.discountLift(t(s, d, "lineitem"),
+        col("l_discount"), col("l_quantity"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5283,6 +5294,32 @@ object SparkEntry {
         |   OR l_orderkey % 10 = 0
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // same buckets, HUGEINT cross-multiplied signs and concordance.
+    "q_discount_lift" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_discount * 100) AS INTEGER) AS disc_pct,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |  FROM lineitem GROUP BY 1
+        |), z AS (SELECT n AS n0, sum_qty_c AS s0 FROM b WHERE disc_pct = 0
+        |), p AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN CAST(a.sum_qty_c AS HUGEINT) * x.n
+        |                     < CAST(x.sum_qty_c AS HUGEINT) * a.n
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN CAST(x.sum_qty_c AS HUGEINT) * a.n
+        |                     < CAST(a.sum_qty_c AS HUGEINT) * x.n
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+        |  FROM b a JOIN b x ON a.disc_pct < x.disc_pct
+        |)
+        |SELECT disc_pct, n, sum_qty_c,
+        |  sum_qty_c * 10000 // n AS avg_qty_ppm,
+        |  CAST(CASE WHEN CAST(s0 AS HUGEINT) * n < CAST(sum_qty_c AS HUGEINT) * n0 THEN 1
+        |            WHEN CAST(sum_qty_c AS HUGEINT) * n0 < CAST(s0 AS HUGEINT) * n THEN -1
+        |            ELSE 0 END AS INTEGER) AS lift_sign,
+        |  concordant, discordant
+        |FROM b, z, p ORDER BY disc_pct""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -152,6 +152,55 @@ object Relational {
         max(col("ts")).as("last_ts"))
       .orderBy("user_id")
 
+  /** DISCOUNT LIFT — the price-response curve: line items bucketed by
+    * integer discount percent, each bucket carrying trials, exact
+    * quantity sums (cents) and the floor-division mean quantity (ppm of
+    * a unit), plus the EXACT cross-multiplied lift sign vs the
+    * zero-discount bucket (sign(sum_b·n₀ − sum₀·n_b) — no float means
+    * compared). The bucket frame also carries a Kendall-style
+    * concordance certificate: among all bucket pairs (i < j), how many
+    * have strictly increasing vs decreasing mean quantity (again
+    * cross-multiplied) — the "does quantity actually respond to
+    * discount" monotonicity headline.
+    *
+    * Scale design: ONE hash aggregate to the ≤101-bucket frame; the
+    * pair concordance is a self-join of that tiny frame. Nothing else
+    * touches the corpus.
+    */
+  def discountLift(lineitem: DataFrame, discount: Column,
+                   quantity: Column): DataFrame = {
+    val base = lineitem.select(discount.as("disc"), quantity.as("qty"))
+    // cross-multiplied mean comparisons run in DECIMAL(38,0) (HUGEINT in
+    // oracles) so sum·n products stay exact at any bucket size
+    val cmp = (sa: String, na: String, sb: String, nb: String) =>
+      s"""CAST($sa AS DECIMAL(38,0)) * CAST($nb AS DECIMAL(38,0))
+         |  < CAST($sb AS DECIMAL(38,0)) * CAST($na AS DECIMAL(38,0))""".stripMargin
+    val buckets = base
+      .groupBy(expr("CAST(round(disc * 100) AS INT)").as("disc_pct"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(qty * 100) AS BIGINT)")).as("sum_qty_c"))
+    val zero = buckets.filter(col("disc_pct") === 0)
+      .select(col("n").as("n0"), col("sum_qty_c").as("s0"))
+    val pairs = buckets.select(col("disc_pct").as("pa"), col("n").as("na"),
+        col("sum_qty_c").as("sa"))
+      .crossJoin(buckets.select(col("disc_pct").as("pb"), col("n").as("nb"),
+        col("sum_qty_c").as("sb")))
+      .filter(col("pa") < col("pb"))
+      .agg(
+        sum(when(expr(cmp("sa", "na", "sb", "nb")), 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(expr(cmp("sb", "nb", "sa", "na")), 1L).otherwise(0L))
+          .as("discordant"))
+    buckets.crossJoin(broadcast(zero)).crossJoin(broadcast(pairs))
+      .select(col("disc_pct"), col("n"), col("sum_qty_c"),
+        expr("sum_qty_c * 10000 div n").as("avg_qty_ppm"),
+        expr(s"""CAST(CASE WHEN ${cmp("s0", "n0", "sum_qty_c", "n")} THEN 1
+                 |     WHEN ${cmp("sum_qty_c", "n", "s0", "n0")} THEN -1
+                 |     ELSE 0 END AS INT)""".stripMargin).as("lift_sign"),
+        col("concordant"), col("discordant"))
+      .orderBy("disc_pct")
+  }
+
   /** JOIN PROFILE — the pre-flight diagnostic a planner (or an engineer
     * deciding whether a join needs salting) wants before running an
     * equi-join: exact per-side key cardinalities, key-overlap split
