@@ -175,10 +175,12 @@ object Relational {
     val cmp = (sa: String, na: String, sb: String, nb: String) =>
       s"""CAST($sa AS DECIMAL(38,0)) * CAST($nb AS DECIMAL(38,0))
          |  < CAST($sb AS DECIMAL(38,0)) * CAST($na AS DECIMAL(38,0))""".stripMargin
-    val buckets = base
+    // persisted: three consumers (zero-bucket filter, pair self-join,
+    // final projection) would each re-scan and re-aggregate the corpus
+    val buckets = graft.CachePool.persist(base
       .groupBy(expr("CAST(round(disc * 100) AS INT)").as("disc_pct"))
       .agg(count(lit(1)).as("n"),
-        sum(expr("CAST(round(qty * 100) AS BIGINT)")).as("sum_qty_c"))
+        sum(expr("CAST(round(qty * 100) AS BIGINT)")).as("sum_qty_c")))
     val zero = buckets.filter(col("disc_pct") === 0)
       .select(col("n").as("n0"), col("sum_qty_c").as("s0"))
     val pairs = buckets.select(col("disc_pct").as("pa"), col("n").as("na"),

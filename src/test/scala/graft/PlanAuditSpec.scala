@@ -919,4 +919,45 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(scans.size === 1, s"the contingency pass must be one scan:\n$plan")
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
+
+  test("q_abc_analysis cumulates via the range-sort shape, not a global window") {
+    val plan = finalPlan(q("q_abc_analysis"))
+    graft.CachePool.releaseAll()
+    val unpartitioned = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty)
+    // only the #partitions-row offsets window may be global
+    assert(unpartitioned.size <= 1, s"only the offsets window may be global:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_ivm_agg folds the delta through hash joins, never cartesian") {
+    val plan = finalPlan(q("q_ivm_agg"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, s"$plan")
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"the view-delta fold must be an equi-join:\n$plan")
+  }
+
+  test("q_growth_accounting and q_cohort_ltv stay keyed: no cartesian, no BNL") {
+    Seq("q_growth_accounting", "q_cohort_ltv").foreach { name =>
+      val plan = finalPlan(q(name))
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"$name:\n$plan")
+      assert(collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"$name must join on keys only:\n$plan")
+    }
+  }
+
+  test("q_discount_lift pair join runs on the bucket frame only") {
+    val plan = finalPlan(q("q_discount_lift"))
+    graft.CachePool.releaseAll()
+    // the bucket frame is persisted, so the corpus is scanned ONCE no
+    // matter how many small-frame consumers hang off it
+    val scans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 1, s"corpus must be scanned once:\n$plan")
+  }
 }
