@@ -1605,6 +1605,17 @@ object SparkEntry {
       graft.analytics.Relational.discountLift(t(s, d, "lineitem"),
         col("l_discount"), col("l_quantity"))),
 
+    "q_peak_concurrency" -> ((s, d) =>
+      // interval sweep-line (EventAnalytics.peakConcurrency): the
+      // maximum number of concurrently-active 30-min-gap sessions and
+      // the first instant it is reached. The boundary stream rides the
+      // range-sort running-sum shape (never a global window); tied-run
+      // boundary values are order-invariant so any engine replays the
+      // peak exactly. VALUE-CERTIFIED: n, peak and the peak instant.
+      graft.analytics.EventAnalytics.peakConcurrency(
+        graft.streaming.EventStreams.sessionize(events(s, d)),
+        col("session_start"), col("session_end"))),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5320,6 +5331,41 @@ object SparkEntry {
         |            ELSE 0 END AS INTEGER) AS lift_sign,
         |  concordant, discordant
         |FROM b, z, p ORDER BY disc_pct""".stripMargin,
+
+    // q_sessionize's session CTEs, then the plain-window sweep (oracle
+    // side only; Spark uses the range-sort shape), +1 before -1 at ties.
+    "q_peak_concurrency" ->
+      """WITH lagd AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM lagd
+        |), seqs AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flags
+        |), sess AS (
+        |  SELECT user_id, session_seq, min(ts) AS st, max(ts) AS en
+        |  FROM seqs GROUP BY 1, 2
+        |), b AS (
+        |  SELECT epoch_us(st) AS t, 1 AS d FROM sess
+        |  UNION ALL SELECT epoch_us(en), -1 FROM sess
+        |), c AS (
+        |  SELECT t, d,
+        |    sum(d) OVER (ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM b
+        |), p AS (SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency FROM c)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_intervals,
+        |  p.peak_concurrency,
+        |  make_timestamp((SELECT min(t) FROM c, p WHERE conc = p.peak_concurrency))
+        |    AS peak_at
+        |FROM p""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

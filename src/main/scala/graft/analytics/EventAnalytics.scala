@@ -496,6 +496,50 @@ object EventAnalytics {
       .orderBy("cohort_wk", "wk_offset")
   }
 
+  /** PEAK CONCURRENCY — the interval sweep-line: given sessions (or any
+    * intervals, inclusive at both ends), the maximum number active at
+    * any instant and the first instant it is reached. Starts sort
+    * before ends at the same timestamp (+1 before −1), so touching
+    * intervals count as concurrent.
+    *
+    * Scale design: the boundary stream (2 rows per interval) runs the
+    * range-sort running-sum shape ([[Stats.aucExact]]'s): range
+    * partition on the sweep key, per-partition cumsums, broadcast
+    * per-partition offsets — never a single-partition global window.
+    * Within a tied (t, delta) run the row-level cums depend on tie
+    * order, but run-boundary values (and hence the max and its first
+    * time) are order-invariant — any engine replays them.
+    */
+  def peakConcurrency(intervals: DataFrame, start: Column,
+                      end: Column): DataFrame = {
+    val b = intervals
+      .select(Relational.epochMicros(start).as("t"), lit(1L).as("d"))
+      .unionAll(intervals
+        .select(Relational.epochMicros(end).as("t"), lit(-1L).as("d")))
+    val cum = graft.CachePool.persist(
+      b.repartitionByRange(col("t"), col("d").desc)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__cum", sum("d").over(
+          Window.partitionBy("__pid").orderBy(col("t"), col("d").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val offs = cum.groupBy("__pid").agg(sum("d").as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    val g = cum.join(broadcast(offs), "__pid")
+      .withColumn("conc", col("__cum") + col("__off"))
+    val peak = g.agg(max("conc").as("peak_concurrency"))
+    g.crossJoin(broadcast(peak))
+      .filter(col("conc") === col("peak_concurrency"))
+      .agg(min("t").as("peak_t"),
+        max("peak_concurrency").as("peak_concurrency"))
+      .crossJoin(broadcast(
+        intervals.agg(count(lit(1)).as("n_intervals"))))
+      .select(col("n_intervals"), col("peak_concurrency"),
+        expr("timestamp_micros(peak_t)").as("peak_at"))
+  }
+
   def transitionMatrix(events: DataFrame, user: Column, ts: Column,
                        tieBreak: Column, eventType: Column): DataFrame = {
     val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)
