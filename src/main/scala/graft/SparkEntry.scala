@@ -1616,6 +1616,38 @@ object SparkEntry {
         graft.streaming.EventStreams.sessionize(events(s, d)),
         col("session_start"), col("session_end"))),
 
+    "q_cusum" -> ((s, d) => {
+      // CUSUM changepoint detection (EventAnalytics.cusumShift): per
+      // event type, the two-sided integer CUSUM over daily counts with
+      // the scale-free ratio statistic (max aligned run / total
+      // absolute deviation, ppm) and the first day attaining the
+      // winning maximum. `planted_shift` — clicks plus errors from day
+      // 15 on — is a genuine level shift (ratio >= 385k at every SF)
+      // while the stationary types stay under 287k, so the 330k
+      // threshold splits both branches with margin at sf0.001/0.01/0.1.
+      // ONE corpus aggregate to the (type, day) frame; the recurrence
+      // folds in-row per metric (ewmaDaily's bounded-array shape).
+      // VALUE-CERTIFIED: the oracle replays the fold with a recursive
+      // CTE, cell for cell.
+      val ev = events(s, d).select(col("event_type"),
+          graft.analytics.Relational.epochMicros(col("ts")).as("tus"))
+        .select(col("event_type"), expr("tus div 86400000000").as("day"))
+      val base = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val minDay = base.agg(min("day").as("min_day"))
+      val planted = base.crossJoin(broadcast(minDay))
+        .withColumn("shift_on", col("day") - col("min_day") >= 15)
+        .groupBy("day")
+        .agg((sum(when(col("event_type") === "click", col("c")).otherwise(0L)) +
+          sum(when(col("event_type") === "error" && col("shift_on"), col("c"))
+            .otherwise(0L))).as("c"))
+        .select(lit("planted_shift").as("m"), col("day"), col("c"))
+      val cells = base
+        .select(col("event_type").as("m"), col("day"), col("c"))
+        .unionAll(planted)
+      graft.analytics.EventAnalytics.cusumShift(cells, col("m"),
+        col("day"), col("c"), hRatioPpm = 330000L)
+    }),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5366,6 +5398,67 @@ object SparkEntry {
         |  make_timestamp((SELECT min(t) FROM c, p WHERE conc = p.peak_concurrency))
         |    AS peak_at
         |FROM p""".stripMargin,
+
+    // the in-row CUSUM fold replayed as a recursive CTE (the waterfill
+    // idiom), same planted shift, same HUGEINT ratio.
+    "q_cusum" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+        |), base AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2
+        |), mind AS (SELECT min(day) AS min_day FROM ev
+        |), cells AS (
+        |  SELECT event_type AS m, day, c FROM base
+        |  UNION ALL
+        |  SELECT 'planted_shift', day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) +
+        |         sum(CASE WHEN event_type = 'error' AND day - min_day >= 15
+        |                  THEN c ELSE 0 END) AS BIGINT)
+        |  FROM base, mind GROUP BY day
+        |), t AS (
+        |  SELECT m, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS total
+        |  FROM cells GROUP BY 1
+        |), dd AS (
+        |  SELECT m, day, c,
+        |    CAST(row_number() OVER (PARTITION BY m ORDER BY day) AS BIGINT) AS rn
+        |  FROM cells
+        |), f AS (
+        |  SELECT m, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS su,
+        |    CAST(0 AS BIGINT) AS sd, CAST(0 AS BIGINT) AS mu,
+        |    CAST(0 AS BIGINT) AS md2, CAST(-1 AS BIGINT) AS cu,
+        |    CAST(-1 AS BIGINT) AS cd, CAST(0 AS BIGINT) AS ad
+        |  FROM t
+        |  UNION ALL
+        |  SELECT f.m, f.rn + 1,
+        |    greatest(0, f.su + (t.n_days * d.c - t.total)),
+        |    greatest(0, f.sd - (t.n_days * d.c - t.total)),
+        |    greatest(f.mu, greatest(0, f.su + (t.n_days * d.c - t.total))),
+        |    greatest(f.md2, greatest(0, f.sd - (t.n_days * d.c - t.total))),
+        |    CASE WHEN greatest(0, f.su + (t.n_days * d.c - t.total)) > f.mu
+        |         THEN d.day ELSE f.cu END,
+        |    CASE WHEN greatest(0, f.sd - (t.n_days * d.c - t.total)) > f.md2
+        |         THEN d.day ELSE f.cd END,
+        |    f.ad + abs(t.n_days * d.c - t.total)
+        |  FROM f
+        |  JOIN dd d ON d.m = f.m AND d.rn = f.rn + 1
+        |  JOIN t ON t.m = f.m
+        |), lastf AS (
+        |  SELECT f.* FROM f JOIN t ON t.m = f.m WHERE f.rn = t.n_days
+        |)
+        |SELECT l.m AS metric, t.n_days, t.total, l.mu AS s_max_up,
+        |  l.md2 AS s_max_down, l.ad AS abs_dev,
+        |  CASE WHEN l.ad = 0 THEN 0
+        |       ELSE CAST(CAST(greatest(l.mu, l.md2) AS HUGEINT) * 1000000 //
+        |                 CAST(l.ad AS HUGEINT) AS BIGINT) END AS ratio_ppm,
+        |  CASE WHEN l.mu >= l.md2 THEN l.cu ELSE l.cd END AS cp_day,
+        |  (CASE WHEN l.ad = 0 THEN 0
+        |        ELSE CAST(CAST(greatest(l.mu, l.md2) AS HUGEINT) * 1000000 //
+        |                  CAST(l.ad AS HUGEINT) AS BIGINT) END >= 330000)
+        |    AS shift_detected
+        |FROM lastf l JOIN t ON t.m = l.m
+        |ORDER BY metric""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -540,6 +540,62 @@ object EventAnalytics {
         expr("timestamp_micros(peak_t)").as("peak_at"))
   }
 
+  /** CUSUM CHANGEPOINT detection on per-metric daily counts — the
+    * level-shift monitor beside the EWMA burst fences: with T days,
+    * total N and the integer deviation D_t = T·c_t − N (counts scaled
+    * by T so the mean reference needs no division), the classic
+    * two-sided CUSUM
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + D_t)    S⁻_t = max(0, S⁻_{t−1} − D_t)
+    *
+    * accumulates persistent drift while noise resets it. The decision
+    * statistic is scale-free: ratio_ppm = 10⁶·max(S⁺, S⁻)_max / Σ|D_t|
+    * — for stationary noise the aligned run is a fraction of the total
+    * absolute deviation, for a genuine level shift it approaches the
+    * 500 000 ceiling — with `hRatioPpm` the shift flag's threshold and
+    * the first day attaining the winning maximum reported as the
+    * changepoint.
+    *
+    * Scale design: the ewmaDaily shape — each metric's day series rides
+    * as ONE sorted array row (width = the metric's day count; pre-filter
+    * the reporting window as there), and the recurrence folds in-row via
+    * `aggregate`; the oracle replays it with a recursive CTE. All
+    * arithmetic BIGINT; the final ratios divide in DECIMAL(38,0).
+    */
+  def cusumShift(daily: DataFrame, metric: Column, day: Column,
+                 cnt: Column, hRatioPpm: Long = 330000L): DataFrame = {
+    val rows = daily.select(metric.as("m"), day.cast("long").as("day"),
+        cnt.cast("long").as("c"))
+      .groupBy("m")
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("xs"),
+        count(lit(1)).as("n_days"), sum("c").as("total"))
+    rows
+      .withColumn("f", expr(
+        """aggregate(xs,
+          |  named_struct('su', 0L, 'sd', 0L, 'mu', 0L, 'md', 0L,
+          |               'cu', -1L, 'cd', -1L, 'ad', 0L),
+          |  (a, x) -> named_struct(
+          |    'su', greatest(0L, a.su + (n_days * x.c - total)),
+          |    'sd', greatest(0L, a.sd - (n_days * x.c - total)),
+          |    'mu', greatest(a.mu, greatest(0L, a.su + (n_days * x.c - total))),
+          |    'md', greatest(a.md, greatest(0L, a.sd - (n_days * x.c - total))),
+          |    'cu', CASE WHEN greatest(0L, a.su + (n_days * x.c - total)) > a.mu
+          |               THEN x.day ELSE a.cu END,
+          |    'cd', CASE WHEN greatest(0L, a.sd - (n_days * x.c - total)) > a.md
+          |               THEN x.day ELSE a.cd END,
+          |    'ad', a.ad + abs(n_days * x.c - total)))""".stripMargin))
+      .select(col("m").as("metric"), col("n_days"), col("total"),
+        col("f.mu").as("s_max_up"), col("f.md").as("s_max_down"),
+        col("f.ad").as("abs_dev"),
+        expr("""CASE WHEN f.ad = 0 THEN 0L
+                |ELSE CAST(greatest(f.mu, f.md) AS DECIMAL(38,0)) * 1000000
+                |     div CAST(f.ad AS DECIMAL(38,0)) END""".stripMargin)
+          .as("ratio_ppm"),
+        expr("CASE WHEN f.mu >= f.md THEN f.cu ELSE f.cd END").as("cp_day"))
+      .withColumn("shift_detected", col("ratio_ppm") >= hRatioPpm)
+      .orderBy("metric")
+  }
+
   def transitionMatrix(events: DataFrame, user: Column, ts: Column,
                        tieBreak: Column, eventType: Column): DataFrame = {
     val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)
