@@ -512,10 +512,14 @@ object EventAnalytics {
     */
   def peakConcurrency(intervals: DataFrame, start: Column,
                       end: Column): DataFrame = {
-    val b = intervals
-      .select(Relational.epochMicros(start).as("t"), lit(1L).as("d"))
-      .unionAll(intervals
-        .select(Relational.epochMicros(end).as("t"), lit(-1L).as("d")))
+    // persisted: the start/end boundary selects and the interval count
+    // are three consumers — unpersisted, a derived interval frame (e.g.
+    // sessionize) would be recomputed per consumer
+    val iv = graft.CachePool.persist(
+      intervals.select(Relational.epochMicros(start).as("st"),
+        Relational.epochMicros(end).as("en")))
+    val b = iv.select(col("st").as("t"), lit(1L).as("d"))
+      .unionAll(iv.select(col("en").as("t"), lit(-1L).as("d")))
     val cum = graft.CachePool.persist(
       b.repartitionByRange(col("t"), col("d").desc)
         .withColumn("__pid", spark_partition_id())
@@ -535,7 +539,7 @@ object EventAnalytics {
       .agg(min("t").as("peak_t"),
         max("peak_concurrency").as("peak_concurrency"))
       .crossJoin(broadcast(
-        intervals.agg(count(lit(1)).as("n_intervals"))))
+        iv.agg(count(lit(1)).as("n_intervals"))))
       .select(col("n_intervals"), col("peak_concurrency"),
         expr("timestamp_micros(peak_t)").as("peak_at"))
   }

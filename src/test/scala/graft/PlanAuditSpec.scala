@@ -960,4 +960,26 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(scans.size <= 1, s"corpus must be scanned once:\n$plan")
   }
+
+  test("q_peak_concurrency sweeps via the range-sort shape, not a global window") {
+    val plan = finalPlan(q("q_peak_concurrency"))
+    graft.CachePool.releaseAll()
+    val unpartitioned = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty)
+    // the boundary cumsum windows on __pid; the only global windows are
+    // the #partitions-row offsets frame, which appears once per consumer
+    // of the joined sweep (the peak aggregate and the argmin filter)
+    assert(unpartitioned.size <= 2, s"only the offsets windows may be global:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_cusum folds in-row: the recurrence never explodes the day arrays") {
+    val plan = finalPlan(q("q_cusum"))
+    // one Generate would mean the fold was rewritten as an explode
+    assert(collect(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, s"CUSUM must fold inside the row:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
 }
