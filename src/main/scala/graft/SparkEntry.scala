@@ -4790,7 +4790,11 @@ object SparkEntry {
         |  conv_ctl * 1000000 // n_ctl AS ppm_ctl,
         |  conv_trt * 1000000 // n_trt AS ppm_trt,
         |  (conv_trt * 1000000 // n_trt) - (conv_ctl * 1000000 // n_ctl) AS lift_ppm,
-        |  (CAST(1000000 AS HUGEINT) * CAST(n_ctl + n_trt AS HUGEINT) *
+        |  (CAST(n_trt AS HUGEINT) * CAST(n_ctl AS HUGEINT) *
+        |   CAST(conv_ctl + conv_trt AS HUGEINT) *
+        |   CAST(n_ctl + n_trt - conv_ctl - conv_trt AS HUGEINT) > 0
+        |   AND
+        |   CAST(1000000 AS HUGEINT) * CAST(n_ctl + n_trt AS HUGEINT) *
         |   (CAST(conv_trt AS HUGEINT) * CAST(n_ctl - conv_ctl AS HUGEINT) -
         |    CAST(n_trt - conv_trt AS HUGEINT) * CAST(conv_ctl AS HUGEINT)) *
         |   (CAST(conv_trt AS HUGEINT) * CAST(n_ctl - conv_ctl AS HUGEINT) -
@@ -5095,17 +5099,19 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_both,
         |    CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
         |    CAST(sum(CASE WHEN cb > 0 AND ca = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
-        |    CAST(sum(CAST(prod AS HUGEINT)) AS BIGINT) AS join_rows,
+        |    sum(CAST(prod AS HUGEINT)) AS join_rows_h,
         |    CAST(max(prod) AS BIGINT) AS max_key_rows
         |  FROM j
         |), top AS (
         |  SELECT CAST(min(k) AS BIGINT) AS top_key
         |  FROM j, agg WHERE prod = max_key_rows AND prod > 0
         |)
-        |SELECT ndv_a, ndv_b, ndv_both, only_a, only_b, join_rows,
+        |SELECT ndv_a, ndv_b, ndv_both, only_a, only_b,
+        |  CASE WHEN join_rows_h > CAST(9223372036854775807 AS HUGEINT)
+        |       THEN NULL ELSE CAST(join_rows_h AS BIGINT) END AS join_rows,
         |  max_key_rows, top_key,
         |  CAST(CAST(max_key_rows AS HUGEINT) * 1000000 //
-        |    CAST(join_rows AS HUGEINT) AS BIGINT) AS top_share_ppm
+        |    join_rows_h AS BIGINT) AS top_share_ppm
         |FROM agg, top""".stripMargin,
 
     // q_event_funnel's step CTEs with the 24 h deadline and the
@@ -5190,12 +5196,16 @@ object SparkEntry {
         |  SELECT source, CAST(sum(observed) AS BIGINT) AS n FROM j GROUP BY 1
         |), terms AS (
         |  SELECT j.source, j.digit, j.observed, nn.n,
-        |    observed * 1000000 // n AS observed_ppm, expected_ppm,
-        |    abs(observed * 1000000 // n - expected_ppm) AS dev_ppm,
+        |    CASE WHEN n = 0 THEN 0
+        |         ELSE observed * 1000000 // n END AS observed_ppm,
+        |    expected_ppm,
+        |    abs(CASE WHEN n = 0 THEN 0 ELSE observed * 1000000 // n END
+        |        - expected_ppm) AS dev_ppm,
+        |    CASE WHEN n = 0 THEN 0 ELSE
         |    CAST(CAST(1000000 * observed - n * expected_ppm AS HUGEINT) *
         |         CAST(1000000 * observed - n * expected_ppm AS HUGEINT) //
         |         (CAST(n AS HUGEINT) * CAST(expected_ppm AS HUGEINT)) AS BIGINT)
-        |      AS term_micro
+        |    END AS term_micro
         |  FROM j JOIN nn ON nn.source = j.source
         |), chi AS (
         |  SELECT source, CAST(sum(term_micro) AS BIGINT) AS chi2_micro
@@ -5267,12 +5277,21 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
         |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
         |  FROM cls GROUP BY 1
+        |), span AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM weekly
+        |), dense AS (
+        |  SELECT g.wk,
+        |    CAST(coalesce(w.n_active, 0) AS BIGINT) AS n_active,
+        |    CAST(coalesce(w.n_new, 0) AS BIGINT) AS n_new,
+        |    CAST(coalesce(w.n_retained, 0) AS BIGINT) AS n_retained,
+        |    CAST(coalesce(w.n_resurrected, 0) AS BIGINT) AS n_resurrected
+        |  FROM (SELECT unnest(generate_series(w0, w1)) AS wk FROM span) g
+        |  LEFT JOIN weekly w ON w.wk = g.wk
         |)
-        |SELECT w.wk, w.n_active, w.n_new, w.n_retained, w.n_resurrected,
-        |  coalesce(pw.n_active - w.n_retained, 0) AS n_churned
-        |FROM weekly w
-        |LEFT JOIN weekly pw ON pw.wk = w.wk - 1
-        |ORDER BY w.wk""".stripMargin,
+        |SELECT d.wk, d.n_active, d.n_new, d.n_retained, d.n_resurrected,
+        |  CAST(coalesce(p.n_active - d.n_retained, 0) AS BIGINT) AS n_churned
+        |FROM dense d
+        |LEFT JOIN dense p ON p.wk = d.wk - 1
+        |ORDER BY d.wk""".stripMargin,
 
     // same cohort assignment, grid aggregate, per-cohort running sum
     // and first_value cohort size.
@@ -5345,7 +5364,10 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
         |  FROM lineitem GROUP BY 1
-        |), z AS (SELECT n AS n0, sum_qty_c AS s0 FROM b WHERE disc_pct = 0
+        |), z AS (
+        |  SELECT max(CASE WHEN disc_pct = 0 THEN n END) AS n0,
+        |         max(CASE WHEN disc_pct = 0 THEN sum_qty_c END) AS s0
+        |  FROM b
         |), p AS (
         |  SELECT
         |    CAST(sum(CASE WHEN CAST(a.sum_qty_c AS HUGEINT) * x.n
@@ -5358,7 +5380,8 @@ object SparkEntry {
         |)
         |SELECT disc_pct, n, sum_qty_c,
         |  sum_qty_c * 10000 // n AS avg_qty_ppm,
-        |  CAST(CASE WHEN CAST(s0 AS HUGEINT) * n < CAST(sum_qty_c AS HUGEINT) * n0 THEN 1
+        |  CAST(CASE WHEN n0 IS NULL THEN NULL
+        |            WHEN CAST(s0 AS HUGEINT) * n < CAST(sum_qty_c AS HUGEINT) * n0 THEN 1
         |            WHEN CAST(sum_qty_c AS HUGEINT) * n0 < CAST(s0 AS HUGEINT) * n THEN -1
         |            ELSE 0 END AS INTEGER) AS lift_sign,
         |  concordant, discordant

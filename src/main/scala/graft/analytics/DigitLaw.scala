@@ -52,13 +52,19 @@ object DigitLaw {
       .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"),
         col("expected_ppm"))
     val n = joined.agg(sum("observed").as("n"))
+    // n = 0 (no positive amounts at all) is NOT evidence against
+    // Benford: ppm/terms pin to 0 so chi2 is 0 and the decision FALSE,
+    // instead of a null boolean from a divide-by-zero
     val terms = joined.crossJoin(broadcast(n))
-      .withColumn("observed_ppm", expr("observed * 1000000 div n"))
+      .withColumn("observed_ppm",
+        expr("CASE WHEN n = 0 THEN 0L ELSE observed * 1000000 div n END"))
       .withColumn("dev_ppm", abs(col("observed_ppm") - col("expected_ppm")))
       .withColumn("term_micro", expr(
-        """CAST((1000000 * observed - n * expected_ppm) AS DECIMAL(38,0)) *
+        """CASE WHEN n = 0 THEN 0L ELSE
+          |CAST((1000000 * observed - n * expected_ppm) AS DECIMAL(38,0)) *
           |CAST((1000000 * observed - n * expected_ppm) AS DECIMAL(38,0))
-          |div (CAST(n AS DECIMAL(38,0)) * CAST(expected_ppm AS DECIMAL(38,0)))""".stripMargin))
+          |div (CAST(n AS DECIMAL(38,0)) * CAST(expected_ppm AS DECIMAL(38,0)))
+          |END""".stripMargin))
     val chi = terms.agg(sum("term_micro").as("chi2_micro"))
     terms.crossJoin(broadcast(chi))
       .select(lit(source).as("source"), col("digit"), col("observed"),

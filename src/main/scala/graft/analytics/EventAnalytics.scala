@@ -212,24 +212,6 @@ object EventAnalytics {
       .orderBy("k", "day")
   }
 
-  /** First-order Markov TRANSITION MATRIX over per-user event sequences —
-    * the sequence-mining primitive behind next-action prediction, funnel
-    * discovery and session-path audits: each user's events in (ts,
-    * tie-break) order yield (prev → current) bigrams, with a `_start_`
-    * pseudo-state ahead of every user's first event so entry points are
-    * first-class transitions.
-    *
-    * Output per (from_type, to_type): count, the from-state's outgoing
-    * total, the transition probability as integer ppm (count·10⁶ div
-    * total — engine-portable, no float division), and the to-state's rank
-    * within the from-state (by count desc, name asc — deterministic).
-    *
-    * Scale design: the ONLY corpus-sized operation is the per-user lag
-    * window (shuffle by user — the sessionize shape) feeding a hash
-    * aggregate with map-side combine; the totals/rank windows run over the
-    * AGGREGATED matrix, which is ≤ (#states+1)·#states rows regardless of
-    * corpus size.
-    */
   /** Multi-touch conversion ATTRIBUTION — the marketing-analytics
     * primitive crediting touch events (views, clicks, …) for the
     * conversions they precede. Each user's event stream splits into
@@ -420,9 +402,12 @@ object EventAnalytics {
     * NEW (first-ever week), RETAINED (also active the prior week) and
     * RESURRECTED (previously active, absent last week), plus CHURNED
     * (active last week, absent this week — attributed to the week they
-    * went missing). The identities `active = new + retained +
-    * resurrected` and `churned(w) = active(w−1) − retained(w)` hold by
-    * construction and are spec-pinned.
+    * went missing). The output grid is DENSE over [first, last] week:
+    * a fully-inactive week still emits its row (zero actives, the
+    * prior week's churn), so no churn event is ever lost to a gap. The
+    * identities `active = new + retained + resurrected` and
+    * `churned(w) = active(w−1) − retained(w)` hold by construction and
+    * are spec-pinned.
     *
     * Scale design: the corpus compacts to distinct (user, week) in one
     * pass; first-active weeks are one more user-keyed aggregate; the
@@ -450,10 +435,21 @@ object EventAnalytics {
       sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
       sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
       sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
-    // churned(w) = active(w-1) - retained(w); weeks frame is tiny
-    val lagW = weekly.select((col("wk") + 1).as("wk"),
+    // DENSE week grid over [min, max]: a fully-inactive week still gets
+    // a row, so the churn of the users who went missing THAT week is
+    // ledgered instead of silently lost (weeks frame is tiny)
+    val dense = weekly.agg(min("wk").as("w0"), max("wk").as("w1"))
+      .select(explode(sequence(col("w0"), col("w1"))).as("wk"))
+      .join(weekly, Seq("wk"), "left")
+      .select(col("wk"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"))
+    // churned(w) = active(w-1) - retained(w) over the dense grid
+    val lagW = dense.select((col("wk") + 1).as("wk"),
       col("n_active").as("prev_active"))
-    weekly.join(lagW, Seq("wk"), "left")
+    dense.join(lagW, Seq("wk"), "left")
       .withColumn("n_churned",
         coalesce(col("prev_active") - col("n_retained"), lit(0L)))
       .select("wk", "n_active", "n_new", "n_retained", "n_resurrected",
@@ -600,6 +596,24 @@ object EventAnalytics {
       .orderBy("metric")
   }
 
+  /** First-order Markov TRANSITION MATRIX over per-user event sequences —
+    * the sequence-mining primitive behind next-action prediction, funnel
+    * discovery and session-path audits: each user's events in (ts,
+    * tie-break) order yield (prev → current) bigrams, with a `_start_`
+    * pseudo-state ahead of every user's first event so entry points are
+    * first-class transitions.
+    *
+    * Output per (from_type, to_type): count, the from-state's outgoing
+    * total, the transition probability as integer ppm (count·10⁶ div
+    * total — engine-portable, no float division), and the to-state's rank
+    * within the from-state (by count desc, name asc — deterministic).
+    *
+    * Scale design: the ONLY corpus-sized operation is the per-user lag
+    * window (shuffle by user — the sessionize shape) feeding a hash
+    * aggregate with map-side combine; the totals/rank windows run over the
+    * AGGREGATED matrix, which is ≤ (#states+1)·#states rows regardless of
+    * corpus size.
+    */
   def transitionMatrix(events: DataFrame, user: Column, ts: Column,
                        tieBreak: Column, eventType: Column): DataFrame = {
     val perUser = Window.partitionBy(user).orderBy(ts, tieBreak)

@@ -55,9 +55,16 @@ object Experiment {
       .withColumn("ppm_trt", expr("conv_trt * 1000000 div n_trt"))
       .withColumn("lift_ppm", col("ppm_trt") - col("ppm_ctl"))
       // exact integer chi-square decision; every operand cast BEFORE any
-      // product so no BIGINT intermediate can overflow
+      // product so no BIGINT intermediate can overflow. A degenerate
+      // table (empty arm, zero conversions everywhere, or 100%
+      // conversion) has a zero margin product: chi-square is undefined
+      // there and the decision must be FALSE, not the vacuous 0 >= 0.
       .withColumn("significant", expr(
-        """CAST(1000000 AS DECIMAL(38,0)) * CAST(n_ctl + n_trt AS DECIMAL(38,0)) *
+        """CAST(n_trt AS DECIMAL(38,0)) * CAST(n_ctl AS DECIMAL(38,0)) *
+          |  CAST(conv_ctl + conv_trt AS DECIMAL(38,0)) *
+          |  CAST(n_ctl + n_trt - conv_ctl - conv_trt AS DECIMAL(38,0)) > 0
+          |AND
+          |CAST(1000000 AS DECIMAL(38,0)) * CAST(n_ctl + n_trt AS DECIMAL(38,0)) *
           |  (CAST(conv_trt AS DECIMAL(38,0)) * CAST(n_ctl - conv_ctl AS DECIMAL(38,0)) -
           |   CAST(n_trt - conv_trt AS DECIMAL(38,0)) * CAST(conv_ctl AS DECIMAL(38,0))) *
           |  (CAST(conv_trt AS DECIMAL(38,0)) * CAST(n_ctl - conv_ctl AS DECIMAL(38,0)) -
@@ -95,8 +102,16 @@ object Experiment {
   def uniformity(counts: DataFrame, metric: Column, cat: Column,
                  cnt: Column, kCats: Int, criticalMicro: Long): DataFrame = {
     require(kCats >= 2 && kCats <= 1024, s"kCats out of range: $kCats")
-    val base = counts.select(metric.as("metric"), cat.cast("long").as("cat"),
-      cnt.cast("long").as("c"))
+    // the packed-argmax contract: a category outside [0, 1023] would
+    // silently bleed into the count bits, so violations fail loudly
+    val base = counts
+      .select(metric.as("metric"), cat.cast("long").as("__cat"),
+        cnt.cast("long").as("c"))
+      .select(col("metric"), expr(
+        """CASE WHEN __cat BETWEEN 0 AND 1023 THEN __cat
+          |ELSE raise_error(CONCAT('uniformity: category out of [0,1023]: ',
+          |  CAST(__cat AS STRING))) END""".stripMargin).as("cat"),
+        col("c"))
     val tot = base.groupBy("metric")
       .agg(sum("c").as("n"), count(lit(1)).as("k_present"))
     base.join(tot, Seq("metric"))

@@ -181,8 +181,12 @@ object Relational {
       .groupBy(expr("CAST(round(disc * 100) AS INT)").as("disc_pct"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(round(qty * 100) AS BIGINT)")).as("sum_qty_c")))
-    val zero = buckets.filter(col("disc_pct") === 0)
-      .select(col("n").as("n0"), col("sum_qty_c").as("s0"))
+    // always exactly one row (nulls when no zero-discount bucket
+    // exists) — a filtered frame would be EMPTY then, and the
+    // cross join would annihilate the whole curve
+    val zero = buckets.agg(
+      max(when(col("disc_pct") === 0, col("n"))).as("n0"),
+      max(when(col("disc_pct") === 0, col("sum_qty_c"))).as("s0"))
     val pairs = buckets.select(col("disc_pct").as("pa"), col("n").as("na"),
         col("sum_qty_c").as("sa"))
       .crossJoin(buckets.select(col("disc_pct").as("pb"), col("n").as("nb"),
@@ -196,7 +200,8 @@ object Relational {
     buckets.crossJoin(broadcast(zero)).crossJoin(broadcast(pairs))
       .select(col("disc_pct"), col("n"), col("sum_qty_c"),
         expr("sum_qty_c * 10000 div n").as("avg_qty_ppm"),
-        expr(s"""CAST(CASE WHEN ${cmp("s0", "n0", "sum_qty_c", "n")} THEN 1
+        expr(s"""CAST(CASE WHEN n0 IS NULL THEN NULL
+                 |     WHEN ${cmp("s0", "n0", "sum_qty_c", "n")} THEN 1
                  |     WHEN ${cmp("sum_qty_c", "n", "s0", "n0")} THEN -1
                  |     ELSE 0 END AS INT)""".stripMargin).as("lift_sign"),
         col("concordant"), col("discordant"))
@@ -241,7 +246,15 @@ object Relational {
     agg.crossJoin(broadcast(top))
       .select(col("ndv_a"), col("ndv_b"), col("ndv_both"), col("only_a"),
         col("only_b"),
-        expr("CAST(join_rows_dec AS BIGINT)").as("join_rows"),
+        // the exact size survives in top_share_ppm's decimal arithmetic;
+        // the BIGINT headline goes NULL (identically in the oracle)
+        // when the true size exceeds 2^63 - a non-ANSI cast would
+        // silently null here while the oracle's HUGEINT cast ERRORS,
+        // so the guard keeps both engines aligned
+        expr("""CASE WHEN join_rows_dec > CAST(9223372036854775807 AS DECIMAL(38,0))
+                |THEN CAST(NULL AS BIGINT)
+                |ELSE CAST(join_rows_dec AS BIGINT) END""".stripMargin)
+          .as("join_rows"),
         col("max_key_rows"), col("top_key"),
         expr("CAST(max_key_rows AS DECIMAL(38,0)) * 1000000 div join_rows_dec")
           .as("top_share_ppm"))

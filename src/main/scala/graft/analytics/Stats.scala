@@ -343,7 +343,9 @@ object Stats {
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("__pid", "__off")
-    val total = base.agg(sum("v").as("total"))
+    // total off the PERSISTED frame — summing base would re-run the
+    // caller's upstream aggregation a second time
+    val total = cum.agg(sum("v").as("total"))
     cum.join(broadcast(offs), "__pid").crossJoin(broadcast(total))
       .withColumn("cumv", col("__cum") + col("__off"))
       .withColumn("cls", expr(

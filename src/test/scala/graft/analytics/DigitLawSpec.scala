@@ -41,4 +41,12 @@ class DigitLawSpec extends SparkSpec {
     // chi2 is constant across a source's rows
     assert(bad.map(_.getLong(7)).distinct.length === 1)
   }
+
+  test("a source with no positive amounts reports chi2 0 and no rejection") {
+    val out = DigitLaw.benford(Seq(-1L, 0L).toDF("amt"), col("amt"), "e")
+      .collect()
+    assert(out.length === 9)
+    assert(out.forall(r => r.getLong(3) === 0L && r.getLong(7) === 0L &&
+      !r.getBoolean(8)))
+  }
 }

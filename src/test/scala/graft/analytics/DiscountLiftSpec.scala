@@ -31,4 +31,13 @@ class DiscountLiftSpec extends SparkSpec {
     val k = out.length.toLong
     assert(out(0).getLong(5) + out(0).getLong(6) <= k * (k - 1) / 2)
   }
+
+  test("a curve without a zero-discount baseline survives with null lift") {
+    val rows = Seq((0.05, 2.0), (0.05, 2.0), (0.10, 3.0))
+    val out = Relational.discountLift(rows.toDF("d", "q"), col("d"), col("q"))
+      .collect()
+    assert(out.length === 2)
+    assert(out.forall(_.isNullAt(4)))
+    assert(out.map(_.getLong(1)).sum === 3L)
+  }
 }

@@ -58,4 +58,15 @@ class ExperimentSpec extends SparkSpec {
     assert(out.getAs[Long]("ppm_ctl") > 100000L)
     assert(out.getAs[Long]("ppm_trt") > 100000L)
   }
+
+  test("degenerate tables are never significant") {
+    val cont = Seq(
+      ("zero_conv", 0L, 100L, 0L), ("zero_conv", 1L, 100L, 0L),
+      ("full_conv", 0L, 100L, 100L), ("full_conv", 1L, 100L, 100L),
+      ("empty_arm", 0L, 100L, 10L), ("empty_arm", 1L, 0L, 0L)
+    ).toDF("metric", "variant", "n", "conv")
+    val out = Experiment.chiSquare(cont).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("significant")).toMap
+    assert(out.values.forall(_ == false), out.toString)
+  }
 }

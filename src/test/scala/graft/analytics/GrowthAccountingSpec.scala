@@ -25,9 +25,11 @@ class GrowthAccountingSpec extends SparkSpec {
     assert(out(100L) === ((2L, 2L, 0L, 0L, 0L)))
     // week 101: user1 retained, user3 new; user2 churned
     assert(out(101L) === ((2L, 1L, 1L, 0L, 1L)))
-    // week 103: user1 resurrected; week 102 absent from output (no actives)
+    // week 102 is fully inactive but still ledgered: users 1 and 3
+    // (active in 101) churn THERE, not nowhere
+    assert(out(102L) === ((0L, 0L, 0L, 0L, 2L)))
+    // week 103: user1 resurrected, no churn (nobody was active in 102)
     assert(out(103L) === ((1L, 0L, 0L, 1L, 0L)))
-    assert(!out.contains(102L))
   }
 
   test("ledger identities hold on the events corpus") {

@@ -44,4 +44,13 @@ class UniformitySpec extends SparkSpec {
     val m2 = run(Seq(("b", 0L, 59L), ("b", 1L, 41L)), 2, crit = 3841459L)
     assert(!m2("b")._3) // chi2 = 3.24 < 3.84
   }
+
+  test("categories outside [0,1023] fail loudly instead of corrupting the pack") {
+    val bad = Seq(("m", -1L, 5L)).toDF("m", "cat", "c")
+    val e = intercept[Exception] {
+      Experiment.uniformity(bad, col("m"), col("cat"), col("c"), 7,
+        12592000L).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
