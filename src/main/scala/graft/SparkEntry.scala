@@ -1648,6 +1648,34 @@ object SparkEntry {
         col("day"), col("c"), hRatioPpm = 330000L)
     }),
 
+    "q_autocorr" -> ((s, d) => {
+      // lag-1/lag-7 autocorrelation (Stats.autocorr) of daily counts
+      // per event type, exact integer Pearson building blocks — the
+      // signed r^2 ppm and the r >= 1/2 `strong` flag are both
+      // cross-multiplied (DECIMAL(38,0)/HUGEINT), no square root.
+      // `planted_weekly` — clicks plus 4x errors on two fixed dows — is
+      // a genuine 7-periodic signal: lag-7 strong at every SF (r =
+      // 0.59 / 0.98 / 1.0) while its lag-1 and all real types stay
+      // under the cut, so both branches are real everywhere. ONE corpus
+      // aggregate to the (type, day, dow) frame; the lag joins run on
+      // the tiny day frame. VALUE-CERTIFIED cell for cell.
+      val ev = events(s, d).select(col("event_type"),
+          graft.analytics.Relational.epochMicros(col("ts")).as("tus"))
+        .select(col("event_type"), expr("tus div 86400000000").as("day"),
+          expr("(tus div 86400000000) % 7").as("dow"))
+      val base = ev.groupBy("event_type", "day", "dow")
+        .agg(count(lit(1)).as("c"))
+      val daily = base.groupBy(col("event_type").as("m"), col("day"))
+        .agg(sum("c").as("c"))
+        .unionAll(base.groupBy("day").agg(
+            (sum(when(col("event_type") === "click", col("c")).otherwise(0L)) +
+              lit(4L) * sum(when(col("event_type") === "error" &&
+                col("dow").isin(0, 1), col("c")).otherwise(0L))).as("c"))
+          .select(lit("planted_weekly").as("m"), col("day"), col("c")))
+      graft.analytics.Stats.autocorr(daily, col("m"), col("day"),
+        col("c"), Seq(1, 7))
+    }),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5482,6 +5510,56 @@ object SparkEntry {
         |    AS shift_detected
         |FROM lastf l JOIN t ON t.m = l.m
         |ORDER BY metric""".stripMargin,
+
+    // same daily frame and plant, lag pairs via the (m, day+k) join,
+    // HUGEINT replay of the DECIMAL Pearson blocks.
+    "q_autocorr" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow
+        |  FROM events
+        |), base AS (
+        |  SELECT event_type, day, dow, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2, 3
+        |), daily AS (
+        |  SELECT event_type AS m, day, CAST(sum(c) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'planted_weekly', day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) +
+        |         4 * sum(CASE WHEN event_type = 'error' AND dow IN (0, 1)
+        |                      THEN c ELSE 0 END) AS BIGINT)
+        |  FROM base GROUP BY day
+        |), lags AS (SELECT 1 AS lag UNION ALL SELECT 7
+        |), blocks AS (
+        |  SELECT a.m AS metric, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(a.c) AS BIGINT) AS sx, CAST(sum(b.c) AS BIGINT) AS sy,
+        |    sum(CAST(a.c AS HUGEINT) * b.c) AS sxy,
+        |    sum(CAST(a.c AS HUGEINT) * a.c) AS sxx,
+        |    sum(CAST(b.c AS HUGEINT) * b.c) AS syy
+        |  FROM lags l
+        |  JOIN daily a ON TRUE
+        |  JOIN daily b ON b.m = a.m AND b.day = a.day + l.lag
+        |  GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT metric, lag, n_pairs,
+        |    CAST(n_pairs AS HUGEINT) * sxy -
+        |      CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+        |    CAST(n_pairs AS HUGEINT) * sxx -
+        |      CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS d1,
+        |    CAST(n_pairs AS HUGEINT) * syy -
+        |      CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS d2
+        |  FROM blocks
+        |)
+        |SELECT metric, CAST(lag AS INTEGER) AS lag, n_pairs,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |       AS INTEGER) AS sign,
+        |  CAST(CASE WHEN d1 * d2 = 0 THEN 0
+        |            ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |                 (num * num * 1000000 // (d1 * d2)) END AS BIGINT)
+        |    AS r2_ppm,
+        |  (num > 0 AND 4 * num * num >= d1 * d2 AND d1 * d2 > 0) AS strong
+        |FROM stats ORDER BY metric, lag""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

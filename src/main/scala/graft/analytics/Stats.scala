@@ -363,6 +363,61 @@ object Stats {
       .orderBy("cls")
   }
 
+  /** Lag-k AUTOCORRELATION of per-metric series — the periodicity
+    * detector (weekly rhythm, release cadence) in EXACT integer
+    * arithmetic, no square roots: with pairs (x_t, x_{t+k}) and the
+    * Pearson building blocks num = n·Σxy − Σx·Σy, d1 = n·Σx² − (Σx)²,
+    * d2 = n·Σy² − (Σy)², the reported statistic is the SIGNED squared
+    * correlation in ppm (floor(10⁶·num²/(d1·d2)) carrying num's sign)
+    * and a `strong` flag for r ≥ ½, evaluated as num > 0 AND 4·num² ≥
+    * d1·d2 — both cross-multiplied, both replayable cell for cell.
+    *
+    * All products run in DECIMAL(38,0)/HUGEINT; that holds exactly to
+    * per-period values around 10⁸ (num² ≲ 10³⁸). Beyond that, pre-scale
+    * the series (autocorrelation is scale-invariant, so dividing counts
+    * by a constant changes nothing but the headroom).
+    *
+    * Scale design: the input is an already-aggregated per-(metric,
+    * period) frame; each lag is one (metric, t+k) equi-join of that
+    * small frame with a per-(metric, lag) hash aggregate. The corpus is
+    * never touched here.
+    */
+  def autocorr(daily: DataFrame, metric: Column, t: Column, value: Column,
+               lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0))
+    val base = graft.CachePool.persist(daily.select(metric.as("m"),
+      t.cast("long").as("t"), value.cast("long").as("v")))
+    lags.map { k =>
+      base.as("a")
+        .join(base.as("b"),
+          col("a.m") === col("b.m") && col("a.t") + k === col("b.t"))
+        .groupBy(col("a.m").as("metric"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.v")).as("sx"), sum(col("b.v")).as("sy"),
+          sum(col("a.v").cast("decimal(38,0)") * col("b.v")).as("sxy"),
+          sum(col("a.v").cast("decimal(38,0)") * col("a.v")).as("sxx"),
+          sum(col("b.v").cast("decimal(38,0)") * col("b.v")).as("syy"))
+        .withColumn("num", expr(
+          """CAST(n_pairs AS DECIMAL(38,0)) * sxy -
+            |CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))""".stripMargin))
+        .withColumn("d1", expr(
+          """CAST(n_pairs AS DECIMAL(38,0)) * sxx -
+            |CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))""".stripMargin))
+        .withColumn("d2", expr(
+          """CAST(n_pairs AS DECIMAL(38,0)) * syy -
+            |CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))""".stripMargin))
+        .select(col("metric"), lit(k).as("lag"), col("n_pairs"),
+          expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT)")
+            .as("sign"),
+          expr("""CASE WHEN d1 * d2 = 0 THEN 0L
+                  |ELSE CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                  |     (num * num * 1000000 div (d1 * d2)) END""".stripMargin)
+            .as("r2_ppm"),
+          expr("num > 0 AND 4 * num * num >= d1 * d2 AND d1 * d2 > 0")
+            .as("strong"))
+    }.reduce(_ unionAll _).orderBy("metric", "lag")
+  }
+
   /** GINI concentration index of a non-negative value distribution — the
     * inequality audit behind "how skewed is activity/revenue/token
     * share": with values sorted ascending and 1-based rank i,
