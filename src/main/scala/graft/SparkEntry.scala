@@ -1676,6 +1676,29 @@ object SparkEntry {
         col("c"), Seq(1, 7))
     }),
 
+    "q_mann_whitney" -> ((s, d) => {
+      // Mann-Whitney U (Experiment.mannWhitney): the nonparametric
+      // two-sample test on order totals split by customer parity, exact
+      // integer doubled-midranks + the cross-multiplied z^2 decision
+      // (no sqrt, no tie correction - documented conservative).
+      // `planted_shift` gives the treatment arm a +20% value uplift
+      // (cents + cents div 5, identical floor division in the oracle)
+      // - a guaranteed stochastic dominance, so `significant` and
+      // direction +1 have a real TRUE branch at every SF; the null
+      // parity split pins the FALSE side. Ranks ride the range-sort
+      // shape over the per-(metric, value) tie-group frame - never a
+      // global rank window. VALUE-CERTIFIED cell for cell.
+      val o = t(s, d, "orders").select((col("o_custkey") % 2).as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val trials = o.select(lit("totalprice_null").as("m"), col("g"),
+          col("cents").as("v"))
+        .unionAll(o.select(lit("planted_shift").as("m"), col("g"),
+          (col("cents") + when(col("g") === 1, expr("cents div 5"))
+            .otherwise(0L)).as("v")))
+      graft.analytics.Experiment.mannWhitney(trials, col("m"), col("g"),
+        col("v"))
+    }),
+
     "q_retention_cohorts" -> ((s, d) =>
       // weekly cohort retention: cohort = epoch week (integer floor-div,
       // no week-start convention) of the user's first event; one row per
@@ -5560,6 +5583,50 @@ object SparkEntry {
         |    AS r2_ppm,
         |  (num > 0 AND 4 * num * num >= d1 * d2 AND d1 * d2 > 0) AS strong
         |FROM stats ORDER BY metric, lag""".stripMargin,
+
+    // midranks replayed with a plain cumulative window (oracle side
+    // only), the same doubled-rank algebra and HUGEINT z^2 decision.
+    "q_mann_whitney" ->
+      """WITH o AS (
+        |  SELECT o_custkey % 2 AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), trials AS (
+        |  SELECT 'totalprice_null' AS m, g, cents AS v FROM o
+        |  UNION ALL
+        |  SELECT 'planted_shift', g,
+        |    cents + CASE WHEN g = 1 THEN cents // 5 ELSE 0 END FROM o
+        |), bv AS (
+        |  SELECT m, v,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS ct
+        |  FROM trials GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT m, v, c1, ct,
+        |    sum(ct) OVER (PARTITION BY m ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM bv
+        |), agg AS (
+        |  SELECT m AS metric,
+        |    CAST(sum(CASE WHEN c1 > 0
+        |             THEN c1 * ((cum - ct) * 2 + ct + 1) ELSE 0 END) AS BIGINT)
+        |      AS r1_2,
+        |    CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(ct - c1) AS BIGINT) AS n2
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT metric, n1, n2, r1_2 - n1 * (n1 + 1) AS u2,
+        |  CAST(CASE WHEN r1_2 - n1 * (n1 + 1) > n1 * n2 THEN 1
+        |            WHEN r1_2 - n1 * (n1 + 1) < n1 * n2 THEN -1
+        |            ELSE 0 END AS INTEGER) AS direction,
+        |  (CAST(n1 AS HUGEINT) * n2 > 0 AND
+        |   CAST(3000000 AS HUGEINT) *
+        |     CAST(r1_2 - n1 * (n1 + 1) - n1 * n2 AS HUGEINT) *
+        |     CAST(r1_2 - n1 * (n1 + 1) - n1 * n2 AS HUGEINT)
+        |   >= CAST(3841459 AS HUGEINT) * CAST(n1 AS HUGEINT) *
+        |      CAST(n2 AS HUGEINT) * CAST(n1 + n2 + 1 AS HUGEINT))
+        |    AS significant
+        |FROM agg ORDER BY metric""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH wk AS (

@@ -81,6 +81,75 @@ object Experiment {
              converted: Column): DataFrame =
     chiSquare(contingency(trials, metric, variant, converted))
 
+  /** MANN–WHITNEY U — the rank-based (nonparametric) two-sample test:
+    * does the treatment arm's continuous metric stochastically dominate
+    * control's, without assuming normality? Entirely exact integer
+    * arithmetic on DOUBLED midranks (ties get the average rank; doubling
+    * keeps .5 midranks integral): per metric,
+    *
+    *   R1·2 = Σ_{treatment} (2·startRank + tieCount − 1)
+    *   U·2  = R1·2 − n1·(n1+1)
+    *
+    * and the α = 0.05 two-sided decision via the cross-multiplied
+    * normal-approximation z² ≥ 3.841459:
+    *
+    *   3·10⁶·(U·2 − n1·n2)² ≥ 3841459·n1·n2·(n+1)
+    *
+    * over DECIMAL(38,0) (HUGEINT in oracles). The tie CORRECTION to σ²
+    * is omitted (documented; it only shrinks σ, so the decision is
+    * conservative for heavily-tied data). Also reported: u2 (doubled U),
+    * the arm sizes, and the rank-biserial effect direction.
+    *
+    * Scale design: values collapse to the per-(metric, value) tie-group
+    * frame first (one hash aggregate carrying both arms' counts); start
+    * ranks come from the range-sort shape (range partition on value,
+    * per-partition cumsums, broadcast offsets — never a global rank
+    * window); everything after is a per-metric aggregate.
+    */
+  def mannWhitney(trials: DataFrame, metric: Column, variant: Column,
+                  value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byValue = trials.select(metric.as("m"), variant.as("g"),
+        value.cast("long").as("v"))
+      .groupBy("m", "v")
+      .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("ct"))
+    val cum = graft.CachePool.persist(
+      byValue.repartitionByRange(col("m"), col("v"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__cum", sum("ct").over(
+          Window.partitionBy("m", "__pid").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val offs = cum.groupBy("m", "__pid").agg(sum("ct").as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(
+        Window.partitionBy("m").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("m", "__pid", "__off")
+    cum.join(offs, Seq("m", "__pid"))
+      // doubled midrank of this tie group: 2·start + ct − 1, where
+      // start = cum + off − ct + 1 (1-based first rank of the group)
+      .withColumn("mr2", (col("__cum") + col("__off") - col("ct")) * 2
+        + col("ct") + 1)
+      .groupBy(col("m").as("metric"))
+      .agg(sum(when(col("c1") > 0, col("c1") * col("mr2")).otherwise(0L))
+          .as("r1_2"),
+        sum("c1").as("n1"), sum(col("ct") - col("c1")).as("n2"))
+      .withColumn("u2", col("r1_2") - col("n1") * (col("n1") + 1))
+      .select(col("metric"), col("n1"), col("n2"), col("u2"),
+        expr("""CAST(CASE WHEN u2 > n1 * n2 THEN 1
+                |WHEN u2 < n1 * n2 THEN -1 ELSE 0 END AS INT)""".stripMargin)
+          .as("direction"),
+        expr(
+          """CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)) > 0 AND
+            |CAST(3000000 AS DECIMAL(38,0)) *
+            |  CAST(u2 - n1 * n2 AS DECIMAL(38,0)) *
+            |  CAST(u2 - n1 * n2 AS DECIMAL(38,0))
+            |>= CAST(3841459 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)) *
+            |   CAST(n2 AS DECIMAL(38,0)) * CAST(n1 + n2 + 1 AS DECIMAL(38,0))""".stripMargin)
+          .as("significant"))
+      .orderBy("metric")
+  }
+
   /** k-category UNIFORMITY chi-square — the seasonality/skew test ("is
     * this metric flat across days-of-week / shards / buckets"): over a
     * per-(metric, category, count) frame, χ² against the uniform
