@@ -3611,10 +3611,10 @@ object SparkEntry {
       |), alloc AS (
       |  WITH RECURSIVE w AS (
       |    SELECT CAST(0 AS BIGINT) AS rn,
-      |      (SELECT (sum(n_tokens) * 3) // 4 FROM tok) AS remaining
+      |      CAST((SELECT (sum(n_tokens) * 3) // 4 FROM tok) AS BIGINT) AS remaining
       |    UNION ALL
       |    SELECT o.rn,
-      |      w.remaining - least(o.cap, w.remaining // (o.n - w.rn))
+      |      CAST(w.remaining - least(o.cap, w.remaining // (o.n - w.rn)) AS BIGINT)
       |    FROM w JOIN ord o ON o.rn = w.rn + 1
       |  ) SELECT * FROM w
       |)

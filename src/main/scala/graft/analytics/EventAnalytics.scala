@@ -223,8 +223,12 @@ object EventAnalytics {
     * (deterministic: touch order is (ts, tie-break)), linear credit as
     * summed integer ppm (each conversion's 10⁶ splits across channels as
     * floor(channel-touches·10⁶ / all-touches) — per-CHANNEL flooring,
-    * engine-portable), and the attributed touch count. Conversions with NO attributed touch credit the `noneLabel`
-    * channel, so every conversion is accounted for.
+    * engine-portable), and the attributed touch count. Conversions with
+    * NO attributed touch credit the `noneLabel` channel in the
+    * FIRST/LAST-touch columns, so those credits each total the conversion
+    * count; linear ppm is defined only over attributed touches, so
+    * zero-touch conversions contribute no linear credit (their 10⁶ is
+    * intentionally unallocated, and `noneLabel`'s linear_ppm is 0).
     *
     * Scale design: the corpus flows through user-keyed windows (the
     * sessionize shuffle shape) and (user, segment)-keyed windows/joins —

@@ -59,8 +59,15 @@ object Experiment {
       // table (empty arm, zero conversions everywhere, or 100%
       // conversion) has a zero margin product: chi-square is undefined
       // there and the decision must be FALSE, not the vacuous 0 >= 0.
+      // Past N ≈ 4·10⁶ trials the DECIMAL(38,0) products overflow to
+      // NULL in non-ANSI Spark while the HUGEINT oracle stays exact, so
+      // the exactness bound fails loudly instead of diverging silently.
       .withColumn("significant", expr(
-        """CAST(n_trt AS DECIMAL(38,0)) * CAST(n_ctl AS DECIMAL(38,0)) *
+        """CASE WHEN n_ctl + n_trt > 4000000
+          |THEN raise_error(CONCAT('chiSquare: N exceeds the DECIMAL(38,0) ',
+          |  'exactness bound (4e6 trials/metric); stratify or subsample: ',
+          |  CAST(n_ctl + n_trt AS STRING))) ELSE
+          |CAST(n_trt AS DECIMAL(38,0)) * CAST(n_ctl AS DECIMAL(38,0)) *
           |  CAST(conv_ctl + conv_trt AS DECIMAL(38,0)) *
           |  CAST(n_ctl + n_trt - conv_ctl - conv_trt AS DECIMAL(38,0)) > 0
           |AND
@@ -72,7 +79,8 @@ object Experiment {
           |>= CAST(3841459 AS DECIMAL(38,0)) *
           |  CAST(n_trt AS DECIMAL(38,0)) * CAST(n_ctl AS DECIMAL(38,0)) *
           |  CAST(conv_ctl + conv_trt AS DECIMAL(38,0)) *
-          |  CAST(n_ctl + n_trt - conv_ctl - conv_trt AS DECIMAL(38,0))""".stripMargin))
+          |  CAST(n_ctl + n_trt - conv_ctl - conv_trt AS DECIMAL(38,0))
+          |END""".stripMargin))
       .orderBy("metric")
   }
 
@@ -171,15 +179,17 @@ object Experiment {
   def uniformity(counts: DataFrame, metric: Column, cat: Column,
                  cnt: Column, kCats: Int, criticalMicro: Long): DataFrame = {
     require(kCats >= 2 && kCats <= 1024, s"kCats out of range: $kCats")
-    // the packed-argmax contract: a category outside [0, 1023] would
-    // silently bleed into the count bits, so violations fail loudly
+    // the df contract: a category outside [0, kCats) would inflate
+    // k_present past kCats and silently corrupt the missing-cell
+    // correction (and past 1023 also bleed into the packed-argmax count
+    // bits), so violations fail loudly at the tighter bound
     val base = counts
       .select(metric.as("metric"), cat.cast("long").as("__cat"),
         cnt.cast("long").as("c"))
       .select(col("metric"), expr(
-        """CASE WHEN __cat BETWEEN 0 AND 1023 THEN __cat
-          |ELSE raise_error(CONCAT('uniformity: category out of [0,1023]: ',
-          |  CAST(__cat AS STRING))) END""".stripMargin).as("cat"),
+        s"""CASE WHEN __cat BETWEEN 0 AND ${kCats - 1} THEN __cat
+           |ELSE raise_error(CONCAT('uniformity: category out of [0,${kCats - 1}]: ',
+           |  CAST(__cat AS STRING))) END""".stripMargin).as("cat"),
         col("c"))
     val tot = base.groupBy("metric")
       .agg(sum("c").as("n"), count(lit(1)).as("k_present"))

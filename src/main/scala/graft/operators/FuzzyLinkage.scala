@@ -97,7 +97,7 @@ object FuzzyLinkage {
       .select(col("probe_id"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        coalesce((col("best_key") / 100000000L).cast("long"), lit(-1L)).as("best_dist"),
+        coalesce(expr("best_key div 100000000"), lit(-1L)).as("best_dist"),
         coalesce(pmod(col("best_key"), lit(100000000L)).cast("long"), lit(-1L))
           .as("best_index_id"))
   }
