@@ -74,18 +74,135 @@ object SparkEntry {
     */
   private def drainFileStream(s2: SparkSession, name: String,
                               outputMode: String, batches: Seq[DataFrame])(
-                              build: DataFrame => DataFrame): DataFrame = {
+                              build: DataFrame => DataFrame): DataFrame =
+    drainFileStreamMixed(s2, name, outputMode, batches.map(BatchIn(_)))(build)
+
+  /** A micro-batch for [[drainFileStreamMixed]]: pre-staged parquet dirs
+    * (hardlinked into the source — shared across drains, written once per
+    * Verify/Bench run) and/or a query-specific frame (planted rows,
+    * sentinel ticks — tiny, written per drain). Everything lands in the
+    * source dir through ONE atomic rename so the polling source sees the
+    * whole micro-batch or none of it.
+    */
+  private case class BatchIn(dirs: Seq[String], frame: Option[DataFrame])
+  private object BatchIn {
+    def apply(df: DataFrame): BatchIn = BatchIn(Nil, Some(df))
+    def staged(dir: String, extra: DataFrame): BatchIn = BatchIn(Seq(dir), Some(extra))
+    def staged(dir: String): BatchIn = BatchIn(Seq(dir), None)
+  }
+
+  /** Memoized shared staging (VERDICT r11 item 5): the corpus halves the
+    * event/doc drains feed are WRITTEN ONCE per (key, sf-dir) and
+    * hardlinked into every drain's source dir, instead of each graded
+    * query paying its own distributed write of the same rows. The drains
+    * keep their true file-source semantics — real batch boundaries, real
+    * watermarks — at a fraction of the staging I/O.
+    */
+  private val stagedBatchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val stagedSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def stagedBatches(key: String, build: => Seq[DataFrame]): Seq[String] =
+    stagedBatchCache.computeIfAbsent(key, { _ =>
+      val root = scratchDir("graft_stream_shared")
+      val base = s"$root/s${stagedSeq.getAndIncrement()}"
+      build.zipWithIndex.map { case (f, i) =>
+        val dir = s"$base/b$i"
+        f.write.mode("overwrite").parquet(dir)
+        dir
+      }
+    })
+
+  /** The full-column time-split event batches shared by the event drains
+    * (window / sessionize / join / join-outer / enrich), plus the corpus
+    * ts bounds their sentinels and planted rows derive from. Bounds come
+    * from the UNFILTERED corpus, so any drain-side filter (view/purchase)
+    * sees a split no later than its own rows' — the lateness arguments
+    * (span-exceeding or time-ordered batches) are split-position-free.
+    */
+  private def sharedEventSplit(s: SparkSession, d: String)
+      : (Seq[String], java.sql.Timestamp, java.sql.Timestamp) = {
+    val ev = events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // bounds are memoized alongside the dirs via a tiny parquet read —
+    // recomputing the 1-row aggregate per drain would re-scan the corpus
+    val dirs = stagedBatches(s"events|$d", {
+      val ts = timeSplit(ev)
+      Seq(ts.b1, ts.b2,
+        s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(ts.minTs, ts.maxTs)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("mn",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("mx",
+              org.apache.spark.sql.types.TimestampType)))))
+    })
+    val bounds = s.read.parquet(dirs(2)).collect()(0)
+    (dirs.take(2), bounds.getTimestamp(0), bounds.getTimestamp(1))
+  }
+
+  /** The planted-document batches shared by the doc drains
+    * (curate-stream / streaming near-dup): originals at t0, the planted
+    * re-crawl copies one event-minute later.
+    */
+  private def sharedPlantedDocBatches(s: SparkSession, d: String): Seq[String] =
+    stagedBatches(s"docs|$d", {
+      val t0 = 1704067200L // 2024-01-01T00:00:00Z
+      val planted = DedupData.withPlantedDups(t(s, d, "documents"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      Seq(
+        planted.filter(col("doc_id") < DedupData.ExactIdOffset)
+          .withColumn("ts", timestamp_seconds(lit(t0))),
+        planted.filter(col("doc_id") >= DedupData.ExactIdOffset)
+          .withColumn("ts", timestamp_seconds(lit(t0 + 60L))))
+    })
+
+  private def drainFileStreamMixed(s2: SparkSession, name: String,
+                                   outputMode: String, batches: Seq[BatchIn])(
+                                   build: DataFrame => DataFrame): DataFrame = {
     val root = scratchDir(s"graft_stream_$name")
     val src = s"$root/src"
     val cp = s"$root/cp"
     val out = s"$root/out"
     val stage = s"$root/stage"
+    val ftmp = s"$root/ftmp"
     val hconf = s2.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
-    Seq(src, cp, out, stage).foreach { p =>
+    Seq(src, cp, out, stage, ftmp).foreach { p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true): Unit
     }
-    batches.head.write.mode("overwrite").parquet(s"$src/b0")
+    // assemble a batch in the staging dir — hardlinks of the shared
+    // staged part files (instant, no data copied) plus the
+    // query-specific frame's parts — then publish with ONE rename so the
+    // continuously-polling source sees the whole micro-batch atomically
+    // (code-review r11 finding on partial-batch watermark advances).
+    def publish(b: BatchIn, target: String): Unit = {
+      val stPath = new org.apache.hadoop.fs.Path(stage)
+      fs.delete(stPath, true)
+      fs.mkdirs(stPath)
+      var j = 0
+      b.dirs.foreach { dir =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(stage, s"s${j}_${f.getPath.getName}"),
+              java.nio.file.Paths.get(dir, f.getPath.getName))
+            j += 1
+          }
+      }
+      b.frame.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(ftmp), true)
+        f.write.mode("overwrite").parquet(ftmp)
+        fs.listStatus(new org.apache.hadoop.fs.Path(ftmp))
+          .filter(_.getPath.getName.endsWith(".parquet")).foreach { p =>
+            require(fs.rename(p.getPath, new org.apache.hadoop.fs.Path(
+              stage, s"f_${p.getPath.getName}")), s"frame stage failed for $target")
+          }
+      }
+      require(fs.rename(stPath, new org.apache.hadoop.fs.Path(target)),
+        s"atomic batch publish failed for $target")
+    }
+    publish(batches.head, s"$src/b0")
     val input = s2.readStream
       .schema(s2.read.parquet(s"$src/b0").schema).parquet(s"$src/*")
     val result = build(input)
@@ -100,10 +217,7 @@ object SparkEntry {
     try {
       q.processAllAvailable()
       batches.tail.zipWithIndex.foreach { case (b, i) =>
-        b.write.mode("overwrite").parquet(stage)
-        require(fs.rename(new org.apache.hadoop.fs.Path(stage),
-          new org.apache.hadoop.fs.Path(s"$src/b${i + 1}")),
-          s"atomic batch publish failed for $src/b${i + 1}")
+        publish(b, s"$src/b${i + 1}")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -2970,13 +3084,12 @@ object SparkEntry {
       val docs = t(s2, d, "documents")
       val evalGrams = graft.text.Decontaminate.evalGramHashes(
         docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"))
-      val planted = DedupData.withPlantedDups(docs)
-      val t0 = 1704067200L // 2024-01-01T00:00:00Z
-      val b1 = planted.filter(col("doc_id") < DedupData.ExactIdOffset)
-        .select(col("doc_id"), col("text"), timestamp_seconds(lit(t0)).as("ts"))
-      val b2 = planted.filter(col("doc_id") >= DedupData.ExactIdOffset)
-        .select(col("doc_id"), col("text"), timestamp_seconds(lit(t0 + 60L)).as("ts"))
-      drainFileStream(s2, "curate_stream", "append", Seq(b1, b2)) { in =>
+      // batches from the SHARED planted-doc staging (originals at t0,
+      // planted copies one event-minute later), hardlinked per drain.
+      val staged = sharedPlantedDocBatches(s2, d)
+      drainFileStreamMixed(s2, "curate_stream", "append",
+          Seq(BatchIn.staged(staged(0)), BatchIn.staged(staged(1)))) { in0 =>
+        val in = in0.select(col("doc_id"), col("text"), col("ts"))
         graft.text.DocPipeline.curateStreamWatermarked(
           in, col("doc_id"), col("text"), col("ts"), delay = "30 days", evalGrams)
       }.agg(
@@ -3004,20 +3117,21 @@ object SparkEntry {
       // watermark — false here, pinned by data, not by fiat).
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      val ev = events(s2, d).select(col("ts"), col("value"))
       // only the two BOUNDS transit the driver (a 1-row aggregate — the
-      // ANN-fit collect contract); the event batches themselves are
-      // distributed writes through the drainFileStream harness.
-      val ts = timeSplit(ev)
-      val b2 = ts.b2
-        .unionByName(ev.filter(col("ts") === lit(ts.minTs))) // the planted late re-send
+      // ANN-fit collect contract); the event batches are the SHARED
+      // staged time-split (written once per run, hardlinked here), and
+      // only the planted late re-send + sentinels are written per drain.
+      val (staged, minTs, maxTs) = sharedEventSplit(s2, d)
+      val resend = events(s2, d).filter(col("ts") === lit(minTs))
+        .select(col("ts"), col("value")) // the planted late re-send
       def tick(offsetSec: Long): DataFrame =
-        sentinelTick(s2, ts.maxTs, offsetSec, "value" -> lit(0.0))
-      drainFileStream(s2, "stream_window", "append",
-          Seq(ts.b1, b2, tick(30L * 86400), tick(30L * 86400 + 3600))) { in =>
-        graft.streaming.EventStreams.tumblingCountsStream(in)
+        sentinelTick(s2, maxTs, offsetSec, "value" -> lit(0.0))
+      drainFileStreamMixed(s2, "stream_window", "append",
+          Seq(BatchIn.staged(staged(0)), BatchIn.staged(staged(1), resend),
+            BatchIn(tick(30L * 86400)), BatchIn(tick(30L * 86400 + 3600)))) { in =>
+        graft.streaming.EventStreams.tumblingCountsStream(in.select("ts", "value"))
       }
-        .filter(col("window_start") <= lit(ts.maxTs)) // sentinel windows never finalize; belt and braces
+        .filter(col("window_start") <= lit(maxTs)) // sentinel windows never finalize; belt and braces
         .orderBy("window_start")
     }),
 
@@ -3033,13 +3147,13 @@ object SparkEntry {
       // row.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      val ev = events(s2, d).select(col("ts"), col("user_id"))
-      val ts = timeSplit(ev)
+      val (staged, _, maxTs) = sharedEventSplit(s2, d)
       def tick(offsetSec: Long): DataFrame =
-        sentinelTick(s2, ts.maxTs, offsetSec, "user_id" -> lit(-1L))
-      drainFileStream(s2, "stream_sessionize", "append",
-          Seq(ts.b1, ts.b2, tick(30L * 86400), tick(30L * 86400 + 3600))) { in =>
-        graft.streaming.EventStreams.sessionizeNativeStream(in)
+        sentinelTick(s2, maxTs, offsetSec, "user_id" -> lit(-1L))
+      drainFileStreamMixed(s2, "stream_sessionize", "append",
+          Seq(BatchIn.staged(staged(0)), BatchIn.staged(staged(1)),
+            BatchIn(tick(30L * 86400)), BatchIn(tick(30L * 86400 + 3600)))) { in =>
+        graft.streaming.EventStreams.sessionizeNativeStream(in.select("ts", "user_id"))
       }
         .filter(col("user_id") >= 0) // sentinel user; its session never finalizes anyway
         .orderBy("user_id", "session_start")
@@ -3061,11 +3175,15 @@ object SparkEntry {
       // view-state-retained cross-batch direction.)
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      val ev = events(s2, d)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        .filter(col("event_type").isin("view", "purchase"))
-      val ts = timeSplit(ev)
-      drainFileStream(s2, "stream_join", "append", Seq(ts.b1, ts.b2)) { in =>
+      // shared staged time-split (split point from the unfiltered corpus
+      // — the lateness-exceeds-span argument is split-position-free);
+      // the view/purchase filter runs INSIDE the stream.
+      val (staged, _, _) = sharedEventSplit(s2, d)
+      drainFileStreamMixed(s2, "stream_join", "append",
+          Seq(BatchIn.staged(staged(0)), BatchIn.staged(staged(1)))) { in0 =>
+        val in = in0
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .filter(col("event_type").isin("view", "purchase"))
         EventStreams.joinStreams(
           in.filter(col("event_type") === "purchase"),
           in.filter(col("event_type") === "view"),
@@ -3092,18 +3210,21 @@ object SparkEntry {
       // must equal the batch LEFT JOIN row for row.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      val ev = events(s2, d)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        .filter(col("event_type").isin("view", "purchase"))
-      val ts = timeSplit(ev)
+      // shared staged time-split: the batches stay time-ordered for ANY
+      // split point, which is all the 2h-lateness eviction safety needs.
+      val (staged, _, maxTs) = sharedEventSplit(s2, d)
       def ticks(offsetSec: Long): DataFrame =
-        sentinelTick(s2, ts.maxTs, offsetSec, "event_id" -> lit(-1L),
+        sentinelTick(s2, maxTs, offsetSec, "event_id" -> lit(-1L),
             "user_id" -> lit(-1L), "event_type" -> lit("view"))
-          .unionByName(sentinelTick(s2, ts.maxTs, offsetSec,
+          .unionByName(sentinelTick(s2, maxTs, offsetSec,
             "event_id" -> lit(-2L), "user_id" -> lit(-1L),
             "event_type" -> lit("purchase")))
-      drainFileStream(s2, "stream_join_outer", "append",
-          Seq(ts.b1, ts.b2, ticks(30L * 86400), ticks(30L * 86400 + 3600))) { in =>
+      drainFileStreamMixed(s2, "stream_join_outer", "append",
+          Seq(BatchIn.staged(staged(0)), BatchIn.staged(staged(1)),
+            BatchIn(ticks(30L * 86400)), BatchIn(ticks(30L * 86400 + 3600)))) { in0 =>
+        val in = in0
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .filter(col("event_type").isin("view", "purchase"))
         EventStreams.joinStreams(
           in.filter(col("event_type") === "purchase"),
           in.filter(col("event_type") === "view"),
@@ -3130,16 +3251,19 @@ object SparkEntry {
       // the join-shape evidence.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      val ev = events(s2, d).select(col("event_id"), col("ts"),
-        col("user_id"), col("value"))
       val dim = t(s2, d, "customer")
         .join(t(s2, d, "nation"),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
-      val b1 = ev.filter(col("event_id") % 2 === 0)
-      val b2 = ev.filter(col("event_id") % 2 =!= 0)
-      drainFileStream(s2, "stream_enrich", "append", Seq(b1, b2)) { in =>
-        EventStreams.enrichStream(in, dim, "user_id")
+      // stateless enrichment is batch-composition-independent, so it
+      // rides the SHARED staged time-split instead of paying its own
+      // parity-split corpus write.
+      val (staged, _, _) = sharedEventSplit(s2, d)
+      drainFileStreamMixed(s2, "stream_enrich", "append",
+          Seq(BatchIn.staged(staged(0)), BatchIn.staged(staged(1)))) { in =>
+        EventStreams.enrichStream(
+          in.select(col("event_id"), col("ts"), col("user_id"), col("value")),
+          dim, "user_id")
       }
         .groupBy("nation")
         .agg(count(lit(1)).as("n_events"),
@@ -3163,14 +3287,12 @@ object SparkEntry {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
       val docs = t(s2, d, "documents")
-      val planted = DedupData.withPlantedDups(docs)
-      val b1 = planted.filter(col("doc_id") < DedupData.ExactIdOffset)
-        .select("doc_id", "text")
-      val b2 = planted.filter(col("doc_id") >= DedupData.ExactIdOffset)
-        .select("doc_id", "text")
-      val hits = drainFileStream(s2, "stream_dedup", "append", Seq(b1, b2)) { in =>
+      val staged = sharedPlantedDocBatches(s2, d)
+      val hits = drainFileStreamMixed(s2, "stream_dedup", "append",
+          Seq(BatchIn.staged(staged(0)), BatchIn.staged(staged(1)))) { in =>
         graft.streaming.StreamingDedup.nearDupCandidates(
-          in, threshold = 0.5, maxPerBucket = 4096, ttl = None).toDF()
+          in.select("doc_id", "text"),
+          threshold = 0.5, maxPerBucket = 4096, ttl = None).toDF()
       }
       val pairs = hits.select(
           least(col("doc_id"), col("matched_id")).as("id_a"),
