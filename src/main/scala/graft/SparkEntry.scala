@@ -2964,6 +2964,23 @@ object SparkEntry {
       graft.text.Decontaminate.overlaps(corpus, evalDocs, col("doc_id"), col("text"), n = 8)
     }),
 
+    "q_decontam_sweep" -> ((s, d) => {
+      // the k-SENSITIVITY audit of q_decontaminate's fixed window (the
+      // standing question against the Lee et al. exact-substring rule):
+      // one corpus scan emits the contamination report at k ∈
+      // {8, 13, 25, 50} — tokens hashed once per doc, the rolling
+      // WindowPolyHash re-rolled over the same token-hash array per k —
+      // and the oracle replays each k's gram join with string windows.
+      // Same corpus/eval construction as q_decontaminate, so the k=8 row
+      // reconciles with it by inspection.
+      val docs = t(s, d, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = DedupData.withPlantedDups(docs)
+        .filter(!(col("doc_id") < DedupData.ExactIdOffset && col("doc_id") % 10 === 0))
+      graft.text.Decontaminate.overlapSweep(
+        corpus, evalDocs, col("doc_id"), col("text"))
+    }),
+
     "q_minhash_decontam" -> ((s, d) => {
       // FUZZY decontamination (the near-dup complement of
       // q_decontaminate's exact 8-gram probe): the "benchmark" is a
@@ -3016,6 +3033,41 @@ object SparkEntry {
           t(s, d, "documents"), col("doc_id"),
           size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64),
         sepTokens = 1)),
+
+    "q_shard_release" -> ((s, d) => {
+      // the RELEASE manifest graded THROUGH the filesystem (the
+      // q_compaction round-trip idiom): pack the corpus, build the
+      // integrity manifest — token seek index, byte seek index, and an
+      // order-independent XOR content checksum per shard — write it
+      // through the partitioned sink (release layout: manifests
+      // bucketed by 16-shard groups), then read the WRITTEN FILES back
+      // as the graded rows. The oracle recomputes every cell (pack
+      // replay + shift/XOR witness arithmetic) from the raw table, so
+      // a corrupt write, a dropped shard row, or a checksum drift
+      // hash-mismatches — the certificate is the round trip itself, no
+      // pinned boolean. The per-doc witness is engine-portable
+      // (doc_id ⊕ n_tokens≪24 ⊕ n_chars≪44 — no overflow at any sf);
+      // a production release swaps in xxhash64 of the payload bytes.
+      val docs = t(s, d, "documents")
+      val packed = graft.text.SeqPack.packGreedy(
+        docs, col("doc_id"), size(TextAnalysis.tokens(col("text"))),
+        budget = 512, groupSize = 64)
+      val withMeta = packed.join(docs.select("doc_id", "n_chars"), "doc_id")
+      val manifest = graft.text.SeqPack.releaseManifest(withMeta,
+        contentMix = col("doc_id")
+          .bitwiseXOR(shiftleft(col("n_tokens").cast("long"), 24))
+          .bitwiseXOR(shiftleft(col("n_chars").cast("long"), 44)),
+        docBytes = col("n_chars"))
+      val out = scratchDir("graft_shard_release")
+      manifest.withColumn("shard_group", expr("bin_id div 16"))
+        .write.mode("overwrite").partitionBy("shard_group").parquet(out)
+      s.read.parquet(out)
+        .select(col("bin_id"), col("n_docs"), col("sum_tokens"),
+          col("shard_len"), col("start_offset"), col("byte_len"),
+          col("byte_offset"), col("content_xor"),
+          col("shard_group").cast("long").as("shard_group"))
+        .orderBy("bin_id")
+    }),
 
     "q_corpus_to_shards" -> ((s, d) => {
       // the END-TO-END training-data flagship: curate (quality gate →
@@ -7139,6 +7191,40 @@ object SparkEntry {
         |FROM cg c JOIN eg e ON c.g = e.g
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin),
 
+    // each k's gram join replayed with string windows (hash equality =
+    // string equality modulo 2^-64 collisions — the q_decontaminate
+    // contract), all four k from the same tokenized CTEs.
+    "q_decontam_sweep" -> (DedupData.DocsCte + {
+      val ks = Seq(8, 13, 25, 50)
+      def grams(src: String, idc: String) = ks.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k, $idc, unnest(
+           |    CASE WHEN len(tk) < $k THEN [array_to_string(tk, ' ')]
+           |         ELSE list_distinct(list_transform(generate_series(1, len(tk) - ${k - 1}),
+           |                i -> array_to_string(tk[i:i+${k - 1}], ' '))) END) AS g
+           |  FROM tk_$src""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s""", corpus AS (
+         |  SELECT doc_id, text FROM docs
+         |  WHERE NOT (doc_id < 1000000 AND doc_id % 10 = 0)
+         |), evaldocs AS (
+         |  SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 10 = 0
+         |), tk_c AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM corpus
+         |), tk_e AS (
+         |  SELECT eval_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk FROM evaldocs
+         |), cg AS (
+         |  ${grams("c", "doc_id")}
+         |), eg AS (
+         |  ${grams("e", "eval_id")}
+         |)
+         |SELECT c.k AS k,
+         |  CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_flagged_docs,
+         |  CAST(count(DISTINCT c.g) AS BIGINT) AS n_hit_grams,
+         |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+         |FROM cg c JOIN eg e ON c.k = e.k AND c.g = e.g
+         |GROUP BY c.k ORDER BY k""".stripMargin
+    }),
+
     // fuzzy decontamination gate: the recall boolean is pinned (the
     // MinHash signature path is not SQL-expressible); the planted
     // contamination count is data-derived so the eval-set construction
@@ -7173,6 +7259,35 @@ object SparkEntry {
         |  CAST(coalesce(sum(shard_len) OVER (ORDER BY bin_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
         |  sum_ids
+        |FROM binagg ORDER BY bin_id""".stripMargin),
+
+    // the release-manifest replay: the greedy-pack chain, the per-shard
+    // aggregates with BOTH prefix sums, and the shift/XOR content
+    // witness recomputed cell-for-cell — graded against the rows Spark
+    // read back from the partitioned manifest files it wrote.
+    "q_shard_release" -> (SeqPackCte +
+      """, packed AS (
+        |  SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
+        |  FROM pack p JOIN offs o USING (grp)
+        |), withmeta AS (
+        |  SELECT p.doc_id, p.n_tokens, p.bin_id, d.n_chars
+        |  FROM packed p JOIN documents d USING (doc_id)
+        |), binagg AS (
+        |  SELECT bin_id, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(n_tokens) + count(*) AS BIGINT) AS shard_len,
+        |    CAST(sum(n_chars) + count(*) AS BIGINT) AS byte_len,
+        |    bit_xor(xor(doc_id,
+        |      xor(CAST(n_tokens AS BIGINT) << 24, n_chars << 44))) AS content_xor
+        |  FROM withmeta GROUP BY bin_id)
+        |SELECT bin_id, n_docs, sum_tokens, shard_len,
+        |  CAST(coalesce(sum(shard_len) OVER (ORDER BY bin_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+        |  byte_len,
+        |  CAST(coalesce(sum(byte_len) OVER (ORDER BY bin_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_offset,
+        |  content_xor,
+        |  bin_id // 16 AS shard_group
         |FROM binagg ORDER BY bin_id""".stripMargin),
 
     // the end-to-end flagship: the q_curation_quota replay (gate → exact

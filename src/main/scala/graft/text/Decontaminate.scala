@@ -116,6 +116,45 @@ object Decontaminate extends Logging {
       .select(col("new_id").as("doc_id"), col("old_id").as("eval_id"),
         col("est_jaccard"))
 
+  /** CONTAMINATION WINDOW SWEEP — the k-sensitivity audit of the exact
+    * n-gram rule: fixed-k decontamination (the Lee et al. 2022 shape) is
+    * always audited with "how does the flagged set move with k?", so
+    * this emits, per window size, the corpus-wide contamination report:
+    * flagged training docs, distinct shared gram values, eval docs hit.
+    *
+    * ONE corpus scan for every k (the nested-prefix idiom of the BPE
+    * sweep): each side hashes its tokens ONCE per document and the
+    * rolling WindowPolyHash re-rolls the SAME token-hash array at every
+    * k — O(tokens × |ks|) register arithmetic on one materialized array,
+    * not |ks| corpus scans (the per-doc token array is bound through a
+    * stack-local projection so the tokenizer runs once, not once per k).
+    * The probe keeps the [[overlaps]] plan: eval grams broadcast, the
+    * corpus never shuffles before the join, and only (k, hit) rows reach
+    * the final k-keyed aggregation — at 100 TB the sweep costs one read
+    * of the corpus plus a 4× map-side gram fan-out.
+    */
+  def overlapSweep(corpus: DataFrame, evalDocs: DataFrame,
+                   id: Column, text: Column,
+                   ks: Seq[Int] = Seq(8, 13, 25, 50)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.distinct.sorted,
+      s"ks must be distinct ascending window sizes: $ks")
+    def gramsByK(df: DataFrame, out: String): DataFrame =
+      df.select(id.as(out),
+          transform(graft.dedup.MinHashLsh.tokens(text), t => xxhash64(t)).as("th"))
+        .select(col(out), explode(array(ks.map(k =>
+          struct(lit(k).cast("long").as("k"),
+            array_distinct(TextHashExprs.windowPolyHash(
+              col("th"), k, 1099511628211L)).as("gs"))): _*)).as("kg"))
+        .select(col(out), col("kg.k").as("k"), explode(col("kg.gs")).as("g"))
+    gramsByK(corpus, "doc_id")
+      .join(broadcast(gramsByK(evalDocs, "eval_id")), Seq("k", "g"))
+      .groupBy("k")
+      .agg(count_distinct(col("doc_id")).as("n_flagged_docs"),
+        count_distinct(col("g")).as("n_hit_grams"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("k")
+  }
+
   /** The eval set's distinct gram hashes, collected to the driver — the
     * benchmark suite is bounded by definition (thousands of docs, not
     * corpus-scale), the same justified-collect shape as the ANN index

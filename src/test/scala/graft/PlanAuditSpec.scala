@@ -920,6 +920,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_decontam_sweep sweeps all four k without re-scanning per k") {
+    def scans(df: DataFrame) = collect(finalPlan(df)) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    // the sweep's scan count must equal the single-k probe's — the k
+    // fan-out happens in the gram expression, not in extra corpus reads
+    assert(scans(q("q_decontam_sweep")) === scans(q("q_decontaminate")))
+  }
+
   test("q_abc_analysis cumulates via the range-sort shape, not a global window") {
     val plan = finalPlan(q("q_abc_analysis"))
     graft.CachePool.releaseAll()

@@ -130,6 +130,23 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got === List((1L, 2L, 1L)))
   }
 
+  test("overlapSweep: flagged set non-increasing in k; the k=8 row matches overlaps") {
+    val docs = table("documents")
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = graft.dedup.DedupData.withPlantedDups(docs)
+      .filter(!(col("doc_id") < graft.dedup.DedupData.ExactIdOffset &&
+        col("doc_id") % 10 === 0))
+    val sweep = Decontaminate.overlapSweep(corpus, evalDocs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(sweep.map(_._1) === List(8L, 13L, 25L, 50L))
+    // a verbatim k-window match implies matches at every smaller k, so
+    // the flagged set can only shrink as the window grows
+    val flagged = sweep.map(_._2)
+    assert(flagged === flagged.sorted.reverse, s"not non-increasing: $sweep")
+    assert(flagged.head ===
+      Decontaminate.overlaps(corpus, evalDocs, col("doc_id"), col("text"), n = 8).count())
+  }
+
   test("overlaps falls back to a shuffle join above maxBroadcastRows, rows unchanged") {
     val docs = table("documents")
     val evalDocs = docs.filter(col("doc_id") % 13 === 0)
