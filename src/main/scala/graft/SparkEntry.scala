@@ -6490,34 +6490,100 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_added, TRUE AS flagged_ok
         |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
 
-    // merged-equals-target is the certified MERGE contract; the target
-    // size is modular arithmetic (survivors + re-keyed additions).
+    // FULL merge replay (r12 — no pinned booleans): the oracle rebuilds
+    // the re-crawl target, re-derives upserts/deletes from the diff,
+    // applies them, and compares its own count + order-independent
+    // content fingerprint of merged vs target — the same equality the
+    // Spark side certifies with its xxhash64 fingerprints, each engine
+    // over its own hash.
     "q_snapshot_merge" ->
-      """SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 7 <> 0)
-        |     + (SELECT count(*) FROM documents WHERE doc_id % 11 = 0) AS BIGINT) AS n_rows,
-        |  TRUE AS count_ok, TRUE AS content_ok""".stripMargin,
+      """WITH nw AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 0
+        |), upserts AS (
+        |  SELECT n.doc_id, n.text FROM nw n LEFT JOIN documents d USING (doc_id)
+        |  WHERE d.doc_id IS NULL OR d.text <> n.text
+        |), merged AS (
+        |  SELECT d.doc_id, coalesce(u.text, d.text) AS text
+        |  FROM documents d LEFT JOIN upserts u USING (doc_id)
+        |  WHERE d.doc_id IN (SELECT doc_id FROM nw)
+        |  UNION ALL
+        |  SELECT u.doc_id, u.text FROM upserts u
+        |  WHERE u.doc_id NOT IN (SELECT doc_id FROM documents)
+        |), fm AS (SELECT count(*) AS n, bit_xor(hash(doc_id, text)) AS x FROM merged),
+        |fw AS (SELECT count(*) AS n, bit_xor(hash(doc_id, text)) AS x FROM nw)
+        |SELECT CAST(fw.n AS BIGINT) AS n_rows,
+        |  fm.n = fw.n AS count_ok, fm.x = fw.x AS content_ok
+        |FROM fm, fw""".stripMargin,
 
-    // last-writer-wins certified: touched count data-derived, the two
-    // version-survival booleans pinned.
+    // FULL last-writer-wins replay (r12): the oracle builds the
+    // out-of-order versioned delta, collapses it with max_by(·, ver),
+    // merges, and derives both survival booleans from its own merged
+    // rows — no pinned literal.
     "q_cdc_apply" ->
-      """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
-        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_touched,
-        |  TRUE AS lww_ok, TRUE AS no_stale_ok""".stripMargin,
+      """WITH delta AS (
+        |  SELECT doc_id, text || ' v2' AS text, 2 AS ver FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v1' AS text, 1 AS ver FROM documents WHERE doc_id % 5 = 0
+        |), latest AS (
+        |  SELECT doc_id, max_by(text, ver) AS text FROM delta GROUP BY doc_id
+        |), merged AS (
+        |  SELECT d.doc_id, coalesce(l.text, d.text) AS text
+        |  FROM documents d LEFT JOIN latest l USING (doc_id)
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN ends_with(text, ' v2') THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+        |    CAST(sum(CASE WHEN ends_with(text, ' v1') THEN 1 ELSE 0 END) AS BIGINT) AS n_v1
+        |  FROM merged),
+        |tch AS (SELECT CAST(count(*) AS BIGINT) AS n_touched
+        |        FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.n_rows, t.n_touched,
+        |  a.n_v2 = t.n_touched AS lww_ok, a.n_v1 = 0 AS no_stale_ok
+        |FROM agg a, tch t""".stripMargin,
 
-    // the tombstone scenario's class counts are pure modular arithmetic
-    // over doc_id; the gate booleans pin the merge semantics.
+    // FULL tombstone replay (r12): versioned upserts + winning and
+    // losing tombstones collapsed per id by max_by(·, ver) on both the
+    // payload and the op; all four gate booleans derived from the
+    // oracle's own merged rows — no pinned literal.
     "q_cdc_tombstone" ->
-      """SELECT
-        |  CAST((SELECT count(*) FROM documents)
-        |    - (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
-        |    AS BIGINT) AS n_rows,
-        |  CAST((SELECT count(*) FROM documents
-        |        WHERE doc_id % 5 = 0 AND doc_id % 10 <> 0)
-        |    AS BIGINT) AS n_upserted,
-        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
-        |    AS BIGINT) AS n_tombstoned,
-        |  TRUE AS rowcount_ok, TRUE AS lww_ok,
-        |  TRUE AS no_stale_ok, TRUE AS tombstone_ok""".stripMargin,
+      """WITH delta AS (
+        |  SELECT doc_id, text || ' v2' AS text, 2 AS ver, 'u' AS op
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v1' AS text, 1 AS ver, 'u' AS op
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 3 AS ver, 'd' AS op
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 0 AS ver, 'd' AS op
+        |  FROM documents WHERE doc_id % 15 = 0
+        |), latest AS (
+        |  SELECT doc_id, max_by(text, ver) AS text, max_by(op, ver) AS op
+        |  FROM delta GROUP BY doc_id
+        |), merged AS (
+        |  SELECT d.doc_id, coalesce(l.text, d.text) AS text
+        |  FROM documents d LEFT JOIN latest l USING (doc_id)
+        |  WHERE coalesce(l.op, 'u') <> 'd'
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN ends_with(text, ' v2') THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+        |    CAST(sum(CASE WHEN ends_with(text, ' v1') THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |    CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+        |  FROM merged),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN doc_id % 5 = 0 AND doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_upserted,
+        |    CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned
+        |  FROM documents)
+        |SELECT a.n_rows, b.n_upserted, b.n_tombstoned,
+        |  a.n_rows = b.n_docs - b.n_tombstoned AS rowcount_ok,
+        |  a.n_v2 = b.n_upserted AS lww_ok,
+        |  a.n_v1 = 0 AS no_stale_ok,
+        |  a.n_dead = 0 AS tombstone_ok
+        |FROM agg a, base b""".stripMargin,
 
     // the TV fraction replayed as pure integer arithmetic over the two
     // modular-scenario histograms.
