@@ -3069,6 +3069,54 @@ object SparkEntry {
         .orderBy("bin_id")
     }),
 
+    "q_release_diff" -> ((s, d) => {
+      // INCREMENTAL RELEASE DIFF — what a nightly re-release ships:
+      // rebuild the shard manifest over the delta'd corpus and diff it
+      // BY CHECKSUM against the current release, so only added/changed/
+      // removed shards re-upload (at 100 TB the difference between
+      // re-shipping the corpus and re-shipping a few percent). Stability
+      // is the design point: packGreedyStable keys shards
+      // grp·1024+local_bin — a pure function of the group's own
+      // contents — so the sparse delta (revise every 320th doc, drop
+      // every 448th, append re-keyed copies of every 704th) leaves
+      // every untouched group's shards byte-identical under the SAME
+      // key. The diff is a bin-grain full-outer join classified like
+      // q_snapshot_diff; every cell replays (both pack chains + the
+      // shift/XOR witness are engine-portable).
+      val docs = t(s, d, "documents")
+      val nw = docs.filter(col("doc_id") % 448 =!= 0)
+        .withColumn("text", when(col("doc_id") % 320 === 0,
+          concat(col("text"), lit(" rev"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 704 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      def manifest(df: DataFrame): DataFrame =
+        graft.text.SeqPack.packGreedyStable(df, col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64)
+          .join(df.select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars")), "doc_id")
+          .groupBy("shard_key")
+          .agg((sum(col("n_chars")) + count(lit(1))).as("byte_len"),
+            expr("bit_xor(doc_id ^ shiftleft(CAST(n_tokens AS BIGINT), 24) ^ " +
+              "shiftleft(n_chars, 44))").as("content_xor"))
+      val old = manifest(docs).select(col("shard_key"),
+        col("content_xor").as("x_old"), col("byte_len").as("b_old"))
+      val neu = manifest(nw).select(col("shard_key"),
+        col("content_xor").as("x_new"), col("byte_len").as("b_new"))
+      old.join(neu, Seq("shard_key"), "full_outer")
+        .select(
+          when(col("x_old").isNull, "added")
+            .when(col("x_new").isNull, "removed")
+            .when(col("x_old") === col("x_new") && col("b_old") === col("b_new"),
+              "unchanged")
+            .otherwise("changed").as("change"),
+          coalesce(col("b_old"), lit(0L)).as("bo"),
+          coalesce(col("b_new"), lit(0L)).as("bn"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("bo")).as("bytes_old"), sum(col("bn")).as("bytes_new"))
+        .orderBy("change")
+    }),
+
     "q_corpus_to_shards" -> ((s, d) => {
       // the END-TO-END training-data flagship: curate (quality gate →
       // exact dedup → per-source quota) → greedy pack → shard manifest,
@@ -4007,19 +4055,19 @@ object SparkEntry {
     * Emitted WITHOUT the `WITH` prefix so it composes after other CTEs;
     * the enclosing WITH must be RECURSIVE (the pack scan is).
     */
-  private def packChainCte(src: String): String =
-    s"""toks AS (
+  private def packChainCte(src: String, sfx: String = ""): String =
+    s"""toks$sfx AS (
       |  SELECT doc_id, doc_id // 64 AS grp,
       |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
       |  FROM $src
-      |), numbered AS (
+      |), numbered$sfx AS (
       |  SELECT doc_id, grp, n_tokens,
       |    CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS BIGINT) AS rn
-      |  FROM toks
-      |), pack AS (
+      |  FROM toks$sfx
+      |), pack$sfx AS (
       |  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
       |    CAST(n_tokens AS BIGINT) AS fill
-      |  FROM numbered WHERE rn = 1
+      |  FROM numbered$sfx WHERE rn = 1
       |  UNION ALL
       |  SELECT n.grp, n.rn, n.doc_id, n.n_tokens,
       |    -- fill > 0 guard matches packGreedy: a bin opened by a
@@ -4027,13 +4075,13 @@ object SparkEntry {
       |    CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
       |    CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 512 THEN CAST(n.n_tokens AS BIGINT)
       |         ELSE p.fill + n.n_tokens END
-      |  FROM pack p JOIN numbered n ON n.grp = p.grp AND n.rn = p.rn + 1
-      |), bins AS (
-      |  SELECT grp, max(bin) + 1 AS nb FROM pack GROUP BY grp
-      |), offs AS (
+      |  FROM pack$sfx p JOIN numbered$sfx n ON n.grp = p.grp AND n.rn = p.rn + 1
+      |), bins$sfx AS (
+      |  SELECT grp, max(bin) + 1 AS nb FROM pack$sfx GROUP BY grp
+      |), offs$sfx AS (
       |  SELECT grp, CAST(coalesce(sum(nb) OVER (ORDER BY grp
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_off
-      |  FROM bins)
+      |  FROM bins$sfx)
       |""".stripMargin
 
   private val SeqPackCte: String = "WITH RECURSIVE " + packChainCte("documents")
@@ -7355,6 +7403,41 @@ object SparkEntry {
         |  content_xor,
         |  bin_id // 16 AS shard_group
         |FROM binagg ORDER BY bin_id""".stripMargin),
+
+    // both releases' pack chains replayed (stable grp·1024+bin keys read
+    // straight off the recursive pack CTEs), manifests rebuilt with the
+    // same engine-portable witness, diff classified identically.
+    "q_release_diff" -> ("WITH RECURSIVE nw AS (\n" +
+      """  SELECT doc_id, CASE WHEN doc_id % 320 = 0 THEN text || ' rev' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 448 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 704 = 0
+        |), """.stripMargin +
+      packChainCte("documents", "_o") + ", " + packChainCte("nw", "_n") +
+      """, mo AS (
+        |  SELECT p.grp * 1024 + p.bin AS shard_key,
+        |    CAST(sum(len(d.text)) + count(*) AS BIGINT) AS byte_len,
+        |    bit_xor(xor(p.doc_id,
+        |      xor(CAST(p.n_tokens AS BIGINT) << 24, CAST(len(d.text) AS BIGINT) << 44))) AS content_xor
+        |  FROM pack_o p JOIN documents d USING (doc_id) GROUP BY 1
+        |), mn AS (
+        |  SELECT p.grp * 1024 + p.bin AS shard_key,
+        |    CAST(sum(len(n.text)) + count(*) AS BIGINT) AS byte_len,
+        |    bit_xor(xor(p.doc_id,
+        |      xor(CAST(p.n_tokens AS BIGINT) << 24, CAST(len(n.text) AS BIGINT) << 44))) AS content_xor
+        |  FROM pack_n p JOIN nw n USING (doc_id) GROUP BY 1
+        |), diff AS (
+        |  SELECT CASE WHEN o.content_xor IS NULL THEN 'added'
+        |              WHEN n.content_xor IS NULL THEN 'removed'
+        |              WHEN o.content_xor = n.content_xor AND o.byte_len = n.byte_len THEN 'unchanged'
+        |              ELSE 'changed' END AS change,
+        |    coalesce(o.byte_len, 0) AS bo, coalesce(n.byte_len, 0) AS bn
+        |  FROM mo o FULL OUTER JOIN mn n USING (shard_key)
+        |)
+        |SELECT change, CAST(count(*) AS BIGINT) AS n_shards,
+        |  CAST(sum(bo) AS BIGINT) AS bytes_old,
+        |  CAST(sum(bn) AS BIGINT) AS bytes_new
+        |FROM diff GROUP BY change ORDER BY change""".stripMargin),
 
     // the end-to-end flagship: the q_curation_quota replay (gate → exact
     // dedup → per-source quota, k = 25) feeds the q_seq_pack recursive

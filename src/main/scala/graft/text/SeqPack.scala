@@ -33,7 +33,32 @@ object SeqPack {
     * doc_id.
     */
   def packGreedy(docs: DataFrame, id: Column, nTokens: Column,
-                 budget: Int, groupSize: Int): DataFrame = {
+                 budget: Int, groupSize: Int): DataFrame =
+    globalBinIds(packGreedyPerDoc(docs, id, nTokens, budget, groupSize))
+
+  /** [[packGreedy]] with RELEASE-STABLE shard keys instead of globally
+    * dense bin ids: `shard_key = grp·1024 + local_bin`, a pure function
+    * of the group's OWN contents — after a sparse corpus delta, every
+    * untouched group re-packs to byte-identical shards under the SAME
+    * key, which is what lets a cross-release manifest diff say
+    * "unchanged". Dense global ids can't: they renumber whenever ANY
+    * earlier group's bin count moves, so every diff row would read
+    * "changed". 1024 safely bounds local bins per group (each bin holds
+    * ≥ 1 doc, so local_bin < groupSize ≤ 1024). Output:
+    * (doc_id, n_tokens, shard_key), ordered by doc_id.
+    */
+  def packGreedyStable(docs: DataFrame, id: Column, nTokens: Column,
+                       budget: Int, groupSize: Int): DataFrame = {
+    require(groupSize <= 1024,
+      s"groupSize $groupSize exceeds the 1024 shard-key packing bound")
+    packGreedyPerDoc(docs, id, nTokens, budget, groupSize)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("grp") * 1024 + col("local_bin")).as("shard_key"))
+      .orderBy("doc_id")
+  }
+
+  private def packGreedyPerDoc(docs: DataFrame, id: Column, nTokens: Column,
+                               budget: Int, groupSize: Int): DataFrame = {
     require(budget > 0 && groupSize > 0)
     val base = docs.select(id.as("doc_id"), nTokens.cast("int").as("n_tokens"))
       .withColumn("grp", expr(s"doc_id div $groupSize"))
@@ -65,11 +90,10 @@ object SeqPack {
       acc => acc.getField("out"))
     // persist: the per-group bin counts aggregate AND the final join both
     // read this frame; without the boundary the groupBy + fold re-runs.
-    val perDoc = graft.CachePool.persist(
+    graft.CachePool.persist(
       grouped.select(col("grp"), explode(packedState).as("p"))
         .select(col("grp"), col("p.doc_id").as("doc_id"),
           col("p.n_tokens").as("n_tokens"), col("p.bin").as("local_bin")))
-    globalBinIds(perDoc)
   }
 
   /** First-fit-decreasing packing over the same id-range groups — the

@@ -246,6 +246,26 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got === List((0L, 0L), (1L, 0L), (2L, 1L)))
   }
 
+  test("packGreedyStable: untouched groups keep identical shard keys across a delta") {
+    // same docs as the packGreedy example: grp 0 → local bins 0,0,1,2;
+    // grp 1 → 0,1,2,3 — shard_key = grp*1024 + local_bin
+    val df = Seq(
+      (0L, 4), (1L, 4), (2L, 4), (3L, 9),
+      (4L, 11), (5L, 1), (6L, 10), (7L, 2)).toDF("doc_id", "n")
+    val got = SeqPack.packGreedyStable(df, col("doc_id"), col("n"),
+        budget = 10, groupSize = 4)
+      .as[(Long, Int, Long)].collect().toList
+    assert(got === List(
+      (0L, 4, 0L), (1L, 4, 0L), (2L, 4, 1L), (3L, 9, 2L),
+      (4L, 11, 1024L), (5L, 1, 1025L), (6L, 10, 1026L), (7L, 2, 1027L)))
+    // the stability contract: deleting a doc from grp 0 must not move a
+    // single grp-1 assignment (dense global ids WOULD renumber them)
+    val after = SeqPack.packGreedyStable(df.filter(col("doc_id") =!= 2L),
+        col("doc_id"), col("n"), budget = 10, groupSize = 4)
+      .as[(Long, Int, Long)].collect().toList
+    assert(after.filter(_._1 >= 4L) === got.filter(_._1 >= 4L))
+  }
+
   test("shardManifest: hand-checked offsets, then invariants on a random packing") {
     // assignments from the first packGreedy example (budget 10, grp 4):
     // bin0={0,1}(8t) bin1={2}(4t) bin2={3}(9t) bin3={4}(11t) bin4={5}(1t)
