@@ -920,6 +920,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_release_diff: bin-grain manifest join, never cartesian") {
+    val plan = finalPlan(q("q_release_diff"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("q_decontam_sweep sweeps all four k without re-scanning per k") {
     def scans(df: DataFrame) = collect(finalPlan(df)) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
