@@ -700,6 +700,27 @@ object SparkEntry {
         (col("recovered") >= 18L).as("recall_ok"))
     }),
 
+    "q_embed_profile" -> ((s, d) =>
+      // EMBEDDING COLUMN PROFILER — the per-dimension QA/drift gauge a
+      // 100 TB vector table needs before/after every index build: per
+      // (label, dim), count + exact integer-micros sum/min/max, via the
+      // native mergeable VecDimStatsAgg (TypedImperativeAggregate — the
+      // fourth mergeable-summary member after HLL/quantile/CMS). ONE
+      // pass, map-side partial merge, exchange carries labels ×
+      // (1+3·64) longs; the posexplode formulation would shuffle 64
+      // rows PER VECTOR. Micros flooring makes every cell exact and
+      // merge-order-free, so the oracle replays all 640 rows
+      // cell-for-cell.
+      t(s, d, "embeddings")
+        .groupBy("label")
+        .agg(graft.functions.VecAggExprs.dimStatsMicros(col("embedding"), 64)
+          .as("st"))
+        .select(col("label"), explode(col("st")).as("s"))
+        .select(col("label"), col("s.dim").as("dim"), col("s.n").as("n"),
+          col("s.sum_mu").as("sum_mu"), col("s.min_mu").as("min_mu"),
+          col("s.max_mu").as("max_mu"))
+        .orderBy("label", "dim")),
+
     "q_rank_metrics" -> ((s, d) => {
       // retrieval EVALUATION as a first-class operator: exact-integer
       // MRR and hit rate of the known-gold answers (each planted copy's
@@ -4702,6 +4723,19 @@ object SparkEntry {
     // (list_cosine_similarity over DOUBLE casts = Spark's exact tree),
     // then gold ranks and the k!/rank fraction — every integer
     // data-derived, nothing pinned.
+    // every profiler cell replayed: per (label, dim), the same exact
+    // floor(x·10⁶) integer surface over the raw parquet floats —
+    // float→double widening and the single multiply are bit-identical
+    // across engines, so sums/mins/maxes match cell-for-cell.
+    "q_embed_profile" ->
+      """SELECT label, CAST(i.dim AS BIGINT) AS dim,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(CAST(embedding[i.dim + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_mu,
+        |  CAST(min(CAST(floor(CAST(embedding[i.dim + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS min_mu,
+        |  CAST(max(CAST(floor(CAST(embedding[i.dim + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS max_mu
+        |FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) i
+        |GROUP BY label, i.dim ORDER BY label, dim""".stripMargin,
+
     "q_rank_metrics" -> (DedupData.VecsCte +
       """, q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb FROM vecs

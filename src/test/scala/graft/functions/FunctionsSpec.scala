@@ -214,6 +214,34 @@ class FunctionsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("VecDimStatsAgg: hand-checked cells, partition-order invariance, dims contract") {
+    val df = Seq(
+      (0L, Array(0.5f, -0.25f)),
+      (0L, Array(1.5f, 0.1f)),
+      (1L, Array(-2.0f, 3.0f))).toDF("label", "embedding")
+    def profile(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy("label")
+      .agg(VecAggExprs.dimStatsMicros(col("embedding"), 2).as("st"))
+      .select(col("label"), explode(col("st")).as("s"))
+      .select(col("label"), col("s.dim"), col("s.n"), col("s.sum_mu"),
+        col("s.min_mu"), col("s.max_mu"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList.sorted
+    val got = profile(df)
+    assert(got === List(
+      (0L, 0L, 2L, 2000000L, 500000L, 1500000L),
+      (0L, 1L, 2L, -150000L, -250000L, 100000L),
+      (1L, 0L, 1L, -2000000L, -2000000L, -2000000L),
+      (1L, 1L, 1L, 3000000L, 3000000L, 3000000L)))
+    // merge path: many partitions force partial buffers + merge; cells
+    // must be identical (integer micros are merge-order-free)
+    assert(profile(df.repartition(7)) === got)
+    // a wrong-length vector fails loudly, never silently skews the profile
+    val bad = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("label", "embedding")
+    val e = intercept[org.apache.spark.SparkException] { profile(bad) }
+    assert(e.getMessage.contains("vec_dim_stats") ||
+      Option(e.getCause).exists(_.getMessage.contains("vec_dim_stats")))
+  }
+
   test("BpeEncodeCount byte level seeds UTF-8 bytes; char level counts UTF-16 units") {
     import graft.text.TextAnalysis
     // "héllo" = 5 chars, 6 UTF-8 bytes; "día" = 3 chars, 4 bytes
