@@ -114,6 +114,75 @@ object Sampling {
     }.toSeq
   }
 
+  /** The ENGINE-PORTABLE split bucket in [0, Scale): TWO rounds of
+    * multiplicative hashing with distinct odd multipliers —
+    * `h₁ = (key & 2³¹−1)·2654435761 mod 2³²` ([[knuthHash]]), then
+    * `h₂ = (h₁ & 2³¹−1)·2246822519 mod 2³²` — reduced mod 10⁶. Plain
+    * BIGINT shift-free arithmetic (max intermediate 2³¹·2246822519 ≈
+    * 4.8·10¹⁸ < 2⁶³) that any SQL engine replays verbatim, unlike
+    * xxhash64. The second round matters: [[stratifiedExactK]] and
+    * [[shuffleOrder]] rank by single-round [[knuthHash]], so a split
+    * keyed on the SAME value would correlate with their selections
+    * (rows kept for having small h₁ would all land in split 0); the
+    * second multiplier decorrelates the two families the way
+    * [[bucketHash]]'s tag does for the xxhash64 family.
+    */
+  def portableSplitBucket(key: Column): Column =
+    ((knuthHash(key).bitwiseAND(lit(2147483647L)) * lit(2246822519L)) %
+      lit(4294967296L)) % lit(Scale)
+
+  /** The cumulative bucket bounds [[split]]/[[splitPortable]] slice
+    * [0, Scale) with — package-visible so the oracle SQL inlines the
+    * EXACT Scala-computed thresholds (floating accumulation makes e.g.
+    * Seq(0.8, 0.1, 0.1) bound at 799999/899999, not 800000/900000; a
+    * hand-written SQL literal would silently disagree on ~1 row per
+    * million).
+    */
+  private[graft] def splitBounds(weights: Seq[Double]): Seq[Long] = {
+    require(weights.nonEmpty && weights.forall(_ > 0))
+    val total = weights.sum
+    // clamp the last bound to Scale: cumulative floating rounding could
+    // otherwise leave a 1e-6 sliver of rows in no split.
+    weights.scanLeft(0.0)(_ + _).map(w => (w / total * Scale).toLong)
+      .init :+ Scale
+  }
+
+  /** [[split]] with the [[portableSplitBucket]] membership hash instead of
+    * xxhash64 — same contract (deterministic, disjoint, exhaustive,
+    * ~weights-proportional), but an external SQL engine can recompute
+    * every row's split from the key alone, which is what lets the split
+    * GATE queries derive their invariant booleans in the oracle instead
+    * of pinning them (VERDICT r12 item 2). Sequential ids map through two
+    * Weyl-like rounds, so per-split counts sit far inside the binomial
+    * band.
+    */
+  def splitPortable(df: DataFrame, key: Column, weights: Seq[Double]): Seq[DataFrame] = {
+    val bounds = splitBounds(weights)
+    val h = portableSplitBucket(key)
+    bounds.sliding(2).map { case Seq(lo, hi) =>
+      df.filter(h >= lit(lo) && h < lit(hi))
+    }.toSeq
+  }
+
+  /** [[splitByCluster]] with the [[portableSplitBucket]] membership hash —
+    * the cluster representative (not the row) feeds the portable hash, so
+    * clusters land whole AND an external engine replays every assignment.
+    */
+  def splitByClusterPortable(df: DataFrame, key: Column, comp: DataFrame,
+                             weights: Seq[Double]): DataFrame = {
+    val bounds = splitBounds(weights)
+    val compR = comp.select(col("id").as("__cs_id"), col("comp").as("__cs_comp"))
+    val h = portableSplitBucket(coalesce(col("__cs_comp"), key))
+    val uppers = bounds.tail
+    val splitIdx = uppers.init.zipWithIndex.reverse
+      .foldLeft(lit(uppers.size - 1)) { case (acc, (hi, i)) =>
+        when(h < lit(hi), lit(i)).otherwise(acc)
+      }
+    df.join(compR, key === col("__cs_id"), "left")
+      .withColumn("split", splitIdx)
+      .drop("__cs_id", "__cs_comp")
+  }
+
   /** Leakage-FREE split: assign every row the split of its near-duplicate
     * CLUSTER representative, not of itself. Hashing raw doc ids puts the
     * two halves of a near-dup pair in different splits with probability

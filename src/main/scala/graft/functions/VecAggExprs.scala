@@ -1,5 +1,6 @@
 package graft.functions
 
+import java.math.BigInteger
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
@@ -24,14 +25,23 @@ import org.apache.spark.sql.types._
 object VecAggExprs {
 
   /** Per-dimension integer-micros statistics of an `array<float>` column:
-    * for each dim, (n, Σ⌊x·10⁶⌋, min⌊x·10⁶⌋, max⌊x·10⁶⌋). Micros flooring
-    * makes every cell an exact, order-independent BIGINT — float→double
-    * widening is exact, ·10⁶ is one correctly-rounded double op, floor is
-    * exact — so the aggregate is replayable bit-for-bit by any engine and
-    * safe under Spark's nondeterministic partial-merge order (a raw float
-    * sum would not be). Buffer: 1 + 3·dims longs (count, sums, mins,
-    * maxes). Rows whose vector length ≠ `dims` fail loudly — a silent
-    * skip would corrupt the profile.
+    * for each dim, (n, Σ⌊x·10⁶⌋, min⌊x·10⁶⌋, max⌊x·10⁶⌋) plus the SECOND
+    * moment — Σ⌊x·10⁶⌋² carried as a base-10¹⁸ (hi, lo) long pair and the
+    * exact variance numerator n·Σm² − (Σm)² (so per-dim variance is
+    * varn / n² micros², the actual drift statistic) in the same split
+    * form. Micros flooring makes every cell an exact, order-independent
+    * integer — float→double widening is exact, ·10⁶ is one
+    * correctly-rounded double op, floor is exact — so the aggregate is
+    * replayable bit-for-bit by any engine and safe under Spark's
+    * nondeterministic partial-merge order (a raw float sum would not be).
+    * The (hi, lo) split is the overflow story: Σm² exceeds BIGINT beyond
+    * ~9M rows of unit-scale vectors (m² ≤ 10¹² each), so the buffer
+    * carries it as hi·10¹⁸ + lo with an add-time carry, and the oracle
+    * replays both cells from HUGEINT division — no DECIMAL ever crosses
+    * the engine boundary. Buffer: 1 + 5·dims longs. Rows whose vector
+    * length ≠ `dims` fail loudly — a silent skip would corrupt the
+    * profile; so does |m| > 3·10⁹ (a ±3000-magnitude element), where m²
+    * would overflow the carry cell.
     */
   def dimStatsMicros(emb: Column, dims: Int): Column =
     ColumnBridge.column(
@@ -47,15 +57,19 @@ case class VecDimStatsAgg(
 
   require(dims > 0 && dims <= 4096, s"dims out of range: $dims")
 
+  private val Carry = 1000000000000000000L // 10^18: lo-cell carry base
+  private val CarryBig = BigInteger.valueOf(Carry)
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"vec_dim_stats expects array<float>, got ${t.simpleString}")
   }
 
-  // layout: [0]=count, [1..dims]=sum_mu, [1+dims..]=min_mu, [1+2*dims..]=max_mu
+  // layout: [0]=count, [1..dims]=sum_mu, [1+dims..]=min_mu, [1+2·dims..]=
+  // max_mu, [1+3·dims..]=ssq_hi, [1+4·dims..]=ssq_lo (ssq = hi·10¹⁸ + lo)
   override def createAggregationBuffer(): Array[Long] = {
-    val b = new Array[Long](1 + 3 * dims)
+    val b = new Array[Long](1 + 5 * dims)
     var i = 0
     while (i < dims) {
       b(1 + dims + i) = Long.MaxValue
@@ -75,9 +89,17 @@ case class VecDimStatsAgg(
       var i = 0
       while (i < dims) {
         val mu = math.floor(arr.getFloat(i).toDouble * 1e6).toLong
+        if (mu > 3000000000L || mu < -3000000000L) throw new IllegalStateException(
+          s"vec_dim_stats: |element micros| $mu > 3e9 (magnitude beyond ±3000) " +
+            "would overflow the exact second-moment cell")
         b(1 + i) += mu
         if (mu < b(1 + dims + i)) b(1 + dims + i) = mu
         if (mu > b(1 + 2 * dims + i)) b(1 + 2 * dims + i) = mu
+        // mu² ≤ 9·10¹⁸ and lo < 10¹⁸ between rows, so lo + mu² < 2⁶³ — the
+        // carry keeps the pair canonical (lo < 10¹⁸) after every add
+        val lo = b(1 + 4 * dims + i) + mu * mu
+        b(1 + 3 * dims + i) += lo / Carry
+        b(1 + 4 * dims + i) = lo % Carry
         i += 1
       }
     }
@@ -91,6 +113,9 @@ case class VecDimStatsAgg(
       b(1 + i) += o(1 + i)
       if (o(1 + dims + i) < b(1 + dims + i)) b(1 + dims + i) = o(1 + dims + i)
       if (o(1 + 2 * dims + i) > b(1 + 2 * dims + i)) b(1 + 2 * dims + i) = o(1 + 2 * dims + i)
+      val lo = b(1 + 4 * dims + i) + o(1 + 4 * dims + i) // both < 10¹⁸
+      b(1 + 3 * dims + i) += o(1 + 3 * dims + i) + lo / Carry
+      b(1 + 4 * dims + i) = lo % Carry
       i += 1
     }
     b
@@ -98,8 +123,21 @@ case class VecDimStatsAgg(
 
   override def eval(b: Array[Long]): Any = {
     if (b(0) == 0L) return new GenericArrayData(Array.empty[Any])
+    val n = BigInteger.valueOf(b(0))
     val rows: Array[Any] = Array.tabulate(dims) { i =>
-      InternalRow(i.toLong, b(0), b(1 + i), b(1 + dims + i), b(1 + 2 * dims + i))
+      val sum = b(1 + i)
+      val ssq = BigInteger.valueOf(b(1 + 3 * dims + i)).multiply(CarryBig)
+        .add(BigInteger.valueOf(b(1 + 4 * dims + i)))
+      // exact 128-bit variance numerator n·Σm² − (Σm)² ≥ 0 (Cauchy-
+      // Schwarz over the integer micros); per-dim variance = varn / n²
+      // micros². Runs once per (group, dim) at eval — never in the
+      // per-row update path.
+      val varn = n.multiply(ssq)
+        .subtract(BigInteger.valueOf(sum).multiply(BigInteger.valueOf(sum)))
+      val Array(vHi, vLo) = varn.divideAndRemainder(CarryBig)
+      InternalRow(i.toLong, b(0), sum, b(1 + dims + i), b(1 + 2 * dims + i),
+        b(1 + 3 * dims + i), b(1 + 4 * dims + i),
+        vHi.longValueExact(), vLo.longValueExact())
     }
     new GenericArrayData(rows)
   }
@@ -121,7 +159,11 @@ case class VecDimStatsAgg(
     StructField("n", LongType, nullable = false),
     StructField("sum_mu", LongType, nullable = false),
     StructField("min_mu", LongType, nullable = false),
-    StructField("max_mu", LongType, nullable = false))), containsNull = false)
+    StructField("max_mu", LongType, nullable = false),
+    StructField("ssq_hi", LongType, nullable = false),
+    StructField("ssq_lo", LongType, nullable = false),
+    StructField("varn_hi", LongType, nullable = false),
+    StructField("varn_lo", LongType, nullable = false))), containsNull = false)
 
   override def nullable: Boolean = true
 

@@ -135,7 +135,8 @@ object Decontaminate extends Logging {
     */
   def overlapSweep(corpus: DataFrame, evalDocs: DataFrame,
                    id: Column, text: Column,
-                   ks: Seq[Int] = Seq(8, 13, 25, 50)): DataFrame = {
+                   ks: Seq[Int] = Seq(8, 13, 25, 50),
+                   maxBroadcastRows: Long = 10000000L): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.distinct.sorted,
       s"ks must be distinct ascending window sizes: $ks")
     def gramsByK(df: DataFrame, out: String): DataFrame =
@@ -146,8 +147,24 @@ object Decontaminate extends Logging {
             array_distinct(TextHashExprs.windowPolyHash(
               col("th"), k, 1099511628211L)).as("gs"))): _*)).as("kg"))
         .select(col(out), col("kg.k").as("k"), explode(col("kg.gs")).as("g"))
+    // the same enforced-not-trusted broadcast guard as overlaps/hitPairs:
+    // the sweep's per-k fan-out multiplies the eval side by |ks|, so count
+    // the (k, gram) rows first and fall back to a shuffle join (warning,
+    // same rows) rather than let broadcast() OOM an executor when a
+    // corpus slice arrives as evalDocs (ADVICE r12).
+    val evalGrams = gramsByK(evalDocs, "eval_id")
+    val nEvalGrams = evalGrams.count()
+    val probeSide =
+      if (nEvalGrams <= maxBroadcastRows) broadcast(evalGrams)
+      else {
+        logWarning(s"Decontaminate.overlapSweep: eval side has $nEvalGrams " +
+          s"(k, gram) rows (> maxBroadcastRows=$maxBroadcastRows); falling " +
+          "back to a shuffle join — the corpus side will shuffle. Is the " +
+          "eval set really a benchmark suite?")
+        evalGrams.hint("shuffle_hash")
+      }
     gramsByK(corpus, "doc_id")
-      .join(broadcast(gramsByK(evalDocs, "eval_id")), Seq("k", "g"))
+      .join(probeSide, Seq("k", "g"))
       .groupBy("k")
       .agg(count_distinct(col("doc_id")).as("n_flagged_docs"),
         count_distinct(col("g")).as("n_hit_grams"),

@@ -224,22 +224,40 @@ class FunctionsSpec extends SparkSpec {
       .agg(VecAggExprs.dimStatsMicros(col("embedding"), 2).as("st"))
       .select(col("label"), explode(col("st")).as("s"))
       .select(col("label"), col("s.dim"), col("s.n"), col("s.sum_mu"),
-        col("s.min_mu"), col("s.max_mu"))
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toList.sorted
+        col("s.min_mu"), col("s.max_mu"), col("s.ssq_hi"), col("s.ssq_lo"),
+        col("s.varn_hi"), col("s.varn_lo"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList.sortBy(t => (t._1, t._2))
     val got = profile(df)
+    // second moments by hand: e.g. label 0 dim 0 — m = {500000, 1500000},
+    // Σm² = 2.5e12, varn = 2·2.5e12 − (2e6)² = 1e12
     assert(got === List(
-      (0L, 0L, 2L, 2000000L, 500000L, 1500000L),
-      (0L, 1L, 2L, -150000L, -250000L, 100000L),
-      (1L, 0L, 1L, -2000000L, -2000000L, -2000000L),
-      (1L, 1L, 1L, 3000000L, 3000000L, 3000000L)))
+      (0L, 0L, 2L, 2000000L, 500000L, 1500000L, 0L, 2500000000000L, 0L, 1000000000000L),
+      (0L, 1L, 2L, -150000L, -250000L, 100000L, 0L, 72500000000L, 0L, 122500000000L),
+      (1L, 0L, 1L, -2000000L, -2000000L, -2000000L, 0L, 4000000000000L, 0L, 0L),
+      (1L, 1L, 1L, 3000000L, 3000000L, 3000000L, 0L, 9000000000000L, 0L, 0L)))
     // merge path: many partitions force partial buffers + merge; cells
     // must be identical (integer micros are merge-order-free)
     assert(profile(df.repartition(7)) === got)
+    // ±2900-magnitude elements: each m² = 8.41e18 crosses the 10¹⁸ carry —
+    // ssq and varn must come back exact through the (hi, lo) split and the
+    // merge path (two single-row partials merged)
+    val big = Seq((9L, Array(2900.0f, 0.0f)), (9L, Array(-2900.0f, 0.0f)))
+      .toDF("label", "embedding").repartition(2)
+    val gotBig = profile(big).filter(_._2 == 0L)
+    assert(gotBig === List(
+      (9L, 0L, 2L, 0L, -2900000000L, 2900000000L,
+        16L, 820000000000000000L, 33L, 640000000000000000L)))
     // a wrong-length vector fails loudly, never silently skews the profile
     val bad = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("label", "embedding")
     val e = intercept[org.apache.spark.SparkException] { profile(bad) }
     assert(e.getMessage.contains("vec_dim_stats") ||
       Option(e.getCause).exists(_.getMessage.contains("vec_dim_stats")))
+    // so does an element whose m² would overflow the carry cell
+    val huge = Seq((0L, Array(3100.0f, 0.0f))).toDF("label", "embedding")
+    val e2 = intercept[org.apache.spark.SparkException] { profile(huge) }
+    assert(e2.getMessage.contains("second-moment") ||
+      Option(e2.getCause).exists(_.getMessage.contains("second-moment")))
   }
 
   test("BpeEncodeCount byte level seeds UTF-8 bytes; char level counts UTF-16 units") {
