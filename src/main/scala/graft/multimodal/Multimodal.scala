@@ -189,15 +189,8 @@ object Multimodal {
             catch { case scala.util.control.NonFatal(_) => null } // plugin unchecked throws too
           if (in == null) None
           else {
-            val out = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            val g = out.createGraphics()
-            try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(in, 0, 0, w, h, null)
-            } finally g.dispose()
+            val out = resizeBilinear(in, w, h,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
             val bytes = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bytes)
             Some(Row(r.getLong(0), w.toLong, h.toLong, bytes.toByteArray))
@@ -314,18 +307,26 @@ object Multimodal {
     val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val samples = new Array[Int](nFrames)
-        var i = 0
-        while (i < nFrames) {
-          val b = i * 16 / nFrames
-          samples(i) = 300 + 150 * (b ^ (id & 15L).toInt) +
-            4000 * ((id >>> b) & 1L).toInt
-          i += 1
-        }
-        Row(id, encodePcm(samples, rateHz.toFloat))
+        Row(id, encodePcm(blockToneSamples(id, nFrames), rateHz.toFloat))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Pure block-tone sample generator behind [[blockToneMedia]] —
+    * depends on `id`'s low 16 bits only, so the exhaustive-residue
+    * invariance spec drives the exact executor-side samples.
+    */
+  private[graft] def blockToneSamples(id: Long, nFrames: Int): Array[Int] = {
+    val samples = new Array[Int](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      val b = i * 16 / nFrames
+      samples(i) = 300 + 150 * (b ^ (id & 15L).toInt) +
+        4000 * ((id >>> b) & 1L).toInt
+      i += 1
+    }
+    samples
   }
 
   /** REAL audio resample: decode the WAV, linear-interpolate the PCM to
@@ -346,18 +347,7 @@ object Multimodal {
           decodePcm(r.getAs[Array[Byte]](1)) match {
             case None => None
             case Some((samples, rate)) =>
-              val n = samples.length
-              val out = new Array[Int](n * factor)
-              var i = 0
-              while (i < n * factor) {
-                val pos = i.toDouble / factor
-                val lo = pos.toInt
-                val hi = math.min(lo + 1, n - 1)
-                val frac = pos - lo
-                out(i) = math.round(samples(lo) * (1.0 - frac) + samples(hi) * frac).toInt
-                i += 1
-              }
-              Some(Row(r.getLong(0), encodePcm(out, rate)))
+              Some(Row(r.getLong(0), encodePcm(resampleLinear(samples, factor), rate)))
           }
         })
       }
@@ -383,30 +373,54 @@ object Multimodal {
           decodePcm(r.getAs[Array[Byte]](1)) match {
             case None => None
             case Some((samples, _)) if samples.length >= 65 =>
-              val n = samples.length
-              val e = new Array[Double](65)
-              var w = 0
-              while (w < 65) {
-                val from = (w.toLong * n / 65).toInt
-                val to = ((w + 1).toLong * n / 65).toInt
-                var s = 0.0
-                var i = from
-                while (i < to) { s += samples(i).toDouble * samples(i); i += 1 }
-                e(w) = if (to > from) s / (to - from) else 0.0
-                w += 1
-              }
-              var bits = 0L
-              var k = 0
-              while (k < 64) {
-                if (e(k + 1) > e(k)) bits |= 1L << k
-                k += 1
-              }
-              Some(Row(r.getLong(0), bits))
+              Some(Row(r.getLong(0), envelopeFingerprint(samples)))
             case _ => None
           }
         })
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Pure linear interpolation behind [[resampleAudio]]. */
+  private[graft] def resampleLinear(samples: Array[Int], factor: Int): Array[Int] = {
+    val n = samples.length
+    val out = new Array[Int](n * factor)
+    var i = 0
+    while (i < n * factor) {
+      val pos = i.toDouble / factor
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, n - 1)
+      val frac = pos - lo
+      out(i) = math.round(samples(lo) * (1.0 - frac) + samples(hi) * frac).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Pure 64-bit energy-envelope hash behind [[audioFingerprint64]]:
+    * 65 equal windows, mean-square energy per window, bit w =
+    * (E(w+1) > E(w)).
+    */
+  private[graft] def envelopeFingerprint(samples: Array[Int]): Long = {
+    val n = samples.length
+    val e = new Array[Double](65)
+    var w = 0
+    while (w < 65) {
+      val from = (w.toLong * n / 65).toInt
+      val to = ((w + 1).toLong * n / 65).toInt
+      var s = 0.0
+      var i = from
+      while (i < to) { s += samples(i).toDouble * samples(i); i += 1 }
+      e(w) = if (to > from) s / (to - from) else 0.0
+      w += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (e(k + 1) > e(k)) bits |= 1L << k
+      k += 1
+    }
+    bits
   }
 
   /** Near-duplicate AUDIO pairs within Hamming `maxDist` of their
@@ -515,27 +529,63 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val data = img.getRaster.getDataBuffer
-          .asInstanceOf[java.awt.image.DataBufferByte].getData
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val b = (y * 4 / h) * 4 + (x * 4 / w)
-            val v = 8 * (b ^ (id & 15L).toInt) + (((id >>> b) & 1L) << 7).toInt
-            data(y * w + x) = v.toByte
-            x += 1
-          }
-          y += 1
-        }
+        val img = renderBlockImage(id, w, h)
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", out)
         Row(id, out.toByteArray)
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** The scale-robust 4×4 block value shared by [[blockPatternMedia]] and
+    * [[videoPatternMedia]]: `v(b) = 8·(b ⊕ nib) + 128·bit_b(key)` with
+    * `nib = key & 15` — sixteen distinct values ≥ 8 gray levels apart, so
+    * downsampling never creates gradient ties rounding could flip. The
+    * pattern depends on `key`'s LOW 16 BITS only, which is what lets
+    * MultimodalInvarianceSpec certify resize-invariance by exhausting all
+    * 65536 residues (pure function, no Spark).
+    */
+  private[graft] def blockValue16(key: Long, b: Int): Int =
+    8 * (b ^ (key & 15L).toInt) + (((key >>> b) & 1L) << 7).toInt
+
+  /** Pure renderer of the [[blockValue16]] grid — extracted so the
+    * exhaustive-residue property test drives the exact executor-side
+    * pixels without a cluster.
+    */
+  private[graft] def renderBlockImage(key: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (y * 4 / h) * 4 + (x * 4 / w)
+        data(y * w + x) = blockValue16(key, b).toByte
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Pure bilinear resize shared by [[resizeImages]]/[[resizeVideoFrames]]
+    * and the invariance spec — the exact Graphics2D call the executors
+    * run.
+    */
+  private[graft] def resizeBilinear(in: java.awt.image.BufferedImage, w: Int, h: Int,
+                                    imageType: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w, h, imageType)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(in, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
   }
 
   /** 64-bit difference hash over the REAL decoded pixels: decode, bilinear
@@ -570,7 +620,7 @@ object Multimodal {
     * [[frameDHash64]] (every frame of a container): bilinear 9×8 gray
     * resample, then 64 horizontal-gradient bits.
     */
-  private def dhashOf(in: java.awt.image.BufferedImage): Long = {
+  private[graft] def dhashOf(in: java.awt.image.BufferedImage): Long = {
     val small = new java.awt.image.BufferedImage(
       9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val g = small.createGraphics()
@@ -741,13 +791,15 @@ object Multimodal {
     */
   /** Shared renderer for the synthetic block-pattern GIF lanes
     * (videoPatternMedia / sceneVideoMedia): `frameKeys(id)` decides the
-    * clip's per-frame 64-bit pattern keys; every frame renders its key
-    * as an 8x8 block grid (aligned with dHash's 9x8 resample — the
-    * entropy contract both lanes lean on), one reader-reusable
-    * ImageIO writer per partition. One home for the codec scaffolding
-    * (code-review r11: the two lanes previously duplicated it).
+    * clip's per-frame 64-bit pattern keys, `pixel` the per-frame
+    * rendering ([[structuredPixel]] for the resize-exact dedup lane,
+    * [[noisePixel]] for the scene lane's entropy contract); one
+    * reader-reusable ImageIO writer per partition. One home for the
+    * codec scaffolding (code-review r11: the two lanes previously
+    * duplicated it).
     */
-  private def blockPatternGifs(docs: DataFrame, w: Int, h: Int)(
+  private def blockPatternGifs(docs: DataFrame, w: Int, h: Int,
+                               pixel: (Long, Int, Int, Int, Int) => Int)(
       frameKeys: Long => Array[Long]): DataFrame = {
     require(w >= 8 && h >= 8)
     val spark = docs.sparkSession
@@ -779,10 +831,7 @@ object Multimodal {
             while (y < h) {
               var x = 0
               while (x < w) {
-                val b = (y * 8 / h) * 8 + (x * 8 / w)
-                var kb = key + b * -4417276706812531889L
-                kb ^= kb >>> 31; kb *= -7723592293110705685L; kb ^= kb >>> 33
-                data(y * w + x) = (kb & 0xffL).toByte
+                data(y * w + x) = pixel(key, x, y, w, h).toByte
                 x += 1
               }
               y += 1
@@ -799,13 +848,23 @@ object Multimodal {
   }
 
   /** Block-pattern clips for the video-dedup lane: `1 + (id % maxFrames)`
-    * frames, a FRESH pattern per (id, frame) — splitmix-style mix, one
-    * key per frame.
+    * frames, a FRESH pattern key per (id, frame) — splitmix-style mix —
+    * rendered as the STRUCTURED [[blockValue16]] 4×4 grid (r13: the same
+    * scale-robust pattern the image lane certifies over all 65536
+    * residues). The previous 8×8 noise grid put near-equal values in
+    * adjacent blocks, so a few frames drifted past Hamming 3 under 2×
+    * bilinear resize and the video gate could only be a declared
+    * planted-recovery boolean; with the structured grid per-frame dHash
+    * survives resize EXACTLY (MultimodalInvarianceSpec exhausts the
+    * residues), so q_video_dedup's matched count restates like the
+    * image/audio lanes. Distinct frame keys still differ in many dHash
+    * bits (16 pattern bits drive strong gradients), which is all the
+    * frame-grain matching needs.
     */
   def videoPatternMedia(docs: DataFrame, maxFrames: Int = 6,
                         w: Int = 32, h: Int = 24): DataFrame = {
     require(maxFrames > 0)
-    blockPatternGifs(docs, w, h) { id =>
+    blockPatternGifs(docs, w, h, structuredPixel) { id =>
       val n = 1 + (id % maxFrames).toInt
       Array.tabulate(n) { f =>
         var key = id * -7046029254386353131L + f * -4417276706812531889L
@@ -814,6 +873,23 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-pixel renderers for [[blockPatternGifs]] — pure functions of
+    * (frame key, x, y, w, h). `structuredPixel` is the resize-exact
+    * [[blockValue16]] 4×4 grid (video dedup); `noisePixel` is the 8×8
+    * splitmix grid whose ~independent 64-bit dHashes the scene-cut lane's
+    * entropy contract leans on (cross-scene distance ≈ random draws).
+    */
+  private[graft] val structuredPixel: (Long, Int, Int, Int, Int) => Int =
+    (key, x, y, w, h) => blockValue16(key, (y * 4 / h) * 4 + (x * 4 / w))
+
+  private[graft] val noisePixel: (Long, Int, Int, Int, Int) => Int =
+    (key, x, y, w, h) => {
+      val b = (y * 8 / h) * 8 + (x * 8 / w)
+      var kb = key + b * -4417276706812531889L
+      kb ^= kb >>> 31; kb *= -7723592293110705685L; kb ^= kb >>> 33
+      (kb & 0xffL).toInt
+    }
 
   /** Re-encode every frame of a multi-frame container at `factor×` size
     * (bilinear) — the "same video, different resolution" transform a
@@ -853,16 +929,9 @@ object Multimodal {
                 var i = 0
                 while (i < n) {
                   val in = reader.read(i)
-                  val out = new java.awt.image.BufferedImage(
-                    in.getWidth * factor, in.getHeight * factor,
+                  val out = resizeBilinear(in, in.getWidth * factor,
+                    in.getHeight * factor,
                     java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-                  val g = out.createGraphics()
-                  try {
-                    g.setRenderingHint(
-                      java.awt.RenderingHints.KEY_INTERPOLATION,
-                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                    g.drawImage(in, 0, 0, out.getWidth, out.getHeight, null)
-                  } finally g.dispose()
                   writer.writeToSequence(new javax.imageio.IIOImage(out, null, null), null)
                   i += 1
                 }
@@ -970,7 +1039,7 @@ object Multimodal {
   def sceneVideoMedia(docs: DataFrame, framesPerScene: Int = 2,
                       w: Int = 32, h: Int = 24): DataFrame = {
     require(framesPerScene > 0)
-    blockPatternGifs(docs, w, h) { id =>
+    blockPatternGifs(docs, w, h, noisePixel) { id =>
       val nScenes = 1 + (id % 3).toInt
       (0 until nScenes).flatMap { sc =>
         var key = id * -7046029254386353131L + sc * -2862933555777941757L
