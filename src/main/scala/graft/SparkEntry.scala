@@ -808,6 +808,39 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    "q_embed_drift" -> ((s, d) => {
+      // EMBEDDING DRIFT DIFF — what the #202 profiler exists FOR: profile
+      // two embedding epochs and flag the dimensions whose mean moved.
+      // Epoch B is the corpus re-embedded by a model update that
+      // collapsed sign symmetry on dims 0-7 (each value |x|'d — float
+      // abs is exact and commutes with widening, so the oracle replays
+      // epoch B from the same raw floats). Two one-pass
+      // TypedImperativeAggregate profiles (no groupBy key — ONE 321-long
+      // buffer each), a 64-row dim join, and the drift flag in pure
+      // BIGINT: |Σm_b − Σm_a| > 50000·n (mean moved > 0.05). Planted
+      // rectification moves dims 0-7 by E|x| ≈ 0.1 (the unit-norm
+      // corpus's per-dim std is ~1/8; measured 0.093-0.122 across dims,
+      // ~8σ above the cut since per-dim sampling noise is ≤ 0.006 even
+      // at sf0.001 — flag TRUE); untouched dims are bit-identical
+      // (Δ = 0, flag FALSE) — both branches real at every sf. Fully
+      // value-certified: sums, the integer mean delta, and the flag all
+      // replay.
+      val a = t(s, d, "embeddings")
+      val b = a.withColumn("embedding",
+        transform(col("embedding"), (v, i) => when(i < 8, abs(v)).otherwise(v)))
+      def profile(df: DataFrame, sfx: String): DataFrame = df
+        .agg(graft.functions.VecAggExprs.dimStatsMicros(col("embedding"), 64).as("st"))
+        .select(explode(col("st")).as("s"))
+        .select(col("s.dim").as("dim"), col("s.n").as(s"n$sfx"),
+          col("s.sum_mu").as(s"sum_mu$sfx"))
+      profile(a, "_a").join(profile(b, "_b"), "dim")
+        .select(col("dim"), col("n_a").as("n"), col("sum_mu_a"), col("sum_mu_b"),
+          expr("abs(sum_mu_b - sum_mu_a) div n_a").as("dmean_mu"),
+          (abs(col("sum_mu_b") - col("sum_mu_a")) > lit(50000L) * col("n_a"))
+            .as("drifted"))
+        .orderBy("dim")
+    }),
+
     "q_rank_metrics" -> ((s, d) => {
       // retrieval EVALUATION as a first-class operator: exact-integer
       // MRR and hit rate of the known-gold answers (each planted copy's
@@ -3147,6 +3180,44 @@ object SparkEntry {
         t(s, d, "documents"), col("doc_id"),
         size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64)),
 
+    "q_pack_efficiency" -> ((s, d) => {
+      // PACK-POLICY EFFICIENCY AUDIT — the number a packing policy is
+      // actually chosen by: per policy (greedy next-fit vs FFD over the
+      // same id-range groups), bin count, packed docs/tokens, total
+      // padding tokens (Σ max(budget − fill, 0) — what the trainer pads
+      // and wastes attention on) and integer utilization permille.
+      // ffd_no_worse derives from the two replayed bin counts in BOTH
+      // engines (FFD's 11/9·OPT bound vs next-fit's 2·OPT — the audit
+      // shows the actual gap on this corpus). Each policy is one
+      // groupBy over its assignment frame; the cross-policy certificate
+      // is a 2-row broadcast. At 100 TB this is the report that decides
+      // whether the better-packing heuristic pays for its sort.
+      val docs = t(s, d, "documents")
+      val nTok = size(TextAnalysis.tokens(col("text")))
+      def eff(policy: String, packed: DataFrame): DataFrame =
+        packed.groupBy("bin_id")
+          .agg(sum(col("n_tokens").cast("long")).as("fill"),
+            count(lit(1)).as("nd"))
+          .agg(count(lit(1)).as("n_bins"), sum("nd").as("n_docs"),
+            sum("fill").as("sum_tokens"),
+            sum(greatest(lit(512L) - col("fill"), lit(0L))).as("padding_tokens"))
+          .select(lit(policy).as("policy"), col("n_bins"), col("n_docs"),
+            col("sum_tokens"), col("padding_tokens"))
+      val both = eff("greedy",
+          graft.text.SeqPack.packGreedy(docs, col("doc_id"), nTok, 512, 64))
+        .unionByName(eff("ffd",
+          graft.text.SeqPack.packFfd(docs, col("doc_id"), nTok, 512, 64)))
+      val cmp = both.agg(
+        max(when(col("policy") === "greedy", col("n_bins"))).as("gb"),
+        max(when(col("policy") === "ffd", col("n_bins"))).as("fb"))
+      both.crossJoin(broadcast(cmp))
+        .select(col("policy"), col("n_bins"), col("n_docs"),
+          col("sum_tokens"), col("padding_tokens"),
+          expr("sum_tokens * 1000 div (n_bins * 512)").as("util_permille"),
+          (col("fb") <= col("gb")).as("ffd_no_worse"))
+        .orderBy("policy")
+    }),
+
     "q_shard_manifest" -> ((s, d) =>
       // the LAST MILE of packing: per-shard manifest with exclusive
       // global token offsets (the seek index a training data loader
@@ -4253,6 +4324,43 @@ object SparkEntry {
 
   private val SeqPackCte: String = "WITH RECURSIVE " + packChainCte("documents")
 
+  /** The FFD pack replay (rows ranked n_tokens DESC/doc_id per group, the
+    * open-bin fill list carried through the recursive CTE, first fit =
+    * lowest index with room, NULL opens a new bin) — suffix-parameterized
+    * like [[packChainCte]] so q_seq_pack_ffd and the pack-efficiency
+    * audit share one definition.
+    */
+  private def ffdChainCte(src: String, sfx: String = ""): String =
+    s"""toks$sfx AS (
+      |  SELECT doc_id, doc_id // 64 AS grp,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
+      |  FROM $src
+      |), numbered$sfx AS (
+      |  SELECT doc_id, grp, n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
+      |  FROM toks$sfx
+      |), pack$sfx AS (
+      |  SELECT grp, rn, doc_id, n_tokens,
+      |    [CAST(n_tokens AS BIGINT)] AS fills, CAST(0 AS BIGINT) AS bin
+      |  FROM numbered$sfx WHERE rn = 1
+      |  UNION ALL
+      |  SELECT grp, rn, doc_id, n_tokens,
+      |    CASE WHEN idx IS NULL THEN list_append(fills, CAST(n_tokens AS BIGINT))
+      |         ELSE list_transform(generate_series(1, len(fills)),
+      |                j -> CASE WHEN j = idx THEN fills[j] + n_tokens ELSE fills[j] END) END AS fills,
+      |    CAST(CASE WHEN idx IS NULL THEN len(fills) ELSE idx - 1 END AS BIGINT) AS bin
+      |  FROM (
+      |    SELECT p.fills AS fills, n.grp, n.rn, n.doc_id, n.n_tokens,
+      |      ([i FOR i IN generate_series(1, len(p.fills)) IF p.fills[i] + n.n_tokens <= 512])[1] AS idx
+      |    FROM pack$sfx p JOIN numbered$sfx n ON n.grp = p.grp AND n.rn = p.rn + 1)
+      |), bins$sfx AS (
+      |  SELECT grp, max(bin) + 1 AS nb FROM pack$sfx GROUP BY grp
+      |), offs$sfx AS (
+      |  SELECT grp, CAST(coalesce(sum(nb) OVER (ORDER BY grp
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_off
+      |  FROM bins$sfx)
+      |""".stripMargin
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
     */
@@ -5009,6 +5117,29 @@ object SparkEntry {
         |   WHERE vec_id < 100 AND vec_id % 5 = 0) AS n_results,
         |  TRUE AS recall_ok
         |FROM moved""".stripMargin),
+
+    // drift diff: epoch B replayed from the same raw floats (abs is
+    // exact and commutes with float→double widening), sums exact
+    // integer micros, the mean delta and the flag pure BIGINT
+    // arithmetic — both branches real (dims 0-7 rectified, others
+    // bit-identical).
+    "q_embed_drift" ->
+      """WITH mu AS (
+        |  SELECT i.dim,
+        |    CAST(floor(CAST(embedding[i.dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS ma,
+        |    CAST(floor(CASE WHEN i.dim < 8
+        |        THEN abs(CAST(embedding[i.dim + 1] AS DOUBLE))
+        |        ELSE CAST(embedding[i.dim + 1] AS DOUBLE) END * 1000000) AS BIGINT) AS mb
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) i
+        |), agg AS (
+        |  SELECT dim, count(*) AS n,
+        |    CAST(sum(ma) AS BIGINT) AS sum_mu_a,
+        |    CAST(sum(mb) AS BIGINT) AS sum_mu_b
+        |  FROM mu GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n, sum_mu_a, sum_mu_b,
+        |  CAST(abs(sum_mu_b - sum_mu_a) // n AS BIGINT) AS dmean_mu,
+        |  abs(sum_mu_b - sum_mu_a) > 50000 * n AS drifted
+        |FROM agg ORDER BY dim""".stripMargin,
 
     // IVF occupancy-skew gauge: the one-hot codebook makes every
     // assignment replayable (q_knn_append idiom), so the oracle
@@ -7841,38 +7972,43 @@ object SparkEntry {
     // the lowest index whose fill still takes the doc (list comprehension
     // [1] — NULL opens a new bin). Same dense global bin offsets as
     // q_seq_pack.
-    "q_seq_pack_ffd" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, doc_id // 64 AS grp,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
-        |  FROM documents
-        |), numbered AS (
-        |  SELECT doc_id, grp, n_tokens,
-        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
-        |  FROM toks
-        |), pack AS (
-        |  SELECT grp, rn, doc_id, n_tokens,
-        |    [CAST(n_tokens AS BIGINT)] AS fills, CAST(0 AS BIGINT) AS bin
-        |  FROM numbered WHERE rn = 1
-        |  UNION ALL
-        |  SELECT grp, rn, doc_id, n_tokens,
-        |    CASE WHEN idx IS NULL THEN list_append(fills, CAST(n_tokens AS BIGINT))
-        |         ELSE list_transform(generate_series(1, len(fills)),
-        |                j -> CASE WHEN j = idx THEN fills[j] + n_tokens ELSE fills[j] END) END AS fills,
-        |    CAST(CASE WHEN idx IS NULL THEN len(fills) ELSE idx - 1 END AS BIGINT) AS bin
-        |  FROM (
-        |    SELECT p.fills AS fills, n.grp, n.rn, n.doc_id, n.n_tokens,
-        |      ([i FOR i IN generate_series(1, len(p.fills)) IF p.fills[i] + n.n_tokens <= 512])[1] AS idx
-        |    FROM pack p JOIN numbered n ON n.grp = p.grp AND n.rn = p.rn + 1)
-        |), bins AS (
-        |  SELECT grp, max(bin) + 1 AS nb FROM pack GROUP BY grp
-        |), offs AS (
-        |  SELECT grp, CAST(coalesce(sum(nb) OVER (ORDER BY grp
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_off
-        |  FROM bins)
-        |SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
+    "q_seq_pack_ffd" -> ("WITH RECURSIVE " + ffdChainCte("documents") +
+      """SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
         |FROM pack p JOIN offs o USING (grp)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+
+    // the pack-efficiency audit: BOTH pack chains replayed (the greedy
+    // and FFD recursive CTEs under distinct suffixes), per-policy bin
+    // aggregates, and the cross-policy bin-count certificate derived
+    // from the replayed counts in both engines.
+    "q_pack_efficiency" -> ("WITH RECURSIVE " +
+      packChainCte("documents", "_g") + ", " + ffdChainCte("documents", "_f") +
+      """, eg AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS fill, count(*) AS nd
+        |  FROM pack_g GROUP BY grp, bin
+        |), ef AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS fill, count(*) AS nd
+        |  FROM pack_f GROUP BY grp, bin
+        |), su AS (
+        |  SELECT 'ffd' AS policy, count(*) AS n_bins,
+        |    CAST(sum(nd) AS BIGINT) AS n_docs,
+        |    CAST(sum(fill) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(greatest(512 - fill, 0)) AS BIGINT) AS padding_tokens
+        |  FROM ef
+        |  UNION ALL
+        |  SELECT 'greedy', count(*), CAST(sum(nd) AS BIGINT),
+        |    CAST(sum(fill) AS BIGINT),
+        |    CAST(sum(greatest(512 - fill, 0)) AS BIGINT)
+        |  FROM eg
+        |), cmp AS (
+        |  SELECT max(CASE WHEN policy = 'greedy' THEN n_bins END) AS gb,
+        |    max(CASE WHEN policy = 'ffd' THEN n_bins END) AS fb
+        |  FROM su)
+        |SELECT policy, CAST(n_bins AS BIGINT) AS n_bins, n_docs, sum_tokens,
+        |  padding_tokens,
+        |  CAST(sum_tokens * 1000 // (n_bins * 512) AS BIGINT) AS util_permille,
+        |  c.fb <= c.gb AS ffd_no_worse
+        |FROM su CROSS JOIN cmp c ORDER BY policy""".stripMargin),
 
     // the q_quality_score scoring pipeline verbatim (same ratio CTE, same
     // fixed-order double arithmetic), capped per source by rank.
