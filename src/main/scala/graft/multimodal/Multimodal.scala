@@ -982,15 +982,25 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Near-duplicate VIDEO pairs: frame-level dHash signatures through the
-    * SimHash banded self-join (frame identity packed into the signature
-    * key as `doc_id · 1024 + frame_idx`), matched frame pairs rolled up
-    * per video pair, and a video pair kept when ≥ `minFrac` of the
-    * LOWER-id video's frames match some frame of the other — the
-    * majority-of-frames rule that tolerates trims and title cards.
-    * Candidate volume is bounded exactly like every other perceptual
-    * lane: hot 16-bit bands tile through SkewJoin, 8-byte keys shuffle,
-    * payloads never do.
+  /** Near-duplicate VIDEO pairs: frame-level dHash signatures (frame
+    * identity packed as `doc_id · 1024 + frame_idx`), matched frame
+    * pairs rolled up per video pair, and a video pair kept when ≥
+    * `minFrac` of the LOWER-id video's frames match some frame of the
+    * other — the majority-of-frames rule that tolerates trims and title
+    * cards.
+    *
+    * Frame matching is VALUE-COLLAPSED (r13): frames at a video corpus's
+    * scale repeat signatures heavily (re-encodes, black/title frames,
+    * and this lane's 16-bit planted patterns), and running the banded
+    * self-join over the raw frame frame makes every bucket quadratic in
+    * that multiplicity. Instead (a) EQUAL-signature frame pairs come
+    * from the bounded equal-key machinery directly
+    * ([[graft.operators.SkewJoin.boundedSelfPairs]] on the dhash — hot
+    * values tile, and the output is exactly the true 0-distance matches
+    * the rollup needs anyway), and (b) the banded near-join runs over
+    * DISTINCT signature VALUES only (value-keyed, so its input is the
+    * signature vocabulary, not the frame count) and re-expands through
+    * two equi-joins. 8-byte keys shuffle, payloads never do.
     */
   def videoNearDuplicates(media: DataFrame, maxDist: Int = 3,
                           minFrac: Double = 0.9,
@@ -1002,11 +1012,23 @@ object Multimodal {
     // consistent: matching considers each video's first 1024 frames.
     val fp = graft.CachePool.persist(frameDHash64(media)
       .filter(col("doc_id") >= 0 && col("frame_idx") < 1024))
-    val sigs = fp.select(
-      (col("doc_id") * 1024L + col("frame_idx")).as("sh_id"),
-      col("dhash").as("simhash"))
-    val pairs = graft.dedup.SimHash.pairsFromSignatures(
-      graft.CachePool.persist(sigs), maxDist, hotBandThreshold)
+    val packed = graft.CachePool.persist(fp.select(
+      (col("doc_id") * 1024L + col("frame_idx")).as("k"), col("dhash")))
+    val eq = graft.operators.SkewJoin
+      .boundedSelfPairs(packed, Seq("dhash"), col("k"), col("dhash"),
+        hotBandThreshold)
+      .select(col("id_a"), col("id_b"))
+    val vals = packed.select("dhash").distinct()
+    val vp = graft.dedup.SimHash.pairsFromSignatures(
+        vals.select(col("dhash").as("sh_id"), col("dhash").as("simhash")),
+        maxDist, hotBandThreshold)
+      .select(col("id_a").as("va_val"), col("id_b").as("vb_val"))
+    val near = packed.select(col("k").as("id_a"), col("dhash").as("va_val"))
+      .join(vp, "va_val")
+      .join(packed.select(col("k").as("id_b"), col("dhash").as("vb_val")),
+        "vb_val")
+      .select(col("id_a"), col("id_b"))
+    val pairs = eq.unionByName(near)
     val va = expr("id_a div 1024"); val fa = pmod(col("id_a"), lit(1024L))
     val vb = expr("id_b div 1024"); val fb = pmod(col("id_b"), lit(1024L))
     val norm = pairs
