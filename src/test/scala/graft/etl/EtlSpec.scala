@@ -53,6 +53,49 @@ class EtlSpec extends SparkSpec {
     assert(bySrc("src0") === docs.filter(col("source") === "src0").count())
   }
 
+  test("splitPortable: replayable bucket arithmetic, disjoint/exhaustive, band-tight sizes") {
+    val docs = table("documents")
+    val w = Seq(0.8, 0.1, 0.1)
+    val Seq(tr, va, te) = Sampling.splitPortable(docs, col("doc_id"), w)
+      .map(_.select("doc_id").as[Long].collect().toSet)
+    assert((tr & va).isEmpty && (tr & te).isEmpty && (va & te).isEmpty)
+    val n = docs.count()
+    assert((tr ++ va ++ te).size.toLong === n)
+    // the bucket is plain BIGINT arithmetic — recompute it OUTSIDE Spark
+    // (the exact expression the DuckDB oracle inlines) and check every
+    // membership; the bounds are the Scala-computed splitBounds
+    val bounds = Sampling.splitBounds(w)
+    def bucket(id: Long): Long =
+      ((((id & 2147483647L) * 2654435761L) % 4294967296L & 2147483647L) *
+        2246822519L) % 4294967296L % 1000000L
+    def expected(id: Long): Int = {
+      val b = bucket(id)
+      if (b < bounds(1)) 0 else if (b < bounds(2)) 1 else 2
+    }
+    tr.foreach(id => assert(expected(id) === 0, s"doc $id"))
+    va.foreach(id => assert(expected(id) === 1, s"doc $id"))
+    te.foreach(id => assert(expected(id) === 2, s"doc $id"))
+    // two-round mixing keeps sequential-id splits far inside the 4-sigma
+    // binomial band (the q_split_gate invariant)
+    Seq((tr, 0.8), (va, 0.1), (te, 0.1)).foreach { case (s, wi) =>
+      assert(math.abs(s.size - wi * n) <=
+        4.0 * math.sqrt(wi * (1 - wi) * n) + 2.0, s"w=$wi size=${s.size}")
+    }
+    // splitByClusterPortable: clusters land whole on the rep's bucket
+    val comp = spark.range(0, 100, 2).select(
+      (col("id") + 1).as("id"), col("id").as("comp"))
+    val byId = Sampling.splitByClusterPortable(docs, col("doc_id"), comp, w)
+      .select("doc_id", "split").as[(Long, Int)].collect().toMap
+    (0L until 100L by 2).foreach { even =>
+      if (byId.contains(even) && byId.contains(even + 1))
+        assert(byId(even) === byId(even + 1), s"pair ($even,${even + 1}) straddles")
+      if (byId.contains(even)) assert(byId(even) === expected(even))
+    }
+    byId.filterNot { case (id, _) => id < 100 && id % 2 == 1 }.foreach {
+      case (id, s) => assert(s === expected(id), s"singleton $id moved")
+    }
+  }
+
   test("splitByCluster: clusters land whole, singletons land exactly where split() puts them") {
     val docs = table("documents")
     // synthetic component map: pair up neighbouring ids (0,1), (10,11), …
