@@ -424,15 +424,14 @@ object Multimodal {
   }
 
   /** Near-duplicate AUDIO pairs within Hamming `maxDist` of their
-    * envelope fingerprints — the same banded signature join as
+    * envelope fingerprints — the same value-collapsed matcher as
     * [[imageNearDuplicates]]; container bytes never cross a shuffle.
     */
   def audioNearDuplicates(media: DataFrame, maxDist: Int = 3,
                           hotBandThreshold: Int = 4096): DataFrame =
-    graft.dedup.SimHash.pairsFromSignatures(
-      graft.CachePool.persist(
-        audioFingerprint64(media)
-          .select(col("doc_id").as("sh_id"), col("afp").as("simhash"))),
+    collapsedSignaturePairs(
+      audioFingerprint64(media)
+        .select(col("doc_id").as("sh_id"), col("afp").as("simhash")),
       maxDist, hotBandThreshold)
 
   /** Decode a WAV payload to (16-bit signed samples of channel 0, rate);
@@ -647,17 +646,53 @@ object Multimodal {
   }
 
   /** Near-duplicate IMAGE pairs within Hamming distance `maxDist` of
-    * their dHashes — [[graft.dedup.SimHash.pairsFromSignatures]]' banded
-    * self-join over the perceptual signature frame: same pigeonhole
-    * bands, same bounded hot buckets, payload bytes never cross the
-    * shuffle (8-byte signatures do).
+    * their dHashes — the VALUE-COLLAPSED perceptual matcher shared by
+    * all three media lanes ([[collapsedSignaturePairs]]): payload bytes
+    * never cross the shuffle, 8-byte signatures do, and candidate
+    * volume scales with the signature VOCABULARY rather than the image
+    * count (perceptual hashes repeat heavily on real corpora —
+    * re-encodes, crops of the same picture, blank frames).
     */
   def imageNearDuplicates(media: DataFrame, maxDist: Int = 3,
                           hotBandThreshold: Int = 4096): DataFrame =
-    graft.dedup.SimHash.pairsFromSignatures(
-      graft.CachePool.persist(
-        dHash64(media).select(col("doc_id").as("sh_id"), col("dhash").as("simhash"))),
+    collapsedSignaturePairs(
+      dHash64(media).select(col("doc_id").as("sh_id"), col("dhash").as("simhash")),
       maxDist, hotBandThreshold)
+
+  /** The perceptual pair matcher shared by the image/audio/video lanes
+    * (r13): perceptual signatures repeat heavily at corpus scale
+    * (re-encoded copies hash IDENTICALLY by design, and blank/boiler
+    * frames collide across unrelated media), so a banded self-join over
+    * the raw signature frame goes quadratic in that multiplicity —
+    * measured 8× on the video lane at sf0.1. Instead: (a)
+    * EQUAL-signature pairs come straight from the bounded equal-key
+    * machinery on the hash value (hot values tile through SkewJoin; the
+    * output is exactly the true 0-distance match set), and (b) the
+    * banded near-join runs over DISTINCT signature VALUES only — its
+    * input is the signature vocabulary, not the media count — and
+    * re-expands through two equi-joins. Same pair set as the direct
+    * banded join (equal and near paths are disjoint by construction),
+    * output (id_a < id_b, hamming).
+    */
+  private[graft] def collapsedSignaturePairs(sigs: DataFrame, maxDist: Int,
+                                             hotBandThreshold: Int): DataFrame = {
+    val s = graft.CachePool.persist(sigs.select(col("sh_id"), col("simhash")))
+    val eq = graft.operators.SkewJoin
+      .boundedSelfPairs(s, Seq("simhash"), col("sh_id"), col("simhash"),
+        hotBandThreshold)
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    val vp = graft.dedup.SimHash.pairsFromSignatures(
+        s.select("simhash").distinct()
+          .select(col("simhash").as("sh_id"), col("simhash").as("simhash")),
+        maxDist, hotBandThreshold)
+      .select(col("id_a").as("v_a"), col("id_b").as("v_b"), col("hamming"))
+    val near = s.select(col("sh_id").as("ia"), col("simhash").as("v_a"))
+      .join(vp, "v_a")
+      .join(s.select(col("sh_id").as("ib"), col("simhash").as("v_b")), "v_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    eq.unionByName(near).orderBy("id_a", "id_b")
+  }
 
   // ── real multi-frame codec (javax.imageio GIF, the video stand-in) ────
 
@@ -989,18 +1024,11 @@ object Multimodal {
     * other — the majority-of-frames rule that tolerates trims and title
     * cards.
     *
-    * Frame matching is VALUE-COLLAPSED (r13): frames at a video corpus's
-    * scale repeat signatures heavily (re-encodes, black/title frames,
-    * and this lane's 16-bit planted patterns), and running the banded
-    * self-join over the raw frame frame makes every bucket quadratic in
-    * that multiplicity. Instead (a) EQUAL-signature frame pairs come
-    * from the bounded equal-key machinery directly
-    * ([[graft.operators.SkewJoin.boundedSelfPairs]] on the dhash — hot
-    * values tile, and the output is exactly the true 0-distance matches
-    * the rollup needs anyway), and (b) the banded near-join runs over
-    * DISTINCT signature VALUES only (value-keyed, so its input is the
-    * signature vocabulary, not the frame count) and re-expands through
-    * two equi-joins. 8-byte keys shuffle, payloads never do.
+    * Frame matching goes through the shared value-collapsed matcher
+    * ([[collapsedSignaturePairs]] — frames repeat signatures heavily:
+    * re-encodes, black/title frames, and this lane's 16-bit planted
+    * patterns, where the raw banded self-join measured 8× slower).
+    * 8-byte keys shuffle, payloads never do.
     */
   def videoNearDuplicates(media: DataFrame, maxDist: Int = 3,
                           minFrac: Double = 0.9,
@@ -1012,23 +1040,10 @@ object Multimodal {
     // consistent: matching considers each video's first 1024 frames.
     val fp = graft.CachePool.persist(frameDHash64(media)
       .filter(col("doc_id") >= 0 && col("frame_idx") < 1024))
-    val packed = graft.CachePool.persist(fp.select(
-      (col("doc_id") * 1024L + col("frame_idx")).as("k"), col("dhash")))
-    val eq = graft.operators.SkewJoin
-      .boundedSelfPairs(packed, Seq("dhash"), col("k"), col("dhash"),
-        hotBandThreshold)
-      .select(col("id_a"), col("id_b"))
-    val vals = packed.select("dhash").distinct()
-    val vp = graft.dedup.SimHash.pairsFromSignatures(
-        vals.select(col("dhash").as("sh_id"), col("dhash").as("simhash")),
-        maxDist, hotBandThreshold)
-      .select(col("id_a").as("va_val"), col("id_b").as("vb_val"))
-    val near = packed.select(col("k").as("id_a"), col("dhash").as("va_val"))
-      .join(vp, "va_val")
-      .join(packed.select(col("k").as("id_b"), col("dhash").as("vb_val")),
-        "vb_val")
-      .select(col("id_a"), col("id_b"))
-    val pairs = eq.unionByName(near)
+    val pairs = collapsedSignaturePairs(
+      fp.select((col("doc_id") * 1024L + col("frame_idx")).as("sh_id"),
+        col("dhash").as("simhash")),
+      maxDist, hotBandThreshold)
     val va = expr("id_a div 1024"); val fa = pmod(col("id_a"), lit(1024L))
     val vb = expr("id_b div 1024"); val fb = pmod(col("id_b"), lit(1024L))
     val norm = pairs
