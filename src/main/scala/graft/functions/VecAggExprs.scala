@@ -40,8 +40,9 @@ object VecAggExprs {
     * replays both cells from HUGEINT division — no DECIMAL ever crosses
     * the engine boundary. Buffer: 1 + 5·dims longs. Rows whose vector
     * length ≠ `dims` fail loudly — a silent skip would corrupt the
-    * profile; so does |m| > 3·10⁹ (a ±3000-magnitude element), where m²
-    * would overflow the carry cell.
+    * profile; so does |m| > 2.867·10⁹ (a ±2867-magnitude element), the
+    * largest m where m² plus a maximal pre-carry lo cell (10¹⁸−1) still
+    * fits a long (m² ≤ 8.220·10¹⁸; 9e18 + 10¹⁸−1 would wrap).
     */
   def dimStatsMicros(emb: Column, dims: Int): Column =
     ColumnBridge.column(
@@ -89,14 +90,16 @@ case class VecDimStatsAgg(
       var i = 0
       while (i < dims) {
         val mu = math.floor(arr.getFloat(i).toDouble * 1e6).toLong
-        if (mu > 3000000000L || mu < -3000000000L) throw new IllegalStateException(
-          s"vec_dim_stats: |element micros| $mu > 3e9 (magnitude beyond ±3000) " +
-            "would overflow the exact second-moment cell")
+        if (mu > 2867000000L || mu < -2867000000L) throw new IllegalStateException(
+          s"vec_dim_stats: |element micros| $mu > 2.867e9 (magnitude beyond " +
+            "±2867) would overflow the exact second-moment cell")
         b(1 + i) += mu
         if (mu < b(1 + dims + i)) b(1 + dims + i) = mu
         if (mu > b(1 + 2 * dims + i)) b(1 + 2 * dims + i) = mu
-        // mu² ≤ 9·10¹⁸ and lo < 10¹⁸ between rows, so lo + mu² < 2⁶³ — the
-        // carry keeps the pair canonical (lo < 10¹⁸) after every add
+        // mu² ≤ 2.867e9² ≈ 8.220·10¹⁸ and lo ≤ 10¹⁸−1 between rows, so
+        // lo + mu² ≤ 9.220·10¹⁸ < 2⁶³−1 ≈ 9.223·10¹⁸ — the carry keeps the
+        // pair canonical (lo < 10¹⁸) after every add. 3e9 would NOT be safe:
+        // 9e18 + (10¹⁸−1) wraps (ADVICE r13).
         val lo = b(1 + 4 * dims + i) + mu * mu
         b(1 + 3 * dims + i) += lo / Carry
         b(1 + 4 * dims + i) = lo % Carry

@@ -152,7 +152,10 @@ object Decontaminate extends Logging {
     // the (k, gram) rows first and fall back to a shuffle join (warning,
     // same rows) rather than let broadcast() OOM an executor when a
     // corpus slice arrives as evalDocs (ADVICE r12).
-    val evalGrams = gramsByK(evalDocs, "eval_id")
+    // persist before counting: the guard count and the join would otherwise
+    // each run the full eval-side gram expansion (ADVICE r13) — the frame
+    // stays registered in the pool for the batch-boundary release
+    val evalGrams = graft.CachePool.persist(gramsByK(evalDocs, "eval_id"))
     val nEvalGrams = evalGrams.count()
     val probeSide =
       if (nEvalGrams <= maxBroadcastRows) broadcast(evalGrams)

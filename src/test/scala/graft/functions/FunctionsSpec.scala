@@ -239,15 +239,28 @@ class FunctionsSpec extends SparkSpec {
     // merge path: many partitions force partial buffers + merge; cells
     // must be identical (integer micros are merge-order-free)
     assert(profile(df.repartition(7)) === got)
-    // ±2900-magnitude elements: each m² = 8.41e18 crosses the 10¹⁸ carry —
+    // ±2800-magnitude elements: each m² = 7.84e18 crosses the 10¹⁸ carry —
     // ssq and varn must come back exact through the (hi, lo) split and the
     // merge path (two single-row partials merged)
-    val big = Seq((9L, Array(2900.0f, 0.0f)), (9L, Array(-2900.0f, 0.0f)))
+    val big = Seq((9L, Array(2800.0f, 0.0f)), (9L, Array(-2800.0f, 0.0f)))
       .toDF("label", "embedding").repartition(2)
     val gotBig = profile(big).filter(_._2 == 0L)
     assert(gotBig === List(
-      (9L, 0L, 2L, 0L, -2900000000L, 2900000000L,
-        16L, 820000000000000000L, 33L, 640000000000000000L)))
+      (9L, 0L, 2L, 0L, -2800000000L, 2800000000L,
+        15L, 680000000000000000L, 31L, 360000000000000000L)))
+    // same-partition accumulation at the guard's edge (ADVICE r13): five
+    // max-magnitude rows in ONE partition walk the pre-carry lo cell up to
+    // 0.8788e18, so the fifth add is 9.0984e18 — safe only because the
+    // guard is 2867 (m² ≤ 8.2197e18; lo + m² < 2⁶³−1 always). Rows of
+    // 2900 under the old ±3000 guard wrapped negative on the third add.
+    val edge = (Seq.fill(4)(2867.0f) :+ -2867.0f).map(x => (9L, Array(x, 0.0f)))
+      .toDF("label", "embedding").coalesce(1)
+    // m = ±2.867e9, m² = 8219689·10¹² each; Σm = 3m, Σm² = 41098445·10¹²,
+    // varn = 5·Σm² − (3m)² = 205492225·10¹² − 73977201·10¹² = 131515024·10¹²
+    val gotEdge = profile(edge).filter(_._2 == 0L)
+    assert(gotEdge === List(
+      (9L, 0L, 5L, 8601000000L, -2867000000L, 2867000000L,
+        41L, 98445000000000000L, 131L, 515024000000000000L)))
     // a wrong-length vector fails loudly, never silently skews the profile
     val bad = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("label", "embedding")
     val e = intercept[org.apache.spark.SparkException] { profile(bad) }

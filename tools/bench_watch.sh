@@ -23,7 +23,10 @@ for i in $(seq 1 "$MAX_POLLS"); do
     echo "quiet at poll $i (1-min loadavg $L) — launching"
     break
   fi
-  [ "$i" = "$MAX_POLLS" ] && echo "never went quiet; launching anyway (loadavg $L)"
+  if [ "$i" = "$MAX_POLLS" ]; then
+    echo "never went quiet; launching anyway (loadavg $L)"
+    break
+  fi
   sleep 45
 done
 SPARK_GRAFT_REPEATS="$REPEATS" SPARK_GRAFT_SF_DIR="$SF_DIR" \
