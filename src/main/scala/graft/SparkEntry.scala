@@ -345,13 +345,7 @@ object SparkEntry {
     * once (consumed by the pack AND the byte/witness join).
     */
   private[graft] def llmReleaseManifest(s: SparkSession, d: String): DataFrame = {
-    val planted = DedupData.withPlantedDups(t(s, d, "documents"))
-    val corpus = graft.text.DocPipeline.corpus(planted, col("doc_id"), col("text"))
-    val survivors = graft.CachePool.persist(
-      graft.plans.TopKPerKey.topK(
-        corpus.select(col("doc_id"), col("source"), col("quality_score"),
-          col("n_tokens"), col("n_chars_c").as("n_chars")),
-        Seq("source"), Seq(("quality_score", false), ("doc_id", true)), 25))
+    val survivors = curatedSurvivors(DedupData.withPlantedDups(t(s, d, "documents")))
     val packed = graft.text.SeqPack.packGreedyStable(
       survivors, col("doc_id"), col("n_tokens"), budget = 512, groupSize = 64)
     val withMeta = packed.join(survivors.select("doc_id", "n_chars"), "doc_id")
@@ -361,6 +355,56 @@ object SparkEntry {
           col("doc_id"), col("n_tokens"), col("n_chars")),
         docBytes = col("n_chars"))
       .withColumnRenamed("bin_id", "shard_key")
+  }
+
+  /** The nightly-release sink trees — JVM-stable scratch paths (scratchDir
+    * caches by name) so LlmReleaseSpec can read back what the graded query
+    * wrote.
+    */
+  private[graft] def nightlySinkA: String = scratchDir("graft_nightly_a")
+  private[graft] def nightlySinkB: String = scratchDir("graft_nightly_b")
+
+  /** The shared release-curation front half (quality gate → exact dedup →
+    * per-source quota k=25), persisted — consumed by the pack AND the
+    * byte/witness join in every release flagship.
+    */
+  private[graft] def curatedSurvivors(planted: DataFrame): DataFrame = {
+    val corpus = graft.text.DocPipeline.corpus(planted, col("doc_id"), col("text"))
+    graft.CachePool.persist(
+      graft.plans.TopKPerKey.topK(
+        corpus.select(col("doc_id"), col("source"), col("quality_score"),
+          col("n_tokens"), col("n_chars_c").as("n_chars")),
+        Seq("source"), Seq(("quality_score", false), ("doc_id", true)), 25))
+  }
+
+  /** The NIGHTLY-release manifest: curation → release-stable pack →
+    * per-shard manifest with GROUP-LOCAL seek offsets — every row a pure
+    * function of its shard_group's own contents (global prefix sums
+    * would shift every downstream group whenever one group grows, which
+    * is exactly what an incremental re-release must avoid). The offset
+    * window partitions by shard_group (≤1024 shards each — bounded), so
+    * there is no corpus-scale global window anywhere in the plan.
+    */
+  private[graft] def nightlyManifest(planted: DataFrame): DataFrame = {
+    val survivors = curatedSurvivors(planted)
+    val packed = graft.text.SeqPack.packGreedyStable(
+      survivors, col("doc_id"), col("n_tokens"), budget = 512, groupSize = 64)
+    val shards = packed.join(survivors.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("__w", graft.text.SeqPack.contentWitness(
+        col("doc_id"), col("n_tokens"), col("n_chars")))
+      .groupBy("shard_key")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        (sum(col("n_tokens").cast("long")) + count(lit(1))).as("shard_len"),
+        (sum(col("n_chars").cast("long")) + count(lit(1))).as("byte_len"),
+        expr("bit_xor(__w)").as("content_xor"))
+      .withColumn("shard_group", expr("shard_key div 1024"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_group").orderBy("shard_key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    shards
+      .withColumn("start_offset", coalesce(sum("shard_len").over(w), lit(0L)))
+      .withColumn("byte_offset", coalesce(sum("byte_len").over(w), lit(0L)))
   }
 
   private def annCorpus(s: SparkSession, d: String): DataFrame =
@@ -808,36 +852,123 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    "q_ivf_split" -> ((s, d) => {
+      // IVF HOT-CELL SPLIT — the maintenance step q_ivf_skew's `retrain`
+      // signal exists to trigger (VERDICT r13 item 3): when a cell's
+      // posting list outgrows the rest, a 100 TB index re-shards THAT
+      // list without refitting the quantizer — split the hot cell's
+      // postings by a deterministic rule and show the imbalance gauge
+      // drop back under the 2000-permille gate. The skew is planted the
+      // way drift arrives: TWO re-crawl batches land every modal-cell
+      // vector back in its cell (same floats → same argmax), tripling
+      // it, which forces imb ≥ 2400 BY ARITHMETIC (3·max·8/(n+2·max)
+      // with max ≥ n/8 is minimized exactly at 2400 — the before branch
+      // is real at every sf, no measurement needed). The split rule is
+      // the runner-up argmax over the one-hot codebook's remaining dims
+      // (nearestCells' second entry — the q_knn_append replay idiom):
+      // hot postings, copies included, move to child cells keyed
+      // 100 + runner-up dim, spreading ≈ uniformly over 7 children
+      // (measured: before 2740-2825, after 1530-1545 across
+      // sf0.001/0.01 vs the 2000 gate). Fully value-certified: the oracle replays both
+      // argmaxes per vector, the modal cell, the tripling, both phases'
+      // occupancies, and derives imb_permille and the healthy flag from
+      // emitted cells in BOTH engines — no pinned boolean.
+      val vecs = t(s, d, "embeddings")
+      val codebook = graft.similarity.IvfKnn.IvfIndex(
+        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+      val top2 = graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 2)
+      val assigned = graft.CachePool.persist(
+        vecs.select(col("vec_id"),
+          top2.getItem(0).cast("long").as("cell"),
+          top2.getItem(1).cast("long").as("cell2")))
+      val hot = assigned.groupBy("cell").agg(count(lit(1)).as("cn"))
+        .orderBy(desc("cn"), desc("cell")).limit(1)
+        .select(col("cell").as("hot_cell"))
+      // re-crawl copies carry the originals' floats, so their argmax and
+      // runner-up are the originals' — reuse the persisted assignment
+      // instead of re-scoring (the oracle replays the same identity)
+      val hotRows = assigned.join(broadcast(hot), col("cell") === col("hot_cell"))
+        .select(col("vec_id"), col("cell"), col("cell2"))
+      val merged = graft.CachePool.persist(assigned
+        .unionByName(hotRows.select((col("vec_id") + 50000000L).as("vec_id"),
+          col("cell"), col("cell2")))
+        .unionByName(hotRows.select((col("vec_id") + 60000000L).as("vec_id"),
+          col("cell"), col("cell2"))))
+      val before = merged.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val after = merged.crossJoin(broadcast(hot))
+        .select(when(col("cell") === col("hot_cell"), lit(100L) + col("cell2"))
+          .otherwise(col("cell")).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val ph = graft.CachePool.persist(
+        before.select(lit("before").as("phase"), col("cell"), col("n_vecs"))
+          .unionByName(after.select(lit("after").as("phase"), col("cell"),
+            col("n_vecs"))))
+      val st = ph.groupBy("phase").agg(sum("n_vecs").as("n_total"),
+        count(lit(1)).as("n_cells"), max("n_vecs").as("max_occ"))
+      ph.join(broadcast(st), "phase")
+        .select(col("phase"), col("cell"), col("n_vecs"), col("n_total"),
+          col("n_cells"), col("max_occ"),
+          expr("(max_occ * 1000 * n_cells) div n_total").as("imb_permille"),
+          (expr("(max_occ * 1000 * n_cells) div n_total") < 2000L).as("healthy"))
+        .orderBy("phase", "cell")
+    }),
+
     "q_embed_drift" -> ((s, d) => {
       // EMBEDDING DRIFT DIFF — what the #202 profiler exists FOR: profile
-      // two embedding epochs and flag the dimensions whose mean moved.
-      // Epoch B is the corpus re-embedded by a model update that
-      // collapsed sign symmetry on dims 0-7 (each value |x|'d — float
-      // abs is exact and commutes with widening, so the oracle replays
-      // epoch B from the same raw floats). Two one-pass
-      // TypedImperativeAggregate profiles (no groupBy key — ONE 321-long
-      // buffer each), a 64-row dim join, and the drift flag in pure
-      // BIGINT: |Σm_b − Σm_a| > 50000·n (mean moved > 0.05). Planted
-      // rectification moves dims 0-7 by E|x| ≈ 0.1 (the unit-norm
-      // corpus's per-dim std is ~1/8; measured 0.093-0.122 across dims,
-      // ~8σ above the cut since per-dim sampling noise is ≤ 0.006 even
-      // at sf0.001 — flag TRUE); untouched dims are bit-identical
-      // (Δ = 0, flag FALSE) — both branches real at every sf. Fully
-      // value-certified: sums, the integer mean delta, and the flag all
-      // replay.
+      // two embedding epochs and flag, per dimension, MEAN movement and
+      // VARIANCE collapse/blow-up (the statistic that catches a
+      // collapsed or rescaled dimension whose mean barely moves —
+      // VERDICT r13 item 2). Epoch B plants all four flag branches with
+      // EXACT float ops (abs and power-of-two scaling commute with
+      // widening, so the oracle replays epoch B from the same raw
+      // floats): dims 0-7 → 2·|x| (mean jumps ≈ 0.2, variance rises
+      // only ≈ 1.45× — MEAN-ONLY), dims 8-15 → x/2 (variance drops
+      // exactly ≈ 4×, mean halves but stays ≈ 0.003 — VAR-ONLY), dims
+      // 16-23 → |x| (mean ≈ 0.1 and, for these near-gaussian unit-norm
+      // coords, var(|x|)/var(x) ≈ 1−2/π ≈ 0.36 — BOTH; measured ratio
+      // 0.34-0.39 across dims and sfs vs the ½ gate), dims 24+ untouched
+      // (bit-identical — NEITHER). Two one-pass TypedImperativeAggregate
+      // profiles (no groupBy key — ONE 321-long buffer each), a 64-row
+      // dim join, and both flags in pure BIGINT: mean_drift is
+      // |Σm_b − Σm_a| > 50000·n (mean moved > 0.05, vs planted moves of
+      // ≈ 0.1-0.2 and ≤ 0.01 noise); var_drift compares the exact split
+      // variance numerators varn = n·Σm² − (Σm)² (base-10¹⁸ hi/lo pairs
+      // from the profiler) — drift iff one epoch's varn exceeds DOUBLE
+      // the other's, the doubling done carry-correctly in the split form
+      // (planted ratios 4× and 2.75× vs the 2× gate; untouched dims are
+      // exactly 1×). Fully value-certified: sums, split varn cells, the
+      // integer mean delta and both flags all replay (DuckDB compares in
+      // HUGEINT — same integers).
       val a = t(s, d, "embeddings")
       val b = a.withColumn("embedding",
-        transform(col("embedding"), (v, i) => when(i < 8, abs(v)).otherwise(v)))
+        transform(col("embedding"), (v, i) =>
+          when(i < 8, abs(v) * lit(2.0f))
+            .when(i < 16, v * lit(0.5f))
+            .when(i < 24, abs(v))
+            .otherwise(v)))
       def profile(df: DataFrame, sfx: String): DataFrame = df
         .agg(graft.functions.VecAggExprs.dimStatsMicros(col("embedding"), 64).as("st"))
         .select(explode(col("st")).as("s"))
         .select(col("s.dim").as("dim"), col("s.n").as(s"n$sfx"),
-          col("s.sum_mu").as(s"sum_mu$sfx"))
+          col("s.sum_mu").as(s"sum_mu$sfx"),
+          col("s.varn_hi").as(s"varn_hi$sfx"), col("s.varn_lo").as(s"varn_lo$sfx"))
+      // split-form a > 2·b: double (hi_b, lo_b) with an explicit carry,
+      // then compare lexicographically — varn can exceed BIGINT, the
+      // split cells never do
+      def gtTwice(ha: String, la: String, hb: String, lb: String): String =
+        s"($ha > 2 * $hb + (2 * $lb) div 1000000000000000000 OR " +
+          s"($ha = 2 * $hb + (2 * $lb) div 1000000000000000000 AND " +
+          s"$la > (2 * $lb) % 1000000000000000000))"
       profile(a, "_a").join(profile(b, "_b"), "dim")
         .select(col("dim"), col("n_a").as("n"), col("sum_mu_a"), col("sum_mu_b"),
           expr("abs(sum_mu_b - sum_mu_a) div n_a").as("dmean_mu"),
+          col("varn_hi_a"), col("varn_lo_a"), col("varn_hi_b"), col("varn_lo_b"),
           (abs(col("sum_mu_b") - col("sum_mu_a")) > lit(50000L) * col("n_a"))
-            .as("drifted"))
+            .as("mean_drift"),
+          expr(gtTwice("varn_hi_a", "varn_lo_a", "varn_hi_b", "varn_lo_b") +
+            " OR " +
+            gtTwice("varn_hi_b", "varn_lo_b", "varn_hi_a", "varn_lo_a"))
+            .as("var_drift"))
         .orderBy("dim")
     }),
 
@@ -1430,6 +1561,69 @@ object SparkEntry {
         col("n_p").as("n_planted"),
         col("rec").as("n_matched"),
         (col("rec") * 10 >= col("n_p") * 9).as("recall_ok"))
+    }),
+
+    "q_joint_dedup" -> ((s, d) => {
+      // JOINT IMAGE+CAPTION NEAR-DUP (VERDICT r13 item 6) — what a real
+      // multimodal crawl dedups: an item is a duplicate only when BOTH
+      // lanes match. Composes the residue-exact image lane (planted
+      // block-pattern PNGs, 2× bilinear re-encodes, dHash through the
+      // shared value-collapsed matcher) with the text MinHash lane on
+      // the same doc ids, intersecting at the (id_a, id_b) pair grain.
+      // All three branches planted per doc_id % 3: class 0 — copy
+      // matches BOTH lanes (resized image + case/whitespace-noised
+      // caption, whose normalized token stream is IDENTICAL → MinHash
+      // signature equality is deterministic, the q_dedup_minhash
+      // exact-recovery argument); class 1 — IMAGE-only (resized image +
+      // reversed caption, Jaccard ≈ 0); class 2 — TEXT-only (noised
+      // caption + a fresh block pattern keyed doc_id+7777, a many-bit
+      // residue change whose dHash sits far outside the Hamming-3
+      // radius). Every lane's recovery is therefore exact by
+      // construction, so ALL counts restate from modular arithmetic:
+      // img = n₀+n₁, txt = n₀+n₂, joint = n₀ — and the three ok flags
+      // derive from the emitted counts in both engines. Cross-id false
+      // pairs (residues colliding across ids) can never satisfy the
+      // (a, a+off) recovery filter, and pair volume stays bounded by
+      // the collapsed matcher. Fully value-certified.
+      val docs = t(s, d, "documents")
+      val off = 70000000L
+      val c = col("doc_id") % 3
+      val orig = graft.CachePool.persist(Multimodal.blockPatternMedia(docs))
+      val copyMatch = Multimodal.resizeImages(
+          orig.join(docs.filter(c <= 1).select("doc_id"), "doc_id"), 64, 48)
+        .select((col("doc_id") + off).as("doc_id"), col("payload"))
+      val copyDiff = Multimodal.blockPatternMedia(
+          docs.filter(c === 2).select((col("doc_id") + 7777L).as("doc_id")))
+        .select((col("doc_id") - 7777L + off).as("doc_id"), col("payload"))
+      val media = orig.select("doc_id", "payload")
+        .unionByName(copyMatch).unionByName(copyDiff)
+      val imgPairs = Multimodal.imageNearDuplicates(media, maxDist = 3)
+      val caps = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + off).as("doc_id"),
+          when(c === 1, reverse(col("text")))
+            .otherwise(concat(lit("  "), upper(col("text")), lit("  ")))
+            .as("text")))
+      val txtPairs = MinHashLsh.nearDuplicates(
+        caps, col("doc_id"), col("text"), threshold = 0.5)
+      def rec(pairs: DataFrame): DataFrame = graft.CachePool.persist(
+        pairs.filter(col("id_a") < off && col("id_b") === col("id_a") + off)
+          .select(col("id_a").as("doc_id")))
+      val imgRec = rec(imgPairs)
+      val txtRec = rec(txtPairs)
+      val ns = docs.agg(
+        sum(when(c === 0, 1L).otherwise(0L)).as("n_both"),
+        sum(when(c === 1, 1L).otherwise(0L)).as("n_img_only"),
+        sum(when(c === 2, 1L).otherwise(0L)).as("n_txt_only"))
+      imgRec.agg(count(lit(1)).as("img_matched"))
+        .crossJoin(txtRec.agg(count(lit(1)).as("txt_matched")))
+        .crossJoin(imgRec.join(txtRec, "doc_id").agg(count(lit(1)).as("joint_matched")))
+        .crossJoin(broadcast(ns))
+        .select(lit("joint_image_caption").as("algo"),
+          col("n_both"), col("n_img_only"), col("n_txt_only"),
+          col("img_matched"), col("txt_matched"), col("joint_matched"),
+          (col("img_matched") === col("n_both") + col("n_img_only")).as("img_ok"),
+          (col("txt_matched") === col("n_both") + col("n_txt_only")).as("txt_ok"),
+          (col("joint_matched") === col("n_both")).as("joint_ok"))
     }),
 
     "q_video_scenes" -> ((s, d) =>
@@ -2776,10 +2970,14 @@ object SparkEntry {
       // files pays ~30k× the listing cost and loses vectorized reads).
       // Write lineitem deliberately fragmented into 200 part-files,
       // compact to ~64 MB targets, then grade THREE facts at once: the
-      // pre-compaction fragmentation (files_before, pinned at 200), the
-      // collapse (files_collapsed, from real file counts), and — over
-      // the COMPACTED files — the aggregate the oracle replays from the
-      // raw table, so the rewrite provably loses no rows.
+      // pre-compaction fragmentation (files_before, pinned at 200 — the
+      // declared repartition), the collapse (files_after from the real
+      // post-compaction listing; the 3-column projection is well under
+      // one 64 MB target at every sf, so the compactor lands exactly
+      // one file — restated, not pinned TRUE, r13 ledger audit), and —
+      // over the COMPACTED files — the aggregate the oracle replays
+      // from the raw table, so the rewrite provably loses no rows.
+      // files_collapsed derives from the emitted counts in both engines.
       val out = scratchDir("graft_compaction")
       t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
         .repartition(200).write.mode("overwrite").parquet(out)
@@ -2792,7 +2990,8 @@ object SparkEntry {
           sum(col("l_orderkey")).as("sum_okey"))
         .select(col("n_rows"), col("sum_qty"), col("sum_okey"),
           lit(before).as("files_before"),
-          lit(after < before).as("files_collapsed"))
+          lit(after).as("files_after"),
+          (lit(after) < lit(before)).as("files_collapsed"))
     }),
 
     "q_winsorized" -> ((s, d) =>
@@ -3218,6 +3417,31 @@ object SparkEntry {
         .orderBy("policy")
     }),
 
+    "q_pack_bpe" -> ((s, d) => {
+      // TOKENIZER-DENOMINATED PACKING (VERDICT r13 item 4): trainers
+      // budget sequences in TOKENIZER tokens, not whitespace words —
+      // pack by the BPE-encoded length under the same 512 budget. The
+      // measure composes q_bpe_encode's native BpeEncodeCount (the
+      // bounded trained merge table rides in the expression — a pure
+      // per-row map, no join, no shuffle) into the q_seq_pack greedy
+      // chain, so the whole row is ONE corpus pass plus the bounded
+      // pair-stats training job. Trained at nMerges = 1 so the oracle
+      // stays EXACT: the 1-merge encode of a token is
+      // (len + len_after_removing_the_argmax_pair)/2 — the q_bpe_sweep
+      // literal-replace idiom, per DOC here instead of summed — and the
+      // pack chain replays on top of that measure. Fully
+      // value-certified: per-doc encoded counts, every bin assignment
+      // and the dense global bin ids all recompute in SQL.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val table = graft.text.Vocab.bpeMerges(docs, col("doc_id"), col("text"),
+          topWords = 500, nMerges = 1)
+        .select("left", "right").as[(String, String)].collect().toSeq
+      graft.text.SeqPack.packGreedy(docs, col("doc_id"),
+        graft.functions.BpeExprs.encodeCount(TextAnalysis.tokens(col("text")), table),
+        budget = 512, groupSize = 64)
+    }),
+
     "q_shard_manifest" -> ((s, d) =>
       // the LAST MILE of packing: per-shard manifest with exclusive
       // global token offsets (the seek index a training data loader
@@ -3366,6 +3590,72 @@ object SparkEntry {
           col("byte_offset"), col("content_xor"),
           col("shard_group").cast("long").as("shard_group"))
         .orderBy("shard_key")
+    }),
+
+    "q_nightly_release" -> ((s, d) => {
+      // THE INCREMENTAL NIGHTLY RELEASE (VERDICT r13 lead item) —
+      // q_llm_release grades day 1; this grades what a production
+      // pipeline runs every night after: a sparse group-grain corpus
+      // delta through the SAME fused curation → release-stable pack →
+      // manifest chain, BOTH epochs written through the partitioned sink
+      // (one directory per shard_group — the unit a re-release
+      // replaces), and the diff graded at the shard_group grain from
+      // the READ-BACK files. The delta is the realistic nightly shape:
+      // one id-group in 16 goes dark (a source's URLs die — its docs
+      // drop), one in 16 is re-fetched with newer page versions
+      // (' rev2' revisions), and the re-crawl re-discovers the dark
+      // group's content under fresh ids (+10⁷ re-keys — same text, so
+      // the day-1 survivors re-enter curation with their old quality
+      // and win back their quota slots in NEW id-groups). The nightly
+      // manifest's seek offsets are GROUP-LOCAL (nightlyManifest —
+      // global prefix sums would shift every downstream group whenever
+      // one group grows), so an untouched group's rows are a pure
+      // function of its own contents: packGreedyStable's grp·1024+bin
+      // keys + local offsets make day-2 re-packs of untouched groups
+      // IDENTICAL, which is what lets the diff say "unchanged" and the
+      // re-release ship only touched directories (at 100 TB: a few
+      // percent instead of the corpus). All four change classes are
+      // real at every sf (measured added/changed/removed/unchanged:
+      // 4/8/2/6 at sf0.001, 4/6/2/8 at sf0.01, 16/11/9/87 at sf0.1 —
+      // unchanged dominating at scale, exactly the incremental story).
+      // LlmReleaseSpec additionally pins that every 'unchanged' group's
+      // written rows are identical across the two sink trees. Fully
+      // value-certified: the oracle replays both curation chains, both
+      // stable packs, both group-grain manifests (shard-key-mixed XOR
+      // witness) and the classification cell-for-cell.
+      val planted = DedupData.withPlantedDups(t(s, d, "documents"))
+      val grp16 = expr("(doc_id div 64) % 16")
+      val day2 = planted.filter(grp16 =!= 7)
+        .withColumn("text", when(grp16 === 3,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .unionByName(planted.filter(grp16 === 7)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val outA = nightlySinkA
+      val outB = nightlySinkB
+      nightlyManifest(planted)
+        .write.mode("overwrite").partitionBy("shard_group").parquet(outA)
+      nightlyManifest(day2)
+        .write.mode("overwrite").partitionBy("shard_group").parquet(outB)
+      def groups(path: String, sfx: String): DataFrame = s.read.parquet(path)
+        .groupBy(col("shard_group").cast("long").as("shard_group"))
+        .agg(count(lit(1)).as(s"n_shards$sfx"),
+          sum("shard_len").as(s"tokens$sfx"),
+          sum("byte_len").as(s"bytes$sfx"),
+          expr("bit_xor(content_xor ^ (shard_key * 2654435761L))").as(s"gxor$sfx"))
+      groups(outA, "_old").join(groups(outB, "_new"), Seq("shard_group"), "full_outer")
+        .select(col("shard_group"),
+          when(col("gxor_old").isNull, "added")
+            .when(col("gxor_new").isNull, "removed")
+            .when(col("gxor_old") === col("gxor_new") &&
+              col("n_shards_old") === col("n_shards_new") &&
+              col("tokens_old") === col("tokens_new") &&
+              col("bytes_old") === col("bytes_new"), "unchanged")
+            .otherwise("changed").as("change"),
+          coalesce(col("n_shards_old"), lit(0L)).as("shards_old"),
+          coalesce(col("n_shards_new"), lit(0L)).as("shards_new"),
+          coalesce(col("bytes_old"), lit(0L)).as("bytes_old"),
+          coalesce(col("bytes_new"), lit(0L)).as("bytes_new"))
+        .orderBy("shard_group")
     }),
 
     "q_source_quota" -> ((s, d) =>
@@ -4293,10 +4583,56 @@ object SparkEntry {
     s"((((((($key & 2147483647) * 2654435761) % 4294967296) & 2147483647) " +
       "* 2246822519) % 4294967296) % 1000000)"
 
-  private def packChainCte(src: String, sfx: String = ""): String =
+  /** The release-curation replay (quality gate → exact dedup → per-source
+    * quota k = 25) over `src` — suffix-parameterized so the nightly diff
+    * can run two epochs in one statement. Emits feats/scored/filtered/
+    * keep/survivors; `survivors$sfx` carries (doc_id, text). Emitted
+    * WITHOUT the `WITH` prefix, like [[packChainCte]].
+    */
+  private def curationCte(src: String, sfx: String = ""): String =
+    s"""feats$sfx AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(length(text) AS INTEGER) AS n_chars_c,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+      |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INTEGER) AS n_punct,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+      |  FROM $src
+      |), scored$sfx AS (
+      |  SELECT *,
+      |    (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0 +
+      |      (CAST(n_alpha AS DOUBLE) / n_chars_c) -
+      |      (CAST(n_punct AS DOUBLE) / n_chars_c) * 3.0 +
+      |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS quality_score
+      |  FROM feats$sfx
+      |), filtered$sfx AS (
+      |  SELECT * FROM scored$sfx
+      |  WHERE n_tokens BETWEEN 5 AND 5000
+      |    AND CAST(n_punct AS DOUBLE) / n_chars_c <= 0.2
+      |), keep$sfx AS (
+      |  SELECT min(doc_id) AS keep_id
+      |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM filtered$sfx)
+      |  GROUP BY norm
+      |), survivors$sfx AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY quality_score DESC, doc_id) AS rk
+      |    FROM filtered$sfx WHERE doc_id IN (SELECT keep_id FROM keep$sfx))
+      |  WHERE rk <= 25
+      |)
+      |""".stripMargin
+
+  /** Whitespace token count — the default pack measure. */
+  private val WsTokensSql: String =
+    "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS INTEGER)"
+
+  private def packChainCte(src: String, sfx: String = "",
+                           nTokensSql: String = WsTokensSql): String =
     s"""toks$sfx AS (
       |  SELECT doc_id, doc_id // 64 AS grp,
-      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens
+      |    $nTokensSql AS n_tokens
       |  FROM $src
       |), numbered$sfx AS (
       |  SELECT doc_id, grp, n_tokens,
@@ -4573,6 +4909,30 @@ object SparkEntry {
         |  count(*) AS n_matched,
         |  count(*) * 10 >= count(*) * 9 AS recall_ok
         |FROM documents""".stripMargin,
+
+    // the joint lane: every per-lane recovery is exact by construction
+    // (residue-exact image invariance; deterministic signature equality
+    // on normalized-identical captions; many-bit pattern changes and
+    // reversed captions never match), so all six counts restate from
+    // doc_id % 3 arithmetic and the flags derive from the emitted
+    // counts in both engines.
+    "q_joint_dedup" ->
+      """WITH n AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_img_only,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_txt_only
+        |  FROM documents
+        |), m AS (
+        |  SELECT *, n_both + n_img_only AS img_matched,
+        |    n_both + n_txt_only AS txt_matched, n_both AS joint_matched
+        |  FROM n)
+        |SELECT 'joint_image_caption' AS algo, n_both, n_img_only, n_txt_only,
+        |  img_matched, txt_matched, joint_matched,
+        |  img_matched = n_both + n_img_only AS img_ok,
+        |  txt_matched = n_both + n_txt_only AS txt_ok,
+        |  joint_matched = n_both AS joint_ok
+        |FROM m""".stripMargin,
 
     // same restatement for the audio envelope fingerprint: block
     // energies survive 2× linear resampling exactly, n_matched =
@@ -5118,27 +5478,40 @@ object SparkEntry {
         |  TRUE AS recall_ok
         |FROM moved""".stripMargin),
 
-    // drift diff: epoch B replayed from the same raw floats (abs is
-    // exact and commutes with float→double widening), sums exact
-    // integer micros, the mean delta and the flag pure BIGINT
-    // arithmetic — both branches real (dims 0-7 rectified, others
-    // bit-identical).
+    // drift diff: epoch B replayed from the same raw floats (abs and
+    // power-of-two scaling are exact and commute with float→double
+    // widening), sums exact integer micros, variance numerators
+    // recomputed in HUGEINT and split to the same base-10¹⁸ hi/lo cells
+    // the profiler carries; the mean delta and BOTH flags pure integer
+    // arithmetic — all four branches real (2|x| mean-only, x/2
+    // var-only, |x| both, untouched neither).
     "q_embed_drift" ->
       """WITH mu AS (
         |  SELECT i.dim,
         |    CAST(floor(CAST(embedding[i.dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS ma,
-        |    CAST(floor(CASE WHEN i.dim < 8
-        |        THEN abs(CAST(embedding[i.dim + 1] AS DOUBLE))
-        |        ELSE CAST(embedding[i.dim + 1] AS DOUBLE) END * 1000000) AS BIGINT) AS mb
+        |    CAST(floor((CASE
+        |        WHEN i.dim < 8 THEN abs(CAST(embedding[i.dim + 1] AS DOUBLE)) * 2
+        |        WHEN i.dim < 16 THEN CAST(embedding[i.dim + 1] AS DOUBLE) * 0.5
+        |        WHEN i.dim < 24 THEN abs(CAST(embedding[i.dim + 1] AS DOUBLE))
+        |        ELSE CAST(embedding[i.dim + 1] AS DOUBLE) END) * 1000000) AS BIGINT) AS mb
         |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) i
         |), agg AS (
         |  SELECT dim, count(*) AS n,
         |    CAST(sum(ma) AS BIGINT) AS sum_mu_a,
-        |    CAST(sum(mb) AS BIGINT) AS sum_mu_b
+        |    CAST(sum(mb) AS BIGINT) AS sum_mu_b,
+        |    CAST(count(*) AS HUGEINT) * sum(CAST(ma AS HUGEINT) * ma)
+        |      - CAST(sum(ma) AS HUGEINT) * sum(ma) AS va,
+        |    CAST(count(*) AS HUGEINT) * sum(CAST(mb AS HUGEINT) * mb)
+        |      - CAST(sum(mb) AS HUGEINT) * sum(mb) AS vb
         |  FROM mu GROUP BY dim)
         |SELECT CAST(dim AS BIGINT) AS dim, n, sum_mu_a, sum_mu_b,
         |  CAST(abs(sum_mu_b - sum_mu_a) // n AS BIGINT) AS dmean_mu,
-        |  abs(sum_mu_b - sum_mu_a) > 50000 * n AS drifted
+        |  CAST(va // 1000000000000000000 AS BIGINT) AS varn_hi_a,
+        |  CAST(va % 1000000000000000000 AS BIGINT) AS varn_lo_a,
+        |  CAST(vb // 1000000000000000000 AS BIGINT) AS varn_hi_b,
+        |  CAST(vb % 1000000000000000000 AS BIGINT) AS varn_lo_b,
+        |  abs(sum_mu_b - sum_mu_a) > 50000 * n AS mean_drift,
+        |  (va > 2 * vb OR vb > 2 * va) AS var_drift
         |FROM agg ORDER BY dim""".stripMargin,
 
     // IVF occupancy-skew gauge: the one-hot codebook makes every
@@ -5171,6 +5544,48 @@ object SparkEntry {
         |  CAST((s.max_occ * 1000 * s.n_cells) // s.n_total AS BIGINT) AS imb_permille,
         |  (s.max_occ * 1000 * s.n_cells) // s.n_total >= 2000 AS retrain
         |FROM occ o CROSS JOIN stats s ORDER BY cell""".stripMargin,
+
+    // hot-cell split: both argmaxes replayed per vector (one-hot
+    // codebook — each cell score is one raw float; runner-up = list_max
+    // over the remaining dims, the same largest-index tie-break), the
+    // modal cell tripled by the two re-crawl batches, hot postings
+    // redistributed to 100 + runner-up children, and both phases'
+    // occupancy/imbalance/health derived from emitted cells in both
+    // engines. Fully value-certified.
+    "q_ivf_split" ->
+      """WITH c0 AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(generate_series(1, 8),
+        |      j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) AS cell
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT vec_id, cell,
+        |    CAST(list_max(list_transform(list_filter(generate_series(1, 8),
+        |        j -> j - 1 <> cell),
+        |      j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) AS cell2
+        |  FROM c0
+        |), occ0 AS (SELECT cell, count(*) AS cn FROM cells GROUP BY cell
+        |), hot AS (
+        |  SELECT cell AS hot_cell FROM occ0 ORDER BY cn DESC, cell DESC LIMIT 1
+        |), ph AS (
+        |  SELECT 'before' AS phase, cell,
+        |    CAST(CASE WHEN cell = (SELECT hot_cell FROM hot) THEN cn * 3 ELSE cn END AS BIGINT) AS n_vecs
+        |  FROM occ0
+        |  UNION ALL
+        |  SELECT 'after', cell, CAST(cn AS BIGINT)
+        |  FROM occ0 WHERE cell <> (SELECT hot_cell FROM hot)
+        |  UNION ALL
+        |  SELECT 'after', 100 + cell2, CAST(count(*) * 3 AS BIGINT)
+        |  FROM cells WHERE cell = (SELECT hot_cell FROM hot) GROUP BY cell2
+        |), st AS (
+        |  SELECT phase, CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(max(n_vecs) AS BIGINT) AS max_occ
+        |  FROM ph GROUP BY phase)
+        |SELECT p.phase, p.cell, p.n_vecs, s.n_total, s.n_cells, s.max_occ,
+        |  CAST((s.max_occ * 1000 * s.n_cells) // s.n_total AS BIGINT) AS imb_permille,
+        |  (s.max_occ * 1000 * s.n_cells) // s.n_total < 2000 AS healthy
+        |FROM ph p JOIN st s USING (phase) ORDER BY phase, cell""".stripMargin,
 
     // fingerprint oracle: doc_fp classes rebuilt from the normalized token
     // stream as a STRING (hash equality = string equality modulo 2^-64
@@ -6855,7 +7270,8 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
-        |  200 AS files_before, TRUE AS files_collapsed
+        |  200 AS files_before, 1 AS files_after,
+        |  1 < 200 AS files_collapsed
         |FROM lineitem""".stripMargin,
 
     // quartile cut points are exact dyadic quarters of integral values
@@ -7862,38 +8278,7 @@ object SparkEntry {
     // greedy pack and the q_shard_manifest tail — the whole chain
     // value-certified in one statement.
     "q_corpus_to_shards" -> (DedupData.DocsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, feats AS (
-        |  SELECT doc_id, source, text,
-        |    CAST(length(text) AS INTEGER) AS n_chars_c,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
-        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
-        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
-        |  FROM docs
-        |), scored AS (
-        |  SELECT *,
-        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0 +
-        |      (CAST(n_alpha AS DOUBLE) / n_chars_c) -
-        |      (CAST(n_punct AS DOUBLE) / n_chars_c) * 3.0 +
-        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS quality_score
-        |  FROM feats
-        |), filtered AS (
-        |  SELECT * FROM scored
-        |  WHERE n_tokens BETWEEN 5 AND 5000
-        |    AND CAST(n_punct AS DOUBLE) / n_chars_c <= 0.2
-        |), keep AS (
-        |  SELECT min(doc_id) AS keep_id
-        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM filtered)
-        |  GROUP BY norm
-        |), survivors AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      row_number() OVER (PARTITION BY source
-        |        ORDER BY quality_score DESC, doc_id) AS rk
-        |    FROM filtered WHERE doc_id IN (SELECT keep_id FROM keep))
-        |  WHERE rk <= 25
-        |), """.stripMargin + packChainCte("survivors") +
+      ", " + curationCte("docs") + ", " + packChainCte("survivors") +
       """, packed AS (
         |  SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
         |  FROM pack p JOIN offs o USING (grp)
@@ -7917,38 +8302,7 @@ object SparkEntry {
     // the group-grain shard_group — every cell of the filesystem round
     // trip recomputed from the raw table.
     "q_llm_release" -> (DedupData.DocsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, feats AS (
-        |  SELECT doc_id, source, text,
-        |    CAST(length(text) AS INTEGER) AS n_chars_c,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_tokens,
-        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
-        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
-        |  FROM docs
-        |), scored AS (
-        |  SELECT *,
-        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0 +
-        |      (CAST(n_alpha AS DOUBLE) / n_chars_c) -
-        |      (CAST(n_punct AS DOUBLE) / n_chars_c) * 3.0 +
-        |      CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END AS quality_score
-        |  FROM feats
-        |), filtered AS (
-        |  SELECT * FROM scored
-        |  WHERE n_tokens BETWEEN 5 AND 5000
-        |    AND CAST(n_punct AS DOUBLE) / n_chars_c <= 0.2
-        |), keep AS (
-        |  SELECT min(doc_id) AS keep_id
-        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM filtered)
-        |  GROUP BY norm
-        |), survivors AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      row_number() OVER (PARTITION BY source
-        |        ORDER BY quality_score DESC, doc_id) AS rk
-        |    FROM filtered WHERE doc_id IN (SELECT keep_id FROM keep))
-        |  WHERE rk <= 25
-        |), """.stripMargin + packChainCte("survivors") +
+      ", " + curationCte("docs") + ", " + packChainCte("survivors") +
       """, manifest AS (
         |  SELECT p.grp * 1024 + p.bin AS shard_key, count(*) AS n_docs,
         |    CAST(sum(p.n_tokens) AS BIGINT) AS sum_tokens,
@@ -7966,6 +8320,61 @@ object SparkEntry {
         |  content_xor,
         |  shard_key // 1024 AS shard_group
         |FROM manifest ORDER BY shard_key""".stripMargin),
+
+    // the nightly diff: BOTH epochs' curation chains and stable packs
+    // replayed under _o/_n suffixes, group-grain manifests rebuilt with
+    // the shard-key-mixed XOR witness, and the change classification
+    // derived from the replayed aggregates in both engines.
+    "q_nightly_release" -> (DedupData.DocsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id // 64) % 16 = 3 THEN text || ' rev2' ELSE text END AS text,
+        |    lang, source
+        |  FROM docs WHERE (doc_id // 64) % 16 <> 7
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, source
+        |  FROM docs WHERE (doc_id // 64) % 16 = 7
+        |), """.stripMargin +
+      curationCte("docs", "_o") + ", " + curationCte("docs2", "_n") + ", " +
+      packChainCte("survivors_o", "_o") + ", " + packChainCte("survivors_n", "_n") +
+      """, mo AS (
+        |  SELECT p.grp AS shard_group, p.grp * 1024 + p.bin AS shard_key,
+        |    CAST(sum(p.n_tokens) + count(*) AS BIGINT) AS shard_len,
+        |    CAST(sum(len(s.text)) + count(*) AS BIGINT) AS byte_len,
+        |    bit_xor(xor(p.doc_id,
+        |      xor(CAST(p.n_tokens AS BIGINT) << 24, CAST(len(s.text) AS BIGINT) << 44))) AS content_xor
+        |  FROM pack_o p JOIN survivors_o s USING (doc_id) GROUP BY 1, 2
+        |), mn AS (
+        |  SELECT p.grp AS shard_group, p.grp * 1024 + p.bin AS shard_key,
+        |    CAST(sum(p.n_tokens) + count(*) AS BIGINT) AS shard_len,
+        |    CAST(sum(len(s.text)) + count(*) AS BIGINT) AS byte_len,
+        |    bit_xor(xor(p.doc_id,
+        |      xor(CAST(p.n_tokens AS BIGINT) << 24, CAST(len(s.text) AS BIGINT) << 44))) AS content_xor
+        |  FROM pack_n p JOIN survivors_n s USING (doc_id) GROUP BY 1, 2
+        |), go AS (
+        |  SELECT shard_group, CAST(count(*) AS BIGINT) AS n_shards,
+        |    CAST(sum(shard_len) AS BIGINT) AS tokens,
+        |    CAST(sum(byte_len) AS BIGINT) AS bytes,
+        |    bit_xor(xor(content_xor, shard_key * 2654435761)) AS gxor
+        |  FROM mo GROUP BY 1
+        |), gn AS (
+        |  SELECT shard_group, CAST(count(*) AS BIGINT) AS n_shards,
+        |    CAST(sum(shard_len) AS BIGINT) AS tokens,
+        |    CAST(sum(byte_len) AS BIGINT) AS bytes,
+        |    bit_xor(xor(content_xor, shard_key * 2654435761)) AS gxor
+        |  FROM mn GROUP BY 1)
+        |SELECT shard_group,
+        |  CASE WHEN o.gxor IS NULL THEN 'added'
+        |       WHEN n.gxor IS NULL THEN 'removed'
+        |       WHEN o.gxor = n.gxor AND o.n_shards = n.n_shards
+        |         AND o.tokens = n.tokens AND o.bytes = n.bytes THEN 'unchanged'
+        |       ELSE 'changed' END AS change,
+        |  CAST(coalesce(o.n_shards, 0) AS BIGINT) AS shards_old,
+        |  CAST(coalesce(n.n_shards, 0) AS BIGINT) AS shards_new,
+        |  CAST(coalesce(o.bytes, 0) AS BIGINT) AS bytes_old,
+        |  CAST(coalesce(n.bytes, 0) AS BIGINT) AS bytes_new
+        |FROM go o FULL OUTER JOIN gn n USING (shard_group)
+        |ORDER BY shard_group""".stripMargin),
 
     // the FFD replay: rows ranked (n_tokens DESC, doc_id) per group, the
     // open-bin fill list carried through the recursive CTE, first fit =
@@ -8009,6 +8418,39 @@ object SparkEntry {
         |  CAST(sum_tokens * 1000 // (n_bins * 512) AS BIGINT) AS util_permille,
         |  c.fb <= c.gb AS ffd_no_worse
         |FROM su CROSS JOIN cmp c ORDER BY policy""".stripMargin),
+
+    // tokenizer-denominated packing: the trained first merge is the
+    // pair-stats argmax (q_bpe_train's replay), the per-DOC 1-merge
+    // encode count is the q_bpe_sweep literal-replace identity summed
+    // over the doc's tokens, and the greedy pack chain replays on that
+    // measure — every cell recomputed.
+    "q_pack_bpe" -> ("WITH RECURSIVE words AS (\n" +
+      """  SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> len(t) > 0)) AS term
+        |        FROM documents)
+        |  GROUP BY term ORDER BY n_occ DESC, term LIMIT 500
+        |), pairs AS (
+        |  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, n_occ
+        |  FROM words, unnest(generate_series(1, len(term) - 1)) AS t(i)
+        |  WHERE len(term) >= 2
+        |), p1 AS (
+        |  SELECT pair FROM pairs GROUP BY pair
+        |  ORDER BY sum(n_occ) DESC, pair LIMIT 1
+        |), pdocs AS (
+        |  -- hoist the trained pair to a column: DuckDB lambdas reject
+        |  -- subqueries but capture columns fine
+        |  SELECT doc_id, text, coalesce((SELECT pair FROM p1), '') AS mpair
+        |  FROM documents
+        |), """.stripMargin +
+      packChainCte("pdocs", "", nTokensSql =
+        """CAST(coalesce(list_sum(list_transform(
+          |      list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0),
+          |      t -> (len(t) + len(replace(t, mpair, ''))) // 2)), 0) AS INTEGER)""".stripMargin) +
+      """SELECT p.doc_id, p.n_tokens, p.bin + o.bin_off AS bin_id
+        |FROM pack p JOIN offs o USING (grp)
+        |ORDER BY doc_id""".stripMargin),
 
     // the q_quality_score scoring pipeline verbatim (same ratio CTE, same
     // fixed-order double arithmetic), capped per source by rank.

@@ -80,4 +80,42 @@ class LlmReleaseSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === nSurv)
     assert(rows.map(_.getAs[Long]("sum_tokens")).sum === sumTok)
   }
+
+  test("nightly release: every unchanged group's written rows are identical across epochs") {
+    // run the graded diff (also materializes both epoch sinks), then read
+    // the two sink trees back and compare each 'unchanged' group's FULL
+    // row set — shard keys, counts, local offsets, byte lengths, content
+    // witnesses. Identity here is the whole point of packGreedyStable +
+    // group-local offsets: the re-release re-ships only touched dirs.
+    val diff = SparkEntry.queries("q_nightly_release")(spark, sf).collect()
+    val classes = diff.map(_.getAs[String]("change")).toSet
+    assert(classes === Set("added", "removed", "changed", "unchanged"),
+      s"expected all four change classes, got $classes")
+    val unchanged = diff.filter(_.getAs[String]("change") == "unchanged")
+      .map(_.getAs[Long]("shard_group")).toSet
+    assert(unchanged.nonEmpty)
+    def groupRows(dir: String): Map[Long, Set[String]] = {
+      val base = new java.io.File(dir)
+      assert(base.isDirectory, s"sink tree missing: $dir")
+      spark.read.parquet(dir)
+        .select(col("shard_group").cast("long").as("g"),
+          concat_ws("|", col("shard_key"), col("n_docs"), col("sum_tokens"),
+            col("shard_len"), col("start_offset"), col("byte_len"),
+            col("byte_offset"), col("content_xor")).as("row"))
+        .as[(Long, String)].collect()
+        .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+    }
+    // the scratch dirs are stable within the JVM (scratchDir caches by name)
+    val a = groupRows(SparkEntry.nightlySinkA)
+    val b = groupRows(SparkEntry.nightlySinkB)
+    unchanged.foreach { g =>
+      assert(a.contains(g) && b.contains(g), s"unchanged group $g missing from a sink")
+      assert(a(g) === b(g), s"unchanged group $g differs across epochs")
+    }
+    // and a changed group really differs (the comparison has teeth)
+    diff.filter(_.getAs[String]("change") == "changed")
+      .map(_.getAs[Long]("shard_group")).headOption.foreach { g =>
+        assert(a(g) !== b(g), s"changed group $g reads identical across epochs")
+      }
+  }
 }

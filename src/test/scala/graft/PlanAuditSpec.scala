@@ -929,9 +929,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     def scans(df: DataFrame) = collect(finalPlan(df)) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.size
-    // the sweep's scan count must equal the single-k probe's — the k
-    // fan-out happens in the gram expression, not in extra corpus reads
-    assert(scans(q("q_decontam_sweep")) === scans(q("q_decontaminate")))
+    // the sweep must not exceed the single-k probe's scan count — the k
+    // fan-out happens in the gram expression, not in extra corpus reads.
+    // It may show FEWER file scans: the eval-gram side is persisted for
+    // the broadcast-guard count (ADVICE r13), so its scan becomes an
+    // InMemoryRelation in this plan.
+    assert(scans(q("q_decontam_sweep")) <= scans(q("q_decontaminate")))
   }
 
   test("q_abc_analysis cumulates via the range-sort shape, not a global window") {
