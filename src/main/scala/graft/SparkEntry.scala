@@ -913,6 +913,52 @@ object SparkEntry {
         .orderBy("phase", "cell")
     }),
 
+    "q_ivf_occupancy" -> ((s, d) => {
+      // IVF OCCUPANCY PERCENTILES AT PRODUCTION nlist — the form the
+      // #203 gauge takes when the cell count outgrows an eyeballable
+      // frame (q_ivf_skew's 8 cells → a 64-cell codebook here; at
+      // nlist = 65536 the identical plan shape holds): ONE summary row
+      // with rank-based occupancy percentiles (p50/p90/p99 as the value
+      // at rank ⌈p·n_cells⌉ over cells ordered by (occupancy, cell) —
+      // exact integers, no interpolation) plus min/max and the integer
+      // imbalance permille. The rank window orders the CELL-grain frame
+      // (n_cells rows — bounded by nlist, never data-scale), the same
+      // declared-bounded global-window class as the bucket-count
+      // frames. No threshold flag: the percentile frame IS the
+      // deliverable (the retrain decision composes #203's gate over
+      // it), so every cell is pure data. Fully value-certified: the
+      // 64-wide one-hot codebook makes each assignment one raw-float
+      // argmax the oracle replays, and percentile ranks are integer
+      // arithmetic in both engines.
+      val vecs = t(s, d, "embeddings")
+      val codebook = graft.similarity.IvfKnn.IvfIndex(
+        Array.tabulate(64)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+      val occ = graft.CachePool.persist(
+        graft.similarity.IvfKnn.assignCells(codebook, vecs)
+          .groupBy("cell").agg(count(lit(1)).as("n_vecs")))
+      val ranked = occ.select(col("n_vecs"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_vecs"), col("cell"))).as("rn"))
+      val st = occ.agg(count(lit(1)).as("n_cells"), sum("n_vecs").as("n_total"),
+        min("n_vecs").as("min_occ"), max("n_vecs").as("max_occ"))
+      ranked.crossJoin(broadcast(st))
+        .agg(
+          max(col("n_cells")).as("n_cells"),
+          max(col("n_total")).as("n_total"),
+          max(col("min_occ")).as("min_occ"),
+          expr("max(case when rn = (n_cells * 50 + 99) div 100 then n_vecs end)")
+            .as("p50_occ"),
+          expr("max(case when rn = (n_cells * 90 + 99) div 100 then n_vecs end)")
+            .as("p90_occ"),
+          expr("max(case when rn = (n_cells * 99 + 99) div 100 then n_vecs end)")
+            .as("p99_occ"),
+          max(col("max_occ")).as("max_occ"))
+        .select(lit(64L).as("nlist"), col("n_cells"), col("n_total"),
+          col("min_occ"), col("p50_occ"), col("p90_occ"), col("p99_occ"),
+          col("max_occ"),
+          expr("(max_occ * 1000 * n_cells) div n_total").as("imb_permille"))
+    }),
+
     "q_embed_drift" -> ((s, d) => {
       // EMBEDDING DRIFT DIFF — what the #202 profiler exists FOR: profile
       // two embedding epochs and flag, per dimension, MEAN movement and
@@ -5544,6 +5590,33 @@ object SparkEntry {
         |  CAST((s.max_occ * 1000 * s.n_cells) // s.n_total AS BIGINT) AS imb_permille,
         |  (s.max_occ * 1000 * s.n_cells) // s.n_total >= 2000 AS retrain
         |FROM occ o CROSS JOIN stats s ORDER BY cell""".stripMargin,
+
+    // occupancy percentiles: every 64-dim argmax replayed from raw
+    // floats, rank-based percentiles as integer arithmetic over the
+    // cell-grain frame — every cell pure data, no flag.
+    "q_ivf_occupancy" ->
+      """WITH cells AS (
+        |  SELECT vec_id,
+        |    CAST(list_max(list_transform(generate_series(1, 64),
+        |      j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) AS cell
+        |  FROM embeddings
+        |), occ AS (SELECT cell, count(*) AS n_vecs FROM cells GROUP BY cell
+        |), rk AS (
+        |  SELECT n_vecs, row_number() OVER (ORDER BY n_vecs, cell) AS rn FROM occ
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |    CAST(min(n_vecs) AS BIGINT) AS min_occ,
+        |    CAST(max(n_vecs) AS BIGINT) AS max_occ
+        |  FROM occ)
+        |SELECT CAST(64 AS BIGINT) AS nlist, s.n_cells, s.n_total, s.min_occ,
+        |  CAST(max(CASE WHEN r.rn = (s.n_cells * 50 + 99) // 100 THEN r.n_vecs END) AS BIGINT) AS p50_occ,
+        |  CAST(max(CASE WHEN r.rn = (s.n_cells * 90 + 99) // 100 THEN r.n_vecs END) AS BIGINT) AS p90_occ,
+        |  CAST(max(CASE WHEN r.rn = (s.n_cells * 99 + 99) // 100 THEN r.n_vecs END) AS BIGINT) AS p99_occ,
+        |  s.max_occ,
+        |  CAST((s.max_occ * 1000 * s.n_cells) // s.n_total AS BIGINT) AS imb_permille
+        |FROM rk r CROSS JOIN st s
+        |GROUP BY s.n_cells, s.n_total, s.min_occ, s.max_occ""".stripMargin,
 
     // hot-cell split: both argmaxes replayed per vector (one-hot
     // codebook — each cell score is one raw float; runner-up = list_max

@@ -81,6 +81,14 @@ class LlmReleaseSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("sum_tokens")).sum === sumTok)
   }
 
+  test("nightly manifest reads the corpus only through the survivors persist boundary") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val planted = graft.dedup.DedupData.withPlantedDups(docs)
+    // pack, the n_chars/witness join and the group-local offset window
+    // must all read the survivors cache, never the raw table
+    assert(docScans(SparkEntry.nightlyManifest(planted)) === 0)
+  }
+
   test("nightly release: every unchanged group's written rows are identical across epochs") {
     // run the graded diff (also materializes both epoch sinks), then read
     // the two sink trees back and compare each 'unchanged' group's FULL
