@@ -1651,9 +1651,17 @@ object SparkEntry {
             .as("text")))
       val txtPairs = MinHashLsh.nearDuplicates(
         caps, col("doc_id"), col("text"), threshold = 0.5)
+      // distinct at the recovered-pair grain (cheap: ≤ n rows) makes the
+      // counts immune to either matcher emitting an (a, a+off) pair via
+      // more than one band/bucket — without it a duplicate pair would
+      // inflate img/txt_matched and multiply the joint join. The
+      // reversed-caption lane's margin is measured, not assumed: the
+      // txt_ok equality (txt_matched = n_both + n_txt_only) passing at
+      // every sf certifies zero reversed captions MinHash-match their
+      // original (no test caption normalizes to a palindromic stream).
       def rec(pairs: DataFrame): DataFrame = graft.CachePool.persist(
         pairs.filter(col("id_a") < off && col("id_b") === col("id_a") + off)
-          .select(col("id_a").as("doc_id")))
+          .select(col("id_a").as("doc_id")).distinct())
       val imgRec = rec(imgPairs)
       val txtRec = rec(txtPairs)
       val ns = docs.agg(
@@ -3687,7 +3695,12 @@ object SparkEntry {
         .agg(count(lit(1)).as(s"n_shards$sfx"),
           sum("shard_len").as(s"tokens$sfx"),
           sum("byte_len").as(s"bytes$sfx"),
-          expr("bit_xor(content_xor ^ (shard_key * 2654435761L))").as(s"gxor$sfx"))
+          // shard_key masked to 31 bits before the Knuth multiply (the
+          // portable-hash idiom): unmasked, Spark would wrap silently at
+          // doc_id ≳ 2.2e8 while DuckDB BIGINT raises — masked, both
+          // engines stay exact at any doc_id.
+          expr("bit_xor(content_xor ^ ((shard_key & 2147483647L) * 2654435761L))")
+            .as(s"gxor$sfx"))
       groups(outA, "_old").join(groups(outB, "_new"), Seq("shard_group"), "full_outer")
         .select(col("shard_group"),
           when(col("gxor_old").isNull, "added")
@@ -8428,13 +8441,13 @@ object SparkEntry {
         |  SELECT shard_group, CAST(count(*) AS BIGINT) AS n_shards,
         |    CAST(sum(shard_len) AS BIGINT) AS tokens,
         |    CAST(sum(byte_len) AS BIGINT) AS bytes,
-        |    bit_xor(xor(content_xor, shard_key * 2654435761)) AS gxor
+        |    bit_xor(xor(content_xor, (shard_key & 2147483647) * 2654435761)) AS gxor
         |  FROM mo GROUP BY 1
         |), gn AS (
         |  SELECT shard_group, CAST(count(*) AS BIGINT) AS n_shards,
         |    CAST(sum(shard_len) AS BIGINT) AS tokens,
         |    CAST(sum(byte_len) AS BIGINT) AS bytes,
-        |    bit_xor(xor(content_xor, shard_key * 2654435761)) AS gxor
+        |    bit_xor(xor(content_xor, (shard_key & 2147483647) * 2654435761)) AS gxor
         |  FROM mn GROUP BY 1)
         |SELECT shard_group,
         |  CASE WHEN o.gxor IS NULL THEN 'added'

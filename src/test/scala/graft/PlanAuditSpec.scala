@@ -929,12 +929,14 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     def scans(df: DataFrame) = collect(finalPlan(df)) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.size
-    // the sweep must not exceed the single-k probe's scan count — the k
-    // fan-out happens in the gram expression, not in extra corpus reads.
-    // It may show FEWER file scans: the eval-gram side is persisted for
-    // the broadcast-guard count (ADVICE r13), so its scan becomes an
-    // InMemoryRelation in this plan.
-    assert(scans(q("q_decontam_sweep")) <= scans(q("q_decontaminate")))
+    // ABSOLUTE pin (ADVICE r14): exactly the corpus arms' 3 documents
+    // scans (the withPlantedDups union's three branches); the eval-gram
+    // side is persisted for the broadcast-guard count (ADVICE r13) so it
+    // shows as an InMemoryRelation, not a 4th file scan. The k fan-out
+    // happens in the gram expression — a 4th scan means the sweep started
+    // re-reading the corpus per k (or the eval persist was dropped and is
+    // silently hiding an extra corpus read behind the old <= comparison).
+    assert(scans(q("q_decontam_sweep")) === 3)
   }
 
   test("q_abc_analysis cumulates via the range-sort shape, not a global window") {

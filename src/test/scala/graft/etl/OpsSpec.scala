@@ -141,4 +141,23 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).agg(sum("id")).as[Long].head() === before)
     assert(spark.read.parquet(dir).count() === 20000L)
   }
+
+  test("q_compaction's files_after=1 oracle pin holds with margin at the largest benched sf") {
+    // ADVICE r14: the q_compaction oracle restates files_after = 1 on the
+    // measured fact that the 3-column lineitem projection compresses under
+    // one 64 MB target. Guard that fact HERE, at the largest sf the driver
+    // benches (sf0.1) and with 2x margin, so a future sf bump or codec
+    // change fails this spec with a clear message instead of surfacing as
+    // an opaque oracle hash mismatch.
+    val dir = Files.createTempDirectory("graft_compact_margin").toString + "/t"
+    graft.GraftSession.table(spark, "/root/testdata/sf0.1", "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .repartition(200).write.parquet(dir)
+    val bytes = Compaction.dataBytes(dir)
+    assert(bytes < 32L * 1024 * 1024,
+      s"the fragmented 3-column lineitem projection is $bytes bytes at sf0.1 " +
+        "-- within 2x of the 64 MB compaction target. q_compaction's oracle " +
+        "pins files_after = 1; re-measure and update the pin (SparkEntry " +
+        "q_compaction + SURVEY ledger) before benching a larger sf.")
+  }
 }
