@@ -407,6 +407,53 @@ object SparkEntry {
       .withColumn("byte_offset", coalesce(sum("byte_len").over(w), lit(0L)))
   }
 
+  /** Copy-id offset of the joint image+caption planting (q_joint_dedup /
+    * q_media_release).
+    */
+  private[graft] val JointOff = 70000000L
+
+  /** The joint image+caption planting shared by q_joint_dedup and
+    * q_media_release: per doc_id % 3, class 0 = copy matches BOTH lanes
+    * (2× resized image + case/whitespace-noised caption), class 1 =
+    * IMAGE-only (resized image + reversed caption), class 2 = TEXT-only
+    * (noised caption + a fresh block pattern keyed doc_id+7777). Returns
+    * (media, caps) — both persisted: each feeds its matcher AND the
+    * media-release item join.
+    */
+  private def jointMedia(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents")
+    val c = col("doc_id") % 3
+    val orig = graft.CachePool.persist(Multimodal.blockPatternMedia(docs))
+    val copyMatch = Multimodal.resizeImages(
+        orig.join(docs.filter(c <= 1).select("doc_id"), "doc_id"), 64, 48)
+      .select((col("doc_id") + JointOff).as("doc_id"), col("payload"))
+    val copyDiff = Multimodal.blockPatternMedia(
+        docs.filter(c === 2).select((col("doc_id") + 7777L).as("doc_id")))
+      .select((col("doc_id") - 7777L + JointOff).as("doc_id"), col("payload"))
+    val media = graft.CachePool.persist(orig.select("doc_id", "payload")
+      .unionByName(copyMatch).unionByName(copyDiff))
+    val caps = graft.CachePool.persist(docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + JointOff).as("doc_id"),
+        when(c === 1, reverse(col("text")))
+          .otherwise(concat(lit("  "), upper(col("text")), lit("  ")))
+          .as("text"))))
+    (media, caps)
+  }
+
+  /** Recovered planted copies of one joint lane, at the original-id
+    * grain. distinct at the recovered-pair grain (cheap: ≤ n rows) makes
+    * the counts immune to either matcher emitting an (a, a+off) pair via
+    * more than one band/bucket — without it a duplicate pair would
+    * inflate img/txt_matched and multiply the joint join (ADVICE r14).
+    * The reversed-caption lane's margin is measured, not assumed: the
+    * txt_ok equality (txt_matched = n_both + n_txt_only) passing at
+    * every sf certifies zero reversed captions MinHash-match their
+    * original (no test caption normalizes to a palindromic stream).
+    */
+  private def jointRec(pairs: DataFrame): DataFrame = graft.CachePool.persist(
+    pairs.filter(col("id_a") < JointOff && col("id_b") === col("id_a") + JointOff)
+      .select(col("id_a").as("doc_id")).distinct())
+
   private def annCorpus(s: SparkSession, d: String): DataFrame =
     DedupData.withPlantedVecDups(t(s, d, "embeddings"))
   private def annQueries(s: SparkSession, d: String): DataFrame =
@@ -1760,38 +1807,11 @@ object SparkEntry {
       // (a, a+off) recovery filter, and pair volume stays bounded by
       // the collapsed matcher. Fully value-certified.
       val docs = t(s, d, "documents")
-      val off = 70000000L
       val c = col("doc_id") % 3
-      val orig = graft.CachePool.persist(Multimodal.blockPatternMedia(docs))
-      val copyMatch = Multimodal.resizeImages(
-          orig.join(docs.filter(c <= 1).select("doc_id"), "doc_id"), 64, 48)
-        .select((col("doc_id") + off).as("doc_id"), col("payload"))
-      val copyDiff = Multimodal.blockPatternMedia(
-          docs.filter(c === 2).select((col("doc_id") + 7777L).as("doc_id")))
-        .select((col("doc_id") - 7777L + off).as("doc_id"), col("payload"))
-      val media = orig.select("doc_id", "payload")
-        .unionByName(copyMatch).unionByName(copyDiff)
-      val imgPairs = Multimodal.imageNearDuplicates(media, maxDist = 3)
-      val caps = docs.select(col("doc_id"), col("text"))
-        .unionByName(docs.select((col("doc_id") + off).as("doc_id"),
-          when(c === 1, reverse(col("text")))
-            .otherwise(concat(lit("  "), upper(col("text")), lit("  ")))
-            .as("text")))
-      val txtPairs = MinHashLsh.nearDuplicates(
-        caps, col("doc_id"), col("text"), threshold = 0.5)
-      // distinct at the recovered-pair grain (cheap: ≤ n rows) makes the
-      // counts immune to either matcher emitting an (a, a+off) pair via
-      // more than one band/bucket — without it a duplicate pair would
-      // inflate img/txt_matched and multiply the joint join. The
-      // reversed-caption lane's margin is measured, not assumed: the
-      // txt_ok equality (txt_matched = n_both + n_txt_only) passing at
-      // every sf certifies zero reversed captions MinHash-match their
-      // original (no test caption normalizes to a palindromic stream).
-      def rec(pairs: DataFrame): DataFrame = graft.CachePool.persist(
-        pairs.filter(col("id_a") < off && col("id_b") === col("id_a") + off)
-          .select(col("id_a").as("doc_id")).distinct())
-      val imgRec = rec(imgPairs)
-      val txtRec = rec(txtPairs)
+      val (media, caps) = jointMedia(s, d)
+      val imgRec = jointRec(Multimodal.imageNearDuplicates(media, maxDist = 3))
+      val txtRec = jointRec(MinHashLsh.nearDuplicates(
+        caps, col("doc_id"), col("text"), threshold = 0.5))
       val ns = docs.agg(
         sum(when(c === 0, 1L).otherwise(0L)).as("n_both"),
         sum(when(c === 1, 1L).otherwise(0L)).as("n_img_only"),
@@ -1806,6 +1826,69 @@ object SparkEntry {
           (col("img_matched") === col("n_both") + col("n_img_only")).as("img_ok"),
           (col("txt_matched") === col("n_both") + col("n_txt_only")).as("txt_ok"),
           (col("joint_matched") === col("n_both")).as("joint_ok"))
+    }),
+
+    "q_media_release" -> ((s, d) => {
+      // MULTIMODAL RELEASE MANIFEST (VERDICT r14 item 4) — q_llm_release
+      // ships text; a multimodal corpus ships media bytes with their own
+      // seek index. Threads the q_joint_dedup SURVIVORS into the release
+      // chain: the joint matcher (both lanes, the REAL image-dHash and
+      // caption-MinHash recoveries) drops exactly the class-0 copies —
+      // every surviving item keeps (caption, media payload) — then the
+      // caption token stream packs through the release-stable chain and
+      // each shard's manifest row carries the MEDIA integrity surface:
+      // summed media bytes, the media seek offset, and an XOR media
+      // witness mixing (doc_id, caption tokens, decoded pixel bytes).
+      // Pixel bytes come OUT OF THE PAYLOAD BYTES (decodeImageFeatures —
+      // the q_multimodal_meta codec-round-trip idiom): originals and
+      // text-only copies decode 32×24, the resized image copies 64×48,
+      // so the oracle restates w·h per class from the planting while a
+      // broken encode/resize/decode anywhere hash-mismatches (a
+      // production release swaps in the encoded payload length +
+      // xxhash64 of the bytes — same plan, one column swap; pixel bytes
+      // are the engine-portable stand-in). Graded THROUGH the filesystem
+      // like q_shard_release: manifest → partitioned sink → the WRITTEN
+      // FILES read back as the graded rows. Fully value-certified: the
+      // oracle rebuilds the survivor set from doc_id % 3 (the joint
+      // lanes' exact-recovery argument — reversal preserves token count,
+      // casing/padding preserve the normalized stream), replays the
+      // recursive stable pack over caption tokens and every manifest
+      // cell including both offset columns.
+      val (media, caps) = jointMedia(s, d)
+      val imgRec = jointRec(Multimodal.imageNearDuplicates(media, maxDist = 3))
+      val txtRec = jointRec(MinHashLsh.nearDuplicates(
+        caps, col("doc_id"), col("text"), threshold = 0.5))
+      val dropIds = imgRec.join(txtRec, "doc_id")
+        .select((col("doc_id") + JointOff).as("doc_id"))
+      val survivors = media.join(caps, "doc_id")
+        .join(dropIds, Seq("doc_id"), "left_anti")
+      val feats = Multimodal.decodeImageFeatures(survivors.select(col("doc_id"),
+        struct(lit("image/png").as("mime")).as("meta"), col("payload")))
+      val meta = graft.CachePool.persist(survivors
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(feats.select(col("doc_id"),
+          (col("width") * col("height")).as("px")), "doc_id"))
+      val packed = graft.text.SeqPack.packGreedyStable(
+        meta, col("doc_id"), col("n_tokens"), budget = 512, groupSize = 64)
+      val manifest = graft.text.SeqPack.releaseManifest(
+          packed.withColumnRenamed("shard_key", "bin_id")
+            .join(meta.select("doc_id", "px"), "doc_id"),
+          contentMix = graft.text.SeqPack.contentWitness(
+            col("doc_id"), col("n_tokens"), col("px")),
+          docBytes = col("px"), sepBytes = 0)
+        .withColumnRenamed("bin_id", "shard_key")
+      val out = scratchDir("graft_media_release")
+      manifest.withColumn("shard_group", expr("shard_key div 1024"))
+        .write.mode("overwrite").partitionBy("shard_group").parquet(out)
+      s.read.parquet(out)
+        .select(col("shard_key"), col("n_docs"), col("sum_tokens"),
+          col("shard_len"), col("start_offset"),
+          col("byte_len").as("media_bytes"),
+          col("byte_offset").as("media_offset"),
+          col("content_xor").as("media_xor"),
+          col("shard_group").cast("long").as("shard_group"))
+        .orderBy("shard_key")
     }),
 
     "q_video_scenes" -> ((s, d) =>
@@ -5120,6 +5203,40 @@ object SparkEntry {
         |  txt_matched = n_both + n_txt_only AS txt_ok,
         |  joint_matched = n_both AS joint_ok
         |FROM m""".stripMargin,
+
+    // multimodal release: the survivor set rebuilt from doc_id % 3 (the
+    // joint lanes' exact recoveries — only class-0 COPIES drop; string
+    // reversal preserves the whitespace token count, casing/padding
+    // preserve the normalized stream), pixel bytes restated per class
+    // (originals/fresh patterns 32×24, resized copies 64×48 — the
+    // decode must read those dims OUT OF THE BYTES or the witness
+    // mismatches), then the recursive stable pack over caption tokens
+    // and every manifest cell including both seek-offset columns.
+    "q_media_release" -> ("WITH RECURSIVE items AS (" +
+      s"""
+        |  SELECT doc_id, $WsTokensSql AS n_tokens, CAST(768 AS BIGINT) AS px
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 70000000, $WsTokensSql AS n_tokens,
+        |    CAST(CASE WHEN doc_id % 3 = 1 THEN 3072 ELSE 768 END AS BIGINT) AS px
+        |  FROM documents WHERE doc_id % 3 IN (1, 2)
+        |), """.stripMargin + packChainCte("items", "", "n_tokens") +
+      """, manifest AS (
+        |  SELECT p.grp * 1024 + p.bin AS shard_key, count(*) AS n_docs,
+        |    CAST(sum(p.n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(p.n_tokens) + count(*) AS BIGINT) AS shard_len,
+        |    CAST(sum(i.px) AS BIGINT) AS media_bytes,
+        |    bit_xor(xor(p.doc_id, xor(CAST(p.n_tokens AS BIGINT) << 24,
+        |      CAST(i.px AS BIGINT) << 44))) AS media_xor
+        |  FROM pack p JOIN items i USING (doc_id) GROUP BY 1)
+        |SELECT shard_key, n_docs, sum_tokens, shard_len,
+        |  CAST(coalesce(sum(shard_len) OVER (ORDER BY shard_key
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+        |  media_bytes,
+        |  CAST(coalesce(sum(media_bytes) OVER (ORDER BY shard_key
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS media_offset,
+        |  media_xor, shard_key // 1024 AS shard_group
+        |FROM manifest ORDER BY shard_key""".stripMargin),
 
     // same restatement for the audio envelope fingerprint: block
     // energies survive 2× linear resampling exactly, n_matched =
