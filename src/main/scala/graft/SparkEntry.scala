@@ -4289,10 +4289,12 @@ object SparkEntry {
         size(TextAnalysis.tokens(col("text"))))),
 
     "q_cms_heavy_hitters" -> ((s, d) =>
-      // Count-Min heavy hitters with the sketch certificate: exact top-20
-      // occurrence counts (oracle-replayed) + per-term pinned booleans for
-      // the never-underestimates and ε·N overestimate bounds. The sketch
-      // and the 20 probe rows are bounded driver reads.
+      // Count-Min heavy hitters, value-certified since r15: exact top-20
+      // occurrence counts AND the sketch estimate as a data column the
+      // oracle restates (31 distinct terms over 7×20000 counters — zero
+      // collision error, measured at every sf), with both CMS-bound
+      // booleans derived from the emitted columns in both engines. The
+      // sketch and the 20 probe rows are bounded driver reads.
       graft.text.HeavyHitters.cmsTopTermsGate(
         t(s, d, "documents"), col("text"), k = 20)),
 
@@ -9017,15 +9019,24 @@ object SparkEntry {
         |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
         |FROM documents GROUP BY source ORDER BY g""".stripMargin,
 
-    // the sketch estimate is Spark-internal; the graded surface is the
-    // EXACT top-20 occurrence counts plus the pinned CMS-bound booleans.
+    // the sketch estimate is restated as the exact count (r15 ledger
+    // conversion): 31 distinct terms across 7 × 20000 counters make a
+    // full-depth collision ~10⁻²⁰, measured 0 error at every sf — a
+    // sketch/probe regression mismatches the cms_est cell. Both bound
+    // booleans derive from the emitted columns in both engines.
     "q_cms_heavy_hitters" ->
-      """SELECT term, CAST(count(*) AS BIGINT) AS n_occ,
-        |  TRUE AS cms_ge_ok, TRUE AS cms_within_ok
-        |FROM (
+      """WITH tt AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS term
-        |  FROM documents)
-        |GROUP BY term ORDER BY n_occ DESC, term LIMIT 20""".stripMargin,
+        |  FROM documents
+        |), top AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(count(*) AS BIGINT) AS cms_est
+        |  FROM tt GROUP BY term ORDER BY n_occ DESC, term LIMIT 20
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tt)
+        |SELECT p.term, p.n_occ, p.cms_est, t.n_total,
+        |  p.cms_est >= p.n_occ AS cms_ge_ok,
+        |  p.cms_est <= p.n_occ + CAST(ceil(0.0001 * t.n_total) AS BIGINT) AS cms_within_ok
+        |FROM top p CROSS JOIN tot t ORDER BY n_occ DESC, term""".stripMargin,
 
     // exact count (replayed here) and the pinned certificate boolean.
     "q_ndv_sketch" -> (DedupData.DocsCte +

@@ -15,13 +15,19 @@ import org.apache.spark.util.sketch.CountMinSketch
   * mergeable across partitions/streams (`count_min_sketch` partial-
   * aggregates map-side like any agg), probe-able without a shuffle.
   *
-  * Graded in the sketch-certificate idiom: the output rows are the EXACT
-  * top-k occurrence counts (oracle-replayable integers) plus two pinned
-  * booleans per term — `cms_ge_ok` (a CMS never underestimates: its
-  * estimate is min over rows of hashed counters, every one of which saw
-  * all of the term's insertions) and `cms_within_ok` (estimate ≤ exact +
-  * ⌈ε·N⌉, the classic Cormode-Muthukrishnan bound at confidence δ; the
-  * sketch is seeded, so the booleans are deterministic run to run).
+  * Graded value-certified since r15: the output rows carry the EXACT
+  * top-k occurrence counts AND the sketch's estimate as an integer data
+  * column (`cms_est`) — the synthetic corpus has a bounded vocabulary
+  * (31 distinct terms across ⌈2/ε⌉ × ⌈log₂ 1/δ⌉ = 20000 × 7 counters),
+  * so the estimate equals the exact count at every scale factor
+  * (measured 0 error across all top-20 terms at sf0.001/0.01/0.1; a
+  * 7-row full collision needs ~(31/20000)⁷ ≈ 10⁻²⁰) and the oracle
+  * restates it. The certificate booleans — `cms_ge_ok` (a CMS never
+  * underestimates: its estimate is min over rows of hashed counters,
+  * every one of which saw all of the term's insertions) and
+  * `cms_within_ok` (estimate ≤ exact + ⌈ε·N⌉, the classic
+  * Cormode-Muthukrishnan bound) — now DERIVE from the emitted columns
+  * in both engines rather than being pinned.
   *
   * The sketch binary and the k probe rows are BOUNDED driver reads (the
   * ANN-sample-fit collect contract): the sketch is ~e/ε · ln(1/δ) · 8
@@ -38,9 +44,10 @@ object HeavyHitters {
       .groupBy("term").agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("term")).limit(k)
 
-  /** (term, n_occ, cms_ge_ok, cms_within_ok) for the exact top-k terms,
-    * ordered (n_occ desc, term). One corpus pass builds the sketch and the
-    * total insert count together; a second builds the exact counts.
+  /** (term, n_occ, cms_est, n_total, cms_ge_ok, cms_within_ok) for the
+    * exact top-k terms, ordered (n_occ desc, term). One corpus pass builds
+    * the sketch and the total insert count together; a second builds the
+    * exact counts.
     */
   def cmsTopTermsGate(docs: DataFrame, text: Column, k: Int = 20,
                       eps: Double = 1e-4, confidence: Double = 0.99,
@@ -64,8 +71,8 @@ object HeavyHitters {
       // the SQL count_min_sketch agg inserts each string's UTF-8 bytes
       // (addBinary), so the probe must hash the same bytes
       val est = sketch.estimateCount(term.getBytes("UTF-8"))
-      (term, nOcc, est >= nOcc, est <= nOcc + bound)
-    }.toDF("term", "n_occ", "cms_ge_ok", "cms_within_ok")
+      (term, nOcc, est, nTotal, est >= nOcc, est <= nOcc + bound)
+    }.toDF("term", "n_occ", "cms_est", "n_total", "cms_ge_ok", "cms_within_ok")
       .orderBy(col("n_occ").desc, col("term"))
   }
 }

@@ -14,10 +14,11 @@ class HeavyHittersSpec extends SparkSpec {
       (3L, "beta beta")
     ).toDF("doc_id", "text")
     val got = HeavyHitters.cmsTopTermsGate(docs, col("text"), k = 2)
-      .as[(String, Long, Boolean, Boolean)].collect().toList
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect().toList
     graft.CachePool.releaseAll()
-    // alpha ×4, beta ×4 (tie → alpha first), gamma ×1
-    assert(got === List(("alpha", 4L, true, true), ("beta", 4L, true, true)))
+    // alpha ×4, beta ×4 (tie → alpha first), gamma ×1; 9 insertions total
+    assert(got === List(("alpha", 4L, 4L, 9L, true, true),
+      ("beta", 4L, 4L, 9L, true, true)))
   }
 
   test("CMS probe matches the SQL agg's insertion hashing exactly on a tiny vocab") {
@@ -27,18 +28,21 @@ class HeavyHittersSpec extends SparkSpec {
     // (a mismatch would read a random counter and fail ge/within wildly)
     val docs = Seq((1L, "x y z x")).toDF("doc_id", "text")
     val got = HeavyHitters.cmsTopTermsGate(docs, col("text"), k = 3)
-      .as[(String, Long, Boolean, Boolean)].collect().toList
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect().toList
     graft.CachePool.releaseAll()
-    assert(got === List(("x", 2L, true, true), ("y", 1L, true, true), ("z", 1L, true, true)))
+    assert(got === List(("x", 2L, 2L, 4L, true, true), ("y", 1L, 1L, 4L, true, true),
+      ("z", 1L, 1L, 4L, true, true)))
   }
 
   test("gate holds on the real documents table") {
     val got = HeavyHitters.cmsTopTermsGate(table("documents"), col("text"), k = 20)
-      .as[(String, Long, Boolean, Boolean)].collect()
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect()
     graft.CachePool.releaseAll()
     assert(got.length === 20)
-    assert(got.forall(_._3), "CMS underestimated a count — impossible by construction")
-    assert(got.forall(_._4), "CMS estimate above the ε·N bound")
+    assert(got.forall(r => r._3 === r._2),
+      "the oracle restates cms_est = n_occ: a collision appeared — re-measure before trusting the conversion")
+    assert(got.forall(_._5), "CMS underestimated a count — impossible by construction")
+    assert(got.forall(_._6), "CMS estimate above the ε·N bound")
     // sorted by occurrence desc
     assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
   }
