@@ -1479,6 +1479,46 @@ object SparkEntry {
         col("argmax_ok"))
     }),
 
+    "q_closure_scale" -> ((s, d) => {
+      // ADVERSARIAL CLOSURE SCALE GATE (VERDICT r14 stretch) — the 100 TB
+      // worst case the auto-escalator exists for, graded instead of
+      // unit-tested: a PLANTED corpus-length chain (doc i ↔ i+1, diameter
+      // = n−1, the pathological opposite of real dup graphs' tiny
+      // cliques) through componentsAutoCounted. Min-label propagation at
+      // budget 4 provably cannot converge — a label travels at most
+      // r₄ = 2⁵−2 = 30 hops in 4 neighbor-min + pointer-jump rounds, and
+      // the diameter exceeds 30 at every sf — so `escalated` restates as
+      // (n−1) > 30 BY ARITHMETIC. Star contraction then converges in
+      // rounds_star rounds (measured 10 at n=500, 14 at n=5000 —
+      // ~log₂ n + 2, far under the O(log² n) theory bound), and the
+      // oracle REPLAYS the round count: 18 unrolled
+      // smallStar(largeStar(·)) CTE rounds over the same edge sets, the
+      // fixpoint index recomputed as min{i : Eᵢ = Eᵢ₋₁} (18 rounds cover
+      // chains to ~65k vertices; the spec fails loudly first if a future
+      // sf outgrows the unroll). Labels/components/sum/max-cluster come
+      // from the ACTUAL escalated output and the oracle re-derives them
+      // from ITS replayed fixpoint edges — fully value-certified, with
+      // within_budget derived from the emitted columns in both engines.
+      val docs = t(s, d, "documents").select("doc_id")
+      val chain = docs.filter(col("doc_id") > 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      val (labels, escalated, rounds) = graft.dedup.DedupClusters
+        .componentsAutoCounted(chain, propagationBudget = 4)
+      val lab = graft.CachePool.persist(labels)
+      lab.agg(count(lit(1)).as("n_vertices"),
+          count_distinct(col("comp")).as("n_components"),
+          sum("comp").as("sum_labels"))
+        .crossJoin(broadcast(chain.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(lab.groupBy("comp").agg(count(lit(1)).as("cs"))
+          .agg(max("cs").as("max_cluster"))))
+        .select(col("n_vertices"), col("n_edges"), col("n_components"),
+          col("sum_labels"), col("max_cluster"),
+          lit(escalated).as("escalated"),
+          lit(rounds.toLong).as("rounds_star"),
+          (lit(rounds.toLong) <=
+            expr("2 * cast(ceil(log2(n_vertices)) as bigint)")).as("within_budget"))
+    }),
+
     "q_normalize_text" -> ((s, d) => {
       // Unicode text folding through the NATIVE UnicodeNormalize
       // expression (Spark has no built-in NFC; a UDF would break codegen):
@@ -4932,6 +4972,65 @@ object SparkEntry {
 
   private val SeqPackCte: String = "WITH RECURSIVE " + packChainCte("documents")
 
+  /** The q_closure_scale oracle: 18 unrolled star-contraction rounds
+    * (large-star then small-star, exactly DedupClusters' frame algebra)
+    * over the planted chain, the fixpoint round index recomputed as
+    * min{i : Eᵢ = Eᵢ₋₁}, and the component stats re-derived from the
+    * replayed fixpoint edges. MATERIALIZED keeps DuckDB from inlining
+    * each round's edge set into every downstream reference.
+    */
+  private def closureScaleOracle: String = {
+    val k = 18
+    def round(i: Int): String = {
+      val p = s"e${i - 1}"
+      s"""adj$i AS MATERIALIZED (
+         |  SELECT u, v FROM $p UNION SELECT v, u FROM $p
+         |), ml$i AS (
+         |  SELECT u, least(min(v), u) AS m FROM adj$i GROUP BY u
+         |), ls$i AS MATERIALIZED (
+         |  SELECT DISTINCT a.v AS u, m.m AS v FROM adj$i a JOIN ml$i m USING (u)
+         |  WHERE a.v > a.u AND a.v <> m.m
+         |), ori$i AS MATERIALIZED (
+         |  SELECT DISTINCT greatest(u, v) AS u, least(u, v) AS v FROM ls$i
+         |), ms$i AS (
+         |  SELECT u, min(v) AS m FROM ori$i GROUP BY u
+         |), e$i AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT o.v AS u, m.m AS v FROM ori$i o JOIN ms$i m USING (u)
+         |    UNION ALL SELECT u, m AS v FROM ms$i) t
+         |  WHERE u <> v
+         |)""".stripMargin
+    }
+    val diffs = (1 to k).map { i =>
+      s"SELECT $i AS i, (SELECT count(*) FROM ((SELECT * FROM e$i EXCEPT " +
+        s"SELECT * FROM e${i - 1}) UNION ALL (SELECT * FROM e${i - 1} " +
+        s"EXCEPT SELECT * FROM e$i)) t) AS d"
+    }.mkString(" UNION ALL ")
+    "WITH e0 AS MATERIALIZED (SELECT doc_id - 1 AS u, doc_id AS v FROM documents WHERE doc_id > 0),\n" +
+      (1 to k).map(round).mkString(",\n") + s""",
+        |dd AS ($diffs),
+        |lab AS (SELECT u AS id, min(v) AS comp FROM e$k GROUP BY u),
+        |full_lab AS (
+        |  SELECT d.doc_id AS id, coalesce(l.comp, d.doc_id) AS comp
+        |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+        |    CAST(count(DISTINCT comp) AS BIGINT) AS n_components,
+        |    CAST(sum(comp) AS BIGINT) AS sum_labels
+        |  FROM full_lab
+        |), mc AS (
+        |  SELECT CAST(max(c) AS BIGINT) AS max_cluster
+        |  FROM (SELECT count(*) AS c FROM full_lab GROUP BY comp) t
+        |), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0
+        |), rs AS (SELECT CAST(min(i) AS BIGINT) AS rounds_star FROM dd WHERE d = 0)
+        |SELECT s.n_vertices, n.n_edges, s.n_components, s.sum_labels,
+        |  m.max_cluster,
+        |  s.n_vertices - 1 > 30 AS escalated,
+        |  r.rounds_star,
+        |  r.rounds_star <= 2 * CAST(ceil(log2(s.n_vertices)) AS BIGINT) AS within_budget
+        |FROM st s, ne n, mc m, rs r""".stripMargin
+  }
+
   /** The FFD pack replay (rows ranked n_tokens DESC/doc_id per group, the
     * open-bin fill list carried through the recursive CTE, first fit =
     * lowest index with room, NULL opens a new bin) — suffix-parameterized
@@ -5638,6 +5737,11 @@ object SparkEntry {
     // count is data-derived; the two booleans are the contract (≥90% of
     // planted pairs resolved to ≤1 survivor; argmax never beaten by a
     // cluster member). A recall or argmax regression flips the hash red.
+    // the closure scale gate: escalation by arithmetic (a 4-round budget
+    // reaches <= 30 hops, the chain diameter exceeds it at every sf), the
+    // star round count replayed via 18 unrolled contraction rounds, and
+    // component stats re-derived from the replayed fixpoint edges.
+    "q_closure_scale" -> closureScaleOracle,
     "q_minhash_survivors" ->
       """SELECT 'minhash_survivors' AS algo, CAST(count(*) AS BIGINT) AS n_planted,
         |  TRUE AS dedup_ok, TRUE AS argmax_ok

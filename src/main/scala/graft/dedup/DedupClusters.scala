@@ -125,7 +125,17 @@ object DedupClusters extends Logging {
     * truncation would yield wrong labels exactly on its target inputs.
     */
   def componentsStarContraction(pairs: DataFrame, maxIter: Int = 50,
-                                checkpointDir: Option[String] = None): DataFrame = {
+                                checkpointDir: Option[String] = None): DataFrame =
+    starContractionCounted(pairs, maxIter, checkpointDir)._1
+
+  /** [[componentsStarContraction]] plus the number of contraction rounds
+    * executed (including the final fixpoint-confirming round — the loop
+    * counts every `smallStar(largeStar(_))` application). Exposed for the
+    * adversarial-scale gate, whose oracle replays the same rounds.
+    */
+  private[graft] def starContractionCounted(
+      pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     setDir(pairs, checkpointDir)
     val initial = truncate(pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v")).distinct(), checkpointDir)
@@ -185,8 +195,8 @@ object DedupClusters extends Logging {
     // min (roots carry no outgoing edge — their self-loop dropped).
     val labels = edges.groupBy("u").agg(min("v").as("comp"))
       .select(col("u").as("id"), col("comp"))
-    vertices.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    (vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp")), iter)
   }
 
   /** Auto-selecting entry point: run min-label + pointer-jump for up to
@@ -200,14 +210,24 @@ object DedupClusters extends Logging {
     */
   def componentsAuto(pairs: DataFrame, propagationBudget: Int = 8,
                      maxIter: Int = 50,
-                     checkpointDir: Option[String] = None): DataFrame = {
+                     checkpointDir: Option[String] = None): DataFrame =
+    componentsAutoCounted(pairs, propagationBudget, maxIter, checkpointDir)._1
+
+  /** [[componentsAuto]] plus the escalation decision and star round count
+    * (0 when propagation converged within budget) — the instrumented form
+    * the adversarial-scale gate grades.
+    */
+  private[graft] def componentsAutoCounted(
+      pairs: DataFrame, propagationBudget: Int = 8, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, Boolean, Int) = {
     val (comp, converged) = minLabelRounds(pairs, propagationBudget, checkpointDir)
-    if (converged) comp
+    if (converged) (comp, false, 0)
     else {
       logWarning(s"componentsAuto: min-label propagation not converged after " +
         s"$propagationBudget rounds (effective diameter ≳ ${1L << propagationBudget}); " +
         "escalating to star contraction")
-      componentsStarContraction(pairs, maxIter, checkpointDir)
+      val (labels, rounds) = starContractionCounted(pairs, maxIter, checkpointDir)
+      (labels, true, rounds)
     }
   }
 

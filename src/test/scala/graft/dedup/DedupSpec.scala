@@ -339,6 +339,25 @@ class DedupSpec extends SparkSpec {
     graft.CachePool.releaseAll()
   }
 
+  test("q_closure_scale's oracle unroll keeps margin over the measured round count") {
+    // the oracle replays exactly 18 star-contraction rounds; the chain's
+    // measured fixpoint (10 rounds at n=500, 14 at n=5000 — ~log2 n + 2)
+    // must stay 2+ rounds inside that unroll, so a data-scale bump fails
+    // HERE with a clear message instead of a NULL rounds_star mismatch
+    val docs = table("documents").select("doc_id")
+    val chain = docs.filter(col("doc_id") > 0)
+      .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+    val (labels, escalated, rounds) =
+      DedupClusters.componentsAutoCounted(chain, propagationBudget = 4)
+    val labs = labels.as[(Long, Long)].collect()
+    graft.CachePool.releaseAll()
+    assert(escalated, "a diameter-(n-1) chain must escalate at budget 4")
+    assert(rounds <= 16,
+      s"star contraction took $rounds rounds — within 2 of the oracle's 18-round " +
+        "unroll; raise the unroll in closureScaleOracle before benching this sf")
+    assert(labs.forall(_._2 === 0L), "every chain vertex must label to the min id")
+  }
+
   test("withPlantedVecDups scales by a POWER OF TWO (the determinism contract)") {
     // Several oracle-pinned gates (q_knn_append cells_ok, q_semdedup
     // co-clustering, the LSH sign-pattern guarantee) are exact ONLY
