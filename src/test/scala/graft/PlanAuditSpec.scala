@@ -926,6 +926,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("q_decontam_sweep sweeps all four k without re-scanning per k") {
+    // the absolute pin counts FILE scans, so caches left by other suites
+    // (a persisted corpus frame turns a file scan into an
+    // InMemoryRelation) must not leak in — start from a cold cache
+    graft.CachePool.releaseAll()
+    spark.sharedState.cacheManager.clearCache()
     def scans(df: DataFrame) = collect(finalPlan(df)) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.size
