@@ -1073,6 +1073,17 @@ object SparkEntry {
         post.join(broadcast(affected), Seq("cell")).select("vec_id", "ver", "cell")
           .write.mode("overwrite").partitionBy("cell").parquet(postingsDir)
       } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      // reconcile EMPTIED lists (write-then-drop): dynamic overwrite can
+      // only rewrite partitions present in the replacement, so a cell
+      // whose postings all died must be dropped explicitly. THIS delta
+      // empties none by construction — every re-keyed re-discovery lands
+      // back in its original cell, so each cell keeps its population —
+      // and n_cells_dropped certifies that from the real dir listing
+      // (the oracle restates 0 from the same argument).
+      val liveCells = post.select("cell").distinct()
+        .collect().map(_.getLong(0).toString).toSet
+      val dropped = graft.sources.PartitionMaintenance.dropDeadPartitions(
+        postingsDir, "cell", liveCells)
       val after = s.read.parquet(postingsDir)
         .groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).as("n_after"))
@@ -1130,6 +1141,7 @@ object SparkEntry {
           col("imb_before"), col("imb_after"),
           (col("imb_before") >= 2000L).as("drifted"),
           (col("imb_after") < 2000L).as("healthy_after"),
+          lit(dropped.size.toLong).as("n_cells_dropped"),
           col("n_queries"), col("recovered"))
         .orderBy("cell")
     }),
@@ -6077,6 +6089,7 @@ object SparkEntry {
         |  (p.n_tomb + p.n_revised + p.n_appended) > 0 AS repacked,
         |  s.imb_before, s.imb_after, s.imb_before >= 2000 AS drifted,
         |  s.imb_after < 2000 AS healthy_after,
+        |  CAST(0 AS BIGINT) AS n_cells_dropped,
         |  r.n_queries, r.n_queries AS recovered
         |FROM pc p CROSS JOIN st s CROSS JOIN rc r ORDER BY cell""".stripMargin,
 

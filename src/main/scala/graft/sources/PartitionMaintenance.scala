@@ -1,0 +1,49 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** The other half of dynamic-partition-overwrite repack. Dynamic
+  * overwrite can only REWRITE partitions present in the replacement
+  * frame — a partition whose rows all died (a posting list emptied by
+  * tombstones, a shard group fully dropped from a release) is silently
+  * left on disk, and every later reader re-ingests the dead rows. The
+  * reconcile step is an explicit directory drop keyed by the surviving
+  * partition values; on an object store the same step is a manifest
+  * entry removal. Kept separate from the write so the caller decides the
+  * transaction order (drop-then-write leaves a gap a concurrent reader
+  * could see; write-then-drop is the safe order used by q_ivf_maintain).
+  */
+object PartitionMaintenance {
+
+  /** Delete `column=value` partition dirs under `dir` whose value is NOT
+    * in `live`. Returns the dropped partition values (sorted) — the audit
+    * trail a maintenance job logs. Non-partition files and unrelated
+    * directories are untouched.
+    */
+  def dropDeadPartitions(dir: String, column: String,
+                         live: Set[String]): Seq[String] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val prefix = column + "="
+    val stream = Files.list(root)
+    val dead =
+      try stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(prefix) &&
+          !live.contains(p.getFileName.toString.stripPrefix(prefix)))
+        .toList
+      finally stream.close()
+    dead.foreach(rm)
+    dead.map(_.getFileName.toString.stripPrefix(prefix)).sorted
+  }
+
+  private def rm(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(rm) finally s.close()
+    }
+    Files.delete(p)
+  }
+}

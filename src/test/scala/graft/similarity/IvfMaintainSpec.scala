@@ -93,6 +93,28 @@ class IvfMaintainSpec extends SparkSpec {
     assert(back.contains((4L, 1L, 2L)) && back.contains((5L, 1L, 2L)))
   }
 
+  test("dropDeadPartitions reconciles an emptied posting list; live lists untouched") {
+    // dynamic overwrite cannot delete a partition absent from the
+    // replacement frame — the reconcile step must, and ONLY that one
+    val dir = Files.createTempDirectory("graft_ivf_dead").toString + "/postings"
+    Seq((0L, 1L, 0L), (1L, 1L, 1L), (2L, 1L, 2L))
+      .toDF("vec_id", "ver", "cell")
+      .coalesce(1).write.partitionBy("cell").parquet(dir)
+    // cell 1's rows all died: live set = {0, 2}
+    val dropped = graft.sources.PartitionMaintenance.dropDeadPartitions(
+      dir, "cell", Set("0", "2"))
+    assert(dropped === Seq("1"))
+    assert(!Files.exists(Paths.get(dir, "cell=1")), "dead list still on disk")
+    val back = spark.read.parquet(dir)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(back === Set((0L, 0L), (2L, 2L)))
+    // idempotent and prefix-safe: nothing else to drop, unrelated names kept
+    Files.createDirectory(Paths.get(dir, "not_a_partition"))
+    assert(graft.sources.PartitionMaintenance.dropDeadPartitions(
+      dir, "cell", Set("0", "2")) === Seq.empty)
+    assert(Files.exists(Paths.get(dir, "not_a_partition")))
+  }
+
   test("q_ivf_maintain invariants on the real table: occupancy restored, recall exact") {
     val got = graft.SparkEntry.queries("q_ivf_maintain")(spark, Sf)
       .select("cell", "n_before", "n_after", "n_tomb", "n_appended",
