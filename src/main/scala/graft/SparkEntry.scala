@@ -454,6 +454,32 @@ object SparkEntry {
     pairs.filter(col("id_a") < JointOff && col("id_b") === col("id_a") + JointOff)
       .select(col("id_a").as("doc_id")).distinct())
 
+  /** Joint-dedup SURVIVOR items (doc_id, text, payload — every original
+    * plus the class-1/2 copies; the joint matcher drops exactly the
+    * class-0 copies) and their release meta (doc_id, caption n_tokens,
+    * decoded pixel bytes px) — the front half shared by q_media_release
+    * and q_media_nightly. Both frames persisted: the pack, the witness
+    * join and the nightly delta all consume them.
+    */
+  private def mediaSurvivorMeta(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (media, caps) = jointMedia(s, d)
+    val imgRec = jointRec(Multimodal.imageNearDuplicates(media, maxDist = 3))
+    val txtRec = jointRec(MinHashLsh.nearDuplicates(
+      caps, col("doc_id"), col("text"), threshold = 0.5))
+    val dropIds = imgRec.join(txtRec, "doc_id")
+      .select((col("doc_id") + JointOff).as("doc_id"))
+    val items = graft.CachePool.persist(media.join(caps, "doc_id")
+      .join(dropIds, Seq("doc_id"), "left_anti"))
+    val feats = Multimodal.decodeImageFeatures(items.select(col("doc_id"),
+      struct(lit("image/png").as("mime")).as("meta"), col("payload")))
+    val meta = graft.CachePool.persist(items
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(feats.select(col("doc_id"),
+        (col("width") * col("height")).as("px")), "doc_id"))
+    (items, meta)
+  }
+
   private def annCorpus(s: SparkSession, d: String): DataFrame =
     DedupData.withPlantedVecDups(t(s, d, "embeddings"))
   private def annQueries(s: SparkSession, d: String): DataFrame =
@@ -1906,21 +1932,7 @@ object SparkEntry {
       // casing/padding preserve the normalized stream), replays the
       // recursive stable pack over caption tokens and every manifest
       // cell including both offset columns.
-      val (media, caps) = jointMedia(s, d)
-      val imgRec = jointRec(Multimodal.imageNearDuplicates(media, maxDist = 3))
-      val txtRec = jointRec(MinHashLsh.nearDuplicates(
-        caps, col("doc_id"), col("text"), threshold = 0.5))
-      val dropIds = imgRec.join(txtRec, "doc_id")
-        .select((col("doc_id") + JointOff).as("doc_id"))
-      val survivors = media.join(caps, "doc_id")
-        .join(dropIds, Seq("doc_id"), "left_anti")
-      val feats = Multimodal.decodeImageFeatures(survivors.select(col("doc_id"),
-        struct(lit("image/png").as("mime")).as("meta"), col("payload")))
-      val meta = graft.CachePool.persist(survivors
-        .select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-        .join(feats.select(col("doc_id"),
-          (col("width") * col("height")).as("px")), "doc_id"))
+      val (_, meta) = mediaSurvivorMeta(s, d)
       val packed = graft.text.SeqPack.packGreedyStable(
         meta, col("doc_id"), col("n_tokens"), budget = 512, groupSize = 64)
       val manifest = graft.text.SeqPack.releaseManifest(
@@ -1941,6 +1953,96 @@ object SparkEntry {
           col("content_xor").as("media_xor"),
           col("shard_group").cast("long").as("shard_group"))
         .orderBy("shard_key")
+    }),
+
+    "q_media_nightly" -> ((s, d) => {
+      // THE MULTIMODAL NIGHTLY DIFF — day 2 of q_media_release, the
+      // media twin of q_nightly_release: a sparse GROUP-GRAIN delta over
+      // the survivor corpus ((doc_id div 64) % 16 on ORIGINAL ids; the
+      // +7e7 copy groups are untouched) with the delta class a text
+      // release cannot have — group 6's MEDIA is re-rendered (48×36
+      // re-encode, captions unchanged: the media witness must move while
+      // the token stream stays put), group 2's CAPTION gains ' rev2'
+      // (tokens move, media stays), group 5 goes dark and its content is
+      // re-discovered under fresh +2e7 ids. The changed slices pay the
+      // REAL codec work (re-render + decode of exactly the delta — what
+      // an incremental nightly decodes); both epochs pack release-stable
+      // and write per-shard manifest rows (group-local offsets) through
+      // partitioned sinks, and the diff grades from the READ-BACK files
+      // at the shard_group grain with the shard-key-mixed XOR media
+      // witness. All four change classes are real at every sf (groups
+      // 2/5/6 exist from n=500 up; re-keys land in fresh groups). Fully
+      // value-certified: the oracle rebuilds the survivor set, applies
+      // the same delta arithmetic (one appended token; px 768→1728),
+      // replays BOTH stable packs, both group manifests and the
+      // classification cell-for-cell.
+      val (items, meta) = mediaSurvivorMeta(s, d)
+      val g = expr("(doc_id div 64) % 16")
+      val orig = col("doc_id") < JointOff
+      // day-2 deltas recompute from the REAL changed content: the revised
+      // caption is re-tokenized, the re-rendered media re-decoded
+      val capRev = items.filter(orig && g === 2)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(concat(col("text"), lit(" rev2"))))
+            .cast("long").as("nt2"))
+      val mediaRev = Multimodal.decodeImageFeatures(
+          Multimodal.blockPatternMedia(
+            items.filter(orig && g === 6).select("doc_id"), w = 48, h = 36)
+            .select(col("doc_id"),
+              struct(lit("image/png").as("mime")).as("meta"), col("payload")))
+        .select(col("doc_id"), (col("width") * col("height")).as("px2"))
+      val metaB = meta.filter(!(orig && g === 5))
+        .join(capRev, Seq("doc_id"), "left")
+        .join(mediaRev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nt2"), col("n_tokens")).as("n_tokens"),
+          coalesce(col("px2"), col("px")).as("px"))
+        .unionByName(meta.filter(orig && g === 5)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            col("n_tokens"), col("px")))
+      def manifest(m: DataFrame): DataFrame = {
+        val shards = graft.text.SeqPack.packGreedyStable(
+            m, col("doc_id"), col("n_tokens"), budget = 512, groupSize = 64)
+          .join(m.select("doc_id", "px"), "doc_id")
+          .withColumn("__w", graft.text.SeqPack.contentWitness(
+            col("doc_id"), col("n_tokens"), col("px")))
+          .groupBy("shard_key")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            sum(col("px")).as("media_bytes"),
+            expr("bit_xor(__w)").as("content_xor"))
+          .withColumn("shard_group", expr("shard_key div 1024"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard_group").orderBy("shard_key")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        shards.withColumn("media_offset",
+          coalesce(sum("media_bytes").over(w), lit(0L)))
+      }
+      val outA = scratchDir("graft_media_nightly_a")
+      val outB = scratchDir("graft_media_nightly_b")
+      manifest(meta).write.mode("overwrite").partitionBy("shard_group").parquet(outA)
+      manifest(metaB).write.mode("overwrite").partitionBy("shard_group").parquet(outB)
+      def groups(path: String, sfx: String): DataFrame = s.read.parquet(path)
+        .groupBy(col("shard_group").cast("long").as("shard_group"))
+        .agg(count(lit(1)).as(s"n_shards$sfx"),
+          sum("sum_tokens").as(s"tokens$sfx"),
+          sum("media_bytes").as(s"bytes$sfx"),
+          expr("bit_xor(content_xor ^ ((shard_key & 2147483647L) * 2654435761L))")
+            .as(s"gxor$sfx"))
+      groups(outA, "_old").join(groups(outB, "_new"), Seq("shard_group"), "full_outer")
+        .select(col("shard_group"),
+          when(col("gxor_old").isNull, "added")
+            .when(col("gxor_new").isNull, "removed")
+            .when(col("gxor_old") === col("gxor_new") &&
+              col("n_shards_old") === col("n_shards_new") &&
+              col("tokens_old") === col("tokens_new") &&
+              col("bytes_old") === col("bytes_new"), "unchanged")
+            .otherwise("changed").as("change"),
+          coalesce(col("n_shards_old"), lit(0L)).as("shards_old"),
+          coalesce(col("n_shards_new"), lit(0L)).as("shards_new"),
+          coalesce(col("bytes_old"), lit(0L)).as("bytes_old"),
+          coalesce(col("bytes_new"), lit(0L)).as("bytes_new"))
+        .orderBy("shard_group")
     }),
 
     "q_video_scenes" -> ((s, d) =>
@@ -5358,6 +5460,70 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS media_offset,
         |  media_xor, shard_key // 1024 AS shard_group
         |FROM manifest ORDER BY shard_key""".stripMargin),
+
+    // the multimodal nightly: survivors rebuilt from the planting,
+    // day-2 delta by group arithmetic (one appended token for the
+    // caption revision; px 768→1728 for the media re-render; group 5
+    // re-keyed +2e7), BOTH stable packs replayed, both group-grain
+    // manifests (shard-key-mixed XOR media witness) and the change
+    // classification derived in both engines.
+    "q_media_nightly" -> ("WITH RECURSIVE items_a AS (" +
+      s"""
+        |  SELECT doc_id, $WsTokensSql AS n_tokens, CAST(768 AS BIGINT) AS px
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 70000000, $WsTokensSql AS n_tokens,
+        |    CAST(CASE WHEN doc_id % 3 = 1 THEN 3072 ELSE 768 END AS BIGINT) AS px
+        |  FROM documents WHERE doc_id % 3 IN (1, 2)
+        |), items_b AS (
+        |  SELECT CASE WHEN doc_id < 70000000 AND (doc_id // 64) % 16 = 5
+        |           THEN doc_id + 20000000 ELSE doc_id END AS doc_id,
+        |    n_tokens + CASE WHEN doc_id < 70000000 AND (doc_id // 64) % 16 = 2
+        |                 THEN 1 ELSE 0 END AS n_tokens,
+        |    CASE WHEN doc_id < 70000000 AND (doc_id // 64) % 16 = 6
+        |      THEN CAST(1728 AS BIGINT) ELSE px END AS px
+        |  FROM items_a
+        |), """.stripMargin +
+      packChainCte("items_a", "_a", "n_tokens") + ", " +
+      packChainCte("items_b", "_b", "n_tokens") +
+      """, ma AS (
+        |  SELECT p.grp AS shard_group, p.grp * 1024 + p.bin AS shard_key,
+        |    CAST(sum(p.n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(i.px) AS BIGINT) AS media_bytes,
+        |    bit_xor(xor(p.doc_id, xor(CAST(p.n_tokens AS BIGINT) << 24,
+        |      CAST(i.px AS BIGINT) << 44))) AS content_xor
+        |  FROM pack_a p JOIN items_a i USING (doc_id) GROUP BY 1, 2
+        |), mb AS (
+        |  SELECT p.grp AS shard_group, p.grp * 1024 + p.bin AS shard_key,
+        |    CAST(sum(p.n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(i.px) AS BIGINT) AS media_bytes,
+        |    bit_xor(xor(p.doc_id, xor(CAST(p.n_tokens AS BIGINT) << 24,
+        |      CAST(i.px AS BIGINT) << 44))) AS content_xor
+        |  FROM pack_b p JOIN items_b i USING (doc_id) GROUP BY 1, 2
+        |), ga AS (
+        |  SELECT shard_group, CAST(count(*) AS BIGINT) AS n_shards,
+        |    CAST(sum(sum_tokens) AS BIGINT) AS tokens,
+        |    CAST(sum(media_bytes) AS BIGINT) AS bytes,
+        |    bit_xor(xor(content_xor, (shard_key & 2147483647) * 2654435761)) AS gxor
+        |  FROM ma GROUP BY 1
+        |), gb AS (
+        |  SELECT shard_group, CAST(count(*) AS BIGINT) AS n_shards,
+        |    CAST(sum(sum_tokens) AS BIGINT) AS tokens,
+        |    CAST(sum(media_bytes) AS BIGINT) AS bytes,
+        |    bit_xor(xor(content_xor, (shard_key & 2147483647) * 2654435761)) AS gxor
+        |  FROM mb GROUP BY 1)
+        |SELECT shard_group,
+        |  CASE WHEN o.gxor IS NULL THEN 'added'
+        |       WHEN n.gxor IS NULL THEN 'removed'
+        |       WHEN o.gxor = n.gxor AND o.n_shards = n.n_shards
+        |         AND o.tokens = n.tokens AND o.bytes = n.bytes THEN 'unchanged'
+        |       ELSE 'changed' END AS change,
+        |  CAST(coalesce(o.n_shards, 0) AS BIGINT) AS shards_old,
+        |  CAST(coalesce(n.n_shards, 0) AS BIGINT) AS shards_new,
+        |  CAST(coalesce(o.bytes, 0) AS BIGINT) AS bytes_old,
+        |  CAST(coalesce(n.bytes, 0) AS BIGINT) AS bytes_new
+        |FROM ga o FULL OUTER JOIN gb n USING (shard_group)
+        |ORDER BY shard_group""".stripMargin),
 
     // same restatement for the audio envelope fingerprint: block
     // energies survive 2× linear resampling exactly, n_matched =
