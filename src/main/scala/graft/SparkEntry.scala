@@ -363,6 +363,8 @@ object SparkEntry {
     */
   private[graft] def nightlySinkA: String = scratchDir("graft_nightly_a")
   private[graft] def nightlySinkB: String = scratchDir("graft_nightly_b")
+  private[graft] def mediaNightlySinkA: String = scratchDir("graft_media_nightly_a")
+  private[graft] def mediaNightlySinkB: String = scratchDir("graft_media_nightly_b")
 
   /** The shared release-curation front half (quality gate → exact dedup →
     * per-source quota k=25), persisted — consumed by the pack AND the
@@ -2018,8 +2020,8 @@ object SparkEntry {
         shards.withColumn("media_offset",
           coalesce(sum("media_bytes").over(w), lit(0L)))
       }
-      val outA = scratchDir("graft_media_nightly_a")
-      val outB = scratchDir("graft_media_nightly_b")
+      val outA = mediaNightlySinkA
+      val outB = mediaNightlySinkB
       manifest(meta).write.mode("overwrite").partitionBy("shard_group").parquet(outA)
       manifest(metaB).write.mode("overwrite").partitionBy("shard_group").parquet(outB)
       def groups(path: String, sfx: String): DataFrame = s.read.parquet(path)

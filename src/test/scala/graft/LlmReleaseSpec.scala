@@ -126,4 +126,47 @@ class LlmReleaseSpec extends SparkSpec {
         assert(a(g) !== b(g), s"changed group $g reads identical across epochs")
       }
   }
+
+  test("media nightly: every unchanged group's written rows are identical across epochs") {
+    // the media twin of the pin above — identity of untouched groups is
+    // what lets a multimodal re-release ship only the touched media dirs
+    val diff = SparkEntry.queries("q_media_nightly")(spark, sf).collect()
+    graft.CachePool.releaseAll()
+    val classes = diff.map(_.getAs[String]("change")).toSet
+    assert(classes === Set("added", "removed", "changed", "unchanged"),
+      s"expected all four change classes, got $classes")
+    val unchanged = diff.filter(_.getAs[String]("change") == "unchanged")
+      .map(_.getAs[Long]("shard_group")).toSet
+    assert(unchanged.nonEmpty)
+    def groupRows(dir: String): Map[Long, Set[String]] = {
+      val base = new java.io.File(dir)
+      assert(base.isDirectory, s"sink tree missing: $dir")
+      spark.read.parquet(dir)
+        .select(col("shard_group").cast("long").as("g"),
+          concat_ws("|", col("shard_key"), col("n_docs"), col("sum_tokens"),
+            col("media_bytes"), col("media_offset"), col("content_xor")).as("row"))
+        .as[(Long, String)].collect()
+        .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+    }
+    val a = groupRows(SparkEntry.mediaNightlySinkA)
+    val b = groupRows(SparkEntry.mediaNightlySinkB)
+    unchanged.foreach { g =>
+      assert(a.contains(g) && b.contains(g), s"unchanged group $g missing from a sink")
+      assert(a(g) === b(g), s"unchanged group $g differs across epochs")
+    }
+    // a media-revision group differs ONLY through px/witness — the token
+    // stream must be identical (the media-only delta class has teeth)
+    val g6 = diff.filter(r => r.getAs[String]("change") == "changed" &&
+        r.getAs[Long]("shard_group") % 16 == 6 &&
+        r.getAs[Long]("shard_group") < 70000000L / 64)
+      .map(_.getAs[Long]("shard_group"))
+    assert(g6.nonEmpty, "no media-revision group classified as changed")
+    g6.foreach { g =>
+      assert(a(g) !== b(g), s"media-revised group $g reads identical")
+      def tokensOf(m: Map[Long, Set[String]]) =
+        m(g).map(_.split('|') match { case arr => (arr(0), arr(2)) })
+      assert(tokensOf(a) === tokensOf(b),
+        s"media-revised group $g moved its token stream — captions were untouched")
+    }
+  }
 }

@@ -343,8 +343,11 @@ class DedupSpec extends SparkSpec {
     // the oracle replays exactly 18 star-contraction rounds; the chain's
     // measured fixpoint (10 rounds at n=500, 14 at n=5000 — ~log2 n + 2)
     // must stay 2+ rounds inside that unroll, so a data-scale bump fails
-    // HERE with a clear message instead of a NULL rounds_star mismatch
-    val docs = table("documents").select("doc_id")
+    // HERE with a clear message instead of a NULL rounds_star mismatch.
+    // Checked against the LARGEST benched sf's documents table — that is
+    // where the margin is thinnest (sf0.001's n=500 sits 8 rounds clear)
+    val docs = graft.GraftSession.table(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id")
     val chain = docs.filter(col("doc_id") > 0)
       .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
     val (labels, escalated, rounds) =
