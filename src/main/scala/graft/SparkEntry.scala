@@ -728,6 +728,69 @@ object SparkEntry {
       Knn.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
     }),
 
+    "q_knn_sq8" -> ((s, d) => {
+      // SCALAR-QUANTIZED (SQ8) top-k — the int8 member of the
+      // quantization family. PQ/OPQ/IVFPQ compress with FITTED codebooks
+      // (seeded k-means, so those rows certify via planted recovery);
+      // SQ8 compresses with a fixed per-element grid: each float becomes
+      // ⌊x·2⁶⌋ clamped to [-128, 127] — one byte, a 4× storage cut — and
+      // squared-L2 over the codes is PURE INTEGER arithmetic. That makes
+      // this the one compressed-index row that is fully value-certified:
+      // power-of-two scale + floor are exact in double, so the oracle
+      // recomputes every code and every distance bit-for-bit and replays
+      // the whole shortlist (ties broken on neighbor_id — with integer
+      // distances the ranking has no FP ambiguity at all). Plan shape is
+      // the bruteforce scan: queries broadcast, codes materialized once
+      // per side, per-pair work one codegen'd integer loop
+      // (graft.functions.Sq8DistL2), ranking in a per-query window. At
+      // 100 TB the same operator is the IVF rescoring pass over the
+      // persisted code column.
+      val vecs = t(s, d, "embeddings")
+      graft.similarity.SqKnn.topK(vecs, vecs.filter(col("vec_id") < 20), k = 5)
+    }),
+
+    "q_ivf_sq8" -> ((s, d) => {
+      // IVF + SQ8 RESCORING — the full compressed-ANN pipeline
+      // (coarse-quantize → probe → rescore over codes) with BOTH stages
+      // exactly replayable, the claim q_knn_sq8 makes made real: cell
+      // assignment uses the manifest-pinned one-hot codebook (each cell
+      // score is ONE raw float widened to double — zero rounding; the
+      // oracle replays the argmax AND the 2-probe runner-up with the
+      // same (score desc, index desc) order nearestCells sorts by), and
+      // in-cell scoring is the integer SQ8 distance. So the entire
+      // shortlist — which cells were probed, which candidates scored,
+      // every distance, every rank — recomputes bit-for-bit in SQL: the
+      // only fully value-certified END-TO-END approximate index in the
+      // family (the fitted-codebook variants certify via planted
+      // recovery). Plan shape is the production one: corpus assigned
+      // once (pure map), queries broadcast with their probe lists
+      // exploded, candidates from the cell EQUI-JOIN (never all pairs),
+      // one codegen'd integer loop per candidate, per-query window over
+      // the probed sliver.
+      val vecs = t(s, d, "embeddings")
+      val codebook = graft.similarity.IvfKnn.IvfIndex(
+        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+      val corpus = vecs.select(col("vec_id"),
+        graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 1)
+          .getItem(0).cast("long").as("cell"),
+        graft.functions.VecOps.sq8F(col("embedding"), 6).as("code"))
+      val q = broadcast(vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          graft.functions.VecOps.sq8F(col("embedding"), 6).as("q_code"),
+          explode(graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 2))
+            .as("probe"))
+        .select(col("query_id"), col("q_code"), col("probe").cast("long").as("cell")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+      corpus.join(q, Seq("cell")).filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
+          graft.functions.VecOps.sq8DistL2(col("q_code"), col("code")).as("dist"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "rnk", "neighbor_id", "cell", "dist")
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_hybrid_search" -> ((s, d) => {
       // HYBRID retrieval: exact cosine top-20 shortlists for 5 query
       // vectors, fused with the per-document QUALITY PRIOR (vec_id
@@ -1171,6 +1234,64 @@ object SparkEntry {
           (col("imb_after") < 2000L).as("healthy_after"),
           lit(dropped.size.toLong).as("n_cells_dropped"),
           col("n_queries"), col("recovered"))
+        .orderBy("cell")
+    }),
+
+    "q_ivf_merge" -> ((s, d) => {
+      // DISTRIBUTED INDEX BUILD BY POSTING MERGE — how a 100 TB index is
+      // actually constructed: fit the quantizer ONCE (here the
+      // manifest-pinned one-hot codebook, the q_knn_append idiom), let
+      // every ingest shard assign its own vectors independently (a pure
+      // map — no coordination between shards), write each shard's
+      // posting tree, then MERGE per cell. Merge is a union + per-cell
+      // re-aggregate: no re-assignment, no quantizer refit, and disjoint
+      // shards make both certificates linear — counts add and XOR
+      // witnesses compose (xor_a ⊕ xor_b = xor_merged). All three sides
+      // of the equation grade THROUGH the filesystem: the two half
+      // trees and the merged tree are written as cell-partitioned
+      // parquet and read back, so a dropped or duplicated posting
+      // anywhere in the write→merge→write chain breaks the composition.
+      // merge_sound derives from the emitted columns in both engines
+      // (never pinned); the oracle replays the one-hot argmax assignment
+      // (largest-index tie-break, the exact nearestCells order) and the
+      // Knuth-mix XOR from raw parquet floats.
+      val vecs = t(s, d, "embeddings")
+      val codebook = graft.similarity.IvfKnn.IvfIndex(
+        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+      val assigned = graft.CachePool.persist(
+        graft.similarity.IvfKnn.assignCells(codebook, vecs)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            (col("vec_id") % 2).as("half")))
+      val dirA = scratchDir("graft_ivf_merge_a")
+      val dirB = scratchDir("graft_ivf_merge_b")
+      val dirM = scratchDir("graft_ivf_merge_m")
+      assigned.filter(col("half") === 0).select("vec_id", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(dirA)
+      assigned.filter(col("half") === 1).select("vec_id", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(dirB)
+      def backHalf(dir: String): DataFrame = s.read.parquet(dir)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      backHalf(dirA).unionByName(backHalf(dirB))
+        .write.mode("overwrite").partitionBy("cell").parquet(dirM)
+      val wx = expr("bit_xor((vec_id & 2147483647) * 2654435761)")
+      def manifest(df: DataFrame, n: String, x: String): DataFrame =
+        df.groupBy("cell").agg(count(lit(1)).as(n), wx.as(x))
+      val m = manifest(s.read.parquet(dirM)
+        .select(col("vec_id"), col("cell").cast("long").as("cell")),
+        "n_merged", "xor_merged")
+      manifest(backHalf(dirA), "n_a", "xor_a")
+        .join(manifest(backHalf(dirB), "n_b", "xor_b"), Seq("cell"), "full_outer")
+        .join(m, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("n_merged"), lit(0L)).as("n_merged"),
+          coalesce(col("xor_a"), lit(0L)).as("xor_a"),
+          coalesce(col("xor_b"), lit(0L)).as("xor_b"),
+          coalesce(col("xor_merged"), lit(0L)).as("xor_merged"))
+        .withColumn("merge_sound",
+          col("n_a") + col("n_b") === col("n_merged") &&
+            expr("xor_a ^ xor_b") === col("xor_merged"))
         .orderBy("cell")
     }),
 
@@ -3145,6 +3266,56 @@ object SparkEntry {
           col("sum_user_ids"), col("n_users"))
     }),
 
+    "q_manifest_prune" -> ((s, d) => {
+      // MANIFEST-LEVEL ZONE-MAP SKIPPING — the third scale lever of a
+      // lake table, and unlike #112/#131's partition-filter and
+      // q_zorder_prune's layout-race booleans, fully VALUE-CERTIFIED:
+      // the pruning DECISION itself is emitted as data and replayed by
+      // the oracle. Cluster-then-skip: documents range-bucket on n_chars
+      // into 16 shards by exact integer arithmetic (no sampled
+      // repartitionByRange — the bucket function must replay
+      // out-of-engine), write partitioned by shard, then build the zone
+      // map (per-shard min/max) FROM THE READ-BACK FILES — the
+      // Delta/Iceberg stats a 100 TB planner consults instead of
+      // listing data. A band predicate covering ⅛ of the value domain
+      // selects only shards whose [zmin, zmax] intersects it (3 of 16
+      // here — 81% of files never open); the matched counts and sums
+      // come from a read of ONLY the selected partition dirs, so if
+      // skipping were unsound (a matching row in a skipped shard) the
+      // oracle's full-table replay would hash-mismatch. The only
+      // driver-side values are the two bounds (one scalar aggregate —
+      // the manifest is planner-sized by design) and the ≤16 selected
+      // dir names.
+      val docs = t(s, d, "documents")
+      val b = docs.agg(min("n_chars"), max("n_chars")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val lo = mn + (mx - mn) / 2
+      val hi = mn + (mx - mn) * 5 / 8
+      val out = scratchDir("graft_manifest_prune")
+      docs.withColumn("shard",
+          expr(s"least(15, ((n_chars - $mn) * 16) div ${mx - mn + 1})"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val manifest = s.read.parquet(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("n_chars").as("zmin"), max("n_chars").as("zmax"))
+      val selectedDirs = manifest
+        .filter(col("zmin") <= hi && col("zmax") >= lo)
+        .select("shard").collect().map(r => s"$out/shard=${r.getLong(0)}")
+      val matched = s.read.option("basePath", out)
+        .parquet(selectedDirs.toIndexedSeq: _*)
+        .filter(col("n_chars").between(lo, hi))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum("doc_id").as("sum_doc_matched"))
+      manifest.join(matched, Seq("shard"), "left")
+        .select(col("shard"), col("n_rows"), col("zmin"), col("zmax"),
+          (col("zmin") <= hi && col("zmax") >= lo).as("selected"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          coalesce(col("sum_doc_matched"), lit(0L)).as("sum_doc_matched"))
+        .orderBy("shard")
+    }),
+
     "q_zorder_prune" -> ((s, d) => {
       // z-order min-max FILE pruning — the second scale lever of a lake
       // table (q_partition_prune is the first): lay lineitem out along
@@ -3391,6 +3562,62 @@ object SparkEntry {
           t(s, d, "documents"), col("doc_id"), col("text"),
           size = 32, stride = 16)
         .orderBy("doc_id", "chunk_idx")),
+
+    "q_vacuum" -> ((s, d) => {
+      // SNAPSHOT RETENTION (VACUUM) — the reclaim step every
+      // copy-on-write table needs once rewrites accumulate: epoch-2
+      // rewrites land as NEW `grp=g/epoch=2` dirs NEXT TO epoch-1's
+      // (snapshot isolation — a reader pinned to epoch 1 keeps working
+      // until retention closes), the snapshot manifest maps each group
+      // to its live epoch, and vacuum deletes exactly the leaf dirs the
+      // manifest no longer references: group 2's superseded epoch-1 dir
+      // and dropped group 5 entirely. The delta is the nightly grain
+      // ((doc_id div 64) % 16 — groups 2 and 5 real from the 500-doc
+      // floor up): group 2 re-tokenized with ' rev2', group 5 dark.
+      // Everything grades from REALITY: n_dirs_vacuumed counts the dirs
+      // the filesystem walk actually deleted (write-then-drop order,
+      // the q_ivf_maintain discipline), and live_epoch / rows_after /
+      // sum_tokens_after come from the READ-BACK surviving files — a
+      // vacuum that deleted a live dir, kept a dead one, or raced the
+      // epoch-2 write hash-mismatches. Fully value-certified: the
+      // oracle replays the group arithmetic, the re-tokenized epoch-2
+      // sums and the per-group vacuum ledger; the only driver-side
+      // value is the ≤16-row manifest (planner-sized by design).
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val g = expr("(doc_id div 64) % 16")
+      val a = docs.select(col("doc_id"), g.as("grp"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val out = scratchDir("graft_vacuum")
+      a.withColumn("epoch", lit(1L)).write.mode("overwrite")
+        .partitionBy("grp", "epoch").parquet(out)
+      docs.filter(g === 2).select(col("doc_id"), g.as("grp"),
+          size(TextAnalysis.tokens(concat(col("text"), lit(" rev2"))))
+            .cast("long").as("n_tokens"))
+        .withColumn("epoch", lit(2L))
+        .write.mode("append").partitionBy("grp", "epoch").parquet(out)
+      val groups = a.select("grp").distinct()
+      val live = groups.filter(col("grp") =!= 5)
+        .select(col("grp"), when(col("grp") === 2, 2L).otherwise(1L).as("epoch"))
+        .collect().map(r => (r.getLong(0).toString, r.getLong(1).toString)).toSet
+      val deleted = graft.sources.PartitionMaintenance.vacuumSuperseded(
+        out, "grp", "epoch", live)
+      val delDf = deleted.map(_.split("/")(0).stripPrefix("grp=").toLong)
+        .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }.toSeq
+        .toDF("grp", "n_dirs_vacuumed")
+      val back = s.read.parquet(out)
+        .groupBy(col("grp").cast("long").as("grp"))
+        .agg(max(col("epoch").cast("long")).as("live_epoch"),
+          count(lit(1)).as("rows_after"),
+          sum("n_tokens").as("sum_tokens_after"))
+      groups.join(back, Seq("grp"), "left").join(delDf, Seq("grp"), "left")
+        .select(col("grp"),
+          coalesce(col("live_epoch"), lit(0L)).as("live_epoch"),
+          coalesce(col("n_dirs_vacuumed"), lit(0L)).as("n_dirs_vacuumed"),
+          coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+          coalesce(col("sum_tokens_after"), lit(0L)).as("sum_tokens_after"))
+        .orderBy("grp")
+    }),
 
     "q_compaction" -> ((s, d) => {
       // small-file COMPACTION graded end-to-end — the standing
@@ -3844,6 +4071,41 @@ object SparkEntry {
           expr("sum_tokens * 1000 div (n_bins * 512)").as("util_permille"),
           (col("fb") <= col("gb")).as("ffd_no_worse"))
         .orderBy("policy")
+    }),
+
+    "q_tokenizer_fertility" -> ((s, d) => {
+      // TOKENIZER FERTILITY AUDIT — the per-language statistic a
+      // multilingual tokenizer ships with (tokens-per-word /
+      // chars-per-token): languages whose fertility runs hot are
+      // under-served by the merge table and over-billed by a token
+      // budget (the UniMax/quota rows allocate in tokens, so fertility
+      // is the exchange rate between their budgets and raw text).
+      // Composes the trained 1-merge BPE (q_pack_bpe's exactness
+      // contract: the 1-merge encode of a word is
+      // (len + len_after_removing_the_argmax_pair)/2, so the oracle
+      // replays per-word counts exactly) with the shared whitespace
+      // normalization; ONE corpus pass after the bounded pair-stats
+      // training job, ratios emitted as exact integer permille — no
+      // division, no FP. Fully value-certified.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val table = graft.text.Vocab.bpeMerges(docs, col("doc_id"), col("text"),
+          topWords = 500, nMerges = 1)
+        .select("left", "right").as[(String, String)].collect().toSeq
+      docs.select(col("lang"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+          graft.functions.BpeExprs.encodeCount(
+            TextAnalysis.tokens(col("text")), table).as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("ws_tokens"),
+          sum("bpe").as("bpe_tokens"),
+          sum("n_chars").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"), col("n_chars"),
+          expr("(bpe_tokens * 1000) div ws_tokens").as("fertility_permille"),
+          expr("(n_chars * 1000) div bpe_tokens").as("chars_per_token_permille"))
+        .orderBy("lang")
     }),
 
     "q_pack_bpe" -> ((s, d) => {
@@ -5320,6 +5582,74 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // SQ8 is the fully-replayable compressed index: ⌊x·2⁶⌋ clamp is exact
+    // in double (power-of-two scale; float→double widening lossless) and
+    // the distance is integer, so every code, every distance and the
+    // whole shortlist recompute bit-for-bit — no planted-recovery gate.
+    "q_knn_sq8" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> greatest(-128, least(127, CAST(floor(x * 64) AS BIGINT)))) AS qc
+        |  FROM embeddings WHERE vec_id < 20
+        |), c AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> greatest(-128, least(127, CAST(floor(x * 64) AS BIGINT)))) AS cc
+        |  FROM embeddings
+        |), pair AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum((qc[i.d] - cc[i.d]) * (qc[i.d] - cc[i.d])) AS BIGINT) AS dist
+        |  FROM q, c, (SELECT unnest(generate_series(1, 64)) AS d) i
+        |  WHERE c.vec_id <> q.query_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, rnk, neighbor_id, dist FROM (
+        |  SELECT query_id, neighbor_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, neighbor_id) AS INTEGER) AS rnk
+        |  FROM pair)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // the full compressed-ANN pipeline replayed end-to-end: one-hot cell
+    // argmax + 2-probe runner-up in the exact (score desc, index desc)
+    // nearestCells order, then integer SQ8 distances over the probed
+    // sliver — no planted-recovery gate anywhere.
+    "q_ivf_sq8" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> greatest(-128, least(127, CAST(floor(x * 64) AS BIGINT)))) AS code
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT vec_id,
+        |    CAST(list_max(list_transform(generate_series(1, 8),
+        |      j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) AS cell
+        |  FROM embeddings
+        |), probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT e.vec_id AS query_id, CAST(t.j - 1 AS BIGINT) AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY CAST(e.embedding[CAST(t.j AS INTEGER)] AS DOUBLE) DESC, t.j DESC) AS pr
+        |    FROM embeddings e, unnest(generate_series(1, 8)) AS t(j)
+        |    WHERE e.vec_id < 20)
+        |  WHERE pr <= 2
+        |), cand AS (
+        |  SELECT p.query_id, p.cell, c.vec_id AS neighbor_id,
+        |    CAST((SELECT sum((qc.code[i.d] - cc.code[i.d]) * (qc.code[i.d] - cc.code[i.d]))
+        |      FROM (SELECT unnest(generate_series(1, 64)) AS d) i) AS BIGINT) AS dist
+        |  FROM probe p
+        |  JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+        |  JOIN codes qc ON qc.vec_id = p.query_id
+        |  JOIN codes cc ON cc.vec_id = c.vec_id
+        |)
+        |SELECT query_id, rnk, neighbor_id, cell, dist FROM (
+        |  SELECT query_id, cell, neighbor_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, neighbor_id) AS INTEGER) AS rnk
+        |  FROM cand)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
@@ -6075,6 +6405,35 @@ object SparkEntry {
         |   WHERE vec_id < 100 AND vec_id % 5 = 0) AS n_results,
         |  TRUE AS recall_ok
         |FROM moved""".stripMargin),
+
+    // shard-parallel index build: the oracle replays the one-hot argmax
+    // (largest-index tie-break — the nearestCells order) and the
+    // Knuth-mix XOR per (cell, half); merge_sound derives from the
+    // emitted columns in both engines, never pinned — counts add and
+    // XORs compose because the halves are disjoint.
+    "q_ivf_merge" ->
+      """WITH cells AS (
+        |  SELECT vec_id, vec_id % 2 AS half,
+        |    CAST(list_max(list_transform(generate_series(1, 8),
+        |      j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) AS cell
+        |  FROM embeddings
+        |), w AS (
+        |  SELECT cell, half, count(*) AS n,
+        |    bit_xor((vec_id & 2147483647) * 2654435761) AS xr
+        |  FROM cells GROUP BY cell, half
+        |), m AS (
+        |  SELECT cell,
+        |    CAST(coalesce(max(CASE WHEN half = 0 THEN n END), 0) AS BIGINT) AS n_a,
+        |    CAST(coalesce(max(CASE WHEN half = 1 THEN n END), 0) AS BIGINT) AS n_b,
+        |    CAST(sum(n) AS BIGINT) AS n_merged,
+        |    CAST(coalesce(max(CASE WHEN half = 0 THEN xr END), 0) AS BIGINT) AS xor_a,
+        |    CAST(coalesce(max(CASE WHEN half = 1 THEN xr END), 0) AS BIGINT) AS xor_b,
+        |    CAST(bit_xor(xr) AS BIGINT) AS xor_merged
+        |  FROM w GROUP BY cell
+        |)
+        |SELECT cell, n_a, n_b, n_merged, xor_a, xor_b, xor_merged,
+        |  (n_a + n_b = n_merged AND xor(xor_a, xor_b) = xor_merged) AS merge_sound
+        |FROM m ORDER BY cell""".stripMargin,
 
     // drift diff: epoch B replayed from the same raw floats (abs and
     // power-of-two scaling are exact and commute with float→double
@@ -7746,6 +8105,35 @@ object SparkEntry {
     // the box aggregate is layout-independent (replayed over the raw
     // table); the file-skipping contest itself is the pinned boolean —
     // z-curve layout must strictly beat the one-dim sort on files read.
+    // cluster-then-skip, fully replayed: the bucket function, the zone
+    // map, the band bounds and the selection predicate are all exact
+    // integer arithmetic over the raw table; a matching row in a skipped
+    // shard (unsound pruning) or a row lost in the partitioned round
+    // trip would mismatch the full-table replay.
+    "q_manifest_prune" ->
+      """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+        |sh AS (
+        |  SELECT doc_id, n_chars,
+        |    least(15, ((n_chars - b.mn) * 16) // (b.mx - b.mn + 1)) AS shard,
+        |    b.mn + (b.mx - b.mn) // 2 AS lo,
+        |    b.mn + ((b.mx - b.mn) * 5) // 8 AS hi
+        |  FROM documents, b
+        |), m AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    min(n_chars) AS zmin, max(n_chars) AS zmax,
+        |    max(lo) AS lo, max(hi) AS hi
+        |  FROM sh GROUP BY shard
+        |), mt AS (
+        |  SELECT shard, count(*) AS n_matched,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_doc_matched
+        |  FROM sh WHERE n_chars BETWEEN lo AND hi GROUP BY shard
+        |)
+        |SELECT CAST(m.shard AS BIGINT) AS shard, m.n_rows, m.zmin, m.zmax,
+        |  (m.zmin <= m.hi AND m.zmax >= m.lo) AS selected,
+        |  coalesce(mt.n_matched, 0) AS n_matched,
+        |  coalesce(mt.sum_doc_matched, 0) AS sum_doc_matched
+        |FROM m LEFT JOIN mt USING (shard) ORDER BY shard""".stripMargin,
+
     "q_zorder_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -7754,6 +8142,25 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey * 4 <= (SELECT max(l_partkey) FROM lineitem)
         |  AND l_suppkey * 4 <= (SELECT max(l_suppkey) FROM lineitem)""".stripMargin,
+
+    // vacuum replay: group arithmetic, the re-tokenized epoch-2 sums and
+    // the per-group dir ledger (one superseded dir for the rewritten
+    // group, one dead dir for the dropped group) all from the raw table.
+    "q_vacuum" ->
+      """WITH g AS (
+        |  SELECT doc_id, (doc_id // 64) % 16 AS grp,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text || ' rev2')), '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS nt2
+        |  FROM documents
+        |)
+        |SELECT CAST(grp AS BIGINT) AS grp,
+        |  CAST(CASE WHEN grp = 5 THEN 0 WHEN grp = 2 THEN 2 ELSE 1 END AS BIGINT) AS live_epoch,
+        |  CAST(CASE WHEN grp IN (2, 5) THEN 1 ELSE 0 END AS BIGINT) AS n_dirs_vacuumed,
+        |  CAST(CASE WHEN grp = 5 THEN 0 ELSE count(*) END AS BIGINT) AS rows_after,
+        |  CAST(CASE WHEN grp = 5 THEN 0 WHEN grp = 2 THEN sum(nt2) ELSE sum(nt) END AS BIGINT) AS sum_tokens_after
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
 
     // the bucketed layout is a physical-plan property; the oracle replays
     // the identical join-aggregate over the raw parquet tables.
@@ -9098,6 +9505,43 @@ object SparkEntry {
     // encode count is the q_bpe_sweep literal-replace identity summed
     // over the doc's tokens, and the greedy pack chain replays on that
     // measure — every cell recomputed.
+    // per-language fertility over the 1-merge BPE: the same words/pairs/p1
+    // training replay as q_pack_bpe, per-word counts via the exact
+    // (len + len_after_merge)/2 identity, ratios as integer permille.
+    "q_tokenizer_fertility" ->
+      """WITH words AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> len(t) > 0)) AS term
+        |        FROM documents)
+        |  GROUP BY term ORDER BY n_occ DESC, term LIMIT 500
+        |), pairs AS (
+        |  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, n_occ
+        |  FROM words, unnest(generate_series(1, len(term) - 1)) AS t(i)
+        |  WHERE len(term) >= 2
+        |), p1 AS (
+        |  SELECT pair FROM pairs GROUP BY pair
+        |  ORDER BY sum(n_occ) DESC, pair LIMIT 1
+        |), per_doc AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(coalesce(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)), 0) AS BIGINT) AS ws,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0),
+        |      t -> (len(t) + len(replace(t, mpair, ''))) // 2)), 0) AS BIGINT) AS bpe
+        |  FROM (SELECT doc_id, lang, n_chars, text,
+        |          coalesce((SELECT pair FROM p1), '') AS mpair
+        |        FROM documents)
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST((sum(bpe) * 1000) // sum(ws) AS BIGINT) AS fertility_permille,
+        |  CAST((sum(n_chars) * 1000) // sum(bpe) AS BIGINT) AS chars_per_token_permille
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_pack_bpe" -> ("WITH RECURSIVE words AS (\n" +
       """  SELECT term, CAST(count(*) AS BIGINT) AS n_occ
         |  FROM (SELECT doc_id,

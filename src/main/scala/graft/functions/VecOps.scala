@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Dot product of two float-vector columns, accumulated in double.
   *
@@ -174,6 +174,69 @@ case class BucketDot(child: Expression, weights: Array[Double])
     copy(child = newChild)
 }
 
+/** Squared-L2 distance between two SQ8 code arrays (array<byte>) — the
+  * per-pair hot op of scalar-quantized KNN. Pure integer arithmetic
+  * (max per-term (255)² · 64 dims ≪ 2⁶³, so a long accumulator is exact),
+  * which is the point of SQ8: the oracle can replay the distance bit-for-bit
+  * and the inner loop is add/sub/mul on bytes — no FP at all. Codegen'd
+  * like [[VecDotF]]: one bulk extract per operand, then a tight
+  * primitive loop HotSpot can auto-vectorize.
+  */
+case class Sq8DistL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq8_dist_l2 expects two array<tinyint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toByteArray()
+    val y = b.asInstanceOf[ArrayData].toByteArray()
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x(i) - y(i)
+      s += (d * d).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val dd = ctx.freshName("d")
+      s"""
+         |byte[] $xs = $a.toByteArray();
+         |byte[] $ys = $b.toByteArray();
+         |int $n = java.lang.Math.min($xs.length, $ys.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $dd = $xs[$i] - $ys[$i];
+         |  $s += (long) ($dd * $dd);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Sq8DistL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecOps {
 
   /** Codegen'd float-vector dot product (double accumulator). */
@@ -208,4 +271,23 @@ object VecOps {
   /** Σ weights(b) over an array<long> of bucket ids (see [[BucketDot]]). */
   def bucketDot(buckets: Column, weights: Array[Double]): Column =
     ColumnBridge.column(BucketDot(ColumnBridge.expression(buckets), weights))
+
+  /** Fixed-point SQ8 quantization of a float vector: ⌊x·2^scaleBits⌋
+    * clamped to [-128, 127], as array<byte> — 4× smaller than the floats.
+    * Power-of-two scale + floor keep it EXACT in double (float widening
+    * is lossless, ·2^k shifts the exponent), so an out-of-engine replay
+    * computes identical codes from the same raw floats. Runs once per
+    * row (not per pair), so the built-in `transform` is fine here; the
+    * per-pair hot op is the codegen'd [[Sq8DistL2]].
+    */
+  def sq8F(a: Column, scaleBits: Int): Column = {
+    val scale = math.pow(2.0, scaleBits)
+    transform(a, x => greatest(lit(-128L), least(lit(127L),
+      floor(x * lit(scale)).cast("long"))).cast("byte"))
+  }
+
+  /** Codegen'd exact integer squared-L2 over two SQ8 code arrays. */
+  def sq8DistL2(a: Column, b: Column): Column =
+    ColumnBridge.column(Sq8DistL2(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

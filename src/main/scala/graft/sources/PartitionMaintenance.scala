@@ -39,6 +39,45 @@ object PartitionMaintenance {
     dead.map(_.getFileName.toString.stripPrefix(prefix)).sorted
   }
 
+  /** VACUUM for a two-level copy-on-write layout
+    * (`outer=v/inner=w/...files`): delete every inner leaf dir whose
+    * (v, w) pair the snapshot manifest no longer references, then drop
+    * outer dirs left empty. Returns the deleted leaf dirs as
+    * `outer=v/inner=w` strings (sorted) — the audit trail. This is the
+    * retention step of a snapshot table: epoch-N rewrites land as NEW
+    * inner dirs next to epoch-N−1's (readers pinned to the old snapshot
+    * keep working), and vacuum reclaims superseded epochs once the
+    * retention window closes. On an object store the same step is a
+    * manifest-driven batch delete.
+    */
+  def vacuumSuperseded(dir: String, outerCol: String, innerCol: String,
+                       live: Set[(String, String)]): Seq[String] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val oPre = outerCol + "="
+    val iPre = innerCol + "="
+    def list(p: Path, pre: String): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(q => Files.isDirectory(q) && q.getFileName.toString.startsWith(pre))
+        .toList
+      finally s.close()
+    }
+    val dead = for {
+      o <- list(root, oPre)
+      i <- list(o, iPre)
+      ov = o.getFileName.toString.stripPrefix(oPre)
+      iv = i.getFileName.toString.stripPrefix(iPre)
+      if !live.contains((ov, iv))
+    } yield (i, s"$oPre$ov/$iPre$iv")
+    dead.foreach { case (p, _) => rm(p) }
+    // an outer dir whose inner epochs all died is itself dead
+    list(root, oPre).foreach { o =>
+      if (list(o, iPre).isEmpty) rm(o)
+    }
+    dead.map(_._2).sorted
+  }
+
   private def rm(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)

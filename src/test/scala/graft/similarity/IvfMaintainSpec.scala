@@ -132,4 +132,27 @@ class IvfMaintainSpec extends SparkSpec {
       assert(rec === nq, "every dropped original must recover its re-key")
     }
   }
+
+  test("q_ivf_merge: disjoint shard postings compose — counts add, XORs cancel, nothing lost") {
+    val total = table("embeddings").count()
+    val got = graft.SparkEntry.queries("q_ivf_merge")(spark, Sf)
+      .select("cell", "n_a", "n_b", "n_merged", "xor_a", "xor_b",
+        "xor_merged", "merge_sound")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    graft.CachePool.releaseAll()
+    assert(got.size === 8, "one-hot codebook spans all 8 cells at every sf")
+    got.foreach { case (cell, na, nb, nm, xa, xb, xm, sound) =>
+      assert(sound, s"cell $cell merge unsound")
+      assert(na + nb === nm, s"cell $cell counts")
+      assert((xa ^ xb) === xm, s"cell $cell XOR composition")
+    }
+    assert(got.map(_._4).sum === total, "merged postings must cover the corpus")
+    // the composition is a real certificate: losing ONE posting from a
+    // half breaks it (xor of a nonzero witness never cancels silently)
+    val w = (id: Long) => (id & 0x7FFFFFFFL) * 2654435761L
+    val ids = Seq(3L, 17L, 41L)
+    val full = ids.map(w).reduce(_ ^ _)
+    val dropped = ids.tail.map(w).reduce(_ ^ _)
+    assert(full !== dropped)
+  }
 }

@@ -123,4 +123,81 @@ class SourcesSpec extends SparkSpec {
     }
     assert(spark.read.parquet(out).count() === 1000L)
   }
+
+  test("vacuumSuperseded deletes exactly the unreferenced leaf dirs and empties dead outers") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_vacuum_spec").toString
+    def mk(rel: String): Unit = {
+      val p = Paths.get(dir, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, "x")
+    }
+    mk("grp=1/epoch=1/part-0.parquet")   // live
+    mk("grp=2/epoch=1/part-0.parquet")   // superseded
+    mk("grp=2/epoch=2/part-0.parquet")   // live rewrite
+    mk("grp=5/epoch=1/part-0.parquet")   // dead group
+    mk("_SUCCESS")                       // non-partition file, untouched
+    val deleted = PartitionMaintenance.vacuumSuperseded(
+      dir, "grp", "epoch", Set(("1", "1"), ("2", "2")))
+    assert(deleted === Seq("grp=2/epoch=1", "grp=5/epoch=1"))
+    assert(Files.exists(Paths.get(dir, "grp=1/epoch=1/part-0.parquet")))
+    assert(Files.exists(Paths.get(dir, "grp=2/epoch=2/part-0.parquet")))
+    assert(!Files.exists(Paths.get(dir, "grp=2/epoch=1")))
+    assert(!Files.exists(Paths.get(dir, "grp=5")), "emptied outer dir must drop")
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")))
+    // idempotent: second pass deletes nothing
+    assert(PartitionMaintenance.vacuumSuperseded(
+      dir, "grp", "epoch", Set(("1", "1"), ("2", "2"))) === Seq.empty)
+  }
+
+  test("q_vacuum: survivors serve exactly the epoch-2 snapshot; ledger from real deletes") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("q_vacuum")(spark, Sf)
+      .select("grp", "live_epoch", "n_dirs_vacuumed", "rows_after", "sum_tokens_after")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    graft.CachePool.releaseAll()
+    val docs = table("documents")
+    val base = docs.groupBy(expr("(doc_id div 64) % 16").as("grp"))
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(got.map(_._1).toSet === base.keySet, "one row per epoch-1 group")
+    got.foreach { case (grp, ep, vac, rows, toks) =>
+      if (grp == 5) {
+        assert(ep === 0L && rows === 0L && toks === 0L, "dropped group must be gone")
+        assert(vac === 1L, "the dead group's dir must really be deleted")
+      } else {
+        assert(ep === (if (grp == 2) 2L else 1L), s"grp $grp live epoch")
+        assert(rows === base(grp), s"grp $grp rows")
+        assert(vac === (if (grp == 2) 1L else 0L), s"grp $grp vacuum count")
+      }
+    }
+  }
+
+  test("q_manifest_prune: zone-map skipping is sound and actually skips") {
+    import org.apache.spark.sql.functions._
+    val docs = table("documents")
+    val b = docs.agg(min("n_chars"), max("n_chars")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 2, mn + (mx - mn) * 5 / 8)
+    val fullBand = docs.filter(col("n_chars").between(lo, hi))
+      .agg(count(lit(1)), coalesce(sum("doc_id"), lit(0L))).head()
+    val got = graft.SparkEntry.queries("q_manifest_prune")(spark, Sf)
+      .select("shard", "n_rows", "zmin", "zmax", "selected", "n_matched",
+        "sum_doc_matched")
+      .as[(Long, Long, Long, Long, Boolean, Long, Long)].collect().toSeq
+    graft.CachePool.releaseAll()
+    val selected = got.filter(_._5)
+    assert(selected.nonEmpty, "the band must hit at least one shard")
+    assert(selected.size < got.size,
+      "an eighth-of-domain band over 16 range buckets must skip shards")
+    // soundness: the pruned read recovered every matching row + sum
+    assert(got.map(_._6).sum === fullBand.getLong(0), "matched rows lost by pruning")
+    assert(got.map(_._7).sum === fullBand.getLong(1), "matched sum drifted")
+    got.filterNot(_._5).foreach { r =>
+      assert(r._6 === 0L, s"unselected shard ${r._1} reported matches")
+    }
+    // zone maps honest: every selected shard really intersects the band
+    selected.foreach { r =>
+      assert(r._3 <= hi && r._4 >= lo, s"shard ${r._1} selected without overlap")
+    }
+  }
 }

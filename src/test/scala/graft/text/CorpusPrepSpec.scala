@@ -421,4 +421,24 @@ class CorpusPrepSpec extends SparkSpec {
     assert(ids === (0L until ids.length).toArray)
     graft.CachePool.releaseAll()
   }
+
+  test("q_tokenizer_fertility: per-lang ratios are exact integer permille with sane bounds") {
+    val got = graft.SparkEntry.queries("q_tokenizer_fertility")(spark, Sf)
+      .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "n_chars",
+        "fertility_permille", "chars_per_token_permille")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.CachePool.releaseAll()
+    assert(got.map(_._1).sorted === Seq("de", "en", "es", "fr", "zh"),
+      "all five corpus languages must report")
+    got.foreach { case (lang, nDocs, ws, bpe, chars, fert, cpt) =>
+      assert(nDocs > 0 && ws > 0 && bpe > 0, s"$lang empty")
+      // a 1-merge BPE emits ≥1 symbol per word and ≤len(word) symbols,
+      // and n_chars counts separators too — so ws ≤ bpe ≤ n_chars
+      assert(ws <= bpe, s"$lang: fewer BPE symbols than words")
+      assert(bpe <= chars, s"$lang: more BPE symbols than chars")
+      // the permille columns are pure restatements of the sums
+      assert(fert === bpe * 1000 / ws, s"$lang fertility not exact")
+      assert(cpt === chars * 1000 / bpe, s"$lang chars/token not exact")
+    }
+  }
 }
