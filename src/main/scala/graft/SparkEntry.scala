@@ -4133,6 +4133,94 @@ object SparkEntry {
         budget = 512, groupSize = 64)
     }),
 
+    "q_rank_assign" -> ((s, d) => {
+      // SHARD → DATA-PARALLEL-RANK ASSIGNMENT — the step between a
+      // packed release and a training job: W ranks each stream their own
+      // shard subset, so the mapping must balance TOKENS (step time is
+      // gated by the slowest rank) and be a pure function of shard id
+      // (every worker computes its own reading list — no coordinator).
+      // Round-robin by bin_id % W over the greedy pack, per-rank token
+      // totals, and the imbalance gauge max·1000·W / total — near 1000‰
+      // because greedy bins are near-budget-uniform, which is WHY packing
+      // before sharding beats sharding raw docs. Fully value-certified:
+      // the oracle replays the pack chain, the mod assignment and the
+      // permille arithmetic; nothing transits the driver at all.
+      val docs = t(s, d, "documents")
+      val packed = graft.text.SeqPack.packGreedy(docs, col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64)
+      val ranks = packed.groupBy("bin_id").agg(sum("n_tokens").as("bin_tokens"))
+        .groupBy((col("bin_id") % 8).as("rank"))
+        .agg(count(lit(1)).as("n_bins"), sum("bin_tokens").as("rank_tokens"))
+      val stats = ranks.agg(
+        expr("max(rank_tokens) * 1000 * count(1) div sum(rank_tokens)")
+          .as("imb_permille"),
+        sum("rank_tokens").as("total_tokens"))
+      ranks.crossJoin(broadcast(stats)).orderBy("rank")
+    }),
+
+    "q_epoch_plan" -> ((s, d) => {
+      // MULTI-EPOCH DATA SCHEDULE — converting a token ALLOCATION (what
+      // the temperature/UniMax rows produce) into the repeat plan a
+      // trainer executes: how many FULL passes over each source, how
+      // many tokens of a final partial pass, and what the epoch cap
+      // refuses to spend. alloc = budget·w / Σw with planted weights
+      // w = 1 + ord%4 (ord parsed from the source name), budget = 2×
+      // corpus tokens, cap = 2 epochs — chosen so all three branches are
+      // REAL at every sf with the near-uniform synthetic sources:
+      // w=1 → 0 full epochs, everything residual (subsample); w=2 →
+      // 1 full epoch + residual; w=3,4 → capped at 2 with unfilled
+      // budget (the up-sampling ceiling a 4-epoch rule of thumb — e.g.
+      // Muennighoff et al.'s repeat limits — exists for). Pure integer
+      // arithmetic end-to-end; the budget and weight-sum ride a 1-row
+      // broadcast aggregate, never the driver. Fully value-certified.
+      val docs = t(s, d, "documents")
+      val src = docs.groupBy("source")
+        .agg(sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("toks"))
+        .withColumn("w", lit(1L) + expr("CAST(substr(source, 4, 8) AS LONG) % 4"))
+      val tot = src.agg((sum("toks") * 2).as("budget"), sum("w").as("sumw"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("toks").as("source_tokens"), col("w").as("weight"),
+          expr("budget * w div sumw").as("alloc_tokens"))
+        .select(col("source"), col("source_tokens"), col("weight"), col("alloc_tokens"),
+          expr("least(2, alloc_tokens div source_tokens)").as("full_epochs"),
+          expr("CASE WHEN alloc_tokens div source_tokens >= 2 THEN 0 " +
+            "ELSE alloc_tokens % source_tokens END").as("residual_tokens"))
+        .withColumn("unfilled_tokens",
+          col("alloc_tokens") - col("full_epochs") * col("source_tokens")
+            - col("residual_tokens"))
+        .orderBy("source")
+    }),
+
+    "q_curriculum_order" -> ((s, d) => {
+      // CURRICULUM ORDERING of the packed release — train on
+      // highest-quality bins first: the quality prior (the shared scoring
+      // pipeline, floored to exact integer micros) aggregates to the BIN
+      // grain over the greedy pack, and the global curriculum rank is
+      // assigned by mean quality (desc, bin_id tie-break) through the
+      // reindexScalable range-sort — never a single-partition window
+      // over the bin frame, which at 100 TB is billions of rows. Fully
+      // value-certified: the oracle replays the pack chain, the quality
+      // micros, the per-bin sums and the full ranking.
+      val docs = t(s, d, "documents")
+      val packed = graft.text.SeqPack.packGreedy(docs, col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))), budget = 512, groupSize = 64)
+      val scored = graft.text.DocPipeline.withQuality(
+          docs.select(col("doc_id"), col("text")), col("text"))
+        .select(col("doc_id"),
+          floor(col("quality_score") * 1e6).cast("long").as("qm"))
+      val bins = packed.join(scored, "doc_id")
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("bin_tokens"),
+          sum("qm").as("sum_q_mu"))
+        .withColumn("mean_q_mu", expr("sum_q_mu div n_docs"))
+      graft.etl.Cleaning.reindexScalable(
+          bins, struct((-col("mean_q_mu")).as("nq"), col("bin_id")),
+          "curriculum_rank")
+        .select("bin_id", "n_docs", "bin_tokens", "mean_q_mu", "curriculum_rank")
+        .orderBy("bin_id")
+    }),
+
     "q_shard_manifest" -> ((s, d) =>
       // the LAST MILE of packing: per-shard manifest with exclusive
       // global token offsets (the seek index a training data loader
@@ -4614,6 +4702,36 @@ object SparkEntry {
           greatest(col("doc_id"), col("matched_id")).as("id_b"))
         .distinct()
       dedupGate("stream_minhash", pairs, docs, nearRecall = 0.9)
+    }),
+
+    "q_stream_quota" -> ((s, d) => {
+      // ONLINE ADMISSION actually STREAMED — the flatMapGroupsWithState
+      // gate q_quota_admission (#70) grades in its batch degenerate
+      // form, here drained through real micro-batches so the
+      // CROSS-BATCH budget semantics are what's certified: batch 1
+      // carries exactly the 4 smallest doc_ids per source (a
+      // fixed-size-per-source split, so both branches are real at EVERY
+      // sf), batch 2 the rest. With k = 10 each source admits its 4
+      // batch-1 arrivals (seq 1-4, partial spend carried in state — ONE
+      // long per source), tops up with the 6 smallest batch-2 ids (seq
+      // 5-10) and REFUSES everything after — first-come-first-served
+      // across batches, k-smallest within one (the bounded max-heap,
+      // deterministic under replay). Fully value-certified: the oracle
+      // replays both batch compositions and every admit_seq.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      import s2.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val ranked = t(s2, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+      drainFileStreamMixed(s2, "stream_quota", "append",
+          Seq(BatchIn(ranked.filter(col("rk") <= 4).drop("rk")),
+            BatchIn(ranked.filter(col("rk") > 4).drop("rk")))) { in =>
+        graft.streaming.AdmissionQuota.admitFirstK(
+          in.select(col("doc_id"), col("source"))
+            .as[graft.streaming.AdmissionQuota.DocArrival], k = 10).toDF()
+      }.orderBy("source", "admit_seq")
     }),
 
     "q_stream_drift" -> ((s, d) => {
@@ -9542,6 +9660,83 @@ object SparkEntry {
         |  CAST((sum(n_chars) * 1000) // sum(bpe) AS BIGINT) AS chars_per_token_permille
         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // rank assignment replay: pack chain → per-bin sums → bin_id % 8 →
+    // per-rank totals and the permille gauge, all exact integers.
+    "q_rank_assign" -> (SeqPackCte +
+      """, binsum AS (
+        |  SELECT p.bin + o.bin_off AS bin_id, CAST(sum(p.n_tokens) AS BIGINT) AS bin_tokens
+        |  FROM pack p JOIN offs o USING (grp) GROUP BY 1
+        |), ranks AS (
+        |  SELECT bin_id % 8 AS rank, count(*) AS n_bins,
+        |    CAST(sum(bin_tokens) AS BIGINT) AS rank_tokens
+        |  FROM binsum GROUP BY 1
+        |), rstats AS (
+        |  SELECT CAST(max(rank_tokens) * 1000 * count(*) // sum(rank_tokens) AS BIGINT) AS imb_permille,
+        |    CAST(sum(rank_tokens) AS BIGINT) AS total_tokens
+        |  FROM ranks
+        |)
+        |SELECT CAST(rank AS BIGINT) AS rank, CAST(n_bins AS BIGINT) AS n_bins,
+        |  rank_tokens, imb_permille, total_tokens
+        |FROM ranks, rstats ORDER BY rank""".stripMargin),
+
+    // epoch plan replay: weighted allocation, cap, residual and unfilled
+    // all pure integer arithmetic from the raw table.
+    "q_epoch_plan" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0))) AS BIGINT) AS toks,
+        |    CAST(1 + CAST(substr(source, 4, 8) AS BIGINT) % 4 AS BIGINT) AS w
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(toks) * 2 AS BIGINT) AS budget,
+        |    CAST(sum(w) AS BIGINT) AS sumw FROM src
+        |), alloc AS (
+        |  SELECT source, toks, w,
+        |    CAST(budget * w // sumw AS BIGINT) AS alloc_tokens
+        |  FROM src, tot
+        |)
+        |SELECT source, toks AS source_tokens, w AS weight, alloc_tokens,
+        |  CAST(least(2, alloc_tokens // toks) AS BIGINT) AS full_epochs,
+        |  CAST(CASE WHEN alloc_tokens // toks >= 2 THEN 0
+        |    ELSE alloc_tokens % toks END AS BIGINT) AS residual_tokens,
+        |  CAST(alloc_tokens - least(2, alloc_tokens // toks) * toks
+        |    - CASE WHEN alloc_tokens // toks >= 2 THEN 0
+        |      ELSE alloc_tokens % toks END AS BIGINT) AS unfilled_tokens
+        |FROM alloc ORDER BY source""".stripMargin,
+
+    // curriculum replay: pack chain + the shared quality tree floored to
+    // integer micros, per-bin sums, global rank by (mean desc, bin_id).
+    "q_curriculum_order" -> (SeqPackCte +
+      """, feats AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars_c,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS INTEGER) AS n_toks,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','is','and','to','in'], t))) AS INTEGER) AS n_stop
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor((CAST(n_stop AS DOUBLE) / n_toks * 2.0 +
+        |      CAST(n_alpha AS DOUBLE) / n_chars_c -
+        |      CAST(n_punct AS DOUBLE) / n_chars_c * 3.0 +
+        |      CASE WHEN n_toks BETWEEN 20 AND 200 THEN 0.5 ELSE 0.0 END) * 1000000) AS BIGINT) AS qm
+        |  FROM feats
+        |), bq AS (
+        |  SELECT p.bin + o.bin_off AS bin_id, count(*) AS n_docs,
+        |    CAST(sum(p.n_tokens) AS BIGINT) AS bin_tokens,
+        |    CAST(sum(s.qm) AS BIGINT) AS sum_q_mu
+        |  FROM pack p JOIN offs o USING (grp) JOIN scored s USING (doc_id)
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(bin_id AS BIGINT) AS bin_id, CAST(n_docs AS BIGINT) AS n_docs,
+        |  bin_tokens,
+        |  CAST(sum_q_mu // n_docs AS BIGINT) AS mean_q_mu,
+        |  CAST(row_number() OVER (ORDER BY sum_q_mu // n_docs DESC, bin_id) AS BIGINT) AS curriculum_rank
+        |FROM bq ORDER BY bin_id""".stripMargin),
+
     "q_pack_bpe" -> ("WITH RECURSIVE words AS (\n" +
       """  SELECT term, CAST(count(*) AS BIGINT) AS n_occ
         |  FROM (SELECT doc_id,
@@ -9595,6 +9790,26 @@ object SparkEntry {
         |      ORDER BY quality_score DESC, doc_id) AS rk
         |  FROM scored)
         |WHERE rk <= 15 ORDER BY source, doc_id""".stripMargin,
+
+    // the STREAMED admission drain: batch 1 is the 4 smallest ids per
+    // source, batch 2 the rest; first-come-first-served across batches,
+    // k-smallest within one — both compositions replayed exactly.
+    "q_stream_quota" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents
+        |), b1 AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk2
+        |  FROM ranked WHERE rk > 4
+        |)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS admit_seq
+        |FROM ranked WHERE rk <= 4
+        |UNION ALL
+        |SELECT doc_id, source, CAST(4 + rk2 AS BIGINT) AS admit_seq
+        |FROM b1 WHERE rk2 <= 6
+        |ORDER BY source, admit_seq""".stripMargin,
 
     // batch execution of the online admission gate = the k smallest
     // doc_ids per source, with admit_seq the ascending-id rank.

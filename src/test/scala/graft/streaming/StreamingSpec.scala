@@ -567,6 +567,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q_stream_quota: budget carries across the batch boundary; every source admits exactly k") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("q_stream_quota")(spark, Sf)
+      .select("source", "doc_id", "admit_seq")
+      .as[(String, Long, Long)].collect().toSeq
+    graft.CachePool.releaseAll()
+    val bySource = got.groupBy(_._1)
+    assert(bySource.size === 20, "all sources must be admitted")
+    val want = table("documents").select(col("source"), col("doc_id"))
+      .as[(String, Long)].collect().toSeq.groupBy(_._1)
+      .map { case (s, rows) => s -> rows.map(_._2).sorted.take(10) }
+    bySource.foreach { case (src, rows) =>
+      assert(rows.size === 10, s"$src must spend its whole budget (4 + 6)")
+      val bySeq = rows.sortBy(_._3)
+      assert(bySeq.map(_._3) === (1L to 10L), s"$src admit_seq dense")
+      // batch 1 held the 4 smallest, batch 2 topped up with the next 6 —
+      // so the admitted set is the 10 smallest ids, in id order
+      assert(bySeq.map(_._2) === want(src), s"$src admitted ids")
+    }
+  }
+
   test("admission quota: batch = k-smallest per source; stream caps across micro-batches") {
     import graft.streaming.AdmissionQuota
     import graft.streaming.AdmissionQuota.{Admitted, DocArrival}

@@ -422,6 +422,58 @@ class CorpusPrepSpec extends SparkSpec {
     graft.CachePool.releaseAll()
   }
 
+  test("q_rank_assign: ranks cover the corpus; the gauge restates the emitted totals") {
+    val docs = table("documents")
+    val total = docs.select(sum(size(TextAnalysis.tokens(col("text")))).cast("long"))
+      .as[Long].head()
+    val got = graft.SparkEntry.queries("q_rank_assign")(spark, Sf)
+      .select("rank", "n_bins", "rank_tokens", "imb_permille", "total_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    graft.CachePool.releaseAll()
+    assert(got.map(_._1).sorted === (0L until 8L), "all 8 ranks must be assigned bins")
+    assert(got.map(_._3).sum === total, "rank token totals must cover the corpus")
+    assert(got.head._5 === total)
+    val want = got.map(_._3).max * 1000 * 8 / total
+    got.foreach { r => assert(r._4 === want, "gauge must restate the emitted totals") }
+  }
+
+  test("q_epoch_plan: the allocation identity holds and all three branches are real") {
+    val got = graft.SparkEntry.queries("q_epoch_plan")(spark, Sf)
+      .select("source", "source_tokens", "weight", "alloc_tokens", "full_epochs",
+        "residual_tokens", "unfilled_tokens")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.CachePool.releaseAll()
+    assert(got.size === 20)
+    got.foreach { case (src, toks, w, alloc, full, resid, unfilled) =>
+      assert(w === 1 + src.stripPrefix("src").toLong % 4, s"$src weight")
+      assert(alloc === full * toks + resid + unfilled, s"$src allocation identity")
+      assert(full <= 2, s"$src cap")
+      if (full < 2) assert(unfilled === 0L, s"$src unfilled only when capped")
+      else assert(resid === 0L, s"$src no residual at the cap")
+    }
+    // the planted weights make every branch real at every sf
+    assert(got.exists(_._5 === 0L), "a subsample-only source must exist")
+    assert(got.exists(r => r._5 === 1L && r._6 > 0L), "a mid source with residual")
+    assert(got.exists(r => r._5 === 2L && r._7 > 0L), "a capped source with unfilled budget")
+  }
+
+  test("q_curriculum_order: dense global ranks, mean quality non-increasing along the curriculum") {
+    val got = graft.SparkEntry.queries("q_curriculum_order")(spark, Sf)
+      .select("bin_id", "mean_q_mu", "curriculum_rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.CachePool.releaseAll()
+    assert(got.map(_._3).sorted === (1L to got.size), "curriculum ranks dense 1..n")
+    val byRank = got.sortBy(_._3)
+    byRank.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 >= b._2, s"rank ${a._3}→${b._3}: quality must not increase")
+        if (a._2 === b._2) assert(a._1 < b._1, "ties break by bin_id")
+      case _ =>
+    }
+    assert(got.map(_._2).min > 0L,
+      "qualities stay positive — the div-semantics of the two engines never diverge")
+  }
+
   test("q_tokenizer_fertility: per-lang ratios are exact integer permille with sane bounds") {
     val got = graft.SparkEntry.queries("q_tokenizer_fertility")(spark, Sf)
       .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "n_chars",
