@@ -1006,4 +1006,56 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"CUSUM must fold inside the row:\n$plan")
     assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
   }
+
+  test("q_knn_sq8: codes materialize once per side BEFORE the join; rank limit pushed") {
+    val plan = finalPlan(q("q_knn_sq8"))
+    graft.CachePool.releaseAll()
+    // the quantize transform must sit under the join (2 projects), never
+    // re-evaluated per pair — a per-pair quantize would show ≥3 FLOOR sites
+    val floors = plan.toString.split("FLOOR").length - 1
+    assert(floors <= 4, s"quantize must run once per side, found $floors FLOOR sites:\n$plan")
+    // rank<=k runs as WindowGroupLimit (partial top-k before the exchange)
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, s"rank filter must push down as a group limit:\n$plan")
+  }
+
+  test("q_ivf_sq8: candidates come from a broadcast EQUI-join on cell, never all pairs") {
+    val plan = finalPlan(q("q_ivf_sq8"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"probe join must be a hash equi-join on cell:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collect(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"an BNL here would mean the cell key was lost:\n$plan")
+  }
+
+  test("q_manifest_prune: the pruned read's file index holds only selected shard dirs") {
+    val plan = finalPlan(q("q_manifest_prune"))
+    graft.CachePool.releaseAll()
+    val prunedScans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.matches(".*graft_manifest_prune\\d*/shard=\\d+$"))
+      => s
+    }
+    assert(prunedScans.nonEmpty, s"no dir-scoped pruned scan in the plan:\n$plan")
+    prunedScans.foreach { s =>
+      val roots = s.relation.location.rootPaths.map(_.toString)
+      assert(roots.forall(_.matches(".*graft_manifest_prune\\d*/shard=\\d+$")), roots.mkString(","))
+      assert(roots.size < 16, s"pruned read opened ${roots.size} of 16 shard dirs — no skipping")
+    }
+  }
+
+  test("q_curriculum_order assigns the global rank via the range-sort shape") {
+    val plan = finalPlan(q("q_curriculum_order"))
+    graft.CachePool.releaseAll()
+    val unpartitioned = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty)
+    // the only admissible global window is reindexScalable's offsets
+    // cumsum over the #partitions-row frame
+    assert(unpartitioned.size <= 1,
+      s"curriculum rank must never run a global window over the bin frame:\n$plan")
+  }
 }
