@@ -32,14 +32,23 @@ object SqKnn {
     * deterministic.
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-           scaleBits: Int = 6): DataFrame = {
+           scaleBits: Int = 6): DataFrame =
+    topKCodes(
+      corpus.select(col("vec_id"), VecOps.sq8F(col("embedding"), scaleBits).as("code")),
+      queries, k, scaleBits)
+
+  /** Search a pre-quantized code table — the serving path once the codes
+    * persist ([[graft.sources.IndexIO.saveSq8]]): the floats never load
+    * again; queries quantize on the fly AT THE TABLE'S OWN scale.
+    * `codes` carries (vec_id, code: array<byte>).
+    */
+  def topKCodes(codes: DataFrame, queries: DataFrame, k: Int,
+                scaleBits: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       VecOps.sq8F(col("embedding"), scaleBits).as("q_code")))
-    val c = corpus.select(col("vec_id"),
-      VecOps.sq8F(col("embedding"), scaleBits).as("c_code"))
-    c.join(q, col("vec_id") =!= col("query_id"))
+    codes.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VecOps.sq8DistL2(col("q_code"), col("c_code")).as("dist"))
+        VecOps.sq8DistL2(col("q_code"), col("code")).as("dist"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))))
       .filter(col("rnk") <= k)

@@ -117,6 +117,29 @@ object IndexIO {
     spark.read.parquet(path).select("rank", "left", "right").collect()
       .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** The SQ8 code table — the corpus-sized compressed index COLUMN (one
+    * array<byte> per vector, 4× smaller than the floats) plus the
+    * fixed-point grid scale it was quantized at. Unlike the fitted
+    * artifacts above this is NOT driver-bounded: it persists as a
+    * distributed parquet table and loads as one; only the 1-row scale
+    * blob transits the driver. A searcher that loads codes quantized at
+    * a different scale than its queries returns garbage distances, so
+    * the scale rides WITH the table, never as out-of-band config.
+    */
+  def saveSq8(spark: SparkSession, codes: org.apache.spark.sql.DataFrame,
+              scaleBits: Int, path: String): Unit = {
+    import spark.implicits._
+    codes.select("vec_id", "code").write.mode("overwrite").parquet(s"$path/codes")
+    Seq(scaleBits).toDF("scale_bits")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/scale")
+  }
+
+  def loadSq8(spark: SparkSession, path: String): (org.apache.spark.sql.DataFrame, Int) = {
+    val bits = spark.read.parquet(s"$path/scale")
+      .select("scale_bits").collect()(0).getInt(0)
+    (spark.read.parquet(s"$path/codes").select("vec_id", "code"), bits)
+  }
+
   /** A trained quality-classifier model: one row per non-zero weight plus
     * a bias row at index −1 (sparse — junk-signal models are mostly
     * zeros), with the bucket count for shape recovery.

@@ -110,4 +110,26 @@ class IndexIOSpec extends SparkSpec {
     assert(a === b)
     graft.CachePool.releaseAll()
   }
+
+  test("SQ8 code table round-trips byte-identically with its scale riding alongside") {
+    import spark.implicits._
+    val vecs = table("embeddings")
+    val codes = vecs.select(col("vec_id"),
+      graft.functions.VecOps.sq8F(col("embedding"), 6).as("code"))
+    val path = tmp("sq8")
+    IndexIO.saveSq8(spark, codes, scaleBits = 6, path)
+    val (loaded, bits) = IndexIO.loadSq8(spark, path)
+    assert(bits === 6, "the grid scale must travel with the table")
+    val want = codes.as[(Long, Seq[Byte])].collect().toMap
+    val got = loaded.as[(Long, Seq[Byte])].collect().toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, c) => assert(c === want(id), s"vec $id codes drifted") }
+    // serving from the loaded table equals serving from the floats
+    val q = vecs.filter(col("vec_id") < 5)
+    val fromFloats = graft.similarity.SqKnn.topK(vecs, q, k = 3)
+      .collect().map(_.toSeq)
+    val fromDisk = graft.similarity.SqKnn.topKCodes(loaded, q, k = 3, scaleBits = bits)
+      .collect().map(_.toSeq)
+    assert(fromDisk.toSeq === fromFloats.toSeq)
+  }
 }
