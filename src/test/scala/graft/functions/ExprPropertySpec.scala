@@ -55,6 +55,34 @@ class ExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("Sq8DistL2 equals the integer fold for random codes; mismatched lengths truncate") {
+    (1 to 25).foreach { i =>
+      val la = rng.nextInt(70)
+      val lb = if (i % 3 == 0) rng.nextInt(70) else la
+      val a = Array.fill(la)((rng.nextInt(256) - 128).toByte)
+      val b = Array.fill(lb)((rng.nextInt(256) - 128).toByte)
+      val n = math.min(la, lb)
+      val expected = (0 until n).foldLeft(0L) { (s, j) =>
+        val d = (a(j) - b(j)).toLong; s + d * d
+      }
+      val got = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+        .select(VecOps.sq8DistL2(col("a"), col("b"))).as[Long].head()
+      assert(got === expected, s"case $i (na=$la, nb=$lb)")
+    }
+  }
+
+  test("sq8F clamps the whole float range to [-128, 127] with exact dyadic floors") {
+    val edge = Array(Float.MaxValue, Float.MinValue, -3f, 3f, 1.999f, -2.0001f,
+      0f, -0f, 0.015624f, 0.015625f, -0.015625f, 1e-9f, -1e-9f)
+    val vals = edge ++ Array.fill(40)(rng.nextFloat() * 8f - 4f)
+    val got = Seq(Tuple1(vals.toSeq)).toDF("v")
+      .select(VecOps.sq8F(col("v"), 6)).as[Seq[Byte]].head()
+    vals.zip(got).foreach { case (x, c) =>
+      val q = math.max(-128L, math.min(127L, math.floor(x.toDouble * 64.0).toLong))
+      assert(c.toLong === q, s"x=$x")
+    }
+  }
+
   test("MinHashSignature is monotone under superset (mins can only decrease)") {
     val p = 16
     def sig(xs: Array[Long]): Array[Long] =
