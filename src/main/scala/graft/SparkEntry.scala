@@ -1250,13 +1250,12 @@ object SparkEntry {
       // hash-mismatches the oracle's from-floats replay. Same exact
       // integer certificate as q_knn_sq8 — the disk hop is the thing
       // under test (the q_batch_sink_roundtrip idiom, applied to the
-      // index artifact).
+      // index artifact). saveSq8 quantizes internally, so the persisted
+      // scale is bound to the codes by construction (ADVICE r15).
       val vecs = t(s, d, "embeddings")
       val dir = scratchDir("graft_sq8_codes")
       graft.sources.IndexIO.saveSq8(s,
-        vecs.select(col("vec_id"),
-          graft.functions.VecOps.sq8F(col("embedding"), 6).as("code")),
-        scaleBits = 6, dir)
+        vecs.select(col("vec_id"), col("embedding")), scaleBits = 6, dir)
       val (codes, bits) = graft.sources.IndexIO.loadSq8(s, dir)
       graft.similarity.SqKnn.topKCodes(codes,
         vecs.filter(col("vec_id") < 20), k = 5, scaleBits = bits)
@@ -4238,7 +4237,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("bin_tokens"),
           sum("qm").as("sum_q_mu"))
-        .withColumn("mean_q_mu", expr("sum_q_mu div n_docs"))
+        // FLOOR division, spelled engine-independently (ADVICE r15):
+        // Spark's `div` truncates toward zero while the oracle's DuckDB
+        // `//` floors — identical for the non-negative sums the synthetic
+        // corpus produces, divergent the day a bin's quality sum goes
+        // negative. pmod() is non-negative, so subtracting it yields an
+        // exactly divisible numerator and `div` becomes floor division.
+        .withColumn("mean_q_mu",
+          expr("(sum_q_mu - pmod(sum_q_mu, n_docs)) div n_docs"))
       graft.etl.Cleaning.reindexScalable(
           bins, struct((-col("mean_q_mu")).as("nq"), col("bin_id")),
           "curriculum_rank")

@@ -201,7 +201,13 @@ case class Sq8DistL2(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toByteArray()
     val y = b.asInstanceOf[ArrayData].toByteArray()
-    val n = math.min(x.length, y.length)
+    // A dimension mismatch means the wrong code table was paired with the
+    // query side (e.g. a stale artifact load); truncating would return
+    // plausible-looking distances, so fail hard instead (ADVICE r15).
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"sq8_dist_l2: code length mismatch (${x.length} vs ${y.length})")
+    val n = x.length
     var s = 0L
     var i = 0
     while (i < n) {
@@ -223,7 +229,11 @@ case class Sq8DistL2(left: Expression, right: Expression)
       s"""
          |byte[] $xs = $a.toByteArray();
          |byte[] $ys = $b.toByteArray();
-         |int $n = java.lang.Math.min($xs.length, $ys.length);
+         |if ($xs.length != $ys.length) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_dist_l2: code length mismatch (" + $xs.length + " vs " + $ys.length + ")");
+         |}
+         |int $n = $xs.length;
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  int $dd = $xs[$i] - $ys[$i];

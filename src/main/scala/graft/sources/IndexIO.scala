@@ -124,12 +124,18 @@ object IndexIO {
     * distributed parquet table and loads as one; only the 1-row scale
     * blob transits the driver. A searcher that loads codes quantized at
     * a different scale than its queries returns garbage distances, so
-    * the scale rides WITH the table, never as out-of-band config.
+    * the scale rides WITH the table, never as out-of-band config — and
+    * the quantization happens HERE (ADVICE r15): callers hand over the
+    * float vectors, not pre-quantized codes, so the persisted scale_bits
+    * is by construction the one the codes were produced at.
     */
-  def saveSq8(spark: SparkSession, codes: org.apache.spark.sql.DataFrame,
+  def saveSq8(spark: SparkSession, vectors: org.apache.spark.sql.DataFrame,
               scaleBits: Int, path: String): Unit = {
     import spark.implicits._
-    codes.select("vec_id", "code").write.mode("overwrite").parquet(s"$path/codes")
+    import org.apache.spark.sql.functions.col
+    vectors.select(col("vec_id"),
+        graft.functions.VecOps.sq8F(col("embedding"), scaleBits).as("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
     Seq(scaleBits).toDF("scale_bits")
       .repartition(1).write.mode("overwrite").parquet(s"$path/scale")
   }

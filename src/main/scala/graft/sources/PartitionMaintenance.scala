@@ -71,11 +71,19 @@ object PartitionMaintenance {
       if !live.contains((ov, iv))
     } yield (i, s"$oPre$ov/$iPre$iv")
     dead.foreach { case (p, _) => rm(p) }
-    // an outer dir whose inner epochs all died is itself dead
+    // an outer dir whose inner epochs all died is itself dead — but only
+    // when TRULY empty: a stray non-partition entry (a _SUCCESS marker, a
+    // manifest, an operator's note) must survive the vacuum, never be
+    // silently swept outside the audit trail (ADVICE r15)
     list(root, oPre).foreach { o =>
-      if (list(o, iPre).isEmpty) rm(o)
+      if (isEmptyDir(o)) Files.delete(o)
     }
     dead.map(_._2).sorted
+  }
+
+  private def isEmptyDir(p: Path): Boolean = {
+    val s = Files.list(p)
+    try !s.iterator().hasNext finally s.close()
   }
 
   private def rm(p: Path): Unit = {

@@ -55,20 +55,29 @@ class ExprPropertySpec extends SparkSpec {
     }
   }
 
-  test("Sq8DistL2 equals the integer fold for random codes; mismatched lengths truncate") {
+  test("Sq8DistL2 equals the integer fold for random codes; mismatched lengths throw") {
     (1 to 25).foreach { i =>
       val la = rng.nextInt(70)
-      val lb = if (i % 3 == 0) rng.nextInt(70) else la
       val a = Array.fill(la)((rng.nextInt(256) - 128).toByte)
-      val b = Array.fill(lb)((rng.nextInt(256) - 128).toByte)
-      val n = math.min(la, lb)
-      val expected = (0 until n).foldLeft(0L) { (s, j) =>
+      val b = Array.fill(la)((rng.nextInt(256) - 128).toByte)
+      val expected = (0 until la).foldLeft(0L) { (s, j) =>
         val d = (a(j) - b(j)).toLong; s + d * d
       }
       val got = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
         .select(VecOps.sq8DistL2(col("a"), col("b"))).as[Long].head()
-      assert(got === expected, s"case $i (na=$la, nb=$lb)")
+      assert(got === expected, s"case $i (n=$la)")
     }
+    // ADVICE r15: a dimension mismatch means the wrong code table was
+    // paired with the query side — fail hard, never truncate to a
+    // plausible-looking distance
+    val e = intercept[Exception] {
+      Seq((Seq[Byte](1, 2, 3), Seq[Byte](1, 2))).toDF("a", "b")
+        .select(VecOps.sq8DistL2(col("a"), col("b"))).as[Long].head()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(c => Option(c.getMessage)).mkString(" ")
+    assert(rootMsg(e).contains("length mismatch"), s"got: $e")
   }
 
   test("sq8F clamps the whole float range to [-128, 127] with exact dyadic floors") {

@@ -117,7 +117,9 @@ class IndexIOSpec extends SparkSpec {
     val codes = vecs.select(col("vec_id"),
       graft.functions.VecOps.sq8F(col("embedding"), 6).as("code"))
     val path = tmp("sq8")
-    IndexIO.saveSq8(spark, codes, scaleBits = 6, path)
+    // saveSq8 quantizes internally from the floats — the persisted scale
+    // cannot disagree with the codes (ADVICE r15)
+    IndexIO.saveSq8(spark, vecs.select("vec_id", "embedding"), scaleBits = 6, path)
     val (loaded, bits) = IndexIO.loadSq8(spark, path)
     assert(bits === 6, "the grid scale must travel with the table")
     val want = codes.as[(Long, Seq[Byte])].collect().toMap

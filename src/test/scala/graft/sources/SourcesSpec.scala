@@ -136,14 +136,20 @@ class SourcesSpec extends SparkSpec {
     mk("grp=2/epoch=1/part-0.parquet")   // superseded
     mk("grp=2/epoch=2/part-0.parquet")   // live rewrite
     mk("grp=5/epoch=1/part-0.parquet")   // dead group
+    mk("grp=7/epoch=1/part-0.parquet")   // dead group with a stray file
+    mk("grp=7/manifest.json")            // ...that must pin the outer dir
     mk("_SUCCESS")                       // non-partition file, untouched
     val deleted = PartitionMaintenance.vacuumSuperseded(
       dir, "grp", "epoch", Set(("1", "1"), ("2", "2")))
-    assert(deleted === Seq("grp=2/epoch=1", "grp=5/epoch=1"))
+    assert(deleted === Seq("grp=2/epoch=1", "grp=5/epoch=1", "grp=7/epoch=1"))
     assert(Files.exists(Paths.get(dir, "grp=1/epoch=1/part-0.parquet")))
     assert(Files.exists(Paths.get(dir, "grp=2/epoch=2/part-0.parquet")))
     assert(!Files.exists(Paths.get(dir, "grp=2/epoch=1")))
     assert(!Files.exists(Paths.get(dir, "grp=5")), "emptied outer dir must drop")
+    // ADVICE r15: an outer dir holding ANY non-partition entry is not
+    // empty — vacuum must never silently sweep the stray file with it
+    assert(Files.exists(Paths.get(dir, "grp=7/manifest.json")),
+      "stray non-partition file must survive the outer-dir cleanup")
     assert(Files.exists(Paths.get(dir, "_SUCCESS")))
     // idempotent: second pass deletes nothing
     assert(PartitionMaintenance.vacuumSuperseded(
