@@ -146,6 +146,40 @@ object IndexIO {
     (spark.read.parquet(s"$path/codes").select("vec_id", "code"), bits)
   }
 
+  /** The FULL IVF+SQ8 index — coarse codebook, grid scale, and the
+    * cell-partitioned posting table (vec_id, cell, code) — persisted as
+    * one artifact tree. Assignment and quantization both happen HERE,
+    * from the float vectors: the persisted cells can never disagree with
+    * the persisted codebook, nor the codes with scale_bits (the saveSq8
+    * binding discipline, applied to the composite index). The posting
+    * table stays distributed and is laid out `cell=.../` so a probe-time
+    * reader partition-prunes to exactly the probed cells; only the
+    * codebook (k × dim floats) and the 1-row scale transit the driver.
+    */
+  def saveIvfSq8(spark: SparkSession, vectors: org.apache.spark.sql.DataFrame,
+                 codebook: IvfKnn.IvfIndex, scaleBits: Int, path: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    saveIvf(spark, codebook, s"$path/codebook")
+    vectors.select(col("vec_id"),
+        IvfKnn.nearestCells(col("embedding"), codebook, 1)
+          .getItem(0).cast("long").as("cell"),
+        graft.functions.VecOps.sq8F(col("embedding"), scaleBits).as("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+    Seq(scaleBits).toDF("scale_bits")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/scale")
+  }
+
+  def loadIvfSq8(spark: SparkSession, path: String)
+      : (org.apache.spark.sql.DataFrame, IvfKnn.IvfIndex, Int) = {
+    import org.apache.spark.sql.functions.col
+    val bits = spark.read.parquet(s"$path/scale")
+      .select("scale_bits").collect()(0).getInt(0)
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("code"))
+    (postings, loadIvf(spark, s"$path/codebook"), bits)
+  }
+
   /** A trained quality-classifier model: one row per non-zero weight plus
     * a bias row at index −1 (sparse — junk-signal models are mostly
     * zeros), with the bucket count for shape recovery.

@@ -1031,6 +1031,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"an BNL here would mean the cell key was lost:\n$plan")
   }
 
+  test("q_ivf_sq8_io: the from-disk serve keeps the broadcast cell equi-join shape") {
+    val plan = finalPlan(q("q_ivf_sq8_io"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"probe join over the loaded postings must be a hash equi-join on cell:\n$plan")
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collect(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"a BNL here would mean the cell key was lost in the round trip:\n$plan")
+  }
+
   test("q_manifest_prune: the pruned read's file index holds only selected shard dirs") {
     val plan = finalPlan(q("q_manifest_prune"))
     graft.CachePool.releaseAll()

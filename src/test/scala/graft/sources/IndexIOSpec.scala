@@ -134,4 +134,38 @@ class IndexIOSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(fromDisk.toSeq === fromFloats.toSeq)
   }
+
+  test("IVF+SQ8 composite index round-trips: codebook, scale and postings all bound") {
+    import spark.implicits._
+    val vecs = table("embeddings")
+    val codebook = graft.similarity.IvfKnn.IvfIndex(
+      Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+    val path = tmp("ivfsq8")
+    IndexIO.saveIvfSq8(spark, vecs.select("vec_id", "embedding"), codebook,
+      scaleBits = 6, path)
+    val (postings, cb, bits) = IndexIO.loadIvfSq8(spark, path)
+    assert(bits === 6)
+    assert(cb.centroids.length === codebook.centroids.length)
+    cb.centroids.zip(codebook.centroids).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq, "codebook drifted through the round trip")
+    }
+    // loaded postings equal a fresh in-memory assign+quantize, row for row
+    val want = vecs.select(col("vec_id"),
+        graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 1)
+          .getItem(0).cast("long").as("cell"),
+        graft.functions.VecOps.sq8F(col("embedding"), 6).as("code"))
+      .as[(Long, Long, Seq[Byte])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = postings.as[(Long, Long, Seq[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (cell, code)) =>
+      assert(cell === want(id)._1, s"vec $id cell drifted")
+      assert(code === want(id)._2, s"vec $id code drifted")
+    }
+    // the posting table lands cell-partitioned so a probe reader can
+    // prune to its probed cells
+    val dirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(dirs.nonEmpty, "postings must be laid out cell=.../")
+  }
 }
