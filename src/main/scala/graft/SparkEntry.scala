@@ -791,6 +791,42 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "q_knn_graph" -> ((s, d) => {
+      // GRAPH-BASED ANN (the HNSW-class gap VERDICT r15 named) in its
+      // deterministic single-layer form: a navigable neighbor graph
+      // (top-4 co-cell neighbors per node under the integer SQ8
+      // distance, id tie-breaks — built by cell EQUI-join, never
+      // corpus×corpus) searched by beam expansion — entry at the
+      // smallest id in the query's one-hot coarse cell, three rounds of
+      // expand-the-beam's-neighbors / rescore / keep-top-4, final top-5
+      // over everything seen. Per query the search touches
+      // O(rounds·beam·degree) candidates instead of the whole probed
+      // cell — the serving-latency property graph ANN exists for.
+      // Unlike production HNSW (randomized level assignment) every step
+      // here is deterministic, so the row joins the SQ8 family's
+      // fully-value-certified tier: the oracle replays the assignment,
+      // the edge selection, the entry, all three beam rounds and the
+      // final ranking from the raw floats — integer distances leave no
+      // FP ambiguity anywhere in the traversal.
+      val vecs = t(s, d, "embeddings")
+      val codebook = graft.similarity.IvfKnn.IvfIndex(
+        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+      val assigned = graft.CachePool.persist(vecs.select(col("vec_id"),
+        graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 1)
+          .getItem(0).cast("long").as("cell"),
+        graft.functions.VecOps.sq8F(col("embedding"), 6).as("code")))
+      val graph = graft.CachePool.persist(
+        graft.similarity.GraphKnn.coCellGraph(assigned, m = 4))
+      val q = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("code").as("q_code"), col("cell"))
+      val entries = q.join(
+          assigned.groupBy("cell").agg(min("vec_id").as("node")), Seq("cell"))
+        .select("query_id", "node")
+      graft.similarity.GraphKnn.beamSearch(graph,
+        assigned.select("vec_id", "code"), q.select("query_id", "q_code"),
+        entries, k = 5, beam = 4, rounds = 3)
+    }),
+
     "q_hybrid_search" -> ((s, d) => {
       // HYBRID retrieval: exact cosine top-20 shortlists for 5 query
       // vectors, fused with the per-document QUALITY PRIOR (vec_id
@@ -5643,6 +5679,76 @@ object SparkEntry {
       |  FROM cand)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** The graph-ANN traversal replayed round by round: one-hot cell
+    * assignment, top-4 co-cell edges under integer SQ8 distance, min-id
+    * entry per cell, then each unrolled beam round as
+    * (top-4 frontier → neighbor expansion → rescore → distinct-union).
+    * Deterministic end to end — integer distances, id tie-breaks — so the
+    * final shortlist recomputes bit-for-bit from the raw floats.
+    */
+  private val KnnGraphSql: String = {
+    def dist(qc: String, cc: String): String =
+      s"CAST((SELECT sum(($qc[i.d] - $cc[i.d]) * ($qc[i.d] - $cc[i.d])) " +
+        "FROM (SELECT unnest(generate_series(1, 64)) AS d) i) AS BIGINT)"
+    val rounds = 3
+    val head =
+      s"""WITH codes AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> greatest(-128, least(127, CAST(floor(x * 64) AS BIGINT)))) AS code
+         |  FROM embeddings
+         |), cells AS (
+         |  SELECT vec_id,
+         |    CAST(list_max(list_transform(generate_series(1, 8),
+         |      j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) AS cell
+         |  FROM embeddings
+         |), asg AS (
+         |  SELECT c.vec_id, cl.cell, c.code FROM codes c JOIN cells cl USING (vec_id)
+         |), pair AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${dist("a.code", "b.code")} AS dist
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |), graph AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM pair) WHERE rn <= 4
+         |), q AS (
+         |  SELECT vec_id AS query_id, code AS q_code, cell FROM asg WHERE vec_id < 20
+         |), entry AS (
+         |  SELECT q.query_id, min(a.vec_id) AS node
+         |  FROM q JOIN asg a ON a.cell = q.cell GROUP BY 1
+         |), s0 AS (
+         |  SELECT e.query_id, e.node, ${dist("q.q_code", "a.code")} AS dist
+         |  FROM entry e JOIN q ON q.query_id = e.query_id JOIN asg a ON a.vec_id = e.node
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s""", b$p AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT query_id, node,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+         |    FROM s$p) WHERE rn <= 4
+         |), x$r AS (
+         |  SELECT b.query_id, g.dst AS node, ${dist("q.q_code", "a.code")} AS dist
+         |  FROM b$p b JOIN graph g ON g.src = b.node
+         |  JOIN q ON q.query_id = b.query_id JOIN asg a ON a.vec_id = g.dst
+         |), s$r AS (
+         |  SELECT query_id, node, min(dist) AS dist FROM (
+         |    SELECT query_id, node, dist FROM s$p
+         |    UNION ALL SELECT query_id, node, dist FROM x$r) u GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString
+    val tail =
+      s"""
+         |SELECT query_id, rnk, neighbor_id, dist FROM (
+         |  SELECT query_id, node AS neighbor_id, dist,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS INTEGER) AS rnk
+         |  FROM s$rounds WHERE node <> query_id)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    head + roundCtes + tail
+  }
+
   /** The q_closure_scale oracle: 18 unrolled star-contraction rounds
     * (large-star then small-star, exactly DedupClusters' frame algebra)
     * over the planted chain, the fixpoint round index recomputed as
@@ -5938,6 +6044,10 @@ object SparkEntry {
     // scoring is stateless per query and the micro-batches partition the
     // query set, so ranked-after-drain replays from the raw floats.
     "q_stream_sq8" -> IvfSq8Sql,
+
+    // the deterministic single-layer graph traversal, replayed round by
+    // round from the raw floats — edges, entry, every beam, every rank.
+    "q_knn_graph" -> KnnGraphSql,
 
     "q_lang_id" ->
       """WITH toks AS (

@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+
+/** Graph-based nearest-neighbor search — the HNSW-class member of the
+  * index family, in its deterministic single-layer form (a navigable
+  * small-world graph searched by beam expansion). Where IVF answers a
+  * query by scanning whole probed cells, the graph answers it by WALKING:
+  * start at an entry node, repeatedly score the neighbors of the current
+  * best candidates, keep the best `beam`. Per query the work is
+  * O(rounds · beam · degree) distance evaluations — independent of cell
+  * occupancy, which is the whole point of graph ANN at serving time.
+  *
+  * Everything is exactly replayable, unlike production HNSW (whose level
+  * assignment is randomized): edges are the top-M co-cell neighbors under
+  * the integer SQ8 distance with id tie-breaks, the entry point is the
+  * smallest id in the query's coarse cell, and each beam round is a
+  * deterministic (dist, id) top-B — so an out-of-engine replay recomputes
+  * the entire traversal bit-for-bit.
+  *
+  * Scale shape: the graph BUILD generates candidate pairs by cell
+  * equi-join (the dedup bucketing discipline — never corpus×corpus;
+  * per-cell volume is controlled by nlist sizing and the hot-cell split
+  * maintenance of the IVF family), edge selection is a per-src window
+  * over co-cell candidates, and each search round is two hash equi-joins
+  * (beam→graph on src, expansion→codes on vec_id) against broadcast
+  * queries. The graph persists like any posting table; `rounds` is fixed
+  * and small, so the search plan is a bounded unrolled chain.
+  */
+object GraphKnn {
+
+  /** Top-`m` co-cell neighbors per node under SQ8 L2 (id tie-break):
+    * (src, dst, dist). `assigned` carries (vec_id, cell, code).
+    */
+  def coCellGraph(assigned: DataFrame, m: Int): DataFrame = {
+    val a = assigned.select(col("vec_id").as("src"), col("cell"),
+      col("code").as("src_code"))
+    val b = assigned.select(col("vec_id").as("dst"), col("cell"),
+      col("code").as("dst_code"))
+    val w = Window.partitionBy("src").orderBy(col("dist"), col("dst"))
+    a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        VecOps.sq8DistL2(col("src_code"), col("dst_code")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+      .select("src", "dst", "dist")
+  }
+
+  /** Beam search over a prebuilt neighbor graph: from each query's entry
+    * node, `rounds` rounds of expand-the-beam's-neighbors / rescore /
+    * keep-top-`beam`, then the final top-`k` over every node seen
+    * (excluding the query itself). `queries` carries (query_id, q_code),
+    * `entries` (query_id, node), `codes` (vec_id, code). Output:
+    * (query_id, rnk, neighbor_id, dist) — exact integers, deterministic.
+    */
+  def beamSearch(graph: DataFrame, codes: DataFrame, queries: DataFrame,
+                 entries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+    val q = broadcast(queries.select(col("query_id"), col("q_code")))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(codes, cand("node") === codes("vec_id"))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          VecOps.sq8DistL2(col("q_code"), col("code")).as("dist"))
+    val bw = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
+    // the seen set is re-read twice per round (union + beam), so each
+    // round persists it — frames are ≤ queries · (1 + rounds·beam·degree)
+    // rows, bounded by construction
+    var seen = graft.CachePool.persist(score(entries))
+    (1 to rounds).foreach { _ =>
+      val frontier = seen.withColumn("rnk", row_number().over(bw))
+        .filter(col("rnk") <= beam).select("query_id", "node")
+      val expanded = frontier.join(graph, frontier("node") === graph("src"))
+        .select(col("query_id"), col("dst").as("node"))
+      seen = graft.CachePool.persist(
+        seen.unionByName(score(expanded))
+          .groupBy("query_id", "node").agg(min("dist").as("dist")))
+    }
+    seen.filter(col("node") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(bw))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("node").as("neighbor_id"), col("dist"))
+      .orderBy("query_id", "rnk")
+  }
+}

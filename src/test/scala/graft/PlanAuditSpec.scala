@@ -1042,6 +1042,16 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"a BNL here would mean the cell key was lost in the round trip:\n$plan")
   }
 
+  test("q_knn_graph: build and traversal stay on equi-joins, never all pairs") {
+    val plan = finalPlan(q("q_knn_graph"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"graph ANN must never fall to a cartesian:\n$plan")
+    assert(collect(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"a BNL would mean a join key (cell/src/vec_id) was lost:\n$plan")
+  }
+
   test("q_manifest_prune: the pruned read's file index holds only selected shard dirs") {
     val plan = finalPlan(q("q_manifest_prune"))
     graft.CachePool.releaseAll()
