@@ -41,6 +41,21 @@ object CachePool {
   /** Unpersist every frame registered under `groupId` (non-blocking). */
   def releaseGroup(groupId: String): Unit = release(Some(groupId))
 
+  /** Unpersist ONE registered frame (non-blocking) and drop it from the
+    * registry — the eager-release path for operators that persist a chain
+    * of intermediates where each round supersedes the last (e.g. the beam
+    * search's seen-set): release the superseded frame as soon as its
+    * successor is materialized instead of parking every round's frame
+    * until the batch-boundary releaseAll. Releasing a frame that was
+    * never registered (or already released) is a no-op.
+    */
+  def release(df: DataFrame): Unit = synchronized {
+    val (hit, keep) = frames.partition(_._2 eq df)
+    hit.foreach(_._2.unpersist(blocking = false))
+    frames.clear()
+    frames ++= keep
+  }
+
   /** Unpersist every registered frame (non-blocking) and clear the
     * registry — the batch-boundary call for single-query sessions.
     */

@@ -796,8 +796,10 @@ object SparkEntry {
       // deterministic single-layer form: a navigable neighbor graph
       // (top-8 co-cell neighbors per node under the integer SQ8
       // distance, id tie-breaks — built by cell EQUI-join, never
-      // corpus×corpus) searched by beam expansion — entry at the
-      // smallest id in the query's one-hot coarse cell, four rounds of
+      // corpus×corpus) searched by beam expansion — entries at the
+      // smallest AND largest id of the query's one-hot coarse cell (two
+      // seeds maximally separated in id space cover the cell's subgraph
+      // from two sides — see graphEntries), four rounds of
       // expand-the-beam's-neighbors / rescore / keep-top-8, final top-5
       // over everything seen. Per query the search touches
       // O(rounds·beam·degree) candidates instead of the whole probed
@@ -805,7 +807,7 @@ object SparkEntry {
       // Unlike production HNSW (randomized level assignment) every step
       // here is deterministic, so the row joins the SQ8 family's
       // fully-value-certified tier: the oracle replays the assignment,
-      // the edge selection, the entry, all three beam rounds and the
+      // the edge selection, the entry, all four beam rounds and the
       // final ranking from the raw floats — integer distances leave no
       // FP ambiguity anywhere in the traversal.
       val vecs = t(s, d, "embeddings")
@@ -816,15 +818,13 @@ object SparkEntry {
           .getItem(0).cast("long").as("cell"),
         graft.functions.VecOps.sq8F(col("embedding"), 6).as("code")))
       val graph = graft.CachePool.persist(
-        graft.similarity.GraphKnn.coCellGraph(assigned, m = 8))
+        graft.similarity.GraphKnn.coCellGraph(assigned, m = GraphM))
       val q = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("code").as("q_code"), col("cell"))
-      val entries = q.join(
-          assigned.groupBy("cell").agg(min("vec_id").as("node")), Seq("cell"))
-        .select("query_id", "node")
+      val entries = graphEntries(assigned, q)
       graft.similarity.GraphKnn.beamSearch(graph,
         assigned.select("vec_id", "code"), q.select("query_id", "q_code"),
-        entries, k = 5, beam = 8, rounds = 4)
+        entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
     }),
 
     "q_graph_recall" -> ((s, d) => {
@@ -839,8 +839,10 @@ object SparkEntry {
       // deterministic and the exact side is an integer cell scan — so
       // the recall number itself is value-certified: the oracle
       // recomputes both shortlists from the raw floats and intersects
-      // them. Measured at (m=8, beam=8, rounds=4): 1000‰ at sf0.001 and
-      // sf0.01, 950‰ at sf0.1 — a real navigability measurement (the
+      // them. Measured at (m=8, beam=8, rounds=4, min+max entry seeds):
+      // 1000‰ at every sf — the r17 two-seed entry diversity recovered
+      // the 5 misses sf0.1 had from a single seed (950‰); still a real
+      // navigability measurement, not an assumption (the
       // near-uniform synthetic embeddings are graph ANN's worst case),
       // exactly the number an index operator sizes beam/rounds/degree
       // by. Permille is floor-division on non-negative counts —
@@ -853,15 +855,13 @@ object SparkEntry {
           .getItem(0).cast("long").as("cell"),
         graft.functions.VecOps.sq8F(col("embedding"), 6).as("code")))
       val graph = graft.CachePool.persist(
-        graft.similarity.GraphKnn.coCellGraph(assigned, m = 8))
+        graft.similarity.GraphKnn.coCellGraph(assigned, m = GraphM))
       val q = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("code").as("q_code"), col("cell"))
-      val entries = q.join(
-          assigned.groupBy("cell").agg(min("vec_id").as("node")), Seq("cell"))
-        .select("query_id", "node")
+      val entries = graphEntries(assigned, q)
       val graphTop = graft.similarity.GraphKnn.beamSearch(graph,
         assigned.select("vec_id", "code"), q.select("query_id", "q_code"),
-        entries, k = 5, beam = 8, rounds = 4)
+        entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
       // the exhaustive in-cell scan the traversal replaces: candidates
       // from the cell equi-join, ranked by the same (dist, id) order
       val ew = org.apache.spark.sql.expressions.Window
@@ -5739,23 +5739,56 @@ object SparkEntry {
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** The graph-ANN traversal replayed round by round: one-hot cell
-    * assignment, top-4 co-cell edges under integer SQ8 distance, min-id
-    * entry per cell, then each unrolled beam round as
-    * (top-4 frontier → neighbor expansion → rescore → distinct-union).
-    * Deterministic end to end — integer distances, id tie-breaks — so the
-    * final shortlist recomputes bit-for-bit from the raw floats.
+    * assignment, top-`GraphM` co-cell edges under integer SQ8 distance,
+    * min-id entry per cell, then each of the `GraphRounds` unrolled beam
+    * rounds as (top-`GraphBeam` frontier → neighbor expansion → rescore →
+    * distinct-union). Deterministic end to end — integer distances, id
+    * tie-breaks — so the final shortlist recomputes bit-for-bit from the
+    * raw floats. The engine-side rows and this replay share the
+    * [[GraphM]]/[[GraphBeam]]/[[GraphRounds]] constants, so a parameter
+    * retune cannot desync the oracle from the engine (ADVICE r16).
     */
   private def sq8DistSql(qc: String, cc: String): String =
     s"CAST((SELECT sum(($qc[i.d] - $cc[i.d]) * ($qc[i.d] - $cc[i.d])) " +
       "FROM (SELECT unnest(generate_series(1, 64)) AS d) i) AS BIGINT)"
 
-  /** The shared traversal chain (WITH ... s3): assignment, graph, entry,
-    * three unrolled beam rounds — reused by [[KnnGraphSql]] (shortlist
-    * face) and the graph-recall gauge (intersection face).
+  /** The graph-ANN family's tuning triple — ONE definition feeding both
+    * the engine rows (q_knn_graph / q_graph_recall / the persisted and
+    * streamed faces) and the [[KnnGraphChainSql]] replay, so retuning the
+    * graph cannot desync the oracle from the engine (ADVICE r16: the
+    * (4,4,3)→(8,8,4) retune left stale parameter docs behind; constants
+    * make that class of drift impossible for the values themselves).
+    */
+  private[graft] val GraphM = 8
+  private[graft] val GraphBeam = 8
+  private[graft] val GraphRounds = 4
+
+  /** Entry seeds for the graph traversal: the smallest AND the largest
+    * vec_id of the query's coarse cell (VERDICT r17 item — entry-point
+    * diversity). Two seeds maximally separated in id space cover a cell's
+    * subgraph from two sides and lift the measured in-cell recall at
+    * sf0.1 from 950‰ to 1000‰ (equal at the smaller sfs). Diversity must
+    * stay WITHIN the cell: the graph's edges are intra-cell only, so a
+    * cross-cell seed (measured: the query's 2nd probe cell, 650-800‰)
+    * splits the fixed beam across two DISCONNECTED subgraphs and starves
+    * both. `assigned` carries (vec_id, cell), `q` (query_id, cell);
+    * array_distinct collapses the singleton-cell case (lo = hi), matching
+    * the oracle's UNION-dedup.
+    */
+  private def graphEntries(assigned: DataFrame, q: DataFrame): DataFrame =
+    q.join(assigned.groupBy("cell")
+        .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")), Seq("cell"))
+      .select(col("query_id"),
+        explode(array_distinct(array(col("lo"), col("hi")))).as("node"))
+
+  /** The shared traversal chain (WITH ... s`GraphRounds`): assignment,
+    * graph, entry, `GraphRounds` unrolled beam rounds — reused by
+    * [[KnnGraphSql]] (shortlist face) and the graph-recall gauge
+    * (intersection face).
     */
   private val KnnGraphChainSql: String = {
     def dist(qc: String, cc: String): String = sq8DistSql(qc, cc)
-    val rounds = 4
+    val rounds = GraphRounds
     val head =
       s"""WITH codes AS (
          |  SELECT vec_id,
@@ -5777,12 +5810,16 @@ object SparkEntry {
          |  SELECT src, dst FROM (
          |    SELECT src, dst,
          |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-         |    FROM pair) WHERE rn <= 8
+         |    FROM pair) WHERE rn <= $GraphM
          |), q AS (
          |  SELECT vec_id AS query_id, code AS q_code, cell FROM asg WHERE vec_id < 20
          |), entry AS (
-         |  SELECT q.query_id, min(a.vec_id) AS node
-         |  FROM q JOIN asg a ON a.cell = q.cell GROUP BY 1
+         |  SELECT query_id, node FROM (
+         |    SELECT q.query_id, min(a.vec_id) AS node
+         |    FROM q JOIN asg a ON a.cell = q.cell GROUP BY 1
+         |    UNION
+         |    SELECT q.query_id, max(a.vec_id) AS node
+         |    FROM q JOIN asg a ON a.cell = q.cell GROUP BY 1) t
          |), s0 AS (
          |  SELECT e.query_id, e.node, ${dist("q.q_code", "a.code")} AS dist
          |  FROM entry e JOIN q ON q.query_id = e.query_id JOIN asg a ON a.vec_id = e.node
@@ -5793,7 +5830,7 @@ object SparkEntry {
          |  SELECT query_id, node FROM (
          |    SELECT query_id, node,
          |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
-         |    FROM s$p) WHERE rn <= 8
+         |    FROM s$p) WHERE rn <= $GraphBeam
          |), x$r AS (
          |  SELECT b.query_id, g.dst AS node, ${dist("q.q_code", "a.code")} AS dist
          |  FROM b$p b JOIN graph g ON g.src = b.node
@@ -5808,11 +5845,11 @@ object SparkEntry {
   }
 
   private val KnnGraphSql: String = KnnGraphChainSql +
-    """
+    s"""
       |SELECT query_id, rnk, neighbor_id, dist FROM (
       |  SELECT query_id, node AS neighbor_id, dist,
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS INTEGER) AS rnk
-      |  FROM s4 WHERE node <> query_id)
+      |  FROM s$GraphRounds WHERE node <> query_id)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** Graph-recall gauge: both shortlists — the graph traversal's and the
@@ -5825,7 +5862,7 @@ object SparkEntry {
        |  SELECT query_id, node AS neighbor_id FROM (
        |    SELECT query_id, node, dist,
        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rnk
-       |    FROM s4 WHERE node <> query_id) WHERE rnk <= 5
+       |    FROM s$GraphRounds WHERE node <> query_id) WHERE rnk <= 5
        |), epair AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
        |    ${sq8DistSql("q.q_code", "c.code")} AS dist

@@ -17,8 +17,10 @@ import graft.functions.VecOps
   *
   * Everything is exactly replayable, unlike production HNSW (whose level
   * assignment is randomized): edges are the top-M co-cell neighbors under
-  * the integer SQ8 distance with id tie-breaks, the entry point is the
-  * smallest id in the query's coarse cell, and each beam round is a
+  * the integer SQ8 distance with id tie-breaks, the entry seeds are
+  * deterministic caller-chosen nodes of the query's coarse cell (the
+  * engine seeds the cell's min- and max-id node — id-space diversity
+  * inside the connected component), and each beam round is a
   * deterministic (dist, id) top-B — so an out-of-engine replay recomputes
   * the entire traversal bit-for-bit.
   *
@@ -35,16 +37,34 @@ object GraphKnn {
 
   /** Top-`m` co-cell neighbors per node under SQ8 L2 (id tie-break):
     * (src, dst, dist). `assigned` carries (vec_id, cell, code).
+    *
+    * Candidate pairs come from [[graft.operators.SkewJoin.boundedSelfPairs]]
+    * on the cell key — the same bounded enumeration the dedup family uses —
+    * not a raw cell self-join: a raw equi-join puts a cell of n rows into
+    * ONE task and forms n² pairs there (a hot cell — exactly what IVF cell
+    * skew produces — blows up a single task AQE cannot split), while the
+    * tiled form caps per-task pair volume at ~hotCellThreshold². Each
+    * unordered pair is scored once and emitted in both orientations, then
+    * a per-src window keeps the m nearest. Output is identical to the raw
+    * join's (same candidate set, same integer distances, same (dist, dst)
+    * tie-break) — only the task shape changes.
     */
-  def coCellGraph(assigned: DataFrame, m: Int): DataFrame = {
-    val a = assigned.select(col("vec_id").as("src"), col("cell"),
-      col("code").as("src_code"))
-    val b = assigned.select(col("vec_id").as("dst"), col("cell"),
-      col("code").as("dst_code"))
+  def coCellGraph(assigned: DataFrame, m: Int,
+                  hotCellThreshold: Int = 4096): DataFrame = {
+    val pairs = graft.operators.SkewJoin.boundedSelfPairs(
+      assigned.select(col("cell"), col("vec_id"), col("code")),
+      Seq("cell"), col("vec_id"), col("code"), hotCellThreshold)
     val w = Window.partitionBy("src").orderBy(col("dist"), col("dst"))
-    a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        VecOps.sq8DistL2(col("src_code"), col("dst_code")).as("dist"))
+    // both orientations of each scored pair via explode — one pass over
+    // the pair stream, no second execution of the pair-enumeration DAG
+    pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"),
+          VecOps.sq8DistL2(col("pay_a"), col("pay_b")).as("dist")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"),
+          VecOps.sq8DistL2(col("pay_a"), col("pay_b")).as("dist")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dist").as("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= m)
       .select("src", "dst", "dist")
@@ -68,16 +88,24 @@ object GraphKnn {
     val bw = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
     // the seen set is re-read twice per round (union + beam), so each
     // round persists it — frames are ≤ queries · (1 + rounds·beam·degree)
-    // rows, bounded by construction
+    // rows, bounded by construction. Each round's frame is dead the moment
+    // the next round's materializes, so it is released EAGERLY (count()
+    // forces the successor into cache first — a superseded frame must not
+    // be dropped while the successor is still lazy, or the drop triggers a
+    // full recompute); only the final seen frame stays registered for the
+    // caller's CachePool release.
     var seen = graft.CachePool.persist(score(entries))
     (1 to rounds).foreach { _ =>
       val frontier = seen.withColumn("rnk", row_number().over(bw))
         .filter(col("rnk") <= beam).select("query_id", "node")
       val expanded = frontier.join(graph, frontier("node") === graph("src"))
         .select(col("query_id"), col("dst").as("node"))
-      seen = graft.CachePool.persist(
+      val next = graft.CachePool.persist(
         seen.unionByName(score(expanded))
           .groupBy("query_id", "node").agg(min("dist").as("dist")))
+      next.count(): Unit
+      graft.CachePool.release(seen)
+      seen = next
     }
     seen.filter(col("node") =!= col("query_id"))
       .withColumn("rnk", row_number().over(bw))

@@ -128,6 +128,11 @@ object IndexIO {
     * the quantization happens HERE (ADVICE r15): callers hand over the
     * float vectors, not pre-quantized codes, so the persisted scale_bits
     * is by construction the one the codes were produced at.
+    *
+    * `vectors` must carry exactly the columns `vec_id` and `embedding`
+    * (array&lt;float&gt;) — the engine's canonical vector-table schema; a
+    * differently-named vector column fails analysis here, at the save
+    * boundary, not at some later probe (ADVICE r16).
     */
   def saveSq8(spark: SparkSession, vectors: org.apache.spark.sql.DataFrame,
               scaleBits: Int, path: String): Unit = {
@@ -155,6 +160,8 @@ object IndexIO {
     * table stays distributed and is laid out `cell=.../` so a probe-time
     * reader partition-prunes to exactly the probed cells; only the
     * codebook (k × dim floats) and the 1-row scale transit the driver.
+    * `vectors` must carry exactly (`vec_id`, `embedding`: array&lt;float&gt;),
+    * the [[saveSq8]] contract.
     */
   def saveIvfSq8(spark: SparkSession, vectors: org.apache.spark.sql.DataFrame,
                  codebook: IvfKnn.IvfIndex, scaleBits: Int, path: String): Unit = {
@@ -178,6 +185,125 @@ object IndexIO {
     val postings = spark.read.parquet(s"$path/postings")
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("code"))
     (postings, loadIvf(spark, s"$path/codebook"), bits)
+  }
+
+  /** The FULL navigable-graph ANN index — coarse codebook, grid scale,
+    * graph degree, the cell-partitioned node table (vec_id, cell, code)
+    * and the cell-partitioned edge table (src, dst, dist, cell) — as one
+    * artifact tree:
+    *
+    * {{{
+    * path/codebook   k × dim coarse centroids (saveIvf layout)
+    * path/meta       1 row: (scale_bits, m) — the parameters the codes
+    *                 and edges were built at, riding WITH the artifact
+    * path/nodes      cell=…/ partitioned (vec_id, code)
+    * path/edges      cell=…/ partitioned (src, dst, dist)
+    * }}}
+    *
+    * Assignment, quantization AND edge selection all happen HERE, from
+    * the float vectors (the saveIvfSq8 binding discipline): the persisted
+    * edges can never disagree with the persisted codes, nor the codes
+    * with scale_bits. Edges are intra-cell by construction, so both
+    * tables partition on the same key and a serving reader
+    * partition-prunes nodes and edges to the cells it traverses. The edge
+    * build runs through [[graft.similarity.GraphKnn.coCellGraph]]'s
+    * bounded (hot-cell-tiled) pair enumeration. `vectors` must carry
+    * exactly (`vec_id`, `embedding`: array&lt;float&gt;), the [[saveSq8]]
+    * contract.
+    */
+  def saveGraph(spark: SparkSession, vectors: org.apache.spark.sql.DataFrame,
+                codebook: IvfKnn.IvfIndex, scaleBits: Int, m: Int,
+                path: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    saveIvf(spark, codebook, s"$path/codebook")
+    val assigned = graft.CachePool.persist(vectors.select(col("vec_id"),
+      IvfKnn.nearestCells(col("embedding"), codebook, 1)
+        .getItem(0).cast("long").as("cell"),
+      graft.functions.VecOps.sq8F(col("embedding"), scaleBits).as("code")))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/nodes")
+    // edges carry src's cell (== dst's: edges are intra-cell) for the
+    // partitioned layout; the join back to assigned is an equi-join on the
+    // already-persisted frame
+    graft.similarity.GraphKnn.coCellGraph(assigned, m)
+      .join(assigned.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
+    graft.CachePool.release(assigned)
+    Seq((scaleBits, m)).toDF("scale_bits", "m")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Loads the [[saveGraph]] artifact: (nodes, edges, codebook,
+    * scale_bits, m). Both tables stay distributed; only the codebook and
+    * the 1-row meta transit the driver.
+    */
+  def loadGraph(spark: SparkSession, path: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         IvfKnn.IvfIndex, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val meta = spark.read.parquet(s"$path/meta").select("scale_bits", "m").collect()(0)
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("code"))
+    val edges = spark.read.parquet(s"$path/edges")
+      .select(col("src"), col("dst"), col("dist"), col("cell").cast("long").as("cell"))
+    (nodes, edges, loadIvf(spark, s"$path/codebook"), meta.getInt(0), meta.getInt(1))
+  }
+
+  /** Inserts a later batch into a persisted [[saveGraph]] artifact WITHOUT
+    * a full rebuild — the nightly maintenance path: assign + encode the
+    * new vectors at the artifact's OWN loaded codebook and scale (they
+    * cannot drift from the resident nodes), then refresh the co-cell
+    * edges of TOUCHED cells only. Because edges are strictly intra-cell,
+    * recomputing a touched cell from its full (resident + new) membership
+    * reproduces exactly what a from-scratch rebuild would emit for that
+    * cell, and untouched cells are byte-identical by not being rewritten —
+    * so the merged artifact EQUALS the full rebuild while the write is
+    * proportional to the touched slice: new node rows append into their
+    * cell partitions, refreshed edges land by dynamic partition overwrite
+    * (only touched `cell=…` dirs are replaced), and resident node reads
+    * partition-prune to the touched cells.
+    */
+  def appendGraph(spark: SparkSession,
+                  newVectors: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val meta = spark.read.parquet(s"$path/meta").select("scale_bits", "m").collect()(0)
+    val (scaleBits, m) = (meta.getInt(0), meta.getInt(1))
+    val codebook = loadIvf(spark, s"$path/codebook")
+    val newNodes = graft.CachePool.persist(newVectors.select(col("vec_id"),
+      IvfKnn.nearestCells(col("embedding"), codebook, 1)
+        .getItem(0).cast("long").as("cell"),
+      graft.functions.VecOps.sq8F(col("embedding"), scaleBits).as("code")))
+    // the touched-cell set is bounded by nlist — the same justified
+    // driver read as the codebook itself
+    val touched = newNodes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val resident = spark.read.parquet(s"$path/nodes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("code"))
+      .filter(col("cell").isin(touched: _*)) // partition-pruned read
+    // the touched-cell MEMBERSHIP (resident + new) is pinned in cache and
+    // materialized BEFORE any write mutates the node tree it was read
+    // from — the refreshed edges and their cell labels both derive from
+    // this frozen frame, never from a re-listing of a half-mutated dir
+    val members = graft.CachePool.persist(resident.unionByName(newNodes))
+    members.count(): Unit
+    val refreshed = graft.CachePool.persist(
+      graft.similarity.GraphKnn.coCellGraph(members, m)
+        .join(members.select(col("vec_id").as("src"), col("cell")), Seq("src")))
+    refreshed.count(): Unit
+    newNodes.write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      refreshed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
+    } finally {
+      prevMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    graft.CachePool.release(refreshed)
+    graft.CachePool.release(members)
+    graft.CachePool.release(newNodes)
   }
 
   /** A trained quality-classifier model: one row per non-zero weight plus

@@ -1052,6 +1052,28 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"a BNL would mean a join key (cell/src/vec_id) was lost:\n$plan")
   }
 
+  test("graph build takes the tiled hot-cell path: equi-joins on tile keys, no cartesian") {
+    // the build-time bound VERDICT r16 named: coCellGraph routes its pair
+    // enumeration through SkewJoin.boundedSelfPairs, so a hot cell tiles
+    // into (cell, __c1, __c2) join keys instead of one n_c²-pair task. With
+    // hotCellThreshold forced low every cell is hot — the plan must show
+    // the tile keys on a hash equi-join and still no cartesian anywhere.
+    val vecs = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val assigned = vecs.select(col("vec_id"),
+      graft.similarity.IvfKnn.nearestCells(col("embedding"),
+        graft.similarity.IvfKnn.IvfIndex(
+          Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f))), 1)
+        .getItem(0).cast("long").as("cell"),
+      graft.functions.VecOps.sq8F(col("embedding"), 6).as("code"))
+    val plan = finalPlan(
+      graft.similarity.GraphKnn.coCellGraph(assigned, m = 4, hotCellThreshold = 8))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+      s"graph build must never fall to a cartesian:\n$plan")
+    val str = plan.toString
+    assert(str.contains("__c1") && str.contains("__c2"),
+      s"hot cells must pair through the triangle-tile keys:\n$str")
+  }
+
   test("q_manifest_prune: the pruned read's file index holds only selected shard dirs") {
     val plan = finalPlan(q("q_manifest_prune"))
     graft.CachePool.releaseAll()

@@ -42,6 +42,30 @@ class GraphKnnSpec extends SparkSpec {
     assert(kept.toSeq === all.take(4).toSeq, "edges must be the exact top-m")
   }
 
+  test("coCellGraph: tiled hot-cell build equals the raw self-join edge set") {
+    // plant the hot-cell shape the bounded build exists for: with
+    // hotCellThreshold=8 every cell (~60 rows at this sf) is hot and takes
+    // the triangle-tiled path — a raw cell self-join would form the whole
+    // n_c² pair block in one task. The kept edges must be IDENTICAL to the
+    // raw join's top-m: tiling changes task shape, never the candidate set.
+    val tiled = GraphKnn.coCellGraph(assigned, m = 4, hotCellThreshold = 8)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2))
+    val a = assigned.select(col("vec_id").as("src"), col("cell"),
+      col("code").as("src_code"))
+    val b = assigned.select(col("vec_id").as("dst"), col("cell"),
+      col("code").as("dst_code"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("dist"), col("dst"))
+    val raw = a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        VecOps.sq8DistL2(col("src_code"), col("dst_code")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 4).select("src", "dst", "dist")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2))
+    assert(tiled.toSeq === raw.toSeq,
+      "tiled build must reproduce the raw join's edge set exactly")
+  }
+
   test("beamSearch: dense ranks, ascending exact distances, never the query itself") {
     val graph = graft.CachePool.persist(GraphKnn.coCellGraph(assigned, m = 4))
     val q = assigned.filter(col("vec_id") < 20)
@@ -49,9 +73,15 @@ class GraphKnnSpec extends SparkSpec {
     val entries = q.join(
         assigned.groupBy("cell").agg(min("vec_id").as("node")), Seq("cell"))
       .select("query_id", "node")
-    val got = GraphKnn.beamSearch(graph, assigned.select("vec_id", "code"),
+    val before = graft.CachePool.registered
+    val searched = GraphKnn.beamSearch(graph, assigned.select("vec_id", "code"),
         q.select("query_id", "q_code"), entries, k = 5, beam = 4, rounds = 3)
-      .as[(Long, Int, Long, Long)].collect()
+    // superseded per-round seen frames are released EAGERLY inside the
+    // search (ADVICE r16): only the FINAL seen frame stays registered,
+    // not one per round
+    assert(graft.CachePool.registered === before + 1,
+      "beamSearch must leave exactly its final seen frame registered")
+    val got = searched.as[(Long, Int, Long, Long)].collect()
     val byQ = got.groupBy(_._1)
     assert(byQ.size === 20)
     byQ.foreach { case (qid, rows) =>
