@@ -73,6 +73,13 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+").take(3).mkString(",")
       catch { case _: Exception => "" }
+    // the quiet-window GATE value (VERDICT r16 item 4): the 1-min loadavg
+    // the launcher observed when it decided to launch, passed through the
+    // environment by tools/bench_watch.sh so the committed artifact
+    // carries machine-checkable evidence of the window it claims — the
+    // JVM's own loadavg_before sample is seconds later, after sbt/JVM
+    // startup has itself raised the load. Empty when launched by hand.
+    val loadAtLaunch = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_AT_LAUNCH", "")
     val loadBefore = loadavg()
     // A timed-out query's worker may keep submitting jobs (cancelJobGroup
     // kills only ACTIVE jobs) and re-registering persists; re-cancel and
@@ -145,7 +152,8 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","repeats":$repeats,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+      s""","repeats":$repeats,"loadavg_at_launch":"$loadAtLaunch"""" +
+      s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     // The driver keeps only a ~2000-char TAIL window of stdout and has
     // clipped the front of the single full JSON line before (r9: queries
     // a-l lost). Output order is therefore most-expendable-first: the

@@ -216,15 +216,38 @@ object SparkEntry {
     publish(batches.head, s"$src/b0")
     val input = s2.readStream
       .schema(s2.read.parquet(s"$src/b0").schema).parquet(s"$src/*")
-    val result = build(input)
+    // outputMode "foreachBatch": `build` needs FULL batch semantics (rank
+    // windows, iterative self-unions, mid-plan actions) that a streaming
+    // frame cannot analyze — the standard Structured Streaming escape
+    // hatch. Each micro-batch runs `build` as a batch frame on the stream
+    // execution thread and appends its result to the parquet sink;
+    // per-batch CachePool registrations are scoped to a per-batch job
+    // group and released when the batch commits, so an operator that
+    // persists intermediates (the beam search) cannot accumulate frames
+    // across triggers.
+    val result = if (outputMode == "foreachBatch") None else Some(build(input))
     val sink = s"${name}_${System.nanoTime()}"
-    val q =
-      if (outputMode == "update")
-        result.writeStream.format("memory").queryName(sink)
+    val q = (outputMode, result) match {
+      case ("foreachBatch", _) =>
+        input.writeStream.option("checkpointLocation", cp)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val grp = s"drain_${name}_b$id"
+            s2.sparkContext.setJobGroup(grp, s"$name foreachBatch",
+              interruptOnCancel = false)
+            try build(b).write.mode("append").parquet(out)
+            finally {
+              s2.sparkContext.clearJobGroup()
+              graft.CachePool.releaseGroup(grp)
+            }
+          }.start()
+      case ("update", Some(r)) =>
+        r.writeStream.format("memory").queryName(sink)
           .outputMode(outputMode).start()
-      else
-        result.writeStream.format("parquet").option("path", out)
+      case (_, Some(r)) =>
+        r.writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", cp).outputMode(outputMode).start()
+      case _ => throw new IllegalStateException("unreachable")
+    }
     try {
       q.processAllAvailable()
       batches.tail.zipWithIndex.foreach { case (b, i) =>
@@ -233,7 +256,10 @@ object SparkEntry {
       }
     } finally q.stop()
     if (outputMode == "update") s2.table(sink)
-    else s2.read.schema(result.schema).parquet(out)
+    else result match {
+      case Some(r) => s2.read.schema(r.schema).parquet(out)
+      case None => s2.read.parquet(out)
+    }
   }
 
   /** Shared scaffolding for the event-stream drains: the 1-row bounds
@@ -884,6 +910,81 @@ object SparkEntry {
         col("n_queries"),
         col("n_hits"),
         expr("n_hits * 1000 div (n_queries * 5)").as("recall_permille"))
+    }),
+
+    "q_graph_io" -> ((s, d) => {
+      // the graph index's LIFECYCLE closed (the #227 fit-once-serve-many
+      // discipline applied to the graph family): build → persist → load →
+      // serve, all hops graded in one row. IndexIO.saveGraph persists the
+      // COMPOSITE artifact — codebook, grid scale, graph degree, the
+      // cell-partitioned node table AND the cell-partitioned edge table —
+      // with assignment, quantization and edge selection all done inside
+      // the save, so no component can disagree with another. The search
+      // then runs ENTIRELY from the loaded artifact: entries from the
+      // loaded nodes, expansion over the loaded edges, distances against
+      // codes that round-tripped parquet, queries quantized at the LOADED
+      // scale. The oracle is the full from-floats traversal replay
+      // (KnnGraphSql verbatim): any dropped edge, mis-partitioned node or
+      // scale drift anywhere in the write→load→serve chain hash-
+      // mismatches. cell=… layout on BOTH tables means a serving reader
+      // partition-prunes nodes and edges to the cells it traverses.
+      val vecs = t(s, d, "embeddings")
+      val codebook = graft.similarity.IvfKnn.IvfIndex(
+        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+      val dir = scratchDir("graft_graph_idx")
+      graft.sources.IndexIO.saveGraph(s,
+        vecs.select(col("vec_id"), col("embedding")), codebook,
+        scaleBits = 6, m = GraphM, dir)
+      val (nodes, edges, cb, bits, m) = graft.sources.IndexIO.loadGraph(s, dir)
+      require(m == GraphM, s"artifact degree $m != $GraphM")
+      val q = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          graft.functions.VecOps.sq8F(col("embedding"), bits).as("q_code"),
+          graft.similarity.IvfKnn.nearestCells(col("embedding"), cb, 1)
+            .getItem(0).cast("long").as("cell"))
+      val entries = graphEntries(nodes, q)
+      graft.similarity.GraphKnn.beamSearch(edges.select("src", "dst", "dist"),
+        nodes.select("vec_id", "code"), q.select("query_id", "q_code"),
+        entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
+    }),
+
+    "q_graph_append" -> ((s, d) => {
+      // graph APPEND-WITHOUT-REBUILD (the #148 nightly-maintenance idiom
+      // applied to the graph family): the corpus arrives in two epochs —
+      // vec_id % 4 != 0 is indexed first, the % 4 == 0 batch lands later.
+      // IndexIO.appendGraph inserts the late batch into the PERSISTED
+      // artifact by assign+encode at the artifact's own loaded codebook
+      // and scale, then refreshes the co-cell edges of TOUCHED cells only:
+      // new node rows append into their cell partitions, refreshed edges
+      // land by dynamic partition overwrite, untouched cells keep their
+      // bytes. Because edges are strictly intra-cell, a touched cell
+      // recomputed from its full (resident + new) membership reproduces
+      // exactly the from-scratch edges for that cell — so the merged
+      // artifact EQUALS the full rebuild, and the oracle is the full
+      // from-floats traversal replay over the WHOLE corpus (KnnGraphSql
+      // verbatim): any stale edge left behind, any node lost in the
+      // append, any cell the refresh missed hash-mismatches the served
+      // shortlist. IndexIOSpec pins merged == rebuilt byte-identity at
+      // the artifact level.
+      val vecs = t(s, d, "embeddings")
+      val codebook = graft.similarity.IvfKnn.IvfIndex(
+        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+      val dir = scratchDir("graft_graph_append_idx")
+      graft.sources.IndexIO.saveGraph(s,
+        vecs.filter(col("vec_id") % 4 =!= 0).select(col("vec_id"), col("embedding")),
+        codebook, scaleBits = 6, m = GraphM, dir)
+      graft.sources.IndexIO.appendGraph(s,
+        vecs.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding")), dir)
+      val (nodes, edges, cb, bits, _) = graft.sources.IndexIO.loadGraph(s, dir)
+      val q = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          graft.functions.VecOps.sq8F(col("embedding"), bits).as("q_code"),
+          graft.similarity.IvfKnn.nearestCells(col("embedding"), cb, 1)
+            .getItem(0).cast("long").as("cell"))
+      val entries = graphEntries(nodes, q)
+      graft.similarity.GraphKnn.beamSearch(edges.select("src", "dst", "dist"),
+        nodes.select("vec_id", "code"), q.select("query_id", "q_code"),
+        entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
     }),
 
     "q_hybrid_search" -> ((s, d) => {
@@ -4953,6 +5054,48 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "q_stream_graph" -> ((s, d) => {
+      // GRAPH ANN SERVING AS A STREAMING FACE — completes the graph
+      // family's serving triangle (batch q_knn_graph, disk q_graph_io,
+      // stream here), the same triangle the IVF+SQ8 family closed in r16.
+      // A micro-batched QUERY stream is beam-searched against the
+      // persisted graph artifact: the index loads ONCE as the static side
+      // (nodes + edges + codebook + scale), each micro-batch of queries
+      // quantizes at the loaded scale and runs the full deterministic
+      // traversal via foreachBatch — the rank windows and per-round
+      // persists of the beam search need batch semantics a streaming
+      // frame cannot analyze, and foreachBatch is exactly Structured
+      // Streaming's contract for that. The traversal is stateless per
+      // query and the two batches partition the query set, so the drained
+      // union equals the batch search: the oracle is KnnGraphSql's
+      // from-floats replay verbatim. Per-batch CachePool frames release
+      // with the batch's job group; per query the work stays
+      // O(rounds·beam·degree) — the serving-latency property that makes
+      // graph ANN the index you put BEHIND a query stream.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val vecs = t(s2, d, "embeddings")
+      val codebook = graft.similarity.IvfKnn.IvfIndex(
+        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+      val dir = scratchDir("graft_stream_graph_idx")
+      graft.sources.IndexIO.saveGraph(s2,
+        vecs.select(col("vec_id"), col("embedding")), codebook,
+        scaleBits = 6, m = GraphM, dir)
+      val (nodes, edges, cb, bits, _) = graft.sources.IndexIO.loadGraph(s2, dir)
+      val queries = vecs.filter(col("vec_id") < 20).select("vec_id", "embedding")
+      drainFileStreamMixed(s2, "stream_graph", "foreachBatch",
+          Seq(BatchIn(queries.filter(col("vec_id") < 10)),
+            BatchIn(queries.filter(col("vec_id") >= 10)))) { in =>
+        val q = in.select(col("vec_id").as("query_id"),
+          graft.functions.VecOps.sq8F(col("embedding"), bits).as("q_code"),
+          graft.similarity.IvfKnn.nearestCells(col("embedding"), cb, 1)
+            .getItem(0).cast("long").as("cell"))
+        graft.similarity.GraphKnn.beamSearch(edges.select("src", "dst", "dist"),
+          nodes.select("vec_id", "code"), q.select("query_id", "q_code"),
+          graphEntries(nodes, q), k = 5, beam = GraphBeam, rounds = GraphRounds)
+      }.orderBy("query_id", "rnk")
+    }),
+
     "q_stream_drift" -> ((s, d) => {
       // INCREMENTAL drift monitoring drained end-to-end: the baseline
       // histogram (sources × buckets, bounded) rides inside the stateful
@@ -6183,6 +6326,13 @@ object SparkEntry {
     // the deterministic single-layer graph traversal, replayed round by
     // round from the raw floats — edges, entry, every beam, every rank.
     "q_knn_graph" -> KnnGraphSql,
+    // the persisted, appended and streamed graph faces all serve the
+    // SAME deterministic traversal, so each replays from the raw floats
+    // verbatim — the disk/append/stream hops are what differ under
+    // grading, not the math (the q_ivf_sq8_io discipline)
+    "q_graph_io" -> KnnGraphSql,
+    "q_graph_append" -> KnnGraphSql,
+    "q_stream_graph" -> KnnGraphSql,
 
     // both shortlists replay, so the recall gauge itself is recomputed —
     // never a pinned gate.

@@ -290,7 +290,13 @@ object IndexIO {
       graft.similarity.GraphKnn.coCellGraph(members, m)
         .join(members.select(col("vec_id").as("src"), col("cell")), Seq("src")))
     refreshed.count(): Unit
-    newNodes.write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
+    // the edge overwrite MUST land before the node append: writing into
+    // path/nodes recache-invalidates every cached frame that reads it
+    // (members, and refreshed through it), and the lazily re-materialized
+    // plan would re-list the dir WITH the appended rows — the new nodes
+    // counted twice, duplicate pair rows crowding the top-m window. With
+    // the edges already on disk, nothing derives from path/nodes when it
+    // mutates.
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -301,6 +307,7 @@ object IndexIO {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    newNodes.write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
     graft.CachePool.release(refreshed)
     graft.CachePool.release(members)
     graft.CachePool.release(newNodes)

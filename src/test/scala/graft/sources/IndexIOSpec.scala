@@ -168,4 +168,69 @@ class IndexIOSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).sorted
     assert(dirs.nonEmpty, "postings must be laid out cell=.../")
   }
+
+  private def oneHot = graft.similarity.IvfKnn.IvfIndex(
+    Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+
+  private def graphState(path: String)
+      : (Map[Long, (Long, Seq[Byte])], Set[(Long, Long, Long)]) = {
+    import spark.implicits._
+    val (nodes, edges, _, _, _) = IndexIO.loadGraph(spark, path)
+    val n = nodes.as[(Long, Long, Seq[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val e = edges.select("src", "dst", "dist").as[(Long, Long, Long)].collect().toSet
+    (n, e)
+  }
+
+  test("graph index round-trips: codebook, scale, degree, nodes and edges all bound") {
+    val vecs = table("embeddings")
+    val path = tmp("graph")
+    IndexIO.saveGraph(spark, vecs.select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, path)
+    val (nodes, edges, cb, bits, m) = IndexIO.loadGraph(spark, path)
+    assert(bits === 6 && m === 4)
+    cb.centroids.zip(oneHot.centroids).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq, "codebook drifted through the round trip")
+    }
+    // loaded nodes equal a fresh assign+quantize; loaded edges equal a
+    // fresh coCellGraph — bit for bit
+    val assigned = graft.CachePool.persist(vecs.select(col("vec_id"),
+      graft.similarity.IvfKnn.nearestCells(col("embedding"), oneHot, 1)
+        .getItem(0).cast("long").as("cell"),
+      graft.functions.VecOps.sq8F(col("embedding"), 6).as("code")))
+    import spark.implicits._
+    val wantNodes = assigned.as[(Long, Long, Seq[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val wantEdges = graft.similarity.GraphKnn.coCellGraph(assigned, m = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val (gotNodes, gotEdges) = graphState(path)
+    assert(gotNodes === wantNodes, "node table drifted through the round trip")
+    assert(gotEdges === wantEdges, "edge set drifted through the round trip")
+    graft.CachePool.releaseAll()
+    // both tables land cell-partitioned so a serving reader prunes
+    Seq("nodes", "edges").foreach { t =>
+      val dirs = new java.io.File(s"$path/$t").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+      assert(dirs.nonEmpty, s"$t must be laid out cell=.../")
+    }
+  }
+
+  test("appendGraph merges a late batch into exactly the full rebuild, touched cells only") {
+    val vecs = table("embeddings")
+    val base = vecs.filter(col("vec_id") % 4 =!= 0)
+    val late = vecs.filter(col("vec_id") % 4 === 0)
+    val merged = tmp("graph_append")
+    IndexIO.saveGraph(spark, base.select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, merged)
+    IndexIO.appendGraph(spark, late.select("vec_id", "embedding"), merged)
+    val rebuilt = tmp("graph_rebuild")
+    IndexIO.saveGraph(spark, vecs.select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, rebuilt)
+    val (mn, me) = graphState(merged)
+    val (rn, re) = graphState(rebuilt)
+    assert(mn === rn, "merged node table must equal the full rebuild's")
+    assert(me.size === re.size &&
+      (me -- re).isEmpty && (re -- me).isEmpty,
+      s"merged edges must equal the rebuild's; extra=${(me -- re).take(3)} missing=${(re -- me).take(3)}")
+  }
 }

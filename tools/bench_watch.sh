@@ -17,6 +17,7 @@ set -euo pipefail
 SF_DIR="${1:-/root/testdata/sf0.1}"
 REPEATS="${2:-3}"
 MAX_POLLS="${3:-40}"
+L=99
 for i in $(seq 1 "$MAX_POLLS"); do
   L=$(cut -d' ' -f1 /proc/loadavg)
   if awk "BEGIN{exit !($L < 0.3)}"; then
@@ -29,5 +30,21 @@ for i in $(seq 1 "$MAX_POLLS"); do
   fi
   sleep 45
 done
+# The gate value rides into the artifact (loadavg_at_launch) so the
+# committed BENCH_FULL.json carries machine-checkable evidence of the
+# quiet window it claims.
 SPARK_GRAFT_REPEATS="$REPEATS" SPARK_GRAFT_SF_DIR="$SF_DIR" \
+  SPARK_GRAFT_LOADAVG_AT_LAUNCH="$L" \
   sbt -batch "runMain graft.Bench"
+# A contaminated launch (gate >= 0.3) must not overwrite the committed
+# artifact of record: graft.Bench writes BENCH_FULL.json unconditionally,
+# so restore the committed copy here. The measurement survives in
+# target/bench.json for inspection.
+if ! awk "BEGIN{exit !($L < 0.3)}"; then
+  if git -C "$(dirname "$0")/.." ls-files --error-unmatch BENCH_FULL.json \
+      >/dev/null 2>&1; then
+    git -C "$(dirname "$0")/.." restore BENCH_FULL.json
+    echo "contaminated launch (loadavg_at_launch $L >= 0.3):" \
+      "restored committed BENCH_FULL.json; this run's numbers remain in target/bench.json"
+  fi
+fi
