@@ -987,6 +987,45 @@ object SparkEntry {
         entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
     }),
 
+    "q_graph_delete" -> ((s, d) => {
+      // graph DELETE-WITHOUT-REBUILD — the erasure half of the nightly
+      // maintenance story beside q_graph_append (GDPR takedown,
+      // retraction, TTL expiry): every tenth vector is deleted from the
+      // PERSISTED artifact by dropping its node rows and refreshing the
+      // co-cell edges of TOUCHED cells only, from the surviving
+      // membership (IndexIO.deleteFromGraph — dynamic partition
+      // overwrite; untouched cells keep their bytes; cells the writes
+      // cannot clear — no survivors, or too few to form pairs — are
+      // vacuum-reconciled explicitly). Edges are strictly intra-cell, so
+      // the shrunken artifact EQUALS a from-scratch build over the
+      // survivors: the oracle is the SAME traversal replay with only the
+      // corpus predicate narrowed (knnGraphChainSql's corpusPred), which
+      // proves the served index contains EXACTLY the surviving corpus — a
+      // stale edge to a deleted node, a lost survivor or an unrefreshed
+      // cell hash-mismatches. IndexIOSpec pins deleted == rebuilt at
+      // artifact byte-identity, including the full-cell-erasure case the
+      // graded predicate cannot reach.
+      val vecs = t(s, d, "embeddings")
+      val codebook = graft.similarity.IvfKnn.IvfIndex(
+        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+      val dir = scratchDir("graft_graph_delete_idx")
+      graft.sources.IndexIO.saveGraph(s,
+        vecs.select(col("vec_id"), col("embedding")), codebook,
+        scaleBits = 6, m = GraphM, dir)
+      graft.sources.IndexIO.deleteFromGraph(s,
+        vecs.filter(col("vec_id") % 10 === 0).select(col("vec_id")), dir)
+      val (nodes, edges, cb, bits, _) = graft.sources.IndexIO.loadGraph(s, dir)
+      val q = vecs.filter(col("vec_id") < 20 && col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("query_id"),
+          graft.functions.VecOps.sq8F(col("embedding"), bits).as("q_code"),
+          graft.similarity.IvfKnn.nearestCells(col("embedding"), cb, 1)
+            .getItem(0).cast("long").as("cell"))
+      val entries = graphEntries(nodes, q)
+      graft.similarity.GraphKnn.beamSearch(edges.select("src", "dst", "dist"),
+        nodes.select("vec_id", "code"), q.select("query_id", "q_code"),
+        entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
+    }),
+
     "q_hybrid_search" -> ((s, d) => {
       // HYBRID retrieval: exact cosine top-20 shortlists for 5 query
       // vectors, fused with the per-document QUALITY PRIOR (vec_id
@@ -5897,7 +5936,7 @@ object SparkEntry {
 
   /** The graph-ANN family's tuning triple — ONE definition feeding both
     * the engine rows (q_knn_graph / q_graph_recall / the persisted and
-    * streamed faces) and the [[KnnGraphChainSql]] replay, so retuning the
+    * streamed faces) and the [[knnGraphChainSql]] replay, so retuning the
     * graph cannot desync the oracle from the engine (ADVICE r16: the
     * (4,4,3)→(8,8,4) retune left stale parameter docs behind; constants
     * make that class of drift impossible for the values themselves).
@@ -5926,10 +5965,13 @@ object SparkEntry {
 
   /** The shared traversal chain (WITH ... s`GraphRounds`): assignment,
     * graph, entry, `GraphRounds` unrolled beam rounds — reused by
-    * [[KnnGraphSql]] (shortlist face) and the graph-recall gauge
-    * (intersection face).
+    * [[KnnGraphSql]] (shortlist face), the graph-recall gauge
+    * (intersection face) and the delete face (which narrows the corpus
+    * with `corpusPred` — the traversal replay is otherwise identical, so
+    * the delete row's oracle proves the artifact serves EXACTLY the
+    * surviving corpus).
     */
-  private val KnnGraphChainSql: String = {
+  private def knnGraphChainSql(corpusPred: String = "TRUE"): String = {
     def dist(qc: String, cc: String): String = sq8DistSql(qc, cc)
     val rounds = GraphRounds
     val head =
@@ -5938,11 +5980,13 @@ object SparkEntry {
          |    list_transform(CAST(embedding AS DOUBLE[]),
          |      x -> greatest(-128, least(127, CAST(floor(x * 64) AS BIGINT)))) AS code
          |  FROM embeddings
+         |  WHERE $corpusPred
          |), cells AS (
          |  SELECT vec_id,
          |    CAST(list_max(list_transform(generate_series(1, 8),
          |      j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) AS cell
          |  FROM embeddings
+         |  WHERE $corpusPred
          |), asg AS (
          |  SELECT c.vec_id, cl.cell, c.code FROM codes c JOIN cells cl USING (vec_id)
          |), pair AS (
@@ -5987,7 +6031,7 @@ object SparkEntry {
     head + roundCtes
   }
 
-  private val KnnGraphSql: String = KnnGraphChainSql +
+  private val KnnGraphShortlistTail: String =
     s"""
       |SELECT query_id, rnk, neighbor_id, dist FROM (
       |  SELECT query_id, node AS neighbor_id, dist,
@@ -5995,11 +6039,20 @@ object SparkEntry {
       |  FROM s$GraphRounds WHERE node <> query_id)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  private val KnnGraphSql: String = knnGraphChainSql() + KnnGraphShortlistTail
+
+  /** The delete face's oracle: the identical traversal replay with only
+    * the corpus predicate narrowed to the survivors — proving the served
+    * artifact contains exactly the post-erasure corpus.
+    */
+  private val GraphDeleteSql: String =
+    knnGraphChainSql("vec_id % 10 <> 0") + KnnGraphShortlistTail
+
   /** Graph-recall gauge: both shortlists — the graph traversal's and the
     * exact SQ8 brute-force top-5 — replay fully, so the overlap (and the
     * permille recall derived from it) is value-certified on both sides.
     */
-  private val GraphRecallSql: String = KnnGraphChainSql +
+  private val GraphRecallSql: String = knnGraphChainSql() +
     s"""
        |, gtop AS (
        |  SELECT query_id, node AS neighbor_id FROM (
@@ -6332,6 +6385,7 @@ object SparkEntry {
     // grading, not the math (the q_ivf_sq8_io discipline)
     "q_graph_io" -> KnnGraphSql,
     "q_graph_append" -> KnnGraphSql,
+    "q_graph_delete" -> GraphDeleteSql,
     "q_stream_graph" -> KnnGraphSql,
 
     // both shortlists replay, so the recall gauge itself is recomputed —

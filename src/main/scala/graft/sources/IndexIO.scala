@@ -313,6 +313,77 @@ object IndexIO {
     graft.CachePool.release(newNodes)
   }
 
+  /** Deletes vectors from a persisted [[saveGraph]] artifact WITHOUT a
+    * full rebuild — the other half of the nightly maintenance story
+    * beside [[appendGraph]] (GDPR erasure, retraction, TTL expiry): drop
+    * the deleted node rows and refresh the co-cell edges of TOUCHED cells
+    * only, from the surviving membership. Edges are strictly intra-cell —
+    * a deleted node's edges live only in its own cell — so the result
+    * EQUALS [[saveGraph]] over the surviving vectors while the write is
+    * proportional to the touched slice (dynamic partition overwrite;
+    * untouched cells keep their bytes).
+    *
+    * A touched cell whose members are ALL deleted produces no survivor
+    * rows, and dynamic overwrite only replaces partitions PRESENT in the
+    * written data — so fully-emptied cells are reconciled explicitly: their
+    * `cell=…` dirs are deleted from both tables (the vacuum discipline).
+    *
+    * `ids` carries one `vec_id` column; ids absent from the index are
+    * ignored. The surviving membership of touched cells is pinned via
+    * localCheckpoint before any write: the node rewrite reads the same
+    * path it overwrites, and a plan still rooted at that file relation
+    * would either fail the self-overwrite check or re-list mid-mutation.
+    */
+  def deleteFromGraph(spark: SparkSession,
+                      ids: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val m = spark.read.parquet(s"$path/meta").select("m").collect()(0).getInt(0)
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("code"))
+    val del = ids.select(col("vec_id"))
+    // touched cells: bounded by nlist, the same justified driver read as
+    // the codebook
+    val touched = nodes.join(del, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val survivors = nodes.filter(col("cell").isin(touched: _*))
+      .join(del, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val refreshed = graft.CachePool.persist(
+      graft.similarity.GraphKnn.coCellGraph(survivors, m)
+        .join(survivors.select(col("vec_id").as("src"), col("cell")), Seq("src")))
+    refreshed.count(): Unit
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      refreshed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
+      survivors.write.mode("overwrite").partitionBy("cell").parquet(s"$path/nodes")
+    } finally {
+      prevMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // reconcile touched cells the writes could not clear: a cell with NO
+    // survivors wrote no node partition, and a cell with FEWER THAN TWO
+    // survivors forms no pairs and wrote no edge partition — dynamic
+    // overwrite only replaces partitions present in the data, so the
+    // stale dirs are removed directly (the vacuum discipline). Alive sets
+    // come from the checkpointed/persisted frames, bounded by nlist.
+    val nodeAlive = survivors.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val edgeAlive = refreshed.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    graft.CachePool.release(refreshed)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def drop(table: String, cell: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$table/cell=$cell")
+      p.getFileSystem(hconf).delete(p, true): Unit
+    }
+    touched.filterNot(nodeAlive).foreach(drop("nodes", _))
+    touched.filterNot(edgeAlive).foreach(drop("edges", _))
+  }
+
   /** A trained quality-classifier model: one row per non-zero weight plus
     * a bias row at index −1 (sparse — junk-signal models are mostly
     * zeros), with the bucket count for shape recovery.

@@ -233,4 +233,48 @@ class IndexIOSpec extends SparkSpec {
       (me -- re).isEmpty && (re -- me).isEmpty,
       s"merged edges must equal the rebuild's; extra=${(me -- re).take(3)} missing=${(re -- me).take(3)}")
   }
+
+  test("deleteFromGraph shrinks to exactly the survivor rebuild") {
+    val vecs = table("embeddings")
+    val shrunk = tmp("graph_delete")
+    IndexIO.saveGraph(spark, vecs.select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, shrunk)
+    IndexIO.deleteFromGraph(spark,
+      vecs.filter(col("vec_id") % 10 === 0).select("vec_id"), shrunk)
+    val rebuilt = tmp("graph_delete_rebuild")
+    IndexIO.saveGraph(spark,
+      vecs.filter(col("vec_id") % 10 =!= 0).select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, rebuilt)
+    val (sn, se) = graphState(shrunk)
+    val (rn, re) = graphState(rebuilt)
+    assert(sn === rn, "post-delete node table must equal the survivor rebuild's")
+    assert((se -- re).isEmpty && (re -- se).isEmpty,
+      s"post-delete edges must equal the survivor rebuild's; " +
+        s"stale=${(se -- re).take(3)} missing=${(re -- se).take(3)}")
+  }
+
+  test("deleteFromGraph erases a whole cell: stale node and edge dirs are reconciled") {
+    import spark.implicits._
+    val vecs = table("embeddings")
+    val path = tmp("graph_delete_cell")
+    IndexIO.saveGraph(spark, vecs.select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, path)
+    // delete EVERY member of one cell — the case dynamic overwrite cannot
+    // clear (no survivor rows → no partition written)
+    val (nodes0, _, _, _, _) = IndexIO.loadGraph(spark, path)
+    val victim = nodes0.select("cell").as[Long].head()
+    val victims = nodes0.filter(col("cell") === victim).select("vec_id")
+    // capture the expectation BEFORE the dir mutates (nodes0 is lazy)
+    val keepCount = nodes0.filter(col("cell") =!= victim).count()
+    IndexIO.deleteFromGraph(spark, victims, path)
+    Seq("nodes", "edges").foreach { t =>
+      assert(!new java.io.File(s"$path/$t/cell=$victim").exists(),
+        s"emptied cell must be vacuumed from $t")
+    }
+    val (nodes1, edges1, _, _, _) = IndexIO.loadGraph(spark, path)
+    assert(nodes1.filter(col("cell") === victim).count() === 0)
+    assert(edges1.filter(col("cell") === victim).count() === 0)
+    // untouched cells keep every byte
+    assert(nodes1.count() === keepCount)
+  }
 }
