@@ -70,15 +70,19 @@ object GraphKnn {
       .select("src", "dst", "dist")
   }
 
-  /** Beam search over a prebuilt neighbor graph: from each query's entry
-    * node, `rounds` rounds of expand-the-beam's-neighbors / rescore /
-    * keep-top-`beam`, then the final top-`k` over every node seen
-    * (excluding the query itself). `queries` carries (query_id, q_code),
-    * `entries` (query_id, node), `codes` (vec_id, code). Output:
-    * (query_id, rnk, neighbor_id, dist) — exact integers, deterministic.
+  /** The beam rounds alone: from each search unit's entry nodes, `rounds`
+    * rounds of expand-the-beam's-neighbors / rescore / keep-top-`beam`,
+    * returning the full SEEN set (query_id, node, dist). The unit key
+    * `query_id` is opaque — a multi-probe caller packs (query, probe
+    * cell) into it so each probed cell walks with its OWN beam (the
+    * probed subgraphs are disconnected; a shared beam starves both —
+    * measured 650-800‰ vs ~1000‰), then merges and ranks the seen sets
+    * itself. `queries` carries (query_id, q_code), `entries`
+    * (query_id, node), `codes` (vec_id, code). Exact integers,
+    * deterministic.
     */
-  def beamSearch(graph: DataFrame, codes: DataFrame, queries: DataFrame,
-                 entries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+  def beamSeen(graph: DataFrame, codes: DataFrame, queries: DataFrame,
+               entries: DataFrame, beam: Int, rounds: Int): DataFrame = {
     val q = broadcast(queries.select(col("query_id"), col("q_code")))
     def score(cand: DataFrame): DataFrame =
       cand.join(codes, cand("node") === codes("vec_id"))
@@ -107,7 +111,19 @@ object GraphKnn {
       graft.CachePool.release(seen)
       seen = next
     }
-    seen.filter(col("node") =!= col("query_id"))
+    seen
+  }
+
+  /** Beam search over a prebuilt neighbor graph: [[beamSeen]]'s rounds,
+    * then the final top-`k` over every node seen (excluding the query
+    * itself). Output: (query_id, rnk, neighbor_id, dist) — exact
+    * integers, deterministic.
+    */
+  def beamSearch(graph: DataFrame, codes: DataFrame, queries: DataFrame,
+                 entries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+    val bw = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
+    beamSeen(graph, codes, queries, entries, beam, rounds)
+      .filter(col("node") =!= col("query_id"))
       .withColumn("rnk", row_number().over(bw))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("node").as("neighbor_id"), col("dist"))
