@@ -46,11 +46,21 @@ object CachePool {
     * of intermediates where each round supersedes the last (e.g. the beam
     * search's seen-set): release the superseded frame as soon as its
     * successor is materialized instead of parking every round's frame
-    * until the batch-boundary releaseAll. Releasing a frame that was
-    * never registered (or already released) is a no-op.
+    * until the batch-boundary releaseAll. Matching is by REFERENCE
+    * identity: callers must pass the exact object [[persist]] returned —
+    * a re-derived or transformed frame matches nothing. Releasing a
+    * frame that was never registered (or already released) is a no-op,
+    * but a MISS on a frame that is still registered under another
+    * reference would leak it until releaseAll, so a miss is logged
+    * (ADVICE r17: the API otherwise makes misuse undetectable).
     */
   def release(df: DataFrame): Unit = synchronized {
     val (hit, keep) = frames.partition(_._2 eq df)
+    if (hit.isEmpty && frames.nonEmpty) {
+      System.err.println(
+        "[CachePool] release(df) matched no registered frame — pass the " +
+          s"exact reference persist() returned (${frames.size} still registered)")
+    }
     hit.foreach(_._2.unpersist(blocking = false))
     frames.clear()
     frames ++= keep

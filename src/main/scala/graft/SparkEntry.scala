@@ -227,6 +227,12 @@ object SparkEntry {
     // across triggers.
     val result = if (outputMode == "foreachBatch") None else Some(build(input))
     val sink = s"${name}_${System.nanoTime()}"
+    // the build output's schema, captured at the first micro-batch: the
+    // final read of the foreachBatch sink must not rely on inference —
+    // an all-empty drain writes no part files and an inferring read
+    // throws instead of returning the empty frame the schema-carrying
+    // branch would (ADVICE r17)
+    @volatile var fbSchema: Option[org.apache.spark.sql.types.StructType] = None
     val q = (outputMode, result) match {
       case ("foreachBatch", _) =>
         input.writeStream.option("checkpointLocation", cp)
@@ -234,8 +240,11 @@ object SparkEntry {
             val grp = s"drain_${name}_b$id"
             s2.sparkContext.setJobGroup(grp, s"$name foreachBatch",
               interruptOnCancel = false)
-            try build(b).write.mode("append").parquet(out)
-            finally {
+            try {
+              val r = build(b)
+              if (fbSchema.isEmpty) fbSchema = Some(r.schema)
+              r.write.mode("append").parquet(out)
+            } finally {
               s2.sparkContext.clearJobGroup()
               graft.CachePool.releaseGroup(grp)
             }
@@ -258,7 +267,10 @@ object SparkEntry {
     if (outputMode == "update") s2.table(sink)
     else result match {
       case Some(r) => s2.read.schema(r.schema).parquet(out)
-      case None => s2.read.parquet(out)
+      case None => fbSchema match {
+        case Some(sc) => s2.read.schema(sc).parquet(out)
+        case None => s2.read.parquet(out) // no batch ran: b0 always publishes
+      }
     }
   }
 
@@ -835,21 +847,17 @@ object SparkEntry {
       // fully-value-certified tier: the oracle replays the assignment,
       // the edge selection, the entry, all four beam rounds and the
       // final ranking from the raw floats — integer distances leave no
-      // FP ambiguity anywhere in the traversal.
-      val vecs = t(s, d, "embeddings")
-      val codebook = graft.similarity.IvfKnn.IvfIndex(
-        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
-      val assigned = graft.CachePool.persist(vecs.select(col("vec_id"),
-        graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 1)
-          .getItem(0).cast("long").as("cell"),
-        graft.functions.VecOps.sq8F(col("embedding"), 6).as("code")))
-      val graph = graft.CachePool.persist(
-        graft.similarity.GraphKnn.coCellGraph(assigned, m = GraphM))
-      val q = assigned.filter(col("vec_id") < 20)
+      // FP ambiguity anywhere in the traversal. The build prefix is the
+      // shared per-sf-dir artifact (sharedGraphIndex, VERDICT r17
+      // item 1): this row grades the SERVE hop — queries drawn from the
+      // loaded nodes, entries from the loaded cells, traversal over the
+      // loaded edges; q_graph_io grades the chain that produced them.
+      val (nodes, edges, _, _) = sharedGraphIndex(s, d)
+      val q = nodes.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("code").as("q_code"), col("cell"))
-      val entries = graphEntries(assigned, q)
-      graft.similarity.GraphKnn.beamSearch(graph,
-        assigned.select("vec_id", "code"), q.select("query_id", "q_code"),
+      val entries = graphEntries(nodes, q)
+      graft.similarity.GraphKnn.beamSearch(edges.select("src", "dst", "dist"),
+        nodes.select("vec_id", "code"), q.select("query_id", "q_code"),
         entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
     }),
 
@@ -872,27 +880,21 @@ object SparkEntry {
       // near-uniform synthetic embeddings are graph ANN's worst case),
       // exactly the number an index operator sizes beam/rounds/degree
       // by. Permille is floor-division on non-negative counts —
-      // engine-portable.
-      val vecs = t(s, d, "embeddings")
-      val codebook = graft.similarity.IvfKnn.IvfIndex(
-        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
-      val assigned = graft.CachePool.persist(vecs.select(col("vec_id"),
-        graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 1)
-          .getItem(0).cast("long").as("cell"),
-        graft.functions.VecOps.sq8F(col("embedding"), 6).as("code")))
-      val graph = graft.CachePool.persist(
-        graft.similarity.GraphKnn.coCellGraph(assigned, m = GraphM))
-      val q = assigned.filter(col("vec_id") < 20)
+      // engine-portable. Both shortlists serve from the shared
+      // per-sf-dir artifact (sharedGraphIndex, VERDICT r17 item 1).
+      val (nodes, edges, _, _) = sharedGraphIndex(s, d)
+      val q = nodes.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("code").as("q_code"), col("cell"))
-      val entries = graphEntries(assigned, q)
-      val graphTop = graft.similarity.GraphKnn.beamSearch(graph,
-        assigned.select("vec_id", "code"), q.select("query_id", "q_code"),
+      val entries = graphEntries(nodes, q)
+      val graphTop = graft.similarity.GraphKnn.beamSearch(
+        edges.select("src", "dst", "dist"),
+        nodes.select("vec_id", "code"), q.select("query_id", "q_code"),
         entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
       // the exhaustive in-cell scan the traversal replaces: candidates
       // from the cell equi-join, ranked by the same (dist, id) order
       val ew = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
-      val exactTop = assigned.select(col("vec_id"), col("cell"), col("code"))
+      val exactTop = nodes.select(col("vec_id"), col("cell"), col("code"))
         .join(broadcast(q.select(col("query_id"), col("q_code"), col("cell"))),
           Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
@@ -1042,26 +1044,22 @@ object SparkEntry {
       // nprobe·O(rounds·beam·degree) — still occupancy-independent, the
       // scaling knob every production graph index exposes. Deterministic
       // end to end, so the oracle replays both walks and the merge from
-      // the raw floats.
-      val vecs = t(s, d, "embeddings")
-      val codebook = graft.similarity.IvfKnn.IvfIndex(
-        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
-      val assigned = graft.CachePool.persist(vecs.select(col("vec_id"),
-        graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 1)
-          .getItem(0).cast("long").as("cell"),
-        graft.functions.VecOps.sq8F(col("embedding"), 6).as("code")))
-      val graph = graft.CachePool.persist(
-        graft.similarity.GraphKnn.coCellGraph(assigned, m = GraphM))
-      val units = vecs.filter(col("vec_id") < 20)
+      // the raw floats. Serves from the shared per-sf-dir artifact
+      // (sharedGraphIndex, VERDICT r17 item 1); the top-2 probe cells
+      // come from the query's float embedding against the loaded
+      // codebook, quantized at the loaded scale.
+      val (nodes, edges, cb, bits) = sharedGraphIndex(s, d)
+      val units = t(s, d, "embeddings").filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"),
-          graft.functions.VecOps.sq8F(col("embedding"), 6).as("q_code"),
-          explode(graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 2))
+          graft.functions.VecOps.sq8F(col("embedding"), bits).as("q_code"),
+          explode(graft.similarity.IvfKnn.nearestCells(col("embedding"), cb, 2))
             .as("probe"))
         .select((col("qid") * 8 + col("probe").cast("long")).as("query_id"),
           col("qid"), col("q_code"), col("probe").cast("long").as("cell"))
-      val entries = graphEntries(assigned, units.select("query_id", "cell"))
-      val seen = graft.similarity.GraphKnn.beamSeen(graph,
-        assigned.select("vec_id", "code"), units.select("query_id", "q_code"),
+      val entries = graphEntries(nodes, units.select("query_id", "cell"))
+      val seen = graft.similarity.GraphKnn.beamSeen(
+        edges.select("src", "dst", "dist"),
+        nodes.select("vec_id", "code"), units.select("query_id", "q_code"),
         entries, beam = GraphBeam, rounds = GraphRounds)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
@@ -1088,26 +1086,21 @@ object SparkEntry {
       // the remaining gap to the
       // exhaustive scan is the true navigability cost of walking instead
       // of scanning, the number an operator weighs against the
-      // occupancy-independent serving latency.
-      val vecs = t(s, d, "embeddings")
-      val codebook = graft.similarity.IvfKnn.IvfIndex(
-        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
-      val assigned = graft.CachePool.persist(vecs.select(col("vec_id"),
-        graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 1)
-          .getItem(0).cast("long").as("cell"),
-        graft.functions.VecOps.sq8F(col("embedding"), 6).as("code")))
-      val graph = graft.CachePool.persist(
-        graft.similarity.GraphKnn.coCellGraph(assigned, m = GraphM))
-      val units = graft.CachePool.persist(vecs.filter(col("vec_id") < 20)
+      // occupancy-independent serving latency. Serves from the shared
+      // per-sf-dir artifact (sharedGraphIndex, VERDICT r17 item 1).
+      val (nodes, edges, cb, bits) = sharedGraphIndex(s, d)
+      val units = graft.CachePool.persist(
+        t(s, d, "embeddings").filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"),
-          graft.functions.VecOps.sq8F(col("embedding"), 6).as("q_code"),
-          explode(graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 2))
+          graft.functions.VecOps.sq8F(col("embedding"), bits).as("q_code"),
+          explode(graft.similarity.IvfKnn.nearestCells(col("embedding"), cb, 2))
             .as("probe"))
         .select((col("qid") * 8 + col("probe").cast("long")).as("query_id"),
           col("qid"), col("q_code"), col("probe").cast("long").as("cell")))
-      val entries = graphEntries(assigned, units.select("query_id", "cell"))
-      val seen = graft.similarity.GraphKnn.beamSeen(graph,
-        assigned.select("vec_id", "code"), units.select("query_id", "q_code"),
+      val entries = graphEntries(nodes, units.select("query_id", "cell"))
+      val seen = graft.similarity.GraphKnn.beamSeen(
+        edges.select("src", "dst", "dist"),
+        nodes.select("vec_id", "code"), units.select("query_id", "q_code"),
         entries, beam = GraphBeam, rounds = GraphRounds)
       val gw = org.apache.spark.sql.expressions.Window
         .partitionBy("true_q").orderBy(col("dist"), col("node"))
@@ -1123,7 +1116,7 @@ object SparkEntry {
       // candidate scores once), ranked by the same (dist, id) order
       val ew = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
-      val exactTop = assigned.select(col("vec_id"), col("cell"), col("code"))
+      val exactTop = nodes.select(col("vec_id"), col("cell"), col("code"))
         .join(broadcast(units.select(col("qid"), col("q_code"), col("cell"))),
           Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
@@ -5231,15 +5224,12 @@ object SparkEntry {
       // graph ANN the index you put BEHIND a query stream.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      val vecs = t(s2, d, "embeddings")
-      val codebook = graft.similarity.IvfKnn.IvfIndex(
-        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
-      val dir = scratchDir("graft_stream_graph_idx")
-      graft.sources.IndexIO.saveGraph(s2,
-        vecs.select(col("vec_id"), col("embedding")), codebook,
-        scaleBits = 6, m = GraphM, dir)
-      val (nodes, edges, cb, bits, _) = graft.sources.IndexIO.loadGraph(s2, dir)
-      val queries = vecs.filter(col("vec_id") < 20).select("vec_id", "embedding")
+      // the static side is the SHARED per-sf-dir artifact (sharedGraphIndex,
+      // VERDICT r17 item 1) — the serving story this row tells is exactly
+      // "an index built elsewhere, loaded once, probed per micro-batch"
+      val (nodes, edges, cb, bits) = sharedGraphIndex(s2, d)
+      val queries = t(s2, d, "embeddings")
+        .filter(col("vec_id") < 20).select("vec_id", "embedding")
       drainFileStreamMixed(s2, "stream_graph", "foreachBatch",
           Seq(BatchIn(queries.filter(col("vec_id") < 10)),
             BatchIn(queries.filter(col("vec_id") >= 10)))) { in =>
@@ -6080,6 +6070,52 @@ object SparkEntry {
         .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")), Seq("cell"))
       .select(col("query_id"),
         explode(array_distinct(array(col("lo"), col("hi")))).as("node"))
+
+  /** The deterministic one-hot coarse codebook the graph family's
+    * value-certified tier quantizes against: 8 cells, cell j = the
+    * 64-dim unit vector with a 1 at dim j (so assignment is argmax over
+    * the first 8 coordinates — exactly what the oracle replays).
+    */
+  private def oneHotCodebook: graft.similarity.IvfKnn.IvfIndex =
+    graft.similarity.IvfKnn.IvfIndex(
+      Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
+
+  /** Memoized shared graph index (VERDICT r17 item 1): the in-memory
+    * graph rows (q_knn_graph / q_graph_recall / the two multi-probe rows
+    * / q_stream_graph) all build the IDENTICAL index — one-hot assign +
+    * SQ8(6) quantize + degree-[[GraphM]] bounded co-cell edges over the
+    * whole embeddings table — so it is built ONCE per sf-dir as the
+    * persisted [[graft.sources.IndexIO.saveGraph]] composite and every
+    * row loads it and grades only its own hop (the fit-once-serve-many
+    * discipline the artifact exists for). On DISK, not in cache, because
+    * the harness deliberately times every query cold (clearCache between
+    * attempts) — an on-disk artifact is the only cross-query carrier,
+    * the [[stagedBatches]] discipline. Correctness is unchanged: codes
+    * and cells round-trip parquet exactly (q_graph_io grades precisely
+    * this write→load→serve chain against the from-floats replay), and
+    * the lifecycle rows (io/append/delete/compact) keep their own dirs —
+    * they grade artifact MUTATION, which must never alias the shared
+    * read-only copy. A failed build does not memoize (computeIfAbsent
+    * drops the mapping on throw); the seq-numbered subdir keeps a
+    * half-written casualty from being re-read.
+    */
+  private val sharedGraphDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sharedGraphSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def sharedGraphIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, graft.similarity.IvfKnn.IvfIndex, Int) = {
+    val dir = sharedGraphDirs.computeIfAbsent(d, { _ =>
+      val dd =
+        s"${scratchDir("graft_graph_shared")}/g${sharedGraphSeq.getAndIncrement()}"
+      graft.sources.IndexIO.saveGraph(s,
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        oneHotCodebook, scaleBits = 6, m = GraphM, dd)
+      dd
+    })
+    val (nodes, edges, cb, bits, m) = graft.sources.IndexIO.loadGraph(s, dir)
+    require(m == GraphM, s"shared graph artifact degree $m != $GraphM")
+    (nodes, edges, cb, bits)
+  }
 
   /** The shared traversal chain (WITH ... s`GraphRounds`): assignment,
     * graph, entry, `GraphRounds` unrolled beam rounds — reused by

@@ -237,10 +237,42 @@ object IndexIO {
     * scale_bits, m). Both tables stay distributed; only the codebook and
     * the 1-row meta transit the driver.
     */
+  /** Path of the in-flight-maintenance marker: [[appendGraph]] and
+    * [[deleteFromGraph]] mutate the artifact with more than one write
+    * (edges overwrite, node append/overwrite, dir vacuums), so a crash
+    * mid-run leaves nodes and edges disagreeing. The marker is written
+    * BEFORE the first mutating write and removed after the last, making
+    * the torn state detectable: [[loadGraph]] refuses an artifact whose
+    * marker is still present (ADVICE r17). Creation and deletion are
+    * each single FS metadata operations — atomic on the filesystems the
+    * artifact targets.
+    */
+  private def graphPendingMarker(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_MAINTENANCE_PENDING")
+
+  private def withGraphMaintenanceMarker(
+      spark: SparkSession, path: String, op: String)(body: => Unit): Unit = {
+    val marker = graphPendingMarker(path)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(s"$op ${System.nanoTime()}\n".getBytes("UTF-8"))
+    finally out.close()
+    body
+    // reached only on success: a throw above leaves the marker in place,
+    // which is exactly the detectable-torn-state contract
+    fs.delete(marker, false): Unit
+  }
+
   def loadGraph(spark: SparkSession, path: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          IvfKnn.IvfIndex, Int, Int) = {
     import org.apache.spark.sql.functions.col
+    val marker = graphPendingMarker(path)
+    require(!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(marker),
+      s"graph artifact at $path has an unfinished maintenance run " +
+        "(_MAINTENANCE_PENDING present): nodes and edges may disagree — " +
+        "rebuild with saveGraph or restore from a known-good copy")
     val meta = spark.read.parquet(s"$path/meta").select("scale_bits", "m").collect()(0)
     val nodes = spark.read.parquet(s"$path/nodes")
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("code"))
@@ -262,6 +294,12 @@ object IndexIO {
     * cell partitions, refreshed edges land by dynamic partition overwrite
     * (only touched `cell=…` dirs are replaced), and resident node reads
     * partition-prune to the touched cells.
+    *
+    * Ids already resident in the index are IGNORED (anti-join on the
+    * column-pruned id scan — ADVICE r17): re-appending is idempotent, it
+    * can never duplicate node rows or inflate a cell's membership. The
+    * mutating writes run under the [[graphPendingMarker]] torn-state
+    * marker; a crash mid-append is detected by the next [[loadGraph]].
     */
   def appendGraph(spark: SparkSession,
                   newVectors: org.apache.spark.sql.DataFrame, path: String): Unit = {
@@ -269,14 +307,25 @@ object IndexIO {
     val meta = spark.read.parquet(s"$path/meta").select("scale_bits", "m").collect()(0)
     val (scaleBits, m) = (meta.getInt(0), meta.getInt(1))
     val codebook = loadIvf(spark, s"$path/codebook")
-    val newNodes = graft.CachePool.persist(newVectors.select(col("vec_id"),
-      IvfKnn.nearestCells(col("embedding"), codebook, 1)
-        .getItem(0).cast("long").as("cell"),
-      graft.functions.VecOps.sq8F(col("embedding"), scaleBits).as("code")))
+    // ids already RESIDENT are dropped (anti-join on the column-pruned id
+    // scan): re-appending a resident id would duplicate its node rows and
+    // compute the refreshed edges over the duplicated membership, silently
+    // breaking the merged-equals-rebuild contract (ADVICE r17). The
+    // filtered frame is pinned via localCheckpoint BEFORE any write: its
+    // plan reads path/nodes, which the node append below mutates — an
+    // unpinned plan would re-list the half-mutated dir.
+    val newNodes = newVectors.select(col("vec_id"),
+        IvfKnn.nearestCells(col("embedding"), codebook, 1)
+          .getItem(0).cast("long").as("cell"),
+        graft.functions.VecOps.sq8F(col("embedding"), scaleBits).as("code"))
+      .join(spark.read.parquet(s"$path/nodes").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
     // the touched-cell set is bounded by nlist — the same justified
     // driver read as the codebook itself
     val touched = newNodes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return // every id already resident: idempotent no-op
     val resident = spark.read.parquet(s"$path/nodes")
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("code"))
       .filter(col("cell").isin(touched: _*)) // partition-pruned read
@@ -297,20 +346,21 @@ object IndexIO {
     // counted twice, duplicate pair rows crowding the top-m window. With
     // the edges already on disk, nothing derives from path/nodes when it
     // mutates.
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      refreshed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
-    } finally {
-      prevMode match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withGraphMaintenanceMarker(spark, path, "append") {
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        refreshed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
+      } finally {
+        prevMode match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
+      newNodes.write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
     }
-    newNodes.write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
     graft.CachePool.release(refreshed)
     graft.CachePool.release(members)
-    graft.CachePool.release(newNodes)
   }
 
   /** Deletes vectors from a persisted [[saveGraph]] artifact WITHOUT a
@@ -353,35 +403,41 @@ object IndexIO {
       graft.similarity.GraphKnn.coCellGraph(survivors, m)
         .join(survivors.select(col("vec_id").as("src"), col("cell")), Seq("src")))
     refreshed.count(): Unit
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      refreshed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
-      survivors.write.mode("overwrite").partitionBy("cell").parquet(s"$path/nodes")
-    } finally {
-      prevMode match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
-    // reconcile touched cells the writes could not clear: a cell with NO
-    // survivors wrote no node partition, and a cell with FEWER THAN TWO
-    // survivors forms no pairs and wrote no edge partition — dynamic
-    // overwrite only replaces partitions present in the data, so the
-    // stale dirs are removed directly (the vacuum discipline). Alive sets
-    // come from the checkpointed/persisted frames, bounded by nlist.
+    // alive sets come from the checkpointed/persisted frames, bounded by
+    // nlist — computed BEFORE the writes so the vacuum below never reads
+    // a mutated dir
     val nodeAlive = survivors.select("cell").distinct()
       .collect().map(_.getLong(0)).toSet
     val edgeAlive = refreshed.select("cell").distinct()
       .collect().map(_.getLong(0)).toSet
-    graft.CachePool.release(refreshed)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def drop(table: String, cell: Long): Unit = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$table/cell=$cell")
-      p.getFileSystem(hconf).delete(p, true): Unit
+    withGraphMaintenanceMarker(spark, path, "delete") {
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        refreshed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(s"$path/nodes")
+      } finally {
+        prevMode match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      // reconcile touched cells the writes could not clear: a cell with NO
+      // survivors wrote no node partition, and a cell with FEWER THAN TWO
+      // survivors forms no pairs and wrote no edge partition — dynamic
+      // overwrite only replaces partitions present in the data, so the
+      // stale dirs are removed directly (the vacuum discipline). The
+      // vacuum is part of the marker-guarded mutation: a crash between
+      // the overwrite and the vacuum is a torn state like any other.
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def drop(table: String, cell: Long): Unit = {
+        val p = new org.apache.hadoop.fs.Path(s"$path/$table/cell=$cell")
+        p.getFileSystem(hconf).delete(p, true): Unit
+      }
+      touched.filterNot(nodeAlive).foreach(drop("nodes", _))
+      touched.filterNot(edgeAlive).foreach(drop("edges", _))
     }
-    touched.filterNot(nodeAlive).foreach(drop("nodes", _))
-    touched.filterNot(edgeAlive).foreach(drop("edges", _))
+    graft.CachePool.release(refreshed)
   }
 
   /** A trained quality-classifier model: one row per non-zero weight plus

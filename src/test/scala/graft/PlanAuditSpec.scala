@@ -523,6 +523,22 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"sessionize window must stay user-partitioned:\n$plan")
   }
 
+  test("q_path_topk caps the path rank with TakeOrdered; rank window input is bounded") {
+    val plan = finalPlan(q("q_path_topk"))
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"global sort instead of a bounded top-k over the path vocabulary:\n$plan")
+    // the session windows stay user-partitioned; the only unpartitioned
+    // window is the k-row rank derivation, whose subtree must contain the
+    // TakeOrdered that bounds its input (VERDICT r17 item 2)
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.toString.contains("TakeOrderedAndProject"),
+        s"unpartitioned rank window over an unbounded input:\n$plan")
+    }
+  }
+
   test("q_snapshot_dedup and q_drift stay equi-join shaped over the snapshots") {
     Seq("q_snapshot_dedup", "q_drift").foreach { name =>
       val plan = finalPlan(q(name))

@@ -234,6 +234,40 @@ class IndexIOSpec extends SparkSpec {
       s"merged edges must equal the rebuild's; extra=${(me -- re).take(3)} missing=${(re -- me).take(3)}")
   }
 
+  test("appendGraph ignores ids already resident: re-append is an idempotent no-op") {
+    val vecs = table("embeddings")
+    val path = tmp("graph_reappend")
+    IndexIO.saveGraph(spark, vecs.select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, path)
+    val (n0, e0) = graphState(path)
+    // re-append a slice that is fully resident: without the ADVICE r17
+    // anti-join this duplicates its node rows and corrupts the refreshed
+    // edges' membership
+    IndexIO.appendGraph(spark,
+      vecs.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding"), path)
+    val (n1, e1) = graphState(path)
+    assert(n1 === n0, "re-appending resident ids must not change the node table")
+    assert(e1 === e0, "re-appending resident ids must not change the edge set")
+  }
+
+  test("loadGraph refuses an artifact with an unfinished maintenance run") {
+    val vecs = table("embeddings")
+    val path = tmp("graph_torn")
+    IndexIO.saveGraph(spark, vecs.select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, path)
+    val marker = new java.io.File(s"$path/_MAINTENANCE_PENDING")
+    java.nio.file.Files.writeString(marker.toPath, "append 0\n")
+    val e = intercept[IllegalArgumentException](IndexIO.loadGraph(spark, path))
+    assert(e.getMessage.contains("unfinished maintenance"), e.getMessage)
+    // a completed maintenance run removes the marker and load works again
+    marker.delete()
+    IndexIO.appendGraph(spark,
+      vecs.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"), path)
+    assert(!marker.exists(), "successful maintenance must clear its marker")
+    val (nodes, _, _, _, _) = IndexIO.loadGraph(spark, path)
+    assert(nodes.count() > 0)
+  }
+
   test("deleteFromGraph shrinks to exactly the survivor rebuild") {
     val vecs = table("embeddings")
     val shrunk = tmp("graph_delete")

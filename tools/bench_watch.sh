@@ -17,6 +17,17 @@ set -euo pipefail
 SF_DIR="${1:-/root/testdata/sf0.1}"
 REPEATS="${2:-3}"
 MAX_POLLS="${3:-40}"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+# Snapshot the CURRENT artifact of record before launching (ADVICE r17):
+# `git restore` would revert to the last COMMITTED copy, silently
+# destroying a prior quiet run's good-but-uncommitted measurement. The
+# snapshot restores exactly what was there at launch time.
+SNAP="$(mktemp /tmp/bench_full_snap.XXXXXX)"
+HAD_PREV=0
+if [ -f "$REPO/BENCH_FULL.json" ]; then
+  cp "$REPO/BENCH_FULL.json" "$SNAP"
+  HAD_PREV=1
+fi
 L=99
 for i in $(seq 1 "$MAX_POLLS"); do
   L=$(cut -d' ' -f1 /proc/loadavg)
@@ -36,15 +47,20 @@ done
 SPARK_GRAFT_REPEATS="$REPEATS" SPARK_GRAFT_SF_DIR="$SF_DIR" \
   SPARK_GRAFT_LOADAVG_AT_LAUNCH="$L" \
   sbt -batch "runMain graft.Bench"
-# A contaminated launch (gate >= 0.3) must not overwrite the committed
-# artifact of record: graft.Bench writes BENCH_FULL.json unconditionally,
-# so restore the committed copy here. The measurement survives in
-# target/bench.json for inspection.
+# A contaminated launch (gate >= 0.3) must not overwrite the artifact of
+# record: graft.Bench writes BENCH_FULL.json unconditionally, so restore
+# the LAUNCH-TIME snapshot here (not the committed copy — ADVICE r17:
+# git restore would destroy a prior quiet run's uncommitted artifact).
+# The measurement survives in target/bench.json for inspection.
 if ! awk "BEGIN{exit !($L < 0.3)}"; then
-  if git -C "$(dirname "$0")/.." ls-files --error-unmatch BENCH_FULL.json \
-      >/dev/null 2>&1; then
-    git -C "$(dirname "$0")/.." restore BENCH_FULL.json
-    echo "contaminated launch (loadavg_at_launch $L >= 0.3):" \
-      "restored committed BENCH_FULL.json; this run's numbers remain in target/bench.json"
+  if [ "$HAD_PREV" = 1 ]; then
+    cp "$SNAP" "$REPO/BENCH_FULL.json"
+    echo "contaminated launch (loadavg_at_launch $L >= 0.3): restored" \
+      "launch-time BENCH_FULL.json; this run's numbers remain in target/bench.json"
+  else
+    rm -f "$REPO/BENCH_FULL.json"
+    echo "contaminated launch (loadavg_at_launch $L >= 0.3): removed" \
+      "BENCH_FULL.json (none existed at launch); numbers remain in target/bench.json"
   fi
 fi
+rm -f "$SNAP"
