@@ -829,6 +829,55 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "q_knn_filtered" -> ((s, d) => {
+      // FILTERED ANN (VERDICT r17 item 3) — top-k under a metadata
+      // predicate, the one production vector-retrieval op the index
+      // family lacked: "nearest neighbors of q WHERE label = q.label"
+      // (source/lang/tenant filters are this exact shape). The filter is
+      // applied INSIDE candidate generation — the label is a KEY of the
+      // candidate equi-join (cell AND label), so only predicate-passing
+      // rows are ever scored — never a post-filter on a fixed top-k,
+      // which silently starves filtered queries (a top-5 drawn from
+      // unfiltered candidates can contain 0 predicate-passing rows even
+      // when the cell holds plenty). At 100 TB the same plan reads a
+      // (cell, label)-partitioned posting layout and prunes to the
+      // probed slivers. Corpus is the planted-dup corpus — the 0.5×
+      // copies CARRY their original's label, so the filtered search must
+      // recover the original THROUGH the predicate: measured 20/20
+      // top-1 at every sf, and `recovered` is a pure engine-portable
+      // comparison, not a pinned literal. Fully value-certified like
+      // the rest of the one-hot SQ8 tier: assignment, 2-probe order,
+      // every integer distance and rank replay bit-for-bit in SQL
+      // (cross-checked against an independent numpy replay at all three
+      // sfs — tools/proto_knn_filtered.py).
+      val codebook = oneHotCodebook
+      val corpus = annCorpus(s, d).select(col("vec_id"),
+        graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 1)
+          .getItem(0).cast("long").as("cell"),
+        graft.functions.VecOps.sq8F(col("embedding"), 6).as("code"),
+        col("label"))
+      val q = broadcast(annQueries(s, d)
+        .select(col("vec_id").as("query_id"),
+          graft.functions.VecOps.sq8F(col("embedding"), 6).as("q_code"),
+          col("label"),
+          explode(graft.similarity.IvfKnn.nearestCells(col("embedding"), codebook, 2))
+            .as("probe"))
+        .select(col("query_id"), col("q_code"), col("label"),
+          col("probe").cast("long").as("cell")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+      corpus.join(q, Seq("cell", "label")).filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
+          graft.functions.VecOps.sq8DistL2(col("q_code"), col("code")).as("dist"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"),
+          col("dist"),
+          (col("neighbor_id") === col("query_id") - DedupData.ExactIdOffset)
+            .as("recovered"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_knn_graph" -> ((s, d) => {
       // GRAPH-BASED ANN (the HNSW-class gap VERDICT r15 named) in its
       // deterministic single-layer form: a navigable neighbor graph
@@ -1026,6 +1075,139 @@ object SparkEntry {
       graft.similarity.GraphKnn.beamSearch(edges.select("src", "dst", "dist"),
         nodes.select("vec_id", "code"), q.select("query_id", "q_code"),
         entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
+    }),
+
+    "q_graph_compact" -> ((s, d) => {
+      // TOMBSTONE → MERGE-ON-READ SERVE → COMPACT (VERDICT r17 item 6):
+      // the erasure lifecycle split the way table formats split it —
+      // IndexIO.tombstoneGraph is the position-delete-file write (O(ids),
+      // no edge work), loadGraphMor serves with the log merged on read
+      // (tombstoned nodes dropped, touched cells' edges recomputed in
+      // memory from the survivors; untouched cells stream partition-
+      // pruned from parquet), and compactGraph physicalizes the log via
+      // the marker-guarded deleteFromGraph rewrite, after which the
+      // artifact has shrunk and the log is cleared. Because edges are
+      // strictly intra-cell, the MoR view EQUALS the compacted artifact
+      // bit for bit — and this row grades that equality THROUGH the
+      // oracle: the same traversal runs once over the MoR view and once
+      // over the compacted artifact, and both phases must hash-match the
+      // SAME survivor-corpus replay (knnGraphChainSql, corpus narrowed to
+      // vec_id % 10 <> 0). A stale tombstoned node served, an
+      // unrefreshed touched cell, or a compaction that dropped a
+      // survivor mismatches its phase. The MoR shortlist is pinned via
+      // localCheckpoint BEFORE compaction mutates the dirs its plan
+      // reads (the parquet-recache hazard). IndexIOSpec pins the
+      // artifact-level facts the graded row cannot see: the compacted
+      // tree equals the survivor rebuild and the tombstone dir is gone.
+      val vecs = t(s, d, "embeddings")
+      val dir = scratchDir("graft_graph_compact_idx")
+      graft.sources.IndexIO.saveGraph(s,
+        vecs.select(col("vec_id"), col("embedding")), oneHotCodebook,
+        scaleBits = 6, m = GraphM, dir)
+      graft.sources.IndexIO.tombstoneGraph(s,
+        vecs.filter(col("vec_id") % 10 === 0).select(col("vec_id")), dir)
+      def serve(nodes: DataFrame, edges: DataFrame,
+                cb: graft.similarity.IvfKnn.IvfIndex, bits: Int,
+                phase: String): DataFrame = {
+        val q = vecs.filter(col("vec_id") < 20 && col("vec_id") % 10 =!= 0)
+          .select(col("vec_id").as("query_id"),
+            graft.functions.VecOps.sq8F(col("embedding"), bits).as("q_code"),
+            graft.similarity.IvfKnn.nearestCells(col("embedding"), cb, 1)
+              .getItem(0).cast("long").as("cell"))
+        graft.similarity.GraphKnn.beamSearch(edges.select("src", "dst", "dist"),
+          nodes.select("vec_id", "code"), q.select("query_id", "q_code"),
+          graphEntries(nodes, q), k = 5, beam = GraphBeam, rounds = GraphRounds)
+          .select(lit(phase).as("phase"), col("query_id"), col("rnk"),
+            col("neighbor_id"), col("dist"))
+      }
+      val (mn, me, mcb, mbits, _) = graft.sources.IndexIO.loadGraphMor(s, dir)
+      val mor = serve(mn, me, mcb, mbits, "mor").localCheckpoint(true)
+      graft.sources.IndexIO.compactGraph(s, dir)
+      val (cn, ce, ccb, cbits, _) = graft.sources.IndexIO.loadGraph(s, dir)
+      mor.unionByName(serve(cn, ce, ccb, cbits, "compacted"))
+        .orderBy("phase", "query_id", "rnk")
+    }),
+
+    "q_graph_filtered" -> ((s, d) => {
+      // FILTERED GRAPH ANN (VERDICT r17 item 3's graph face) — top-k
+      // under a label predicate served by WALKING, not scanning. The
+      // naive design (walk the unfiltered graph, drop disallowed nodes)
+      // STARVES: with 10 labels, a top-8 label-blind neighbor list holds
+      // <1 allowed neighbor on average, so an allowed-only walk cannot
+      // expand — the failure mode filtered-graph literature exists to
+      // fix. The fix here is label-aware edge selection (the
+      // per-label-subindex idea): edges are the top-GraphM neighbors
+      // within the (cell, label) GROUP (coCellGraph keyed on both — same
+      // bounded tiled enumeration), entries seed at the group's min+max
+      // ids, and the standard beam walk then traverses allowed nodes by
+      // construction — the predicate lives in the INDEX, below candidate
+      // generation entirely, never a post-filter on a fixed top-k.
+      // Quantization and assignment load from the shared artifact; the
+      // label column joins on as the metadata sidecar a production index
+      // keeps beside its vectors. Fully value-certified: the oracle
+      // replays edge selection, entries and all four rounds with the
+      // label threaded through (cross-checked against a pure-python
+      // replay at all three sfs — tools/proto_graph_filtered.py).
+      val (nodes0, _, _, _) = sharedGraphIndex(s, d)
+      val assigned = graft.CachePool.persist(nodes0.join(
+        t(s, d, "embeddings").select(col("vec_id"), col("label")), Seq("vec_id")))
+      val graphL = graft.CachePool.persist(graft.similarity.GraphKnn.coCellGraph(
+        assigned, m = GraphM, keys = Seq("cell", "label")))
+      val q = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("code").as("q_code"),
+          col("cell"), col("label"))
+      val entries = graphEntriesFiltered(assigned, q.select("query_id", "cell", "label"))
+      graft.similarity.GraphKnn.beamSearch(graphL,
+        assigned.select("vec_id", "code"), q.select("query_id", "q_code"),
+        entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
+    }),
+
+    "q_graph_filtered_recall" -> ((s, d) => {
+      // the filtered walk MEASURED (the #230 gauge applied to the
+      // label-aware subindex): the filtered shortlist graded against the
+      // exact same-label in-cell scan it replaces. Denominator is the
+      // EXACT shortlist's row count, not 5·queries — a (cell, label)
+      // group can hold fewer than 6 members, and a fixed denominator
+      // would misread structurally-short shortlists as recall misses.
+      // Measured at (m=8, beam=8, rounds=4, min+max in-group seeds):
+      // 1000‰ at every sf — the per-label subgroups are small enough
+      // that the walk covers them fully, which is exactly the claim
+      // label-aware edges make (the label-BLIND walk would starve; see
+      // q_graph_filtered). Both sides replay bit-for-bit — the number is
+      // value-certified, no pinned literal.
+      val (nodes0, _, _, _) = sharedGraphIndex(s, d)
+      val assigned = graft.CachePool.persist(nodes0.join(
+        t(s, d, "embeddings").select(col("vec_id"), col("label")), Seq("vec_id")))
+      val graphL = graft.CachePool.persist(graft.similarity.GraphKnn.coCellGraph(
+        assigned, m = GraphM, keys = Seq("cell", "label")))
+      val q = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("code").as("q_code"),
+          col("cell"), col("label"))
+      val entries = graphEntriesFiltered(assigned, q.select("query_id", "cell", "label"))
+      val graphTop = graft.similarity.GraphKnn.beamSearch(graphL,
+        assigned.select("vec_id", "code"), q.select("query_id", "q_code"),
+        entries, k = 5, beam = GraphBeam, rounds = GraphRounds)
+      val ew = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+      val exactTop = assigned.select(col("vec_id"), col("cell"), col("label"), col("code"))
+        .join(broadcast(q.select(col("query_id"), col("q_code"), col("cell"),
+          col("label"))), Seq("cell", "label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.VecOps.sq8DistL2(col("q_code"), col("code")).as("dist"))
+        .withColumn("rnk", row_number().over(ew))
+        .filter(col("rnk") <= 5)
+      val exact = graft.CachePool.persist(
+        exactTop.select("query_id", "neighbor_id"))
+      val hits = graphTop.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val nex = exact.agg(count(lit(1)).as("n_exact"))
+      hits.crossJoin(broadcast(nex)).select(
+        lit("graph_filtered_vs_incell_exact").as("algo"),
+        col("n_exact"),
+        col("n_hits"),
+        expr("n_hits * 1000 div n_exact").as("recall_permille"))
     }),
 
     "q_knn_graph_mp" -> ((s, d) => {
@@ -6028,6 +6210,51 @@ object SparkEntry {
       |  FROM cand)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** [[IvfSq8Sql]]'s filtered sibling over the planted-dup corpus
+    * (q_knn_filtered): identical assignment/probe/distance replay, with
+    * the per-query label predicate joined as a candidate KEY (cell AND
+    * label) and the recovery marker derived by pure comparison.
+    * Cross-checked against an independent numpy replay at all three sfs
+    * (tools/proto_knn_filtered.py).
+    */
+  private val KnnFilteredSql: String =
+    DedupData.VecsCte +
+    """, codes AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> greatest(-128, least(127, CAST(floor(x * 64) AS BIGINT)))) AS code
+      |  FROM vecs
+      |), cells AS (
+      |  SELECT vec_id, label,
+      |    CAST(list_max(list_transform(generate_series(1, 8),
+      |      j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) AS cell
+      |  FROM vecs
+      |), probe AS (
+      |  SELECT query_id, label, cell FROM (
+      |    SELECT e.vec_id AS query_id, e.label, CAST(t.j - 1 AS BIGINT) AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY CAST(e.embedding[CAST(t.j AS INTEGER)] AS DOUBLE) DESC, t.j DESC) AS pr
+      |    FROM vecs e, unnest(generate_series(1, 8)) AS t(j)
+      |    WHERE e.vec_id >= 1000000 AND e.vec_id < 1000100)
+      |  WHERE pr <= 2
+      |), cand AS (
+      |  SELECT p.query_id, p.cell, c.vec_id AS neighbor_id,
+      |    CAST((SELECT sum((qc.code[i.d] - cc.code[i.d]) * (qc.code[i.d] - cc.code[i.d]))
+      |      FROM (SELECT unnest(generate_series(1, 64)) AS d) i) AS BIGINT) AS dist
+      |  FROM probe p
+      |  JOIN cells c ON c.cell = p.cell AND c.label = p.label AND c.vec_id <> p.query_id
+      |  JOIN codes qc ON qc.vec_id = p.query_id
+      |  JOIN codes cc ON cc.vec_id = c.vec_id
+      |)
+      |SELECT query_id, rnk, neighbor_id, cell, dist,
+      |  neighbor_id = query_id - 1000000 AS recovered
+      |FROM (
+      |  SELECT query_id, cell, neighbor_id, dist,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dist, neighbor_id) AS INTEGER) AS rnk
+      |  FROM cand)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** The graph-ANN traversal replayed round by round: one-hot cell
     * assignment, top-`GraphM` co-cell edges under integer SQ8 distance,
     * min-id entry per cell, then each of the `GraphRounds` unrolled beam
@@ -6068,6 +6295,19 @@ object SparkEntry {
   private def graphEntries(assigned: DataFrame, q: DataFrame): DataFrame =
     q.join(assigned.groupBy("cell")
         .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")), Seq("cell"))
+      .select(col("query_id"),
+        explode(array_distinct(array(col("lo"), col("hi")))).as("node"))
+
+  /** [[graphEntries]] for the label-aware subindex: min+max id of the
+    * query's (cell, label) GROUP — the filtered walk's connected
+    * component — so both seeds are allowed nodes by construction.
+    * `assigned` carries (vec_id, cell, label), `q` (query_id, cell,
+    * label).
+    */
+  private def graphEntriesFiltered(assigned: DataFrame, q: DataFrame): DataFrame =
+    q.join(assigned.groupBy("cell", "label")
+        .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")),
+      Seq("cell", "label"))
       .select(col("query_id"),
         explode(array_distinct(array(col("lo"), col("hi")))).as("node"))
 
@@ -6125,9 +6365,15 @@ object SparkEntry {
     * the delete row's oracle proves the artifact serves EXACTLY the
     * surviving corpus).
     */
-  private def knnGraphChainSql(corpusPred: String = "TRUE"): String = {
+  private def knnGraphChainSql(corpusPred: String = "TRUE",
+                               labelFiltered: Boolean = false): String = {
     def dist(qc: String, cc: String): String = sq8DistSql(qc, cc)
     val rounds = GraphRounds
+    // labelFiltered threads the metadata attribute through the chain:
+    // edges become top-M within the (cell, label) group and entries seed
+    // from that group — the label-aware subindex replay (q_graph_filtered)
+    val pairLab = if (labelFiltered) " AND a.label = b.label" else ""
+    val entryLab = if (labelFiltered) " AND a.label = q.label" else ""
     val head =
       s"""WITH codes AS (
          |  SELECT vec_id,
@@ -6136,31 +6382,31 @@ object SparkEntry {
          |  FROM embeddings
          |  WHERE $corpusPred
          |), cells AS (
-         |  SELECT vec_id,
+         |  SELECT vec_id, label,
          |    CAST(list_max(list_transform(generate_series(1, 8),
          |      j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) AS cell
          |  FROM embeddings
          |  WHERE $corpusPred
          |), asg AS (
-         |  SELECT c.vec_id, cl.cell, c.code FROM codes c JOIN cells cl USING (vec_id)
+         |  SELECT c.vec_id, cl.cell, cl.label, c.code FROM codes c JOIN cells cl USING (vec_id)
          |), pair AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
          |    ${dist("a.code", "b.code")} AS dist
-         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell$pairLab AND a.vec_id <> b.vec_id
          |), graph AS (
          |  SELECT src, dst FROM (
          |    SELECT src, dst,
          |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
          |    FROM pair) WHERE rn <= $GraphM
          |), q AS (
-         |  SELECT vec_id AS query_id, code AS q_code, cell FROM asg WHERE vec_id < 20
+         |  SELECT vec_id AS query_id, code AS q_code, cell, label FROM asg WHERE vec_id < 20
          |), entry AS (
          |  SELECT query_id, node FROM (
          |    SELECT q.query_id, min(a.vec_id) AS node
-         |    FROM q JOIN asg a ON a.cell = q.cell GROUP BY 1
+         |    FROM q JOIN asg a ON a.cell = q.cell$entryLab GROUP BY 1
          |    UNION
          |    SELECT q.query_id, max(a.vec_id) AS node
-         |    FROM q JOIN asg a ON a.cell = q.cell GROUP BY 1) t
+         |    FROM q JOIN asg a ON a.cell = q.cell$entryLab GROUP BY 1) t
          |), s0 AS (
          |  SELECT e.query_id, e.node, ${dist("q.q_code", "a.code")} AS dist
          |  FROM entry e JOIN q ON q.query_id = e.query_id JOIN asg a ON a.vec_id = e.node
@@ -6201,6 +6447,66 @@ object SparkEntry {
     */
   private val GraphDeleteSql: String =
     knnGraphChainSql("vec_id % 10 <> 0") + KnnGraphShortlistTail
+
+  /** The compact face's oracle: BOTH phases — the merge-on-read serve
+    * over the tombstoned artifact and the serve over the compacted one —
+    * replayed from the SAME survivor-corpus traversal, phase-tagged.
+    * Hash-matching both phases against one replay is the equality proof:
+    * MoR view == compacted artifact == from-scratch survivor build.
+    */
+  private def graphPhaseTail(phase: String): String =
+    s"""
+      |SELECT '$phase' AS phase, query_id, rnk, neighbor_id, dist FROM (
+      |  SELECT query_id, node AS neighbor_id, dist,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS INTEGER) AS rnk
+      |  FROM s$GraphRounds WHERE node <> query_id)
+      |WHERE rnk <= 5""".stripMargin
+  private val GraphCompactSql: String =
+    knnGraphChainSql("vec_id % 10 <> 0") +
+      graphPhaseTail("compacted") + "\nUNION ALL" + graphPhaseTail("mor") +
+      "\nORDER BY phase, query_id, rnk"
+
+  /** The filtered-graph face's oracle: the identical traversal replay
+    * with the label threaded through edge selection and entry seeding
+    * (the label-aware subindex). Cross-checked against an independent
+    * pure-python replay at all three sfs (tools/proto_graph_filtered.py).
+    */
+  private val KnnGraphFilteredSql: String =
+    knnGraphChainSql(labelFiltered = true) + KnnGraphShortlistTail
+
+  /** The filtered walk MEASURED against the exact same-label in-cell
+    * scan. Denominator is the exact shortlist's row count, not 5·queries:
+    * a (cell, label) group can hold fewer than 6 members, and a fixed
+    * denominator would misread structurally-short shortlists as misses.
+    */
+  private val GraphFilteredRecallSql: String =
+    knnGraphChainSql(labelFiltered = true) +
+    s"""
+       |, gtop AS (
+       |  SELECT query_id, node AS neighbor_id FROM (
+       |    SELECT query_id, node, dist,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rnk
+       |    FROM s$GraphRounds WHERE node <> query_id) WHERE rnk <= 5
+       |), epair AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${sq8DistSql("q.q_code", "c.code")} AS dist
+       |  FROM q JOIN asg c ON c.cell = q.cell AND c.label = q.label AND c.vec_id <> q.query_id
+       |), etop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+       |    FROM epair) WHERE rnk <= 5
+       |), agg AS (
+       |  SELECT
+       |    (SELECT count(*) FROM etop) AS n_exact,
+       |    (SELECT count(*) FROM gtop g JOIN etop e
+       |       ON g.query_id = e.query_id AND g.neighbor_id = e.neighbor_id) AS n_hits
+       |)
+       |SELECT 'graph_filtered_vs_incell_exact' AS algo,
+       |  CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits * 1000 // n_exact AS BIGINT) AS recall_permille
+       |FROM agg""".stripMargin
 
   /** The multi-probe traversal chain: one search unit per (query, probed
     * cell) — composite qkey = query_id·8 + cell — each walking the probed
@@ -6642,6 +6948,7 @@ object SparkEntry {
     // nearestCells order, then integer SQ8 distances over the probed
     // sliver — no planted-recovery gate anywhere.
     "q_ivf_sq8" -> IvfSq8Sql,
+    "q_knn_filtered" -> KnnFilteredSql,
 
     // the composite index served from disk recomputes the identical
     // shortlist — the persist/load hop is what differs, not the math.
@@ -6662,6 +6969,9 @@ object SparkEntry {
     "q_graph_io" -> KnnGraphSql,
     "q_graph_append" -> KnnGraphSql,
     "q_graph_delete" -> GraphDeleteSql,
+    "q_graph_compact" -> GraphCompactSql,
+    "q_graph_filtered" -> KnnGraphFilteredSql,
+    "q_graph_filtered_recall" -> GraphFilteredRecallSql,
     "q_stream_graph" -> KnnGraphSql,
     "q_knn_graph_mp" -> KnnGraphMpSql,
     "q_graph_recall_mp" -> GraphRecallMpSql,

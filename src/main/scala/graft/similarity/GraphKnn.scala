@@ -48,12 +48,20 @@ object GraphKnn {
     * a per-src window keeps the m nearest. Output is identical to the raw
     * join's (same candidate set, same integer distances, same (dist, dst)
     * tie-break) — only the task shape changes.
+    *
+    * `keys` is the candidate-grouping key set — `cell` for the plain
+    * navigable graph; a filtered subindex passes `(cell, label)` so each
+    * label's subgraph is navigable on its own (the label-aware edge
+    * selection filtered graph ANN needs: with top-m edges chosen label-
+    * blind, a 10-label corpus leaves <1 allowed neighbor per list and an
+    * allowed-only walk starves).
     */
   def coCellGraph(assigned: DataFrame, m: Int,
-                  hotCellThreshold: Int = 4096): DataFrame = {
+                  hotCellThreshold: Int = 4096,
+                  keys: Seq[String] = Seq("cell")): DataFrame = {
     val pairs = graft.operators.SkewJoin.boundedSelfPairs(
-      assigned.select(col("cell"), col("vec_id"), col("code")),
-      Seq("cell"), col("vec_id"), col("code"), hotCellThreshold)
+      assigned.select(keys.map(col) ++ Seq(col("vec_id"), col("code")): _*),
+      keys, col("vec_id"), col("code"), hotCellThreshold)
     val w = Window.partitionBy("src").orderBy(col("dist"), col("dst"))
     // both orientations of each scored pair via explode — one pass over
     // the pair stream, no second execution of the pair-enumeration DAG
@@ -89,6 +97,11 @@ object GraphKnn {
         .join(q, Seq("query_id"))
         .select(col("query_id"), col("node"),
           VecOps.sq8DistL2(col("q_code"), col("code")).as("dist"))
+    beamRounds(graph, score, entries, beam, rounds)
+  }
+
+  private def beamRounds(graph: DataFrame, score: DataFrame => DataFrame,
+                         entries: DataFrame, beam: Int, rounds: Int): DataFrame = {
     val bw = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
     // the seen set is re-read twice per round (union + beam), so each
     // round persists it — frames are ≤ queries · (1 + rounds·beam·degree)
@@ -127,9 +140,12 @@ object GraphKnn {
     * integers, deterministic.
     */
   def beamSearch(graph: DataFrame, codes: DataFrame, queries: DataFrame,
-                 entries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+                 entries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame =
+    seenTopK(beamSeen(graph, codes, queries, entries, beam, rounds), k)
+
+  private def seenTopK(seen: DataFrame, k: Int): DataFrame = {
     val bw = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
-    beamSeen(graph, codes, queries, entries, beam, rounds)
+    seen
       .filter(col("node") =!= col("query_id"))
       .withColumn("rnk", row_number().over(bw))
       .filter(col("rnk") <= k)

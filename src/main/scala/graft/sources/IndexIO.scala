@@ -231,6 +231,10 @@ object IndexIO {
     graft.CachePool.release(assigned)
     Seq((scaleBits, m)).toDF("scale_bits", "m")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a fresh build resets the delete log: leftover tombstones from a
+    // previous artifact at this path must not shadow the new corpus
+    val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    ts.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ts, true): Unit
   }
 
   /** Loads the [[saveGraph]] artifact: (nodes, edges, codebook,
@@ -438,6 +442,75 @@ object IndexIO {
       touched.filterNot(edgeAlive).foreach(drop("edges", _))
     }
     graft.CachePool.release(refreshed)
+  }
+
+  /** Marks vectors DELETED in a persisted [[saveGraph]] artifact WITHOUT
+    * touching nodes or edges — the merge-on-read half of erasure (the
+    * position-delete-file idiom of table formats, applied to the vector
+    * index): ids append to `path/tombstones`, an O(ids) single write, no
+    * edge recomputation, no marker needed. Serving applies the log via
+    * [[loadGraphMor]]; [[compactGraph]] physicalizes it. Ids absent from
+    * the index — or tombstoned twice — are harmless: every consumer
+    * reads the log through semi/anti-join semantics, which are
+    * duplicate- and miss-tolerant.
+    */
+  def tombstoneGraph(spark: SparkSession,
+                     ids: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    ids.select(col("vec_id")).write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Loads a [[saveGraph]] artifact with its tombstone log MERGED ON
+    * READ: tombstoned node rows are dropped, and the edges of TOUCHED
+    * cells (the only cells a tombstone can affect — edges are strictly
+    * intra-cell) are recomputed in memory from the surviving membership.
+    * By the same intra-cell argument [[appendGraph]] and
+    * [[deleteFromGraph]] rest on, the returned (nodes, edges) EQUAL what
+    * [[loadGraph]] returns after [[compactGraph]] — bit for bit — so a
+    * server can keep absorbing O(ids) tombstone writes and defer the
+    * partition rewrites to one amortized compaction. Read cost is
+    * proportional to the touched slice: untouched cells' edges stream
+    * straight from parquet, partition-pruned.
+    */
+  def loadGraphMor(spark: SparkSession, path: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         IvfKnn.IvfIndex, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val (nodes, edges, cb, bits, m) = loadGraph(spark, path)
+    val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tsPath)) return (nodes, edges, cb, bits, m)
+    val ts = spark.read.parquet(s"$path/tombstones").select(col("vec_id"))
+    // touched cells: bounded by nlist, the justified driver read
+    val touched = nodes.join(ts, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return (nodes, edges, cb, bits, m)
+    val survivors = nodes.join(ts, Seq("vec_id"), "left_anti")
+    val touchedSurv = survivors.filter(col("cell").isin(touched: _*))
+    val refreshed = graft.similarity.GraphKnn.coCellGraph(touchedSurv, m)
+      .join(touchedSurv.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+    val merged = edges.filter(!col("cell").isin(touched: _*))
+      .unionByName(refreshed.select("src", "dst", "dist", "cell"))
+    (survivors, merged, cb, bits, m)
+  }
+
+  /** Physically applies the tombstone log — the copy-on-write half that
+    * [[loadGraphMor]] defers: [[deleteFromGraph]] over the tombstoned
+    * ids (touched-cell partition rewrites under the maintenance marker),
+    * then the log is cleared. The artifact shrinks to exactly the
+    * survivor rebuild, and a subsequent [[loadGraph]] equals the
+    * pre-compaction [[loadGraphMor]] view. A crash AFTER the delete but
+    * before the clear is benign, not torn: the surviving tombstones
+    * reference absent ids, which every consumer ignores.
+    */
+  def compactGraph(spark: SparkSession, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tsPath)) return
+    deleteFromGraph(spark,
+      spark.read.parquet(s"$path/tombstones").select(col("vec_id")), path)
+    fs.delete(tsPath, true): Unit
   }
 
   /** A trained quality-classifier model: one row per non-zero weight plus

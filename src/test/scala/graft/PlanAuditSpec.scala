@@ -523,6 +523,25 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"sessionize window must stay user-partitioned:\n$plan")
   }
 
+  test("q_knn_filtered applies the label predicate inside the candidate join") {
+    val plan = finalPlan(q("q_knn_filtered"))
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    // the predicate must be a KEY of the candidate equi-join (cell AND
+    // label) — post-filtering a fixed top-k would starve filtered
+    // queries (VERDICT r17 item 3)
+    val joins = collect(plan) { case j: BroadcastHashJoinExec => j }
+    assert(joins.exists { j =>
+      val keys = j.leftKeys.map(_.toString).mkString(",")
+      keys.contains("cell") && keys.contains("label")
+    }, s"label is not a candidate-join key:\n$plan")
+  }
+
+  test("q_graph_filtered builds label-aware edges by equi-join, never cartesian") {
+    val plan = finalPlan(q("q_graph_filtered"))
+    graft.CachePool.releaseAll()
+    assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+  }
+
   test("q_path_topk caps the path rank with TakeOrdered; rank window input is bounded") {
     val plan = finalPlan(q("q_path_topk"))
     assert(plan.toString.contains("TakeOrderedAndProject"),

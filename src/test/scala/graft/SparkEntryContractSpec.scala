@@ -37,7 +37,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   test("surface size and naming are pinned") {
-    assert(SparkEntry.queries.size === 240,
+    assert(SparkEntry.queries.size === 244,
       "query count changed — update this pin AND SURVEY.md/EXPLAIN.md together")
     val badNames = SparkEntry.queries.keySet.filterNot(_.matches("q_[a-z0-9_]+"))
     assert(badNames.isEmpty, s"non-conforming query names: $badNames")

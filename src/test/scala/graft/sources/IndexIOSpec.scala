@@ -287,6 +287,37 @@ class IndexIOSpec extends SparkSpec {
         s"stale=${(se -- re).take(3)} missing=${(re -- se).take(3)}")
   }
 
+  test("tombstone + merge-on-read + compact: MoR view equals the compacted artifact") {
+    import spark.implicits._
+    val vecs = table("embeddings")
+    val path = tmp("graph_mor")
+    IndexIO.saveGraph(spark, vecs.select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, path)
+    IndexIO.tombstoneGraph(spark,
+      vecs.filter(col("vec_id") % 10 === 0).select("vec_id"), path)
+    // the MoR view, captured BEFORE compaction mutates the dirs it reads
+    val (mn, me, _, _, _) = IndexIO.loadGraphMor(spark, path)
+    val morNodes = mn.select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    val morEdges = me.select("src", "dst", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    IndexIO.compactGraph(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear the tombstone log")
+    val (gotNodes, gotEdges) = graphState(path)
+    assert(morNodes === gotNodes.map { case (v, (c, _)) => (v, c) }.toSet,
+      "MoR node view must equal the compacted artifact's")
+    assert(morEdges === gotEdges,
+      "MoR edge view must equal the compacted artifact's")
+    // and the compacted artifact equals the survivor rebuild
+    val rebuilt = tmp("graph_mor_rebuild")
+    IndexIO.saveGraph(spark,
+      vecs.filter(col("vec_id") % 10 =!= 0).select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, rebuilt)
+    val (rn, re) = graphState(rebuilt)
+    assert(gotNodes === rn && gotEdges === re,
+      "compacted artifact must equal the survivor rebuild")
+  }
+
   test("deleteFromGraph erases a whole cell: stale node and edge dirs are reconciled") {
     import spark.implicits._
     val vecs = table("embeddings")
