@@ -1091,10 +1091,16 @@ object SparkEntry {
       // bit for bit — and this row grades that equality THROUGH the
       // oracle: the same traversal runs once over the MoR view and once
       // over the compacted artifact, and both phases must hash-match the
-      // SAME survivor-corpus replay (knnGraphChainSql, corpus narrowed to
-      // vec_id % 10 <> 0). A stale tombstoned node served, an
-      // unrefreshed touched cell, or a compaction that dropped a
-      // survivor mismatches its phase. The MoR shortlist is pinned via
+      // SAME survivor-corpus replay (knnGraphChainSql, corpus narrowed
+      // by GraphCompactPred). The tombstone set is CLUSTERED — the
+      // even-id half of coarse cell 5 — because that is the shape that
+      // actually grades merge-on-read: one touched cell recomputes, the
+      // other SEVEN must stream through partition-pruned and
+      // byte-unchanged (an all-cells delete set, #234's shape, would
+      // degenerate MoR into a full rebuild at every load and prove
+      // nothing about pruning). A stale tombstoned node served, an
+      // unrefreshed touched cell, or an untouched cell accidentally
+      // rewritten mismatches its phase. The MoR shortlist is pinned via
       // localCheckpoint BEFORE compaction mutates the dirs its plan
       // reads (the parquet-recache hazard). IndexIOSpec pins the
       // artifact-level facts the graded row cannot see: the compacted
@@ -1104,27 +1110,27 @@ object SparkEntry {
       graft.sources.IndexIO.saveGraph(s,
         vecs.select(col("vec_id"), col("embedding")), oneHotCodebook,
         scaleBits = 6, m = GraphM, dir)
+      val (n0, _, _, _, _) = graft.sources.IndexIO.loadGraph(s, dir)
       graft.sources.IndexIO.tombstoneGraph(s,
-        vecs.filter(col("vec_id") % 10 === 0).select(col("vec_id")), dir)
-      def serve(nodes: DataFrame, edges: DataFrame,
-                cb: graft.similarity.IvfKnn.IvfIndex, bits: Int,
-                phase: String): DataFrame = {
-        val q = vecs.filter(col("vec_id") < 20 && col("vec_id") % 10 =!= 0)
-          .select(col("vec_id").as("query_id"),
-            graft.functions.VecOps.sq8F(col("embedding"), bits).as("q_code"),
-            graft.similarity.IvfKnn.nearestCells(col("embedding"), cb, 1)
-              .getItem(0).cast("long").as("cell"))
+        n0.filter(col("cell") === 5 && col("vec_id") % 2 === 0)
+          .select(col("vec_id")), dir)
+      // queries come from the loaded SURVIVOR nodes (vec_id < 20), so
+      // both phases ask the identical question of the identical corpus
+      def serve(nodes: DataFrame, edges: DataFrame, phase: String): DataFrame = {
+        val q = nodes.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("code").as("q_code"),
+            col("cell"))
         graft.similarity.GraphKnn.beamSearch(edges.select("src", "dst", "dist"),
           nodes.select("vec_id", "code"), q.select("query_id", "q_code"),
           graphEntries(nodes, q), k = 5, beam = GraphBeam, rounds = GraphRounds)
           .select(lit(phase).as("phase"), col("query_id"), col("rnk"),
             col("neighbor_id"), col("dist"))
       }
-      val (mn, me, mcb, mbits, _) = graft.sources.IndexIO.loadGraphMor(s, dir)
-      val mor = serve(mn, me, mcb, mbits, "mor").localCheckpoint(true)
+      val (mn, me, _, _, _) = graft.sources.IndexIO.loadGraphMor(s, dir)
+      val mor = serve(mn, me, "mor").localCheckpoint(true)
       graft.sources.IndexIO.compactGraph(s, dir)
-      val (cn, ce, ccb, cbits, _) = graft.sources.IndexIO.loadGraph(s, dir)
-      mor.unionByName(serve(cn, ce, ccb, cbits, "compacted"))
+      val (cn, ce, _, _, _) = graft.sources.IndexIO.loadGraph(s, dir)
+      mor.unionByName(serve(cn, ce, "compacted"))
         .orderBy("phase", "query_id", "rnk")
     }),
 
@@ -6461,8 +6467,18 @@ object SparkEntry {
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS INTEGER) AS rnk
       |  FROM s$GraphRounds WHERE node <> query_id)
       |WHERE rnk <= 5""".stripMargin
+  /** The compact face's survivor predicate: everything except the even-id
+    * half of coarse cell 5 — the cell recomputed from the one-hot argmax
+    * (score desc, index desc), exactly the cells-CTE formula, so the
+    * oracle derives the tombstoned set from the raw floats like the
+    * engine derives it from the loaded node table.
+    */
+  private val GraphCompactPred: String =
+    "NOT (CAST(list_max(list_transform(generate_series(1, 8), " +
+      "j -> [CAST(embedding[j] AS DOUBLE), CAST(j - 1 AS DOUBLE)]))[2] AS BIGINT) = 5 " +
+      "AND vec_id % 2 = 0)"
   private val GraphCompactSql: String =
-    knnGraphChainSql("vec_id % 10 <> 0") +
+    knnGraphChainSql(GraphCompactPred) +
       graphPhaseTail("compacted") + "\nUNION ALL" + graphPhaseTail("mor") +
       "\nORDER BY phase, query_id, rnk"
 
