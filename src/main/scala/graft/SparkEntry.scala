@@ -1056,13 +1056,14 @@ object SparkEntry {
       // cell hash-mismatches. IndexIOSpec pins deleted == rebuilt at
       // artifact byte-identity, including the full-cell-erasure case the
       // graded predicate cannot reach.
+      // the artifact under surgery is a hardlink CLONE of the shared
+      // base (IndexIO.cloneGraph — the snapshot-before-destructive-
+      // maintenance idiom): byte-identical to a fresh saveGraph, so the
+      // grading is unchanged, and the delete's partition rewrites unlink
+      // only the clone's links — the shared base keeps its inodes
       val vecs = t(s, d, "embeddings")
-      val codebook = graft.similarity.IvfKnn.IvfIndex(
-        Array.tabulate(8)(j => Array.tabulate(64)(k => if (k == j) 1.0f else 0.0f)))
       val dir = scratchDir("graft_graph_delete_idx")
-      graft.sources.IndexIO.saveGraph(s,
-        vecs.select(col("vec_id"), col("embedding")), codebook,
-        scaleBits = 6, m = GraphM, dir)
+      graft.sources.IndexIO.cloneGraph(sharedGraphDir(s, d), dir)
       graft.sources.IndexIO.deleteFromGraph(s,
         vecs.filter(col("vec_id") % 10 === 0).select(col("vec_id")), dir)
       val (nodes, edges, cb, bits, _) = graft.sources.IndexIO.loadGraph(s, dir)
@@ -1105,11 +1106,10 @@ object SparkEntry {
       // reads (the parquet-recache hazard). IndexIOSpec pins the
       // artifact-level facts the graded row cannot see: the compacted
       // tree equals the survivor rebuild and the tombstone dir is gone.
-      val vecs = t(s, d, "embeddings")
+      // the mutated artifact is a hardlink clone of the shared base
+      // (byte-identical to a fresh saveGraph; see q_graph_delete)
       val dir = scratchDir("graft_graph_compact_idx")
-      graft.sources.IndexIO.saveGraph(s,
-        vecs.select(col("vec_id"), col("embedding")), oneHotCodebook,
-        scaleBits = 6, m = GraphM, dir)
+      graft.sources.IndexIO.cloneGraph(sharedGraphDir(s, d), dir)
       val (n0, _, _, _, _) = graft.sources.IndexIO.loadGraph(s, dir)
       graft.sources.IndexIO.tombstoneGraph(s,
         n0.filter(col("cell") === 5 && col("vec_id") % 2 === 0)
@@ -6342,9 +6342,8 @@ object SparkEntry {
   private val sharedGraphDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sharedGraphSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-  private def sharedGraphIndex(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, graft.similarity.IvfKnn.IvfIndex, Int) = {
-    val dir = sharedGraphDirs.computeIfAbsent(d, { _ =>
+  private def sharedGraphDir(s: SparkSession, d: String): String =
+    sharedGraphDirs.computeIfAbsent(d, { _ =>
       val dd =
         s"${scratchDir("graft_graph_shared")}/g${sharedGraphSeq.getAndIncrement()}"
       graft.sources.IndexIO.saveGraph(s,
@@ -6352,7 +6351,10 @@ object SparkEntry {
         oneHotCodebook, scaleBits = 6, m = GraphM, dd)
       dd
     })
-    val (nodes, edges, cb, bits, m) = graft.sources.IndexIO.loadGraph(s, dir)
+  private def sharedGraphIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, graft.similarity.IvfKnn.IvfIndex, Int) = {
+    val (nodes, edges, cb, bits, m) =
+      graft.sources.IndexIO.loadGraph(s, sharedGraphDir(s, d))
     require(m == GraphM, s"shared graph artifact degree $m != $GraphM")
     (nodes, edges, cb, bits)
   }

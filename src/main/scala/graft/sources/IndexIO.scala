@@ -444,6 +444,46 @@ object IndexIO {
     graft.CachePool.release(refreshed)
   }
 
+  /** Hardlink-clones a [[saveGraph]] artifact tree — the snapshot a
+    * maintenance pipeline takes before destructive surgery, and the
+    * cheap way a derived index starts from a shared base. Parquet files
+    * are write-once, so hardlinked bytes can never diverge; partition
+    * overwrite and vacuum in the clone UNLINK files (the source keeps
+    * its inodes) and appends create new files, so no mutation path
+    * reaches the source through the clone. `dst` is cleared first, so a
+    * half-cloned casualty of an interrupted run cannot survive into the
+    * next call; cross-device paths degrade to a plain copy. Refuses a
+    * torn source (pending-marker present).
+    */
+  def cloneGraph(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val s = Paths.get(src)
+    require(Files.exists(s), s"cloneGraph: no artifact at $src")
+    require(!Files.exists(s.resolve("_MAINTENANCE_PENDING")),
+      s"cloneGraph: source $src has an unfinished maintenance run")
+    val d = Paths.get(dst)
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => Files.delete(q))
+      finally st.close()
+    }
+    rmTree(d)
+    val st = Files.walk(s)
+    try st.forEach { p =>
+      val q = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(q)
+      else {
+        Files.createDirectories(q.getParent)
+        try Files.createLink(q, p)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(p, q): Unit
+        }
+      }
+    } finally st.close()
+  }
+
   /** Marks vectors DELETED in a persisted [[saveGraph]] artifact WITHOUT
     * touching nodes or edges — the merge-on-read half of erasure (the
     * position-delete-file idiom of table formats, applied to the vector

@@ -287,6 +287,30 @@ class IndexIOSpec extends SparkSpec {
         s"stale=${(se -- re).take(3)} missing=${(re -- se).take(3)}")
   }
 
+  test("cloneGraph snapshots byte-state; surgery on the clone leaves the source intact") {
+    val vecs = table("embeddings")
+    val src = tmp("graph_clone_src")
+    val dst = tmp("graph_clone_dst")
+    IndexIO.saveGraph(spark, vecs.select("vec_id", "embedding"), oneHot,
+      scaleBits = 6, m = 4, src)
+    IndexIO.cloneGraph(src, dst)
+    val (srcN0, srcE0) = graphState(src)
+    val (cloneN, cloneE) = graphState(dst)
+    assert(cloneN === srcN0 && cloneE === srcE0,
+      "clone must equal the source byte-state")
+    // destructive surgery on the clone: partition overwrites + vacuum
+    IndexIO.deleteFromGraph(spark,
+      vecs.filter(col("vec_id") % 3 === 0).select("vec_id"), dst)
+    val (srcN1, srcE1) = graphState(src)
+    assert(srcN1 === srcN0 && srcE1 === srcE0,
+      "surgery on the clone must not reach the source")
+    // a torn source refuses to clone
+    val marker = new java.io.File(s"$src/_MAINTENANCE_PENDING")
+    java.nio.file.Files.writeString(marker.toPath, "append 0\n")
+    intercept[IllegalArgumentException](IndexIO.cloneGraph(src, tmp("graph_clone_t")))
+    marker.delete(): Unit
+  }
+
   test("tombstone + merge-on-read + compact: MoR view equals the compacted artifact") {
     import spark.implicits._
     val vecs = table("embeddings")
