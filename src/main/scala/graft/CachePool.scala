@@ -83,4 +83,24 @@ object CachePool {
 
   /** Number of currently registered (not yet released) frames. */
   def registered: Int = synchronized(frames.size)
+
+  /** Unpersists the block-manager storage behind an EAGER
+    * `localCheckpoint(true)` frame (non-blocking). `Dataset.localCheckpoint`
+    * caches the materialized internal RDD and wraps it in a `LogicalRDD`
+    * scan; nothing releases those blocks until RDD garbage collection, so
+    * an operator that checkpoints per-call intermediates (the
+    * recache-by-path pinning discipline of the graph maintenance ops)
+    * accumulates storage across a long-lived session (ADVICE r18). This
+    * walks the frame's analyzed plan to the wrapped RDD and unpersists it
+    * directly — call it only once every plan derived from the frame has
+    * been consumed: a localCheckpoint is NOT recomputable, so a
+    * still-pending plan rooted at it would fail. No-op for frames that
+    * are not local checkpoints.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }

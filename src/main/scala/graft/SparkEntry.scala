@@ -1101,9 +1101,11 @@ object SparkEntry {
       // degenerate MoR into a full rebuild at every load and prove
       // nothing about pruning). A stale tombstoned node served, an
       // unrefreshed touched cell, or an untouched cell accidentally
-      // rewritten mismatches its phase. The MoR shortlist is pinned via
-      // localCheckpoint BEFORE compaction mutates the dirs its plan
-      // reads (the parquet-recache hazard). IndexIOSpec pins the
+      // rewritten mismatches its phase. The MoR shortlist is pinned by
+      // materializing its ≤ 20·5 rows on the driver BEFORE compaction
+      // mutates the dirs its plan reads (the parquet-recache hazard) —
+      // the declared-bounded collect class; a localCheckpoint pins too
+      // but parks its blocks until RDD GC (ADVICE r18). IndexIOSpec pins the
       // artifact-level facts the graded row cannot see: the compacted
       // tree equals the survivor rebuild and the tombstone dir is gone.
       // the mutated artifact is a hardlink clone of the shared base
@@ -1127,7 +1129,9 @@ object SparkEntry {
             col("neighbor_id"), col("dist"))
       }
       val (mn, me, _, _, _) = graft.sources.IndexIO.loadGraphMor(s, dir)
-      val mor = serve(mn, me, "mor").localCheckpoint(true)
+      val morServed = serve(mn, me, "mor")
+      val mor = s.createDataFrame(
+        java.util.Arrays.asList(morServed.collect(): _*), morServed.schema)
       graft.sources.IndexIO.compactGraph(s, dir)
       val (cn, ce, _, _, _) = graft.sources.IndexIO.loadGraph(s, dir)
       mor.unionByName(serve(cn, ce, "compacted"))
@@ -1203,11 +1207,18 @@ object SparkEntry {
         .join(exact, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("n_hits"))
       val nex = exact.agg(count(lit(1)).as("n_exact"))
+      // n_exact = 0 (every query alone in its (cell,label) group — not
+      // reachable on current testdata but structurally possible) must
+      // read NULL in BOTH engines: Spark's div already returns NULL on a
+      // zero divisor while DuckDB's // raises, so the explicit CASE pins
+      // the degenerate shape to the same value instead of diverging
+      // engine-vs-oracle (ADVICE r18)
       hits.crossJoin(broadcast(nex)).select(
         lit("graph_filtered_vs_incell_exact").as("algo"),
         col("n_exact"),
         col("n_hits"),
-        expr("n_hits * 1000 div n_exact").as("recall_permille"))
+        expr("case when n_exact = 0 then null else n_hits * 1000 div n_exact end")
+          .as("recall_permille"))
     }),
 
     "q_knn_graph_mp" -> ((s, d) => {
@@ -6547,7 +6558,8 @@ object SparkEntry {
        |SELECT 'graph_filtered_vs_incell_exact' AS algo,
        |  CAST(n_exact AS BIGINT) AS n_exact,
        |  CAST(n_hits AS BIGINT) AS n_hits,
-       |  CAST(n_hits * 1000 // n_exact AS BIGINT) AS recall_permille
+       |  CAST(CASE WHEN n_exact = 0 THEN NULL
+       |       ELSE n_hits * 1000 // n_exact END AS BIGINT) AS recall_permille
        |FROM agg""".stripMargin
 
   /** The multi-probe traversal chain: one search unit per (query, probed

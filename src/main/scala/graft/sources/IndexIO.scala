@@ -254,6 +254,35 @@ object IndexIO {
   private def graphPendingMarker(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_MAINTENANCE_PENDING")
 
+  /** Refuses to START a maintenance op on an artifact whose previous
+    * maintenance run tore (marker still present). Without this gate a
+    * LATER mutating op would overwrite the marker, complete its own
+    * writes, and remove it — loadGraph would then accept an artifact
+    * whose earlier tear was never repaired, silently laundering exactly
+    * the state the marker exists to detect (ADVICE r18). Called BEFORE
+    * any read that feeds the op's writes, because those reads already
+    * see the torn tree.
+    */
+  private def requireNoPendingMarker(
+      spark: SparkSession, path: String, op: String): Unit = {
+    val marker = graphPendingMarker(path)
+    require(!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(marker),
+      s"graph artifact at $path has an unfinished maintenance run " +
+        s"(_MAINTENANCE_PENDING present) — refusing to start '$op': nodes " +
+        "and edges may disagree; rebuild with saveGraph or restore a " +
+        "cloneGraph snapshot over this path")
+  }
+
+  /** Test-only fault-injection hook: invoked at named points between a
+    * maintenance op's writes (e.g. `"append:between-writes"`). A spec
+    * swaps in a throwing hook to simulate a crash INSIDE the
+    * marker-guarded window and then proves the torn artifact is refused
+    * by loadGraph and recoverable by restoring a [[cloneGraph]]
+    * snapshot. Production value is the no-op.
+    */
+  private[graft] var faultHook: String => Unit = _ => ()
+
   private def withGraphMaintenanceMarker(
       spark: SparkSession, path: String, op: String)(body: => Unit): Unit = {
     val marker = graphPendingMarker(path)
@@ -308,6 +337,7 @@ object IndexIO {
   def appendGraph(spark: SparkSession,
                   newVectors: org.apache.spark.sql.DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions.col
+    requireNoPendingMarker(spark, path, "append")
     val meta = spark.read.parquet(s"$path/meta").select("scale_bits", "m").collect()(0)
     val (scaleBits, m) = (meta.getInt(0), meta.getInt(1))
     val codebook = loadIvf(spark, s"$path/codebook")
@@ -329,7 +359,10 @@ object IndexIO {
     // driver read as the codebook itself
     val touched = newNodes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    if (touched.isEmpty) return // every id already resident: idempotent no-op
+    if (touched.isEmpty) { // every id already resident: idempotent no-op
+      graft.CachePool.releaseCheckpoint(newNodes)
+      return
+    }
     val resident = spark.read.parquet(s"$path/nodes")
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("code"))
       .filter(col("cell").isin(touched: _*)) // partition-pruned read
@@ -361,10 +394,15 @@ object IndexIO {
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
       }
+      faultHook("append:between-writes")
       newNodes.write.mode("append").partitionBy("cell").parquet(s"$path/nodes")
     }
     graft.CachePool.release(refreshed)
     graft.CachePool.release(members)
+    // the checkpointed new-node blocks are not reachable from any live
+    // plan once the writes landed; without the explicit unpersist they
+    // linger in the block manager until RDD GC (ADVICE r18)
+    graft.CachePool.releaseCheckpoint(newNodes)
   }
 
   /** Deletes vectors from a persisted [[saveGraph]] artifact WITHOUT a
@@ -391,6 +429,7 @@ object IndexIO {
   def deleteFromGraph(spark: SparkSession,
                       ids: org.apache.spark.sql.DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions.col
+    requireNoPendingMarker(spark, path, "delete")
     val m = spark.read.parquet(s"$path/meta").select("m").collect()(0).getInt(0)
     val nodes = spark.read.parquet(s"$path/nodes")
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("code"))
@@ -419,6 +458,7 @@ object IndexIO {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
         refreshed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
+        faultHook("delete:between-writes")
         survivors.write.mode("overwrite").partitionBy("cell").parquet(s"$path/nodes")
       } finally {
         prevMode match {
@@ -442,6 +482,7 @@ object IndexIO {
       touched.filterNot(edgeAlive).foreach(drop("edges", _))
     }
     graft.CachePool.release(refreshed)
+    graft.CachePool.releaseCheckpoint(survivors)
   }
 
   /** Hardlink-clones a [[saveGraph]] artifact tree — the snapshot a
@@ -454,6 +495,15 @@ object IndexIO {
     * half-cloned casualty of an interrupted run cannot survive into the
     * next call; cross-device paths degrade to a plain copy. Refuses a
     * torn source (pending-marker present).
+    *
+    * LOCAL FILESYSTEM ONLY (ADVICE r18): the walk runs through java.nio,
+    * so an `hdfs://` or `s3://` artifact that the other IndexIO ops
+    * handle through the Hadoop FileSystem API is out of scope here — on
+    * such a URI the existence require below fails (there is no local
+    * path by that name), it does not half-copy. Snapshotting a remote
+    * artifact is the storage layer's job (HDFS snapshots, S3 versioning,
+    * table-format time travel); the inode-sharing trick this op exists
+    * for has no remote equivalent.
     */
   def cloneGraph(src: String, dst: String): Unit = {
     import java.nio.file.{Files, Path, Paths}

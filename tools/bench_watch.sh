@@ -28,6 +28,24 @@ if [ -f "$REPO/BENCH_FULL.json" ]; then
   cp "$REPO/BENCH_FULL.json" "$SNAP"
   HAD_PREV=1
 fi
+# Under set -e an sbt/Bench failure would otherwise exit before the
+# restore block below AND leak $SNAP — worse, a partial BENCH_FULL.json
+# written before the death would clobber the artifact of record with no
+# restore (ADVICE r18). GATE_PASSED=1 is set only after a gated launch
+# completes; on any other exit path the trap restores the launch-time
+# snapshot and always removes the temp file.
+GATE_PASSED=0
+cleanup() {
+  if [ "$GATE_PASSED" != 1 ]; then
+    if [ "$HAD_PREV" = 1 ]; then
+      cp "$SNAP" "$REPO/BENCH_FULL.json" 2>/dev/null || true
+    else
+      rm -f "$REPO/BENCH_FULL.json"
+    fi
+  fi
+  rm -f "$SNAP"
+}
+trap cleanup EXIT
 L=99
 for i in $(seq 1 "$MAX_POLLS"); do
   L=$(cut -d' ' -f1 /proc/loadavg)
@@ -48,19 +66,14 @@ SPARK_GRAFT_REPEATS="$REPEATS" SPARK_GRAFT_SF_DIR="$SF_DIR" \
   SPARK_GRAFT_LOADAVG_AT_LAUNCH="$L" \
   sbt -batch "runMain graft.Bench"
 # A contaminated launch (gate >= 0.3) must not overwrite the artifact of
-# record: graft.Bench writes BENCH_FULL.json unconditionally, so restore
-# the LAUNCH-TIME snapshot here (not the committed copy — ADVICE r17:
-# git restore would destroy a prior quiet run's uncommitted artifact).
-# The measurement survives in target/bench.json for inspection.
-if ! awk "BEGIN{exit !($L < 0.3)}"; then
-  if [ "$HAD_PREV" = 1 ]; then
-    cp "$SNAP" "$REPO/BENCH_FULL.json"
-    echo "contaminated launch (loadavg_at_launch $L >= 0.3): restored" \
-      "launch-time BENCH_FULL.json; this run's numbers remain in target/bench.json"
-  else
-    rm -f "$REPO/BENCH_FULL.json"
-    echo "contaminated launch (loadavg_at_launch $L >= 0.3): removed" \
-      "BENCH_FULL.json (none existed at launch); numbers remain in target/bench.json"
-  fi
+# record: graft.Bench writes BENCH_FULL.json unconditionally. The EXIT
+# trap restores the LAUNCH-TIME snapshot (not the committed copy —
+# ADVICE r17: git restore would destroy a prior quiet run's uncommitted
+# artifact) unless the gate passed; the measurement survives in
+# target/bench.json for inspection either way.
+if awk "BEGIN{exit !($L < 0.3)}"; then
+  GATE_PASSED=1
+else
+  echo "contaminated launch (loadavg_at_launch $L >= 0.3): restoring" \
+    "launch-time BENCH_FULL.json; this run's numbers remain in target/bench.json"
 fi
-rm -f "$SNAP"
