@@ -195,13 +195,22 @@ object DocPipeline {
     * Output: (comp, doc_id, quality_score), one row per document.
     */
   def clusterLabeled(docs: DataFrame, id: Column, text: Column,
-                     pairs: DataFrame): DataFrame = {
+                     pairs: DataFrame): DataFrame =
+    clusterLabeledFromComp(docs, id, text,
+      graft.dedup.DedupClusters.componentsAuto(pairs))
+
+  /** [[clusterLabeled]] over an ALREADY-CLOSED component map (id, comp) —
+    * the fit-once-serve-many face: the closure is one artifact build
+    * (graded by its own row), and each survivor-policy consumer attaches
+    * quality to the same labels instead of re-closing the pair graph.
+    * Same output as [[clusterLabeled]] given the same closure.
+    */
+  def clusterLabeledFromComp(docs: DataFrame, id: Column, text: Column,
+                             comp: DataFrame): DataFrame = {
     val scored = withQuality(
         docs.select(id.as("doc_id"), text.as("__sv_text")), col("__sv_text"))
       .select(col("doc_id"), col("quality_score"))
-    val comp = graft.dedup.DedupClusters.componentsAuto(pairs)
-      .withColumnRenamed("id", "doc_id")
-    scored.join(comp, Seq("doc_id"), "left")
+    scored.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("doc_id")))
       .select("comp", "doc_id", "quality_score")
   }

@@ -288,8 +288,19 @@ object QualityClassifier extends org.apache.spark.internal.Logging {
   def calibrationGate(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
                       buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
                       bins: Int = 10,
-                      tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
-    val perBin = marginRankBins(pos, neg, id, text, buckets, iters, lr, bins, tokensOf)
+                      tokensOf: Column => Column = TextAnalysis.tokens): DataFrame =
+    calibrationGateWith(fit(pos, neg, id, text, buckets, iters, lr, tokensOf),
+      pos, neg, id, text, bins, tokensOf)
+
+  /** [[calibrationGate]] over a PRE-FIT model — the fit-once-serve-many
+    * face: training is one artifact build (graded by `trainGate`), and
+    * every calibration consumer evaluates the same model instead of
+    * re-running the gradient rounds. Same output, same gates.
+    */
+  def calibrationGateWith(model: Model, pos: DataFrame, neg: DataFrame,
+                          id: Column, text: Column, bins: Int = 10,
+                          tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val perBin = marginRankBins(model, pos, neg, id, text, bins, tokensOf)
     val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
     val mono = perBin
       .withColumn("rate", col("n_pos").cast("double") / col("n_docs"))
@@ -325,8 +336,16 @@ object QualityClassifier extends org.apache.spark.internal.Logging {
   def reliabilityGate(pos: DataFrame, neg: DataFrame, id: Column, text: Column,
                       buckets: Int = 4096, iters: Int = 30, lr: Double = 1.0,
                       bins: Int = 10, maxGap: Double = 0.25, maxEce: Double = 0.1,
-                      tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
-    val perBin = marginRankBins(pos, neg, id, text, buckets, iters, lr, bins, tokensOf)
+                      tokensOf: Column => Column = TextAnalysis.tokens): DataFrame =
+    reliabilityGateWith(fit(pos, neg, id, text, buckets, iters, lr, tokensOf),
+      pos, neg, id, text, bins, maxGap, maxEce, tokensOf)
+
+  /** [[reliabilityGate]] over a PRE-FIT model — see [[calibrationGateWith]]. */
+  def reliabilityGateWith(model: Model, pos: DataFrame, neg: DataFrame,
+                          id: Column, text: Column, bins: Int = 10,
+                          maxGap: Double = 0.25, maxEce: Double = 0.1,
+                          tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val perBin = marginRankBins(model, pos, neg, id, text, bins, tokensOf)
     val withGap = perBin.withColumn("gap",
       abs(col("sum_prob") / col("n_docs") -
         col("n_pos").cast("double") / col("n_docs")))
@@ -346,12 +365,10 @@ object QualityClassifier extends org.apache.spark.internal.Logging {
     * is pure integer arithmetic in (rank, n), so bin SIZES are
     * engine-replayable from n alone.
     */
-  private def marginRankBins(pos: DataFrame, neg: DataFrame, id: Column,
-                             text: Column, buckets: Int, iters: Int,
-                             lr: Double, bins: Int,
+  private def marginRankBins(model: Model, pos: DataFrame, neg: DataFrame,
+                             id: Column, text: Column, bins: Int,
                              tokensOf: Column => Column): DataFrame = {
     require(bins >= 2, s"need at least 2 calibration bins, got $bins")
-    val model = fit(pos, neg, id, text, buckets, iters, lr, tokensOf)
     val scored = score(pos, id, text, model, tokensOf = tokensOf)
       .withColumn("y", lit(1.0))
       .unionByName(score(neg, id, text, model, tokensOf = tokensOf)

@@ -108,6 +108,58 @@ class TextSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (10L, 10L)))
   }
 
+  test("clusterLabeledFromComp over a precomputed closure equals clusterLabeled") {
+    val docs = Seq(
+      (1L, "!!! ??? %%% ..."),
+      (2L, "the cat is on the mat and happy today"),
+      (3L, "zzz qqq"),
+      (10L, "a plain doc here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val direct = DocPipeline.clusterLabeled(docs, col("doc_id"), col("text"), pairs)
+      .select("comp", "doc_id").as[(Long, Long)].collect().toSet
+    val staged = DocPipeline.clusterLabeledFromComp(docs, col("doc_id"), col("text"),
+        graft.dedup.DedupClusters.componentsAuto(pairs))
+      .select("comp", "doc_id").as[(Long, Long)].collect().toSet
+    assert(staged === direct)
+    // and the survivor policy over the staged labels matches the fused path
+    val survDirect = DocPipeline.survivorsByQuality(
+        docs, col("doc_id"), col("text"), pairs)
+      .select("comp", "doc_id").as[(Long, Long)].collect().toSet
+    val survStaged = DocPipeline.survivorsFromLabeled(
+        DocPipeline.clusterLabeledFromComp(docs, col("doc_id"), col("text"),
+          graft.dedup.DedupClusters.componentsAuto(pairs)))
+      .select("comp", "doc_id").as[(Long, Long)].collect().toSet
+    assert(survStaged === survDirect)
+  }
+
+  test("calibrationGateWith / reliabilityGateWith over a pre-fit model equal the fused gates") {
+    val pos = (1L to 30L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here")).toDF("doc_id", "text")
+    val neg = (101L to 130L).map(i =>
+      (i, s"a perfectly clean document number $i with enough ordinary tokens here " +
+        "zxq wvv zxq wvv junkmarker")).toDF("doc_id", "text")
+    val model = QualityClassifier.fit(pos, neg, col("doc_id"), col("text"),
+      buckets = 512, iters = 40, lr = 2.0)
+    val calWith = QualityClassifier.calibrationGateWith(model, pos, neg,
+        col("doc_id"), col("text"), bins = 6)
+      .select("bin", "n_docs", "n_pos", "rate_monotone_ok")
+      .as[(Long, Long, Long, Boolean)].collect().toList
+    // identical integer/boolean cells as the fit-inside gate's pinned shape
+    assert(calWith === List(
+      (1L, 10L, 0L, true), (2L, 10L, 0L, true), (3L, 10L, 0L, true),
+      (4L, 10L, 10L, true), (5L, 10L, 10L, true), (6L, 10L, 10L, true)))
+    val relWith = QualityClassifier.reliabilityGateWith(model, pos, neg,
+        col("doc_id"), col("text"), bins = 6)
+      .select("bin", "n_docs", "n_pos", "gap_ok", "ece_ok")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toList
+    assert(relWith.map(r => (r._1, r._2, r._3)) ===
+      List((1L, 10L, 0L), (2L, 10L, 0L), (3L, 10L, 0L),
+        (4L, 10L, 10L), (5L, 10L, 10L), (6L, 10L, 10L)))
+    assert(relWith.forall(r => r._4 && r._5))
+    graft.CachePool.releaseAll()
+  }
+
   test("sharedRunPairs maxRunDf drops boilerplate pairs, keeps genuine runs") {
     // 100 otherwise-unrelated docs share one planted boilerplate footer;
     // docs 1001/1002 share a genuine 8-token run and no footer.
