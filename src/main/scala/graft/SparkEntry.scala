@@ -2466,10 +2466,12 @@ object SparkEntry {
       // the excision ledger over the same rule: per doc, total tokens,
       // tokens under duplicated spans, spans, and surviving tokens —
       // zero-dup docs ride along with dup_tokens = 0 (left join), so the
-      // frame is the complete corpus-shrinkage report.
-      graft.text.SpanDedup.spanStats(
+      // frame is the complete corpus-shrinkage report. Extents come from
+      // the per-sf-dir staged span artifact (sharedSpanFrame); this row
+      // grades the LEDGER aggregate, q_span_dedup the derivation.
+      graft.text.SpanDedup.spanStatsFrom(
         DedupData.withPlantedDups(t(s, d, "documents")),
-        col("doc_id"), col("text"))),
+        col("doc_id"), col("text"), sharedSpanFrame(s, d))),
 
     "q_span_excise" -> ((s, d) =>
       // the cut itself: the cleaned corpus with every duplicated span
@@ -2477,9 +2479,11 @@ object SparkEntry {
       // the per-doc span array, no token explode, no shuffle beyond the
       // span derivation. Planted exact copies come back EMPTY (fully
       // duplicated); near copies keep exactly their appended suffix.
-      graft.text.SpanDedup.exciseSpans(
+      // Extents from the per-sf-dir staged span artifact (sharedSpanFrame);
+      // this row grades the CUT, q_span_dedup the derivation.
+      graft.text.SpanDedup.exciseSpansFrom(
         DedupData.withPlantedDups(t(s, d, "documents")),
-        col("doc_id"), col("text"))),
+        col("doc_id"), col("text"), sharedSpanFrame(s, d))),
 
     "q_dedup_minhash_w" -> ((s, d) =>
       // the weighted (Sigma-min/Sigma-max) form under the same planted-
@@ -6511,6 +6515,30 @@ object SparkEntry {
     s.read.parquet(s"${sharedMinhashDir(s, d)}/pairs")
   private def sharedMinhashComp(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${sharedMinhashDir(s, d)}/comp")
+
+  /** Memoized on-disk staging of the duplicated-span derivation over the
+    * planted corpus (the [[sharedGraphIndex]] discipline applied to the
+    * span family): [[graft.text.SpanDedup.duplicateSpans]] — the rolling-
+    * hash window pass, the global first-occurrence aggregate and the
+    * island merge — runs once per sf-dir; q_span_stats and q_span_excise
+    * read the staged extents and grade their own hop (the ledger
+    * aggregate / the higher-order cut), while q_span_dedup keeps grading
+    * the derivation itself fresh every attempt.
+    */
+  private val sharedSpanDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedSpanFrame(s: SparkSession, d: String): DataFrame = {
+    val dir = sharedSpanDirs.computeIfAbsent(d, { _ =>
+      val dd =
+        s"${scratchDir("graft_span_shared")}/s${sharedGraphSeq.getAndIncrement()}"
+      graft.text.SpanDedup.duplicateSpans(
+          DedupData.withPlantedDups(t(s, d, "documents")),
+          col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(dd)
+      dd
+    })
+    s.read.parquet(dir)
+  }
 
   /** Memoized per-sf-dir quality-classifier model (the fit-once-serve-
     * many discipline applied to the TRAINED-MODEL artifact):

@@ -145,8 +145,18 @@ object DedupClusters extends Logging {
 
     // large-star: from each node's FULL (symmetrized) neighborhood,
     // point every strictly-larger neighbor at m = min(Γ(u) ∪ u).
+    // Per-round exchange budget (r19): the symmetrized adjacency is NOT
+    // distinct'ed — duplicates cannot change m (min is duplicate-
+    // insensitive) nor the output SET (the trailing distinct collapses
+    // join fan-out), and that distinct was a full exchange over 2|E|
+    // rows. The aggregate's partial-agg exchange and AQE's runtime
+    // broadcast of the tiny m frame stay as they were (an explicit
+    // repartition was A/B'd and LOST — it defeats the broadcast). Each
+    // round's edge SET is bit-identical to the textbook form — the
+    // fixpoint index (which q_closure_scale's oracle replays) cannot
+    // move.
     def largeStar(e: DataFrame): DataFrame = {
-      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val m = adj.groupBy("u").agg(least(min("v"), first("u")).as("m"))
       adj.join(m, "u")
         .filter(col("v") > col("u"))
@@ -156,9 +166,13 @@ object DedupClusters extends Logging {
 
     // small-star: orient each edge from its larger endpoint, point the
     // smaller neighbors AND the node itself at m = min(N⁻(u) ∪ u).
+    // Called only on largeStar output, where every edge already points
+    // strictly large→small and the set is distinct — so the textbook
+    // greatest/least orientation is the identity and its distinct (a
+    // full exchange over |E|) is a no-op; both dropped (r19). The
+    // output SET is unchanged.
     def smallStar(e: DataFrame): DataFrame = {
-      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v")).distinct()
+      val oriented = e
       val m = oriented.groupBy("u").agg(min("v").as("m"))
       oriented.join(m, "u")
         .select(col("v").as("u"), col("m").as("v"))

@@ -95,11 +95,21 @@ object SpanDedup {
     * array — so no token-level explode and no extra shuffle beyond
     * [[duplicateSpans]]' own.
     */
-  def exciseSpans(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
+  def exciseSpans(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame =
+    exciseSpansFrom(docs, id, text, duplicateSpans(docs, id, text, w))
+
+  /** [[exciseSpans]] over an ALREADY-DERIVED span frame (doc_id,
+    * span_start, span_end, span_tokens) — the fit-once-serve-many face:
+    * the span derivation is one artifact build (graded by its own row),
+    * and each consumer cuts against the same extents. Identical output
+    * to [[exciseSpans]] given [[duplicateSpans]]' frame.
+    */
+  def exciseSpansFrom(docs: DataFrame, id: Column, text: Column,
+                      spanFrame: DataFrame): DataFrame = {
     val toks = MinHashLsh.tokens(ExactDedup.normalize(text))
     val base = docs.select(id.as("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) > 0)
-    val spans = duplicateSpans(docs, id, text, w)
+    val spans = spanFrame
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("sps"))
@@ -121,11 +131,18 @@ object SpanDedup {
     * duplicated span appear with zero `dup_tokens` (left join), so the
     * frame is a complete before/after ledger.
     */
-  def spanStats(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame = {
+  def spanStats(docs: DataFrame, id: Column, text: Column, w: Int = 8): DataFrame =
+    spanStatsFrom(docs, id, text, duplicateSpans(docs, id, text, w))
+
+  /** [[spanStats]] over an ALREADY-DERIVED span frame — see
+    * [[exciseSpansFrom]].
+    */
+  def spanStatsFrom(docs: DataFrame, id: Column, text: Column,
+                    spanFrame: DataFrame): DataFrame = {
     val base = docs.select(id.as("doc_id"),
       size(MinHashLsh.tokens(ExactDedup.normalize(text))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    val spans = duplicateSpans(docs, id, text, w)
+    val spans = spanFrame
       .groupBy("doc_id")
       .agg(sum(col("span_tokens")).as("dup_tokens"),
         count(lit(1)).as("n_spans"))

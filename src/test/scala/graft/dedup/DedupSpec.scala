@@ -299,6 +299,54 @@ class DedupSpec extends SparkSpec {
     graft.CachePool.releaseAll()
   }
 
+  test("exchange-trimmed star rounds replay the textbook large/small-star fixpoint") {
+    // r19: largeStar dropped the pre-aggregation distinct and smallStar
+    // dropped the identity orientation+distinct — both pure exchange
+    // savings. This pin drives the TEXTBOOK form (with both distincts
+    // and the orientation) over in-memory sets and requires the engine
+    // to reach the fixpoint in EXACTLY the same number of rounds — the
+    // value q_closure_scale's oracle replays — on a high-diameter chain
+    // and on a mixed fixture.
+    def largeStarRef(e: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val adj = e ++ e.map(p => (p._2, p._1))
+      val m = adj.groupBy(_._1).map { case (u, es) =>
+        u -> math.min(es.map(_._2).min, u) }
+      adj.filter { case (u, v) => v > u }
+        .map { case (u, v) => (v, m(u)) }.filter(p => p._1 != p._2)
+    }
+    def smallStarRef(e: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val oriented = e.map(p => (math.max(p._1, p._2), math.min(p._1, p._2)))
+      val m = oriented.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+      (oriented.map { case (u, v) => (v, m(u)) } ++ m.toSet)
+        .filter(p => p._1 != p._2)
+    }
+    def refRounds(pairs: Set[(Long, Long)]): Int = {
+      var edges = pairs.filter(p => p._1 != p._2)
+      var iter = 0
+      var changed = true
+      while (changed && iter < 50) {
+        val next = smallStarRef(largeStarRef(edges))
+        changed = next != edges
+        edges = next
+        iter += 1
+      }
+      assert(!changed, "reference did not converge")
+      iter
+    }
+    val chain = (0L until 80L).map(i => (i, i + 1))
+    val fixture = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+    Seq(chain, fixture).foreach { ps =>
+      val (_, engineRounds) = DedupClusters.starContractionCounted(
+        ps.toDF("id_a", "id_b"))
+      assert(engineRounds === refRounds(ps.toSet),
+        s"engine rounds diverged from the textbook fixpoint on ${ps.size} edges")
+    }
+    graft.CachePool.releaseAll()
+  }
+
   test("reliable checkpointing yields identical components to localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val pairs = Seq(

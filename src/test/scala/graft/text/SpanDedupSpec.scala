@@ -101,4 +101,27 @@ class SpanDedupSpec extends SparkSpec {
     assert(origs.exists(r => r.getLong(4) > 0),
       "some original must keep tokens after excision")
   }
+
+  test("spanStatsFrom / exciseSpansFrom over a staged span frame equal the fused paths") {
+    // r19: q_span_stats / q_span_excise consume the per-sf-dir staged
+    // span artifact; pin that the From-variants given duplicateSpans'
+    // own frame (round-tripped through parquet, as the stager does)
+    // reproduce the fused outputs cell for cell.
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-pin").toString
+    SpanDedup.duplicateSpans(corpus, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+    val statsFused = SpanDedup.spanStats(corpus, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet
+    val statsStaged = SpanDedup.spanStatsFrom(corpus, col("doc_id"), col("text"), staged)
+      .collect().map(_.toSeq).toSet
+    assert(statsStaged === statsFused)
+    val cutFused = SpanDedup.exciseSpans(corpus, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet
+    val cutStaged = SpanDedup.exciseSpansFrom(corpus, col("doc_id"), col("text"), staged)
+      .collect().map(_.toSeq).toSet
+    assert(cutStaged === cutFused)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    graft.CachePool.releaseAll()
+  }
 }
